@@ -1,0 +1,68 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+The reference engine hand-tuned its runtime in its Dockerfile (4 map / 4
+reduce local slots, 15% shuffle buffer — ``/root/reference/Dockerfile:36-53``).
+Here the equivalent knobs are session confs, and the heavy lifting (partial
+aggregation, partition coalescing, skew handling, broadcast selection) is
+delegated to Catalyst + AQE, which re-plans at runtime from observed stage
+statistics — the behaviour you want on a 1000-executor cluster, and a no-op
+cost locally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[cpus] test harness; on a real cluster the same
+# confs apply but shuffle partitions should scale with total cores (AQE
+# coalesces the excess, so over-provisioning the initial number is the safe
+# direction at 100 TB).
+SCALE_CONFS: dict[str, str] = {
+    # AQE: runtime partition coalescing, skew-join splitting, and
+    # broadcast-join conversion from observed sizes. Core of the 100 TB story.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Pre-AQE shuffle width. On a cluster: ~2-3x total executor cores.
+    "spark.sql.shuffle.partitions": "64",
+    # Split large files into ≤128 MiB scan tasks so a 100 TB scan parallelises.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Dims ≤ 32 MiB are broadcast (region/nation/supplier at any SF;
+    # AQE upgrades larger joins when runtime stats allow).
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Arrow for any pandas-UDF path (the sanctioned Python escape hatch).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for oracle comparison (FIXTURES.md §3).
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+
+def get_spark(app_name: str = "hadoop-word-score-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{default_parallelism()}]")
+    for k, v in SCALE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an externally-built session.
+
+    Used by ``__spark_entry__.entry``: the driver owns the session; we only set
+    confs that are legal to change post-start (all of SCALE_CONFS are SQL confs).
+    """
+    for k, v in SCALE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable conf on this build — keep the driver's value
+            pass
+    return spark

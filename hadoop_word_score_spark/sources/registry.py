@@ -1,0 +1,90 @@
+"""Schema registry + loaders for the engine's tables.
+
+The reference is schema-less: it parses whole JSON objects per record and
+plucks two fields with unchecked casts (ComputeWordScore.java:102-116). The
+new engine is schema-first — every source has a declared schema, which is what
+lets the Parquet reader prune columns and push filters down to row groups (the
+single biggest win at 100 TB; the reference re-parsed every byte of every
+record on every run).
+
+Tables are the driver-generated star schema + events/documents/embeddings
+(TESTDATA.md, FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_I = T.IntegerType()
+_L = T.LongType()
+_D = T.DoubleType()
+_S = T.StringType()
+_TS = T.TimestampType()
+
+
+def _schema(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+# Declared schemas (FIXTURES.md §2). Used for validation and for schema-first
+# reads of non-parquet encodings of the same tables; parquet reads use the
+# footer schema (identical — asserted in tests).
+TABLES: dict[str, T.StructType] = {
+    "region": _schema(("r_regionkey", _I), ("r_name", _S)),
+    "nation": _schema(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
+    "customer": _schema(
+        ("c_custkey", _L), ("c_name", _S), ("c_nationkey", _I),
+        ("c_acctbal", _D), ("c_mktsegment", _S),
+    ),
+    "supplier": _schema(
+        ("s_suppkey", _L), ("s_name", _S), ("s_nationkey", _I), ("s_acctbal", _D),
+    ),
+    "part": _schema(
+        ("p_partkey", _L), ("p_name", _S), ("p_brand", _S), ("p_type", _S),
+        ("p_size", _I), ("p_retailprice", _D),
+    ),
+    "orders": _schema(
+        ("o_orderkey", _L), ("o_custkey", _L), ("o_orderstatus", _S),
+        ("o_totalprice", _D), ("o_orderdate", _TS), ("o_orderpriority", _S),
+    ),
+    "lineitem": _schema(
+        ("l_orderkey", _L), ("l_partkey", _L), ("l_suppkey", _L),
+        ("l_linenumber", _I), ("l_quantity", _D), ("l_extendedprice", _D),
+        ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
+        ("l_linestatus", _S), ("l_shipdate", _TS),
+    ),
+    "events": _schema(
+        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
+        ("value", _D), ("props", _S),
+    ),
+    "documents": _schema(
+        ("doc_id", _L), ("text", _S), ("lang", _S), ("source", _S), ("n_chars", _L),
+    ),
+    "embeddings": _schema(
+        ("vec_id", _L), ("embedding", T.ArrayType(T.FloatType())), ("label", _I),
+    ),
+}
+
+# Dimensions small enough to broadcast at ANY scale factor (bounded cardinality:
+# 5 regions / 25 nations). Join helpers hint these explicitly; everything else
+# is left to AQE's runtime broadcast decision.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
