@@ -64,6 +64,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC regardless of who built the session: timestamp-to-epoch and
+    # window-bucketing expressions must not shift with the driver's locale.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 
@@ -211,4 +214,576 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT joins (SURVEY §2.5 J1-J6) over the star schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, agg, top-10.
+    # customer(BUILDING) is small → AQE converts to broadcast at runtime;
+    # orders⋈lineitem is the real shuffle on the orderkey.
+    c, o, li = (_t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem"))
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join",),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-way join. region/nation are bounded-cardinality dims →
+    # broadcast explicitly (J1); the fact-fact joins shuffle on their keys (J2).
+    c, o, li, s, n, r = (
+        _t(spark, sf_dir, x)
+        for x in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    dim = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.withColumnRenamed("c_nationkey", "cn"),
+              (F.col("o_custkey") == F.col("c_custkey")) & (F.col("cn") == F.col("s_nationkey")))
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey)                            AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2)   AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join",),
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 outer: customers with zero orders survive with n_orders=0.
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3: left-semi — no row multiplication, shuffle carries only the key side.
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o.filter(F.col("o_totalprice") > 300000),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        ).select("c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT b.bucket_lo, COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (SELECT 10 * g AS bucket_lo, 10 * g + 10 AS bucket_hi
+          FROM generate_series(0, 4) AS t(g)) b
+      ON p.p_size >= b.bucket_lo AND p.p_size < b.bucket_hi
+    GROUP BY b.bucket_lo
+    """,
+    tags=("join",),
+)
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 theta/range join: tiny bucket table → BroadcastNestedLoopJoin, which
+    # is the right physical plan when one side is O(constant).
+    p = _t(spark, sf_dir, "part")
+    buckets = spark.range(0, 5).select(
+        (F.col("id") * 10).alias("bucket_lo"), (F.col("id") * 10 + 10).alias("bucket_hi")
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (F.col("p_size") >= F.col("bucket_lo")) & (F.col("p_size") < F.col("bucket_hi")),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+    tags=("join",),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6: bounded cross join (5x5) — the pattern similarity self-joins seed from.
+    r = _t(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("region_a"))
+    r2 = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("region_b"))
+    return (
+        r1.crossJoin(r2).filter(F.col("k1") < F.col("k2")).select("region_a", "region_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT set operations (SURVEY §2.6 U1-U2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'union_all' AS op, nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        UNION ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'union_distinct', nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        UNION SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'intersect', nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'except', nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    """,
+    tags=("setop",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1+U2 in one tagged result: union-all / union-distinct / intersect / except.
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(c.unionByName(s), "union_all")
+        .unionByName(tag(c.unionByName(s).distinct(), "union_distinct"))
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))  # EXCEPT = set-minus (distinct)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT window functions (SURVEY §2.7 W1-W3) + per-group top-k (O3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ROW_NUMBER()  OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK()        OVER (PARTITION BY o_orderstatus ORDER BY ROUND(o_totalprice, -3) DESC)  AS rnk,
+           DENSE_RANK()  OVER (PARTITION BY o_orderstatus ORDER BY ROUND(o_totalprice, -3) DESC)  AS drnk,
+           NTILE(4)      OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1: rank/dense_rank rank a coarsened price (real ties — their VALUES are
+    # tie-stable); row_number/ntile use a unique total order (deterministic).
+    o = _t(spark, sf_dir, "orders")
+    unique_order = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    coarse = Window.partitionBy("o_orderstatus").orderBy(F.round("o_totalprice", -3).desc())
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(unique_order).alias("rn"),
+        F.rank().over(coarse).alias("rnk"),
+        F.dense_rank().over(coarse).alias("drnk"),
+        F.ntile(4).over(unique_order).alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           LAST_VALUE(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2: lag/lead/first/last over a per-customer event-time order.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("latest_price"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)         AS moving_avg3,
+           COUNT(*)   OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)                  AS nth_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3: framed aggregates — running sum, 3-row moving average.
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("nth_order"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O3: per-group top-k — the scalable idiom (rank-in-partition + filter),
+    # never a driver-side loop. nation is broadcast (bounded dim).
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT multi-level aggregation (SURVEY §2.3 A5): rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )
+
+
+@register(
+    "cube_segment_status",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT scalar function families (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                                   AS name_lower,
+           UPPER(p_brand)                                  AS brand_upper,
+           SUBSTRING(p_type, 1, 4)                         AS type_prefix,
+           LENGTH(p_name)                                  AS name_len,
+           CONCAT_WS('|', p_brand, p_type)                 AS brand_type,
+           REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1)         AS brand_num,
+           REPLACE(p_name, ' ', '_')                       AS name_snake,
+           TRIM(p_name)                                    AS name_trim,
+           LEVENSHTEIN(p_brand, 'Brand#1')                 AS lev_to_b1
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("lev_to_b1"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                   AS order_date,
+           EXTRACT(year FROM o_orderdate)              AS order_year,
+           EXTRACT(month FROM o_orderdate)             AS order_month,
+           EXTRACT(dow FROM o_orderdate) + 1           AS order_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS epoch_s
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday — oracle adds 1.
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                        AS price_r1,
+           ABS(l_discount - 0.05)                           AS disc_dev,
+           FLOOR(l_quantity)                                AS qty_floor,
+           CEIL(l_extendedprice / 1000)                     AS price_k,
+           ROUND(POW(l_quantity, 2), 4)                     AS qty_sq,
+           ROUND(LN(l_extendedprice), 6)                    AS price_ln,
+           ROUND(SQRT(l_quantity), 6)                       AS qty_sqrt,
+           CAST(l_quantity AS INT) % 7                      AS qty_mod7
+    FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: DuckDB LOG() is base-10 — oracle uses LN to match Spark's F.log.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           MIN(CAST(props->>'$.k' AS INT))                 AS min_k,
+           MAX(CAST(props->>'$.k' AS INT))                 AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 json family: per-record JSON field access (REF precedent CWS:113,116).
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                        AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)                AS first_elem,
+           ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))  AS n_positive,
+           ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6)  AS head_sum
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 array family incl. higher-order transform/filter/aggregate — all
+    # JVM-side codegen, the idiom the similarity ops build on.
+    em = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
     )

@@ -77,7 +77,21 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) (TESTDATA), which Spark's
+        # vectorized reader rejects. Read the physical int64 nanos and narrow
+        # to microsecond TimestampType with *integer* division (float division
+        # would lose precision past 2^53 ns) — matching DuckDB's own ns→µs
+        # truncation, so oracles compare equal.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
