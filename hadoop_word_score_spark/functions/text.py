@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 # a leading delimiter yields one empty token that callers must drop.
 DELIM_CLASS = "[ \\t\\n\\r\\f]+"
 
+# The same class for embedding in F.expr / spark.sql STRING LITERALS, where the
+# SQL parser consumes one level of backslash escaping before the regex engine
+# sees the pattern ('\f' is not a SQL escape and would collapse to a literal
+# 'f' — a delimiter that silently mangles every word containing f!).
+DELIM_CLASS_SQL = "[ \\\\t\\\\n\\\\r\\\\f]+"
+
 # stars → modifier lookup (ComputeWordScore.java:38-45, 86-93):
 # 5★ → +2, 4★ → +1, 3★ → 0, 2★ → −1, 1★ → −2. Out-of-range stars → null
 # (the reference NPEs; we null-propagate, the 100 TB-sane choice).
@@ -76,7 +82,12 @@ def rolling_fingerprint(text_col_name: str) -> Column:
     stays inside codegen, no UDF. Takes a column *name* (used inside a SQL
     lambda expression).
     """
+    # Explicit empty guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather
+    # than returning empty — without the CASE the empty-string result is 0 only
+    # by accident of ascii('') = 0.
     return F.expr(
-        f"aggregate(sequence(1, length({text_col_name})), 0L, "
-        f"(acc, i) -> (acc * 31 + ascii(substring({text_col_name}, i, 1))) % {FINGERPRINT_MOD})"
+        f"CASE WHEN length({text_col_name}) = 0 THEN 0L "
+        f"WHEN {text_col_name} IS NULL THEN NULL "
+        f"ELSE aggregate(sequence(1, length({text_col_name})), 0L, "
+        f"(acc, i) -> (acc * 31 + ascii(substring({text_col_name}, i, 1))) % {FINGERPRINT_MOD}) END"
     )

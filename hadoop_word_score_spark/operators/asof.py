@@ -1,0 +1,87 @@
+"""As-of join (SURVEY §2.5 J5) — latest right-side row at-or-before each left row.
+
+Spark has no as-of primitive. The naive formulation (range join + row_number)
+is O(|L|·|R|) per key — fine at test SF, quadratic death at 100 TB. This
+implementation is the scalable composition:
+
+    tag left/right → unionByName → single hash-partition shuffle on the key →
+    window last(right_payload, ignoreNulls) ordered by (ts, tag) → filter left
+
+One shuffle, linear work, no row multiplication — the same shape Flink's
+temporal join and kdb's aj compile to. Right rows sort before left rows at
+equal timestamps, giving the standard ``left.ts >= right.ts`` inclusive match
+(identical to DuckDB's ASOF JOIN, which the oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same key(s).
+
+    Returns the left columns plus ``asof_<col>`` for each right payload column
+    and ``asof_ts`` for the matched right timestamp. ``how='left'`` keeps
+    unmatched left rows (nulls); ``'inner'`` drops them.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in keys and c != right_ts]
+
+    payload = F.struct(
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_payload],
+    )
+    left_cols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("_asof_payload"),
+        *[F.col(c) for c in left_cols],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),  # sorts before left at equal ts → inclusive match
+        payload.alias("_asof_payload"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_asof_t"), F.col("_asof_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
+        .filter(F.col("_asof_side") == 1)
+    )
+    out = matched.select(
+        *keys,
+        F.col("_asof_t").alias(left_ts),
+        *[F.col(c) for c in left_cols],
+        F.col("_asof_match.asof_ts").alias("asof_ts"),
+        *[F.col(f"_asof_match.asof_{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    return out

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY §2.10 L3).
+
+Two paths, same output schema:
+  - ``brute_force_topk``  : exact cosine top-k — the baseline and oracle.
+  - ``lsh_bucketed_topk`` : random-hyperplane LSH prefilter — the scale path;
+    candidates only within matching hash buckets, recall measured against the
+    exact path in tests.
+
+Both compute cosine with JVM-side higher-order functions (functions/vectors):
+cast-to-double then strict left-to-right summation, so results are
+reproducible against oracles doing the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is broadcast (top-k search has few queries by construction);
+    candidates stream by without a shuffle until the final per-query rank. At
+    cluster scale the ranking shuffle carries only (query, cand, sim) triples.
+    Ties on rounded similarity break by candidate id → fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine_sim", F.round(cosine_similarity("qvec", "cvec"), 6))
+        .select("query_id", "cand_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
+def _sign_sketch_udf(n_planes: int, n_tables: int, dim: int):
+    """Vectorized sign-sketch: array<float> → array<long> of bucket ids.
+
+    One numpy matmul per Arrow batch ((batch × dim) @ (dim × planes)) — the
+    deep per-row SQL expression alternative falls out of codegen and runs
+    ~100× slower. Planes are a fixed seeded RandomState matrix: deterministic
+    across runs/executors, broadcast-free (regenerated per worker, ~2 KB).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    total = n_planes * n_tables
+    planes = np.random.RandomState(42).standard_normal((dim, total))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) > 0  # (batch, tables*planes)
+        buckets = bits.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(list(buckets))
+
+    return sketch
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane (sign) LSH prefilter, then exact
+    cosine within buckets.
+
+    ``n_tables`` independent ``n_planes``-bit sign sketches; a candidate is
+    considered if it matches the query's bucket in ANY table. Sketching is a
+    vectorized pandas UDF (Arrow batches, one matmul per batch); candidate
+    scoring and ranking stay JVM-side.
+
+    Parameter regime: per-plane agreement for angle θ is 1-θ/π, so recall for
+    a true neighbor ≈ 1-(1-p^planes)^tables. The 4×8 default targets the
+    mid-similarity regime (cos ≈ 0.3-0.5 → recall ≈ 0.7-0.95); raise
+    ``n_planes`` for near-dup workloads (cos > 0.8) to keep buckets selective.
+    """
+    sketch = _sign_sketch_udf(n_planes, n_tables, dim)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("buckets", sketch(F.col("qvec")))
+        .select("query_id", "qvec", F.posexplode("buckets").alias("table_idx", "bucket"))
+    )
+    c = (
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("buckets", sketch(F.col("cvec")))
+        .select("cand_id", "cvec", F.posexplode("buckets").alias("table_idx", "bucket"))
+    )
+    cand_pairs = (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand_pairs.withColumn(
+        "cosine_sim", F.round(cosine_similarity("qvec", "cvec"), 6)
+    ).select("query_id", "cand_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )

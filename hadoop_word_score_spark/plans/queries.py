@@ -787,3 +787,537 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("head_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT event-time windows over `events` (SURVEY §2.9 T1-T3, batch mode — the
+# window expressions are identical under Structured Streaming; see streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts)                        AS w_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "time"),
+    bench=True,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1: tumbling 10-minute windows. F.window is the same expression a
+    # readStream plan uses — batch-mode here so the oracle can check it.
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    SELECT w_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start,
+               value
+        FROM events
+    )
+    GROUP BY w_start
+    """,
+    tags=("window", "time"),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2: 10-minute windows sliding by 5 — each event lands in exactly 2
+    # windows; the oracle enumerates both starts per event explicitly.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        # ROUND(SUM, 2) of 2-decimal data is fp-boundary-safe across engines;
+        # ROUND(AVG, d) is not (sum/count can land exactly on a half-ulp).
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("w_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)                         AS session_start,
+           MAX(ts) + INTERVAL '5 minutes'  AS session_end,
+           COUNT(*)                        AS n_events,
+           ROUND(SUM(value), 2)            AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "time"),
+    bench=True,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T3: per-user sessions with a 5-minute inactivity gap. Spark's
+    # session_window end = last event + gap; the oracle reproduces that with
+    # the classic gaps-and-islands construction.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'error')    e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("join", "time"),
+    bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5: for each error, the latest click at-or-before it by the same user.
+    # Single-shuffle union+window composition (operators/asof.py), checked
+    # against DuckDB's native ASOF JOIN.
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        errors, clicks, on="user_id", right_payload=["value"], how="inner"
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+# ---------------------------------------------------------------------------
+# EXT exact + approximate percentiles / distinct (SURVEY §2.3 A4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_exact",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4)  AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.95), 4) AS p95_bal,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentile (Spark `percentile` ≡ DuckDB quantile_cont).
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.95)), 4).alias("p95_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("approx_aggs", oracle=None, tags=("agg", "approx"))
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4: sketch-based aggregates — HLL++ distinct and GK-quantile. Algorithm
+    # outputs differ engine-to-engine, so no SQL oracle; tests bound the
+    # relative error against the exact values instead (tests/test_approx.py).
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT LLM-data-pipeline operators (SURVEY §2.10 L1-L6) over documents/embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)        AS content_hash,
+           MIN(doc_id)      AS keep_id,
+           COUNT(*)         AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L1: exact dedup by content hash — shuffles 16-byte hashes, never bodies.
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+              FROM documents)
+    ), ex AS (
+        SELECT doc_id, len(shingles) AS sh_size, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh_size AS size_a, b.sh_size AS size_b,
+               COUNT(*) AS n_common
+        FROM ex a JOIN ex b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2 exact variant: all-pairs 3-gram Jaccard ≥ 0.5 via shingle self-join —
+    # the oracle-of-record the LSH paths are measured against.
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_near_minhash", oracle=None, tags=("llm", "dedup"), bench=True)
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2 scale path: banded MinHash-LSH candidates, exact-Jaccard verified.
+    # xxhash64 isn't reproducible in DuckDB → no SQL oracle; recall vs the
+    # exact operator is asserted in tests/test_dedup.py.
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_near_simhash", oracle=None, tags=("llm", "dedup"))
+def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               ROUND(
+                 list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                 / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))), 0),
+                 6) AS cosine_sim
+        FROM q, c
+        WHERE qid <> cid
+    )
+    SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 exact baseline: brute-force cosine top-5 for 10 query vectors.
+    from ..operators.similarity import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+@register("similarity_topk_lsh", oracle=None, tags=("llm", "similarity"))
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 scale path: random-hyperplane LSH prefilter; recall@5 vs the exact
+    # path asserted in tests/test_similarity.py.
+    from ..operators.similarity import lsh_bucketed_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+_STOP_EN = "'the','a','of','and','to','in','is','it','for','on'"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(w)                                         AS n_tokens,
+           len(list_distinct(w))                          AS n_distinct_tokens,
+           ROUND(len(list_distinct(w)) / NULLIF(len(w), 0), 6) AS ttr,
+           len(list_filter(w, x -> list_contains([{_STOP_EN}], x)))  AS stopword_count,
+           COALESCE(list_max(list_transform(w, x -> length(x))), 0)  AS max_token_len
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+          FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 quality scoring: token stats, type-token ratio, stopword density.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    stops = "array(" + _STOP_EN + ")"
+    return d.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.expr(f"size(array_distinct({toks})) / nullif(size({toks}), 0)"), 6
+        ).alias("ttr"),
+        F.expr(f"size(filter({toks}, x -> array_contains({stops}, x)))")
+        .cast("long").alias("stopword_count"),
+        F.expr(f"coalesce(array_max(transform({toks}, x -> length(x))), 0)")
+        .cast("long").alias("max_token_len"),
+    )
+
+
+_LANG_MARKERS = {
+    "de": "'der','die','das','und','ist','nicht','ein','mit'",
+    "en": "'the','a','of','and','to','is','in','it'",
+    "es": "'el','la','de','que','y','los','un','una'",
+    "fr": "'le','la','les','et','un','une','est','que'",
+    "zh": "'的','是','了','在','和','有','我','不'",
+}
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(
+                   f"len(list_intersect(list_distinct(w), [{words}])) AS s_{lg}"
+                   for lg, words in sorted(_LANG_MARKERS.items())
+               )}
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+              FROM documents)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS guessed_lang,
+           CAST(s_de + s_en + s_es + s_fr + s_zh AS BIGINT) AS marker_hits
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 language-ID: stopword-marker overlap, deterministic arg-max with a
+    # fixed priority order (identical CASE chain in the oracle).
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = f"array_distinct({tokens_expr('text')})"
+    scores = {
+        lg: F.expr(f"size(array_intersect({toks}, array({words})))")
+        for lg, words in sorted(_LANG_MARKERS.items())
+    }
+    total = scores["de"] + scores["en"] + scores["es"] + scores["fr"] + scores["zh"]
+    guess = (
+        F.when(total == 0, "und")
+        .when(
+            (scores["de"] >= scores["en"]) & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"]) & (scores["de"] >= scores["zh"]), "de")
+        .when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"])
+              & (scores["en"] >= scores["zh"]), "en")
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id", "lang", guess.alias("guessed_lang"),
+        total.cast("long").alias("marker_hits"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle=r"""
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))) AS BIGINT) AS bpeish_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 token counting: whitespace + BPE-ish pretokenizer counts per source.
+    from ..functions.text import token_count_bpeish, token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count_ws("text").alias("ws"), token_count_bpeish("text").alias("bp"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bp").alias("bpeish_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(ord(text[i]) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 document fingerprint: Rabin-Karp rolling hash mod 1e9+7 — pure
+    # codegen'd expression, bit-identical to the SQL oracle.
+    from ..functions.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tf * ln(n_docs / df), 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "text"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 TF-IDF as a groupBy/join composition (no MLlib): top-3 terms per doc.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension; at scale: a broadcast 1-row agg
+    tf = (
+        d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf_raw", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf_raw", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT source,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text))                       AS n_unique_blobs,
+           COUNT(*)                                        AS n_blobs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6: binary payload columns carried through relational ops — byte length
+    # + content-hash dedup stats per source. (UTF-8 text stands in for media
+    # bytes; schema/plumbing identical.)
+    from ..operators.multimodal import with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.count_distinct(F.md5("payload")).alias("n_unique_blobs"),
+        F.count(F.lit(1)).alias("n_blobs"),
+    )
+
+
+@register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6 decode pipeline: binary → Arrow batches → mapInPandas metadata
+    # extraction (deterministic fake decoder; real plumbing). Non-SQL op →
+    # rows-only check; determinism asserted in tests/test_multimodal.py.
+    from ..operators.multimodal import extract_image_metadata, with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_image_metadata(d)
