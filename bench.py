@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every ``bench=True`` query from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end: plan construction + execution to a
+driver-side count via ``df.write.format("noop")`` — a full materialization
+of every row (like the reference writing its output file, CWS:215-216)
+without paying local-disk write costs that wouldn't exist on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_word_score_spark.plans.queries import REGISTRY  # noqa: E402
+from hadoop_word_score_spark.session import get_spark  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    names = [n for n, s in REGISTRY.items() if s.bench]
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # the operators, not session cold-start (the driver measures per-query).
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests (SURVEY §2.10 L6): schema, Arrow batching,
+determinism, binary round-trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_decode_schema_and_determinism(spark):
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_image_metadata,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    d = with_binary_payload(docs)
+    out1 = extract_image_metadata(d)
+    assert out1.schema.simpleString() == (
+        "struct<doc_id:bigint,byte_len:bigint,width:int,height:int,mean_luma:double>"
+    )
+    rows1 = sorted(map(tuple, out1.collect()))
+    rows2 = sorted(map(tuple, extract_image_metadata(d).collect()))
+    assert rows1 == rows2
+    assert len(rows1) == docs.count()
+    for _, byte_len, width, height, luma in rows1:
+        assert byte_len >= 0
+        assert 16 <= width < 256 and 16 <= height < 256
+        assert 0.0 <= luma <= 1.0
+
+
+def test_payload_bytelen_matches_octet_length(spark):
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_image_metadata,
+        with_binary_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    d = with_binary_payload(docs)
+    meta = extract_image_metadata(d)
+    joined = d.select("doc_id", F.octet_length("payload").alias("olen")).join(meta, "doc_id")
+    assert joined.filter(F.col("olen") != F.col("byte_len")).count() == 0
+
+
+def test_binary_parquet_roundtrip(spark, scratch_dir):
+    # BinaryType + ArrayType(Float) survive a parquet write/read cycle (L6).
+    from hadoop_word_score_spark.operators.multimodal import with_binary_payload
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20)
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(20)
+    d = with_binary_payload(docs).join(
+        em.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    path = os.path.join(scratch_dir, "mm_roundtrip")
+    d.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["payload"] == "binary"
+    assert dict(back.dtypes)["embedding"] == "array<float>"
+    a = sorted((r.doc_id, bytes(r.payload)) for r in d.select("doc_id", "payload").collect())
+    b = sorted((r.doc_id, bytes(r.payload)) for r in back.select("doc_id", "payload").collect())
+    assert a == b

@@ -1,0 +1,148 @@
+"""Operator-level tests: as-of join, dedup family, similarity, approx aggs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+# --- as-of join -----------------------------------------------------------
+
+
+def test_asof_join_golden(spark):
+    from hadoop_word_score_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 10, "lx")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+        "k int, ts int, v double",
+    )
+    out = {
+        (r.k, r.tag): (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, on="k", how="left").collect()
+    }
+    assert out[(1, "l0")] == (None, None)        # nothing at-or-before 5
+    assert out[(1, "l1")] == (10, 100.0)         # equal ts matches (inclusive)
+    assert out[(1, "l2")] == (15, 150.0)         # latest ≤ 20
+    assert out[(2, "lx")] == (None, None)        # right row is in the future
+
+
+def test_asof_inner_drops_unmatched(spark):
+    from hadoop_word_score_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "a")], "k int, ts int, tag string")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k int, ts int, v double")
+    assert asof_join(left, right, on="k", how="inner").count() == 0
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    from hadoop_word_score_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    rows = {r.keep_id: r.n_copies for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert rows == {1: 2, 2: 1}
+
+
+def test_exact_dedup_idempotent(spark):
+    from hadoop_word_score_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    once = exact_dedup(docs, ["text"], "doc_id")
+    keep = docs.join(once.select(F.col("keep_id").alias("doc_id")), "doc_id")
+    twice = exact_dedup(keep, ["text"], "doc_id")
+    assert twice.filter(F.col("n_copies") > 1).count() == 0
+    assert once.count() == twice.count()
+
+
+def test_minhash_recall_vs_exact(spark):
+    from hadoop_word_score_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "fixture should contain near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall:.2f} < 0.95"
+    # verification step guarantees no false positives above threshold
+    assert approx <= exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from hadoop_word_score_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different text entirely unrelated")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def test_lsh_similarity_recall(spark):
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(q, em, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in lsh_bucketed_topk(q, em, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # mid-similarity regime (true neighbors at cos≈0.3) — see operator docstring
+    assert recall >= 0.5, f"LSH recall@5 {recall:.2f} < 0.5"
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    from hadoop_word_score_spark.operators.similarity import brute_force_topk
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = brute_force_topk(em.filter(F.col("vec_id") < 3), em, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.cand_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+
+
+# --- approximate aggregates ----------------------------------------------
+
+
+def test_approx_count_distinct_error_bound(spark):
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    exact = o.select(F.count_distinct("o_custkey")).collect()[0][0]
+    # default rsd (5%) measured 6.7% on this fixture; rsd=1% buys accuracy
+    # with a bigger sketch — the knob a 100 TB user would turn too
+    approx = o.select(F.approx_count_distinct("o_custkey", 0.01)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.03
+
+
+def test_percentile_approx_error_bound(spark):
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    exact = o.select(F.percentile("o_totalprice", F.lit(0.5))).collect()[0][0]
+    approx = o.select(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.01

@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the 100 TB story, checked mechanically.
+
+These tests read ``.explain`` output: filters reach the parquet scan, column
+pruning works, bounded dims broadcast, partial aggregation exists, and the
+whole REF pipeline runs without a cartesian product. A correct answer computed
+with the wrong plan fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from hadoop_word_score_spark.plans.queries import REGISTRY
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_project_pushdown(spark):
+    plan = formatted_plan(spark, "filter_project")
+    # predicates reach the parquet reader…
+    assert "PushedFilters:" in plan
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_discount", plan)
+    # …and the scan schema is pruned to the 6 referenced columns, not all 11
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(read_cols) == {
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag",
+    }
+
+
+def test_wordscore_plan_shape(spark):
+    plan = plan_of(spark, "wordscore")
+    # partial+final aggregation = the reference's combiner (CWS:180-181), free
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    # the scan only reads the two consumed columns
+    assert "doc_id" in plan and "text" in plan
+    assert "n_chars" not in plan  # pruned
+
+
+def test_q5_broadcasts_bounded_dims(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "wordscore_top10")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = plan_of(spark, "join_range_theta")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE prints codegen spans only in the final plan — execute first.
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages print as "*(n) Operator" in simpleString
+    assert re.search(r"\*\(\d+\)", plan), plan
+
+
+def test_scan_partition_sizing(spark):
+    # maxPartitionBytes present so a 100 TB scan splits into bounded tasks
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) <= 256 * 1024 * 1024
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = plan_of(spark, "asof_join_events")
+    # union+window composition: exactly one exchange for the window partition
+    # (plus AQE reuse), and crucially no join of the two event streams at all
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
