@@ -13,6 +13,19 @@ from pyspark.sql import functions as F
 from .text import DELIM_CLASS_SQL
 
 
+def let1(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``bound_expr`` once, reference it as ``var``.
+
+    Higher-order functions are interpreted (no whole-stage codegen, no
+    common-subexpression elimination), so an expression textually repeated —
+    or inlined by CollapseProject into a lambda body that runs per element —
+    is *re-evaluated* each time. Binding via a 1-element array + transform
+    lambda forces exactly one evaluation. At 100 TB this is the difference
+    between tokenizing each document once and tokenizing it 64 times.
+    """
+    return f"transform(array({bound_expr}), {var} -> {body})[0]"
+
+
 def tokens_expr(text_col: str) -> str:
     """SQL expr: whitespace tokens with empties dropped (tokenizer parity).
 
@@ -30,13 +43,13 @@ def shingles_expr(text_col: str, n: int = 3) -> str:
     Short docs (< n tokens) yield an empty array — the CASE guard matters
     because Spark's sequence(1, 0) counts *down* rather than returning empty.
     """
-    toks = tokens_expr(text_col)
-    return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
+    body = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))) "
         f"ELSE array() END"
     )
+    return let1(tokens_expr(text_col), "w", body)
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
@@ -50,12 +63,15 @@ def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     computed in a single pass over the shingle array (no per-hash shuffle).
     Empty shingle set → null signature (caller filters).
     """
-    return F.expr(
-        f"CASE WHEN size({shingle_col}) > 0 THEN "
+    body = (
+        f"CASE WHEN size(v) > 0 THEN "
         f"transform(sequence(0, {num_hashes - 1}), "
-        f"s -> array_min(transform({shingle_col}, sh -> xxhash64(s, sh)))) "
+        f"s -> array_min(transform(v, sh -> xxhash64(s, sh)))) "
         f"ELSE NULL END"
     )
+    # let-bind: if CollapseProject inlines the shingle expression here, the
+    # naive form would recompute it once per signature slot (num_hashes ×).
+    return F.expr(let1(shingle_col, "v", body))
 
 
 def band_hashes(signature_col: str, bands: int, rows: int) -> Column:
@@ -64,21 +80,29 @@ def band_hashes(signature_col: str, bands: int, rows: int) -> Column:
     Docs agreeing on any band land in the same bucket — the standard
     (b, r) S-curve tradeoff: P(candidate) = 1 - (1 - j^r)^b for Jaccard j.
     """
-    return F.expr(
+    body = (
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> xxhash64(b, concat_ws(',', slice({signature_col}, b * {rows} + 1, {rows}))))"
+        f"b -> xxhash64(b, concat_ws(',', slice(g, b * {rows} + 1, {rows}))))"
     )
+    return F.expr(let1(signature_col, "g", body))
 
 
-def simhash64(text_col: str) -> Column:
-    """64-bit SimHash over whitespace tokens — one expression, no shuffle.
+def simhash64_expr(text_col: str) -> str:
+    """SQL expr: 64-bit SimHash over whitespace tokens — no shuffle.
 
     For each bit j: sum ±1 over tokens (sign of token-hash bit j), then set
     bit j if the sum is positive. Token multiplicity counts (classic SimHash).
     """
-    toks = tokens_expr(text_col)
-    return F.expr(
-        f"aggregate(sequence(0, 63), 0L, (acc, j) -> acc + CASE WHEN "
-        f"aggregate({toks}, 0L, (s, t) -> s + CASE WHEN ((xxhash64(t) >> j) & 1) = 1 "
-        f"THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, j) ELSE 0L END)"
+    # Hash every token once up front (let-bound), then fold bits — the naive
+    # form re-tokenized and re-hashed the whole document per bit (64×).
+    hashes = f"transform({tokens_expr(text_col)}, t -> xxhash64(t))"
+    body = (
+        "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + CASE WHEN "
+        "aggregate(h, 0L, (s, x) -> s + CASE WHEN (shiftright(x, j) & 1) = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, j) ELSE 0L END)"
     )
+    return let1(hashes, "h", body)
+
+
+def simhash64(text_col: str) -> Column:
+    return F.expr(simhash64_expr(text_col))

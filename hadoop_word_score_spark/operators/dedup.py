@@ -50,26 +50,40 @@ def ngram_jaccard_pairs(
     Jaccard from set sizes. Work is Σ_shingle (docs-per-shingle)² — fine when
     shingles are selective; use minhash_lsh_pairs when they aren't.
     """
+    # Postings computed ONCE (a two-sided self-join would duplicate the whole
+    # scan+shingle subtree — Spark has no CTE materialization), then pairs are
+    # generated *within* each shingle's posting list after a single shuffle.
+    # explode_outer + post-filter keeps the inferred non-empty predicate off
+    # the scan, where it would re-evaluate the shingle HOF per input row.
     sh = docs.select(
         F.col(id_col), F.expr(shingles_expr(text_col, n)).alias("shingles")
-    ).withColumn("sh_size", F.size("shingles"))
-    exploded = sh.select(id_col, "sh_size", F.explode("shingles").alias("shingle"))
-
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("sh_size").alias("size_a"), "shingle"
     )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("sh_size").alias("size_b"), "shingle"
+    postings = (
+        sh.select(
+            F.col(id_col).alias("id"),
+            F.size("shingles").alias("sz"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "sz")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
+    pairs = (
+        postings.select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
@@ -91,34 +105,45 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs so the two are interchangeable.
     """
     rows = num_hashes // bands
-    sh = (
-        docs.select(F.col(id_col), F.expr(shingles_expr(text_col, n)).alias("shingles"))
-        .withColumn("sig", minhash_signature("shingles", num_hashes))
-        .filter(F.col("sig").isNotNull())
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("shingles")
     )
-    banded = sh.select(
-        id_col,
-        "shingles",
-        F.posexplode(band_hashes("sig", bands, rows)).alias("band_idx", "band_hash"),
+    # Candidate generation shuffles ONLY (id, band hash) — never the shingle
+    # arrays. Buckets pair internally after one shuffle (no self-join, no
+    # duplicated scan subtree); document bodies re-enter only for the final
+    # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
+    sig = sh.filter(F.size("shingles") > 0).select(
+        "id", minhash_signature("shingles", num_hashes).alias("sig")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
-        "band_idx", "band_hash",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
-        "band_idx", "band_hash",
-    )
+    # posexplode_outer: the plain generator would infer a non-empty filter
+    # that re-evaluates the whole shingle→signature→band chain at the scan.
+    banded = sig.select(
+        "id",
+        F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).filter(F.col("band_hash").isNotNull())
     candidates = (
-        a.join(b, ["band_idx", "band_hash"])
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
+    )
+    verified = (
+        candidates.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("n_common", inter.cast("long"))
+        verified.withColumn("n_common", inter.cast("long"))
         .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
@@ -138,34 +163,41 @@ def simhash_near_pairs(
     any pair within distance ≤ chunks-1 must agree on ≥1 piece, so the
     bucket-join finds all of them without an all-pairs pass.
     """
-    from ..functions.hashing import simhash64
+    from ..functions.hashing import let1, simhash64_expr
 
-    h = docs.select(F.col(id_col), simhash64(text_col).alias("simhash"))
     width = 64 // chunks
-    pieces = h.select(
-        id_col,
-        "simhash",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}), "
-                f"c -> (simhash >> (c * {width})) & {(1 << width) - 1})"
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    # One Generate over a let-bound struct array: the simhash evaluates
+    # exactly once per document. (A separate simhash column would be inlined
+    # by CollapseProject into the chunk lambda AND into explode's inferred
+    # non-empty filter — 4-6 interpreted re-evaluations of the full hash;
+    # explode_outer emits no such filter and the sequence is never empty.)
+    chunked = let1(
+        simhash64_expr(text_col),
+        "sh",
+        f"transform(sequence(0, {chunks - 1}), c -> struct("
+        f"sh AS simhash, c AS chunk_idx, "
+        f"shiftright(sh, c * {width}) & {(1 << width) - 1} AS chunk_val))",
     )
-    a = pieces.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
-        "chunk_idx", "chunk_val",
-    )
-    b = pieces.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
-        "chunk_idx", "chunk_val",
-    )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    pieces = docs.select(
+        F.col(id_col).alias("id"), F.explode_outer(F.expr(chunked)).alias("p")
+    ).select("id", "p.simhash", "p.chunk_idx", "p.chunk_val")
+    # Single shuffle on (chunk_idx, chunk_val); pairs generated inside each
+    # bucket — the simhash travels with the id (16 bytes/row), so no second
+    # pass over the documents is needed at all.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pieces.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
