@@ -150,6 +150,33 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (exact all-pairs).
+
+    The oracle-of-record for embedding dedup: O(n²) candidate space, kept
+    exact. At 100 TB this runs per-shard after an LSH/IVF prefilter (the
+    sign-sketch buckets in operators/similarity.py bound the candidate set);
+    here it doubles as the recall yardstick for those approximate paths.
+    Cosine matches the similarity oracles bit-for-bit: cast-to-double,
+    strict left-to-right sums, ROUND 6 before the threshold.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

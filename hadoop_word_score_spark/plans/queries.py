@@ -1085,6 +1085,17 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+@register("similarity_topk_ivf", oracle=None, tags=("llm", "similarity"))
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L3 scale path #2: IVF-flat — spherical-kmeans coarse cells, probe the
+    # nearest n_probe cells only. Iterative centroid refinement isn't
+    # SQL-expressible → rows-only; recall@5 vs exact asserted in tests.
+    from ..operators.similarity import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
 _STOP_EN = "'the','a','of','and','to','in','is','it','for','on'"
 
 
@@ -1310,6 +1321,120 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5("payload")).alias("n_unique_blobs"),
         F.count(F.lit(1)).alias("n_blobs"),
     )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, c_nationkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (c_nationkey), ())
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: explicit GROUPING SETS (neither pure rollup nor cube) via the
+    # DataFrame.groupingSets API (Spark 4).
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupingSets(
+            [[F.col("o_orderstatus")], [F.col("c_nationkey")], []],
+            F.col("o_orderstatus"),
+            F.col("c_nationkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT r_regionkey,
+           r_name AS k1,
+           CAST(r_regionkey * 10 AS BIGINT) AS v1,
+           2 AS n_keys
+    FROM region
+    """,
+    tags=("functions",),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 map family: create_map / element_at / map_keys / map_values /
+    # size. The map is built and consumed in-plan (DuckDB has no MAP with
+    # identical semantics, so the oracle states the expected *values*).
+    r = _t(spark, sf_dir, "region")
+    m = F.create_map(
+        F.lit("name"), F.col("r_name"),
+        F.lit("key10"), (F.col("r_regionkey") * 10).cast("string"),
+    )
+    return r.select(
+        "r_regionkey",
+        F.element_at(m, F.lit("name")).alias("k1"),
+        F.element_at(m, F.lit("key10")).cast("bigint").alias("v1"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '<downgraded>') AS prio_or_default,
+           IF(o_orderstatus = 'F', 1, 0) AS is_final
+    FROM orders
+    """,
+    tags=("functions",),
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 conditional family: when/otherwise, coalesce, nullif, if.
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(
+            F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("<downgraded>")
+        ).alias("prio_or_default"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )
+
+
+@register(
+    "dedup_near_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))), 0),
+             6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                    * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))), 0),
+             6) >= 0.4
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2/L3 bridge: embedding-cosine near-dup pairs, exact all-pairs (the
+    # recall yardstick for the LSH/IVF prefilters). Threshold 0.4 because the
+    # synthetic embeddings top out at cos ≈ 0.51 — "near" is relative here.
+    from ..operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))

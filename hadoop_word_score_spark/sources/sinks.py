@@ -1,0 +1,83 @@
+"""Sinks + generalized sources (SURVEY §2.1 S5/S7).
+
+The reference's only sink is a single tab-delimited text file produced by
+forcing one reducer (``ComputeWordScore.java:192-193, 208-216``). Here that
+shape is one *option* — the default at scale is partitioned parquet; the
+single-file TSV exists for byte-parity with the reference's output contract.
+
+Bucketed writes are the co-located-join story: two fact tables bucketed by
+the same key join with ZERO exchanges — at 100 TB that's the difference
+between a terabyte-scale shuffle and none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def write_tsv_single(df: DataFrame, path: str) -> None:
+    """S5 parity: one tab-delimited text file, columns in given order.
+
+    ``coalesce(1)`` serializes only the final write stage (upstream stages
+    keep full parallelism — same trade the reference made with its single
+    reducer, CWS:208-213). Use only when a one-file contract demands it.
+    """
+    df.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """Schema-first CSV scan — no inference pass (an extra full read at scale)."""
+    return (
+        spark.read.schema(schema).option("header", header).option("sep", sep).csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the reference's input format (CWS:99-112), writable."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType, failfast: bool = False
+) -> DataFrame:
+    """S2: schema-first JSONL scan.
+
+    PERMISSIVE + ``_corrupt_record`` quarantine by default (the 100-TB-sane
+    choice); ``failfast=True`` reproduces the reference's die-on-bad-record
+    semantics (CWS:102-108).
+    """
+    mode = "FAILFAST" if failfast else "PERMISSIVE"
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet: the default large-output sink.
+
+    Readers filtering on ``partition_cols`` prune directories before any I/O
+    (PartitionFilters in the scan node).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int, sort_col: str | None = None
+) -> None:
+    """Bucketed managed table: pre-shuffled on ``bucket_col`` at write time.
+
+    Equi-joins/aggregations between tables bucketed identically on the join
+    key plan with no Exchange (asserted in tests/test_sinks.py) — the write
+    pays the shuffle once; every subsequent join reads it back for free.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -111,6 +111,32 @@ def test_lsh_similarity_recall(spark):
     assert recall >= 0.5, f"LSH recall@5 {recall:.2f} < 0.5"
 
 
+def test_ivf_similarity_recall(spark):
+    from hadoop_word_score_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(q, em, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in ivf_topk(q, em, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4/16 cells probed → a priori 25% of corpus scanned; spherical cells
+    # concentrate true neighbors, so recall should comfortably beat that
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f} < 0.5"
+    # every result must carry a correct exact cosine and valid rank
+    rows = ivf_topk(q, em, k=5).collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_embedding_cosine_pairs_symmetric_bound(spark):
+    from hadoop_word_score_spark.operators.dedup import embedding_cosine_pairs
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(100)
+    rows = embedding_cosine_pairs(em, threshold=0.3).collect()
+    assert rows, "expected some pairs at cos >= 0.3"
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(-1.000001 <= r.cosine_sim <= 1.000001 for r in rows)
+
+
 def test_brute_force_topk_self_excluded_and_ranked(spark):
     from hadoop_word_score_spark.operators.similarity import brute_force_topk
 

@@ -1,0 +1,86 @@
+"""Sources/sinks (SURVEY §2.1 S5/S7): round-trips, single-file TSV parity,
+partition pruning, and the bucketed co-located join (no Exchange)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_word_score_spark.sources import sinks
+from hadoop_word_score_spark.sources.registry import TABLES, load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_tsv_single_file_score_word(spark, scratch_dir):
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    out = os.path.join(scratch_dir, "wordscore_tsv")
+    df = REGISTRY["wordscore"].fn(spark, SF_SMOKE)
+    sinks.write_tsv_single(df.select("score", "word"), out)
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 1  # the reference's one-reducer/one-file contract
+    first = open(parts[0]).readline().rstrip("\n").split("\t")
+    assert len(first) == 2 and first[0].lstrip("-").isdigit()
+
+
+def test_csv_roundtrip(spark, scratch_dir):
+    out = os.path.join(scratch_dir, "nation_csv")
+    nation = load_table(spark, SF_SMOKE, "nation")
+    sinks.write_csv(nation, out)
+    back = sinks.read_csv(spark, out, TABLES["nation"])
+    assert sorted(back.collect()) == sorted(nation.collect())
+
+
+def test_jsonl_roundtrip_and_failfast(spark, scratch_dir):
+    out = os.path.join(scratch_dir, "region_jsonl")
+    region = load_table(spark, SF_SMOKE, "region")
+    sinks.write_jsonl(region, out)
+    back = sinks.read_jsonl(spark, out, TABLES["region"])
+    assert sorted(back.collect()) == sorted(region.collect())
+    # corrupt line: permissive nulls it, failfast raises on materialize
+    bad = os.path.join(scratch_dir, "bad_jsonl")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "x.json"), "w") as f:
+        f.write('{"r_regionkey": 1, "r_name": "ok"}\nnot json at all\n')
+    assert sinks.read_jsonl(spark, bad, TABLES["region"]).count() == 2  # quarantined row kept
+    try:
+        sinks.read_jsonl(spark, bad, TABLES["region"], failfast=True).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_partitioned_write_prunes(spark, scratch_dir):
+    out = os.path.join(scratch_dir, "orders_part")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    sinks.write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_bucketed_join_no_exchange(spark, scratch_dir):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        sinks.write_bucketed(orders, "orders_b", "o_orderkey", 8)
+        sinks.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+            "o_orderkey", 8,
+        )
+        j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: both sides read bucketed → the join needs NO shuffle
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
