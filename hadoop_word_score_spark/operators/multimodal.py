@@ -61,6 +61,89 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("thumb", T.BinaryType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_offset", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+])
+
+
+def resize_images(
+    docs_with_payload: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize stage: binary in → (dims, thumbnail bytes) out, Arrow-batched.
+
+    Deterministic fake "resize" (md5-keyed byte synthesis of target_w*target_h
+    bytes); a real implementation swaps the inner function for PIL/libvips.
+    Narrow transformation — no shuffle; output rows are *smaller* than input
+    (the point of resizing early in a 100 TB media pipeline: shrink before
+    any wide op touches the data).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in it:
+            thumbs = []
+            for p in pdf["payload"]:
+                if not FAKE_DECODE:  # pragma: no cover
+                    raise NotImplementedError("real resize requires PIL/libvips")
+                seed = hashlib.md5(bytes(p)).digest()
+                reps = size // len(seed) + 1
+                thumbs.append((seed * reps)[:size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage: one binary "video" → ``n_frames`` frame rows.
+
+    Evenly-spaced offsets over the payload (a real decoder seeks keyframes).
+    1→N fan-out happens inside the Arrow batch — still a narrow op, so a
+    100 TB video corpus samples frames with zero shuffle; downstream ops see
+    a frames table keyed by (doc_id, frame_idx).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []
+            }
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if not FAKE_DECODE:  # pragma: no cover
+                    raise NotImplementedError("real frame sampling requires ffmpeg")
+                p = bytes(p)
+                step = max(1, len(p) // n_frames)
+                for i in range(n_frames):
+                    off = min(i * step, max(0, len(p) - 1))
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(p[off : off + 16])
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio bytes)."""
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))

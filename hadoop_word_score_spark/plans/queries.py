@@ -1437,6 +1437,26 @@ def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6 resize stage: binary → fixed-size thumbnail bytes via mapInPandas
+    # (deterministic fake resize; real Arrow plumbing — see operator).
+    from ..operators.multimodal import resize_images, with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return resize_images(d, 16, 16).select("doc_id", "width", "height")
+
+
+@register("multimodal_frames", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L6 frame-sampling stage: binary "video" → N frame rows, narrow 1→N
+    # fan-out inside Arrow batches (no shuffle).
+    from ..operators.multimodal import sample_frames, with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(d, n_frames=4).select("doc_id", "frame_idx", "frame_offset")
+
+
 @register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L6 decode pipeline: binary → Arrow batches → mapInPandas metadata

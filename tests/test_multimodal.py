@@ -62,3 +62,41 @@ def test_binary_parquet_roundtrip(spark, scratch_dir):
     a = sorted((r.doc_id, bytes(r.payload)) for r in d.select("doc_id", "payload").collect())
     b = sorted((r.doc_id, bytes(r.payload)) for r in back.select("doc_id", "payload").collect())
     assert a == b
+
+
+def test_resize_deterministic_dims(spark):
+    from hadoop_word_score_spark.operators.multimodal import (
+        resize_images,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(20))
+    r1 = {r.doc_id: bytes(r.thumb) for r in resize_images(d, 8, 8).collect()}
+    r2 = {r.doc_id: bytes(r.thumb) for r in resize_images(d, 8, 8).collect()}
+    assert r1 == r2  # deterministic across runs
+    assert all(len(t) == 64 for t in r1.values())
+
+
+def test_frame_sampling_fanout(spark):
+    from hadoop_word_score_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10))
+    frames = sample_frames(d, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 docs x 4 frames
+    offs = sorted((r.doc_id, r.frame_idx, r.frame_offset) for r in rows)
+    assert all(o[2] >= 0 for o in offs)
+    # offsets monotonically non-decreasing per doc
+    for did in {o[0] for o in offs}:
+        seq = [o[2] for o in offs if o[0] == did]
+        assert seq == sorted(seq)
+    # narrow op: no exchange in the plan (on unlimited input — limit() above
+    # adds its own single-partition exchange unrelated to the operator)
+    full = sample_frames(
+        with_binary_payload(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    )
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -92,3 +92,31 @@ def test_dedup_stream_bounded_state(spark, events_stream_dir, scratch_dir):
     n_global = raw.select("user_id", "event_type").distinct().count()
     n = got.count()
     assert n_global <= n <= n_raw
+
+
+def test_stateful_running_totals(spark, events_stream_dir, scratch_dir):
+    from hadoop_word_score_spark.streaming.stateful import running_user_totals
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    got = run_available_now(
+        running_user_totals(read_events_stream(spark, events_stream_dir)),
+        os.path.join(scratch_dir, "ckpt_state"),
+        "state_out",
+    )
+    # last emission per user (max n_events) must equal the batch aggregate
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.n_events for r in final} == batch
