@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY §5.2 #3) via hypothesis.
+
+Each property pins an algebraic invariant of an operator against a tiny
+pure-Python reference model, over adversarial generated inputs — the cases
+golden fixtures don't think to write (delimiter runs, unicode, empty docs,
+duplicate rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_word_score_spark.operators.wordscore import word_score
+
+# StringTokenizer's default delimiter set (CWS:116-120) — NOT \s (which would
+# also eat \x0b vertical tab,  , etc.)
+DELIMS = " \t\n\r\f"
+
+# text over words + delimiter runs + some non-delimiter whitespace lookalikes
+_token_alphabet = st.sampled_from(list("abXY.,!\x0b "))
+_texts = st.lists(
+    st.one_of(
+        st.text(_token_alphabet, min_size=1, max_size=4),
+        st.sampled_from([" ", "\t", "\n", "\r", "\f", "  ", " \t\n"]),
+    ),
+    max_size=12,
+).map("".join)
+
+
+def ref_tokenize(text: str) -> list[str]:
+    """Pure-Python model of java.util.StringTokenizer's default behavior."""
+    return [t for t in re.split(f"[{DELIMS}]+", text) if t != ""]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 5), _texts), min_size=1, max_size=6))
+def test_wordscore_matches_reference_model(spark, rows):
+    reviews = spark.createDataFrame(
+        [(float(s), t) for s, t in rows], "stars double, text string"
+    )
+    got = {r.word: r.score for r in word_score(reviews).collect()}
+    mod = {1: -2, 2: -1, 3: 0, 4: 1, 5: 2}
+    want: dict[str, int] = {}
+    for s, t in rows:
+        for tok in ref_tokenize(t):
+            want[tok] = want.get(tok, 0) + mod[s]
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 5), _texts), min_size=1, max_size=6))
+def test_wordscore_conservation(spark, rows):
+    # Σ per-word scores == Σ modifier × token-count over all reviews
+    reviews = spark.createDataFrame(
+        [(float(s), t) for s, t in rows], "stars double, text string"
+    )
+    total = word_score(reviews).agg(F.sum("score")).collect()[0][0] or 0
+    mod = {1: -2, 2: -1, 3: 0, 4: 1, 5: 2}
+    want = sum(mod[s] * len(ref_tokenize(t)) for s, t in rows)
+    assert total == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_exact_dedup_idempotent_and_partitions_input(spark, rows):
+    from hadoop_word_score_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"content-{c}") for i, (_, c) in enumerate(rows)], "id long, body string"
+    )
+    once = exact_dedup(df, ["body"], "id")
+    got = {r.content_hash: (r.keep_id, r.n_copies) for r in once.collect()}
+    # survivors partition the input: copies sum to input size, one survivor
+    # per distinct content, survivor is the min id of its group
+    assert sum(n for _, n in got.values()) == len(rows)
+    bodies = {}
+    for i, (_, c) in enumerate(rows):
+        bodies.setdefault(f"content-{c}", []).append(i)
+    assert len(got) == len(bodies)
+    assert sorted(k for k, _ in got.values()) == sorted(min(v) for v in bodies.values())
+    # idempotence: dedup of survivors is a no-op
+    survivors = df.join(
+        once.select(F.col("keep_id").alias("id")), "id", "left_semi"
+    )
+    again = exact_dedup(survivors, ["body"], "id")
+    assert {r.keep_id for r in again.collect()} == {k for k, _ in got.values()}
+    assert all(r.n_copies == 1 for r in again.collect())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
+def test_global_sort_is_permutation_invariant(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "v long")
+    got = [r.v for r in df.orderBy(F.desc("v")).collect()]
+    assert got == sorted(xs, reverse=True)
