@@ -1085,6 +1085,251 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_SALTED_JOIN_SQL = """
+SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_SQL, tags=("join", "skew"))
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew mitigation: identical output to the plain join, but the shuffle
+    # key is (suppkey, salt) — hot suppliers spread over 8 reducers.
+    from ..operators.skew import salted_join
+
+    li, s = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    j = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"),
+        s.select("s_suppkey", "s_name"),
+        "s_suppkey",
+        salts=8,
+    )
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_l_quantity,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_salted_two_phase", oracle=_SALTED_AGG_SQL, tags=("agg", "skew"))
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum_count(li, ["l_returnflag"], "l_quantity", salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT subquery forms (SURVEY §2.5 J3 note: EXISTS / NOT EXISTS / IN / scalar)
+# — expressed through spark.sql over registered views; Catalyst decorrelates
+# to semi/anti joins (asserted in tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ..sources.registry import register_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_EXISTS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_SQL, tags=("join", "subquery"))
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_NOT_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@register("subquery_not_exists", oracle=_NOT_EXISTS_SQL, tags=("join", "subquery"))
+def q_subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _NOT_EXISTS_SQL)
+
+
+_IN_SQL = """
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+@register("subquery_in", oracle=_IN_SQL, tags=("join", "subquery"))
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _IN_SQL)
+
+
+_SCALAR_SQL = """
+SELECT p_partkey, ROUND(p_retailprice, 2) AS price
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) * 1.02 FROM part)
+"""
+
+
+@register("subquery_scalar", oracle=_SCALAR_SQL, tags=("join", "subquery"))
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _SCALAR_SQL)
+
+
+_CORRELATED_SCALAR_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE s_acctbal > (SELECT AVG(c_acctbal) FROM customer c
+                   WHERE c.c_nationkey = s.s_nationkey)
+"""
+
+
+@register(
+    "subquery_correlated_scalar", oracle=_CORRELATED_SCALAR_SQL, tags=("join", "subquery")
+)
+def q_subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decorrelates to an aggregate + join on the correlation key
+    return _sql(spark, sf_dir, _CORRELATED_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# EXT additional TPC-H-pattern queries (breadth over the star schema)
+# ---------------------------------------------------------------------------
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_SQL, tags=("ref-adjacent", "agg"), bench=True)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 pattern: pure scan-filter-aggregate — the pushdown showcase
+    # (every predicate reaches the parquet reader; see PLANS.md).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_SQL, tags=("ref-adjacent", "join"))
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_SQL, tags=("ref-adjacent", "join"))
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 pattern: outer join preserving empty groups + agg-of-agg
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_HAVING_SQL = """
+SELECT l_suppkey, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING SUM(l_quantity) > 900 AND COUNT(*) > 20
+"""
+
+
+@register("having_filter", oracle=_HAVING_SQL, tags=("agg",))
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter((F.col("_raw_qty") > 900) & (F.col("n_items") > 20))
+        .drop("_raw_qty")
+    )
+
+
 @register("similarity_topk_ivf", oracle=None, tags=("llm", "similarity"))
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 scale path #2: IVF-flat — spherical-kmeans coarse cells, probe the

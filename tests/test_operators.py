@@ -172,3 +172,37 @@ def test_percentile_approx_error_bound(spark):
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
     ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.01
+
+
+# --- skew ----------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hadoop_word_score_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").limit(2000)
+    s = spark.read.parquet(f"{SF_ORACLE}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    fact = li.withColumnRenamed("l_suppkey", "s_suppkey")
+    plain = fact.join(s, "s_suppkey").groupBy("s_name").count()
+    salted = salted_join(fact, s, "s_suppkey", salts=4).groupBy("s_name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_matches_unsalted(spark):
+    from hadoop_word_score_spark.operators.skew import salted_sum_count
+    from pyspark.sql import functions as FF
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (round(r.sum_l_quantity, 2), r.n_rows)
+        for r in salted_sum_count(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    want = {
+        r.l_returnflag: (round(r.s, 2), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(FF.sum("l_quantity").alias("s"), FF.count(FF.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

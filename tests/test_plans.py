@@ -91,3 +91,20 @@ def test_asof_join_single_shuffle(spark):
     # (plus AQE reuse), and crucially no join of the two event streams at all
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_subqueries_decorrelate_to_joins(spark):
+    # EXISTS → left semi; NOT EXISTS → left anti; no nested-loop per-row plans
+    semi = plan_of(spark, "subquery_exists")
+    anti = plan_of(spark, "subquery_not_exists")
+    assert "LeftSemi" in semi or "SemiJoin" in semi
+    assert "LeftAnti" in anti or "AntiJoin" in anti
+    corr = plan_of(spark, "subquery_correlated_scalar")
+    assert "CartesianProduct" not in corr
+
+
+def test_salted_join_spreads_shuffle_key(spark):
+    plan = plan_of(spark, "join_salted_skew")
+    # the join's shuffle key must include the salt column
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
