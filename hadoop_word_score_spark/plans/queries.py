@@ -1085,6 +1085,73 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_ZSCORE_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       o_totalprice,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+             / NULLIF(STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderstatus), 0),
+             6) AS zscore
+FROM orders
+"""
+
+
+@register("udf_grouped_zscore", oracle=_ZSCORE_SQL, tags=("udf", "pandas"))
+def q_udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.11 grouped-map applyInPandas, verified against the pure-SQL window
+    # formulation — proves the Arrow group-iteration machinery end-to-end.
+    from ..operators.pandas_ops import zscore_per_group
+
+    return zscore_per_group(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+
+
+_WAVG_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("udf_grouped_agg_wavg", oracle=_WAVG_SQL, tags=("udf", "pandas"))
+def q_udf_grouped_agg_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.11 grouped-agg pandas UDF (no partial agg — docstring caveat).
+    from ..operators.pandas_ops import weighted_avg_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+    wavg = weighted_avg_udf()
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar
+FROM orders
+"""
+
+
+@register("window_range_frame", oracle=_RANGE_FRAME_SQL, tags=("window",))
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 value-range frame (vs the row-count frames in window_running):
+    # peers are orders within ±1000 in totalprice, not ±N rows.
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
 _SALTED_JOIN_SQL = """
 SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS total_qty
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
