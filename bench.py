@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from hadoop_word_score_spark.plans.queries import REGISTRY  # noqa: E402
 from hadoop_word_score_spark.session import get_spark  # noqa: E402
 
@@ -42,9 +44,13 @@ def main() -> None:
     names = [n for n, s in REGISTRY.items() if s.bench]
     timings: dict[str, float] = {}
 
-    # Warm the JVM + parquet footer caches once so per-query numbers measure
-    # the operators, not session cold-start (the driver measures per-query).
+    # Warm the JVM, parquet footer caches, and the Python worker pool once so
+    # per-query numbers measure the operators, not session cold-start (the
+    # worker pool alone is ~3s and is paid once per executor lifetime).
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(8).select(
+        F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     for name in names:
         t0 = time.perf_counter()

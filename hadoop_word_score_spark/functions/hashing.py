@@ -7,6 +7,10 @@ the near-dup operators in operators/dedup.py (SURVEY §2.10 L2).
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -71,7 +75,54 @@ def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     )
     # let-bind: if CollapseProject inlines the shingle expression here, the
     # naive form would recompute it once per signature slot (num_hashes ×).
+    # (A two-level int-rehash family measured *slower* — interpreted per-call
+    # overhead dominates, not string length.)
     return F.expr(let1(shingle_col, "v", body))
+
+
+def text_minhash_udf(num_hashes: int = 32, n: int = 3):
+    """Vectorized text → MinHash signature (array<long>), fused in Python.
+
+    Tokenize (StringTokenizer-parity delimiters) → distinct word n-gram
+    shingles → one md5 base hash per shingle → (shingles × slots)
+    multiply-add uint64 family, min along axis 0. Fusing the whole chain in
+    one Arrow batch avoids both the interpreted-HOF tax (per-call
+    expression-tree overhead, ~1600 calls/doc) and optimizer rules inlining
+    a Python UDF's HOF argument where it can't evaluate. Signature values
+    are engine-internal (bucket keys only) — the family doesn't need to
+    match the SQL ``minhash_signature``, only to be uniform (recall tests).
+    Empty shingle sets (docs with < n tokens) → null.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rs = np.random.RandomState(1234)
+    a = (rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rs.randint(1, 2**62, size=num_hashes).astype(np.uint64)
+    delims = re.compile("[ \t\n\r\f]+")
+
+    @pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [w for w in delims.split(t or "") if w]
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if not sh:
+                out.append(None)
+                continue
+            base = np.array(
+                [
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                    for s in sh
+                ],
+                dtype=np.uint64,
+            )
+            m = base[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
+            out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return sig
 
 
 def band_hashes(signature_col: str, bands: int, rows: int) -> Column:

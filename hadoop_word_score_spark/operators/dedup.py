@@ -112,11 +112,16 @@ def minhash_lsh_pairs(
     # arrays. Buckets pair internally after one shuffle (no self-join, no
     # duplicated scan subtree); document bodies re-enter only for the final
     # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
-    sig = sh.filter(F.size("shingles") > 0).select(
-        "id", minhash_signature("shingles", num_hashes).alias("sig")
-    )
+    from ..functions.hashing import text_minhash_udf
+
+    # tokenize→shingle→minhash fused in one Arrow-batched UDF over the raw
+    # text — the interpreted-HOF route costs ~1600 expression evals per doc
+    sig_fn = text_minhash_udf(num_hashes, n)
+    sig = docs.select(
+        F.col(id_col).alias("id"), sig_fn(F.col(text_col)).alias("sig")
+    ).filter(F.col("sig").isNotNull())
     # posexplode_outer: the plain generator would infer a non-empty filter
-    # that re-evaluates the whole shingle→signature→band chain at the scan.
+    # that re-evaluates the whole signature→band chain at the scan.
     banded = sig.select(
         "id",
         F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
