@@ -69,10 +69,16 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list(F.struct("id", "sz")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    # Length-ratio prune (AllPairs-style, exactness-preserving): J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so pairs outside the ratio band can never
+    # reach the threshold — drop them before the expensive pair aggregation.
+    ratio_ok = (F.col("b.sz") * threshold <= F.col("a.sz")) & (
+        F.col("a.sz") * threshold <= F.col("b.sz")
+    )
     pairs = (
         postings.select(F.explode("docs").alias("a"), "docs")
         .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") < F.col("b.id")) & ratio_ok)
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -96,6 +96,21 @@ def test_exact_dedup_idempotent_and_partitions_input(spark, rows):
     assert all(r.n_copies == 1 for r in again.collect())
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_texts, min_size=1, max_size=8))
+def test_python_tokenizer_matches_sql_tokenizer(spark, texts):
+    # the fused minhash UDF re-implements tokenization in Python; it must
+    # agree with the engine's SQL tokens_expr on every input
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    sql_tokens = [
+        r.toks for r in df.select(FF.expr(tokens_expr("text")).alias("toks")).collect()
+    ]
+    assert sql_tokens == [ref_tokenize(t) for t in texts]
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
 def test_global_sort_is_permutation_invariant(spark, xs):
