@@ -115,3 +115,26 @@ def test_jsonl_roundtrip(spark, scratch_dir):
             f.write(json.dumps({"stars": stars, "text": text, "extra": "ignored"}) + "\n")
     s = {r.word: r.score for r in word_score(read_reviews_jsonl(spark, path)).collect()}
     assert s == {"alpha": 2, "beta": 0}
+
+
+def test_cli_end_to_end(spark, scratch_dir):
+    # the reference's CLI contract: <input> <output>, score\tword descending,
+    # one output file; exit 2 on misuse
+    import glob
+    import json
+    import os
+
+    from hadoop_word_score_spark.__main__ import main
+
+    inp = os.path.join(scratch_dir, "cli_reviews")
+    os.makedirs(inp, exist_ok=True)
+    with open(os.path.join(inp, "r.json"), "w") as f:
+        for stars, text in [(5.0, "good good bad"), (1.0, "bad")]:
+            f.write(json.dumps({"stars": stars, "text": text}) + "\n")
+    out = os.path.join(scratch_dir, "cli_out")
+    assert main([inp, out]) == 0
+    parts = glob.glob(os.path.join(out, "part-*"))
+    assert len(parts) == 1
+    lines = [ln.split("\t") for ln in open(parts[0]).read().splitlines()]
+    assert [(int(s), w) for s, w in lines] == [(4, "good"), (0, "bad")]
+    assert main(["only-one-arg"]) == 2
