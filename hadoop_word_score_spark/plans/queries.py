@@ -1085,6 +1085,76 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("pivot_status_priority", oracle=_PIVOT_SQL, tags=("agg", "reshape"))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reshape: pivot with explicit values (no extra distinct-scan job, and
+    # deterministic output columns — required at scale AND for the oracle).
+    o = _t(spark, sf_dir, "orders")
+    labels = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(labels))
+        .agg(F.count(F.lit(1)))
+    )
+    for old, new in labels.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves nulls where a (status, priority) pair never occurs
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in labels.values()],
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, metric, ROUND(value, 2) AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+"""
+
+
+@register("unpivot_lineitem_metrics", oracle=_UNPIVOT_SQL, tags=("reshape",))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reshape: wide → long via unpivot (single scan; the UNION ALL oracle
+    # formulation would read the table three times).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("substring(metric, 3)").alias("metric"),  # strip 'l_' prefix
+        F.round("value", 2).alias("value"),
+    )
+
+
 _ZSCORE_SQL = """
 SELECT o_orderstatus, o_orderkey,
        o_totalprice,

@@ -52,6 +52,29 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T2+T4: watermarked sliding-window aggregation (overlapping windows).
+
+    Each event lands in window/slide windows; state per open window is
+    bounded by the watermark exactly as in the tumbling case.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_stream(
     events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -120,3 +120,24 @@ def test_stateful_running_totals(spark, events_stream_dir, scratch_dir):
         .collect()
     }
     assert {r.user_id: r.n_events for r in final} == batch
+
+
+def test_sliding_stream_equals_batch(spark, events_stream_dir, scratch_dir):
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts_stream,
+    )
+
+    got = run_available_now(
+        sliding_counts_stream(read_events_stream(spark, events_stream_dir)),
+        os.path.join(scratch_dir, "ckpt_slide"),
+        "slide_out",
+    )
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n_events")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
