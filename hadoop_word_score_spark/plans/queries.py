@@ -64,9 +64,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin UTC regardless of who built the session: timestamp-to-epoch and
-    # window-bucketing expressions must not shift with the driver's locale.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver owns the session; carry the engine's runtime confs (AQE,
+    # broadcast threshold, UTC timezone — all SQL-settable) with every query
+    # so plans don't degrade on a vanilla session.
+    from ..session import apply_engine_confs
+
+    apply_engine_confs(spark)
     return load_table(spark, sf_dir, name)
 
 
@@ -1277,9 +1280,10 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ..session import apply_engine_confs
     from ..sources.registry import register_views
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    apply_engine_confs(spark)
     register_views(spark, sf_dir)
     return spark.sql(sql)
 
