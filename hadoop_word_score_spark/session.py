@@ -39,6 +39,17 @@ SCALE_CONFS: dict[str, str] = {
 }
 
 
+# Builder-time-only confs (immutable once the JVM is up). In local mode the
+# "driver" hosts every broadcast + all executor threads: the 1g default OOMs
+# the first time AQE legitimately broadcasts a few-hundred-MB build side.
+# On a real cluster the deployer sizes these per node; 8g is right for
+# local[32] on this 128 GiB box.
+STARTUP_CONFS: dict[str, str] = {
+    "spark.driver.memory": "8g",
+    "spark.driver.maxResultSize": "2g",
+}
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
 
@@ -47,7 +58,7 @@ def get_spark(app_name: str = "hadoop-word-score-spark", master: str | None = No
     """Build (or fetch) a SparkSession with the engine's defaults applied."""
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{default_parallelism()}]")
-    for k, v in SCALE_CONFS.items():
+    for k, v in {**STARTUP_CONFS, **SCALE_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

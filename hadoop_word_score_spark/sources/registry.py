@@ -86,11 +86,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncation, so oracles compare equal.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        )
+        df = spark.read.parquet(path)
+        # re-written copies (e.g. tools/scale_probe.py) already carry µs
+        # TimestampType; only raw driver testdata needs the narrowing
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
