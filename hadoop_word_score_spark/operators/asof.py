@@ -28,13 +28,19 @@ def asof_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` on the same key(s).
+    """For each left row, attach the nearest right row on the same key(s):
+    ``direction='backward'`` → latest right with ``right.ts <= left.ts``
+    (default); ``'forward'`` → earliest right with ``right.ts >= left.ts``.
 
     Returns the left columns plus ``asof_<col>`` for each right payload column
     and ``asof_ts`` for the matched right timestamp. ``how='left'`` keeps
-    unmatched left rows (nulls); ``'inner'`` drops them.
+    unmatched left rows (nulls); ``'inner'`` drops them. ``tolerance`` is a
+    SQL expression bounding the match distance (``'5'`` for numeric ts,
+    ``"INTERVAL '10' MINUTE"`` for timestamps); matches farther away are
+    treated as absent — pandas ``merge_asof`` semantics.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
@@ -63,9 +69,20 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
     )
 
+    if direction == "backward":
+        t_order = F.col("_asof_t").asc()
+    elif direction == "forward":
+        # descending scan: "last payload so far" = the right row with the
+        # smallest ts still >= left.ts — nearest future match, same single
+        # shuffle
+        t_order = F.col("_asof_t").desc()
+    else:
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_t"), F.col("_asof_side"))
+        .orderBy(t_order, F.col("_asof_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -73,6 +90,16 @@ def asof_join(
         .withColumn("_asof_match", F.last("_asof_payload", ignorenulls=True).over(w))
         .filter(F.col("_asof_side") == 1)
     )
+    if tolerance is not None:
+        gap = (
+            F.col("_asof_t") - F.col("_asof_match.asof_ts")
+            if direction == "backward"
+            else F.col("_asof_match.asof_ts") - F.col("_asof_t")
+        )
+        matched = matched.withColumn(
+            "_asof_match",
+            F.when(gap <= F.expr(tolerance), F.col("_asof_match")),
+        )
     out = matched.select(
         *keys,
         F.col("_asof_t").alias(left_ts),

@@ -926,6 +926,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
 
 
+@register(
+    "asof_join_events_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'error')    e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts <= c.ts
+    """,
+    tags=("join", "time"),
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 forward direction: for each error, the *next* click at-or-after it
+    # (same single-shuffle composition, descending scan).
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        right_payload=["value"],
+        how="inner",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
 # ---------------------------------------------------------------------------
 # EXT exact + approximate percentiles / distinct (SURVEY §2.3 A4)
 # ---------------------------------------------------------------------------

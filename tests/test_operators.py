@@ -32,6 +32,31 @@ def test_asof_join_golden(spark):
     assert out[(2, "lx")] == (None, None)        # right row is in the future
 
 
+def test_asof_forward_and_tolerance(spark):
+    from hadoop_word_score_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 30, "l3")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 12, 120.0), (1, 25, 250.0)], "k int, ts int, v double"
+    )
+    fwd = {
+        r.tag: (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, on="k", how="left", direction="forward").collect()
+    }
+    assert fwd == {"l1": (12, 120.0), "l2": (25, 250.0), "l3": (None, None)}
+    # tolerance: backward match farther than 5 ticks is treated as absent
+    # (l2's nearest is 12, gap 8 → absent; l3's nearest is 25, gap 5 → kept)
+    tol = {
+        r.tag: (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, on="k", how="left", tolerance="5"
+        ).collect()
+    }
+    assert tol == {"l1": (None, None), "l2": (None, None), "l3": (25, 250.0)}
+
+
 def test_asof_inner_drops_unmatched(spark):
     from hadoop_word_score_spark.operators.asof import asof_join
 
