@@ -1117,6 +1117,62 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_HISTOGRAM_SQL = """
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 400000 THEN 21
+            ELSE 1 + CAST(FLOOR(o_totalprice / 20000) AS BIGINT) END AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("histogram_totalprice", oracle=_HISTOGRAM_SQL, tags=("agg",))
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-width histogram via width_bucket — one scan, one small shuffle
+    # (bucket ids only); the building block for numeric profiling at scale.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(stddev_samp(l_discount), 6)                AS sd_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_corr_covar", oracle=_CORR_SQL, tags=("agg", "stats"))
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 statistical aggregates: corr / covar_pop / stddev_samp.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+    )
+
+
 _PIVOT_SQL = """
 SELECT o_orderstatus,
        COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
