@@ -161,6 +161,62 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate *clusters* from near-dup pairs: (id, cluster) with cluster =
+    min id of the connected component — the survivor-selection stage every
+    near-dup pipeline needs after pair generation.
+
+    Min-label propagation to fixpoint: each round, every vertex takes the
+    minimum label among itself and its neighbors — O(component diameter)
+    rounds (near-dup components are shallow; the cap is a safety net).
+    Iteration is driver-controlled with ``localCheckpoint`` per round to
+    truncate lineage — the standard Spark pattern for iterative algorithms
+    (GraphX Pregel does the same); each round is one join + one aggregation
+    shuffling (id, label) pairs only.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
 def embedding_cosine_pairs(
     vecs: DataFrame,
     id_col: str = "vec_id",

@@ -1066,6 +1066,18 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register("dedup_clusters", oracle=None, tags=("llm", "dedup"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2 final stage: near-dup pairs → connected components → (id, cluster)
+    # survivor assignment. Iterative min-label propagation (driver loop,
+    # localCheckpoint per round) — not SQL-expressible; invariants tested in
+    # tests/test_operators.py.
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_components(pairs)
+
+
 @register("dedup_near_simhash", oracle=None, tags=("llm", "dedup"))
 def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs

@@ -231,3 +231,34 @@ def test_salted_agg_matches_unsalted(spark):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_components_chain_and_islands(spark):
+    from hadoop_word_score_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster for r in dedup_components(pairs).collect()}
+    # chain 1-2-3-4 collapses to 1 (diameter > 1 → needs propagation rounds)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_components_end_to_end_minhash(spark):
+    from hadoop_word_score_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dedup_components(pairs)
+    rows = clusters.collect()
+    assert rows, "fixture has near-dups"
+    # cluster label is always the component minimum — a member of the cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.id)
+    for label, members in by_cluster.items():
+        assert label == min(members)
