@@ -1129,6 +1129,70 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) AS term
+    FROM documents
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n,
+           (SELECT AVG(dl) FROM dl) AS avgdl
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN ('join', 'hash', 'scan')
+    GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       ROUND(SUM(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_ranking", oracle=_BM25_SQL, tags=("llm", "text"), bench=False)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4 relevance scoring: BM25 (k1=1.2, b=0.75) for a fixed term set as a
+    # pure DataFrame composition — tf/df/dl/avgdl derived in one plan, the
+    # idf and saturation math mirrored exactly in the DuckDB oracle.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 _HISTOGRAM_SQL = """
 SELECT CASE WHEN o_totalprice < 0 THEN 0
             WHEN o_totalprice >= 400000 THEN 21

@@ -68,6 +68,26 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, cluster_col: str, n_files: int = 8
+) -> None:
+    """Range-clustered parquet: rows range-partitioned then sorted on
+    ``cluster_col`` — each output file covers a disjoint value range.
+
+    The poor man's Z-order for one dimension: parquet row-group min/max
+    stats become maximally selective, so range predicates on
+    ``cluster_col`` skip whole files/row-groups at scan time (verified by
+    the disjoint-ranges test). At 100 TB this turns point/range lookups on
+    the cluster key into near-index reads.
+    """
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, n_buckets: int, sort_col: str | None = None
 ) -> None:

@@ -84,3 +84,25 @@ def test_bucketed_join_no_exchange(spark, scratch_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_range_clustered_write_disjoint_files(spark, scratch_dir):
+    import glob
+
+    out = os.path.join(scratch_dir, "orders_clustered")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    sinks.write_range_clustered(orders, out, "o_totalprice", n_files=4)
+    # every output file covers a disjoint o_totalprice range
+    ranges = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*.parquet"))):
+        stats = (
+            spark.read.parquet(p)
+            .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+            .collect()[0]
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping file ranges: {ranges}"
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == orders.count()
