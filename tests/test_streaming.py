@@ -141,3 +141,91 @@ def test_sliding_stream_equals_batch(spark, events_stream_dir, scratch_dir):
         .select(F.col("window.start").alias("w_start"), "event_type", "n_events")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_rows(spark, scratch_dir):
+    # T4: a row older than (observed max ts - watermark) arriving in a later
+    # micro-batch is dropped; on-time rows in the same batch still count.
+    import datetime as dt
+
+    from hadoop_word_score_spark.sources.registry import TABLES
+    from hadoop_word_score_spark.streaming.windows import (
+        run_available_now,
+        tumbling_counts_stream,
+    )
+
+    def ev(eid, hh, mm):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1, hh, mm, tzinfo=dt.timezone.utc),
+            1,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    src = os.path.join(scratch_dir, "late_src")
+    os.makedirs(src, exist_ok=True)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write_file(rows, fname):
+        # single parquet FILES (a Spark-written directory named x.parquet
+        # would be invisible to the streaming file source's listing)
+        pdf = pd.DataFrame(rows, columns=cols)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            os.path.join(src, fname),
+        )
+
+    write_file([ev(i, 10, i) for i in range(10)], "a.parquet")
+    stream_df = spark.readStream.schema(TABLES["events"]).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = tumbling_counts_stream(
+        stream_df, window="10 minutes", watermark="30 minutes"
+    )
+
+    updates = []
+
+    def drain(name):
+        # update mode: late rows beyond the watermark are DROPPED (complete
+        # mode would keep aggregating them — no drop semantics there).
+        # foreachBatch sink: memory sink can't resume from a checkpoint.
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _bid: updates.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(scratch_dir, "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return updates
+
+    # first drain: watermark advances to 10:09 - 30min = 09:39
+    drain("late_out1")
+    # batch B: one LATE row (08:00 < 09:39) and one on-time row (10:05)
+    write_file([ev(100, 8, 0), ev(101, 10, 5)], "b.parquet")
+    got = drain("late_out2")
+    # one row per update; latest count per window wins
+    counts = {}
+    for r in got:
+        key = (r.w_start.hour, r.w_start.minute)
+        counts[key] = max(counts.get(key, 0), r.n_events)
+    assert (8, 0) not in counts, f"late window should be dropped: {counts}"
+    assert counts.get((10, 0)) == 11  # 10 original + on-time straggler
