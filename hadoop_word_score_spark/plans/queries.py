@@ -1129,6 +1129,59 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_STRING_AGG_SQL = """
+SELECT r_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+"""
+
+
+@register("string_agg_nations", oracle=_STRING_AGG_SQL, tags=("agg", "string"))
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 ordered string aggregation: collect → sort → join (deterministic,
+    # unlike bare listagg whose order is partition-dependent).
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_NULL_ORDER_SQL = """
+SELECT o_orderkey,
+       NULLIF(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+       CASE WHEN o_orderpriority IS NOT DISTINCT FROM '3-MEDIUM'
+            THEN 1 ELSE 0 END AS is_medium
+FROM orders
+ORDER BY prio_or_null NULLS FIRST, o_orderkey
+LIMIT 500
+"""
+
+
+@register("null_semantics", oracle=_NULL_ORDER_SQL, tags=("scalar", "null"))
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 null semantics: null-safe equality (<=>) and explicit NULLS FIRST
+    # ordering — the null-handling corners a query surface must pin down.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio_or_null"),
+            F.when(F.col("o_orderpriority").eqNullSafe("3-MEDIUM"), 1)
+            .otherwise(0)
+            .alias("is_medium"),
+        )
+        .orderBy(F.col("prio_or_null").asc_nulls_first(), F.asc("o_orderkey"))
+        .limit(500)
+    )
+
+
 _BM25_TERMS = ("join", "hash", "scan")
 _BM25_SQL = f"""
 WITH toks AS (

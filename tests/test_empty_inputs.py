@@ -1,0 +1,85 @@
+"""Empty-input robustness: every operator must return an empty result with
+the right schema — not crash — when its input has zero rows (the common
+case for a filtered partition at 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+
+def test_wordscore_empty(spark):
+    from hadoop_word_score_spark.operators.wordscore import word_score
+
+    out = word_score(spark.createDataFrame([], "stars double, text string"))
+    assert out.columns == ["score", "word"]
+    assert out.count() == 0
+
+
+def test_dedup_family_empty(spark):
+    from hadoop_word_score_spark.operators.dedup import (
+        dedup_components,
+        embedding_cosine_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = _empty_docs(spark)
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_near_pairs(docs).count() == 0
+    assert embedding_cosine_pairs(_empty_vecs(spark)).count() == 0
+    assert dedup_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0
+
+
+def test_similarity_empty(spark):
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    vecs = _empty_vecs(spark)
+    assert brute_force_topk(vecs, vecs, k=5).count() == 0
+    assert lsh_bucketed_topk(vecs, vecs, k=5).count() == 0
+
+
+def test_asof_empty_sides(spark):
+    from hadoop_word_score_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "a")], "k int, ts int, tag string")
+    empty_r = spark.createDataFrame([], "k int, ts int, v double")
+    out = asof_join(left, empty_r, on="k", how="left")
+    assert out.count() == 1
+    assert out.collect()[0].asof_v is None
+    empty_l = spark.createDataFrame([], "k int, ts int, tag string")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k int, ts int, v double")
+    assert asof_join(empty_l, right, on="k", how="left").count() == 0
+
+
+def test_short_docs_yield_no_shingles(spark):
+    # docs with < n tokens must produce empty shingle sets, not crash
+    from hadoop_word_score_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a"), (4, "x y z w"), (5, "x y z w")],
+        "doc_id long, text string",
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    approx = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(4, 5)}
+    assert {(r.id_a, r.id_b) for r in approx} == {(4, 5)}
