@@ -1129,6 +1129,49 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
+_MULTI_GRAIN_SQL = """
+SELECT grain, bucket_ts, event_type, n_events, sum_value FROM (
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), event_type,
+           COUNT(*), ROUND(SUM(value), 2)
+    FROM events GROUP BY 2, 3
+)
+"""
+
+
+@register("events_rollup_multi_grain", oracle=_MULTI_GRAIN_SQL, tags=("time", "agg"))
+def q_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style continuous-aggregate shape: the same events rolled to
+    # hour and day grains in ONE pass — day re-aggregates the hour partials
+    # (shuffles hour-level rows, not raw events; the cascade a 100 TB
+    # downsampling pipeline uses).
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_ts"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("_sv"))
+    )
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        F.round("_sv", 2).alias("sum_value"),
+    )
+    day_out = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_ts").alias("bucket_ts"), F.col("event_type")
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.round(F.sum("_sv"), 2).alias("sum_value"))
+        .select(F.lit("day").alias("grain"), "bucket_ts", "event_type", "n_events", "sum_value")
+    )
+    return hour_out.unionByName(day_out)
+
+
 _STRING_AGG_SQL = """
 SELECT r_regionkey,
        string_agg(n_name, ',' ORDER BY n_name) AS nations,
