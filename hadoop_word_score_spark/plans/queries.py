@@ -2109,3 +2109,179 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_binary_payload(_t(spark, sf_dir, "documents"))
     return extract_image_metadata(d)
+
+
+# ---------------------------------------------------------------------------
+# EXT: deterministic sampling (training-data-pipeline staple). Random
+# Bernoulli/TABLESAMPLE is not oracle-checkable, so the engine's sampling
+# primitive is *hash-mod* sampling: stable across runs, engines, and cluster
+# topology, and exactly reproducible — the property a 100 TB training-set
+# builder actually needs (resumable, auditable splits). The hash is computed
+# scan-side; the filter prunes before any shuffle.
+# ---------------------------------------------------------------------------
+
+def _hash_bucket(col: str, buckets: int = 100):
+    # First 8 md5 hex digits → int bucket; identical text → identical bucket
+    # in Spark and DuckDB (both emit lowercase-hex md5 of the UTF-8 bytes).
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+    tags=("sample", "llm"),
+)
+def q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic ~10% sample keyed on doc_id. At 100 TB this is the
+    # split/sample primitive: no state, no coordination, rerunnable anywhere.
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(_hash_bucket("doc_id") < 10).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 30
+    """,
+    tags=("sample", "llm", "window"),
+)
+def q_sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified fixed-size-per-stratum sample: hash order makes the pick
+    # pseudorandom yet fully deterministic; one shuffle on the stratum key.
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(hx, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 30)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "dedup_apply_survivors",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)) s
+      ON d.doc_id = s.keep_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L1 applied end-to-end: exact-dedup survivor ids semi-joined back onto
+    # the corpus — the "emit the cleaned dataset" step after pair/cluster
+    # detection. Shuffles (hash, id) pairs, then an id-keyed semi join; the
+    # document bodies are never shuffled.
+    from ..operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(d, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+@register(
+    "window_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume,
+           NTH_VALUE(c_acctbal, 3) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 distribution functions: percent_rank / cume_dist / nth_value.
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_bal"),
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional aggregation ratio over a fact⋈dim join.
+    # part is the small side → broadcast; the month filter prunes the
+    # lineitem scan before the join (PushedFilters on l_shipdate).
+    li, p = (_t(spark, sf_dir, n) for n in ("lineitem", "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM customer, orders,
+         (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+    WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: aggregate-then-filter (HAVING) drives the join — the
+    # big orders are few, so the filtered aggregate broadcasts into orders
+    # and the final top-k is TakeOrderedAndProject, never a full sort.
+    c, o, li = (_t(spark, sf_dir, n) for n in ("customer", "orders", "lineitem"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey", F.col("qty").cast("long").alias("sum_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
