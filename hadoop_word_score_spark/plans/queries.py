@@ -2285,3 +2285,29 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim, ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS mean_val,
+           COUNT(*) AS n_vecs
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
+    GROUP BY label, dim
+    """,
+    tags=("llm", "similarity", "agg"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Element-wise centroid per label — the vector aggregation under IVF
+    # coarse quantizers / k-means. posexplode then groupBy(label, dim):
+    # partial aggregation collapses each map partition to |labels|×64 rows
+    # before the shuffle, so shuffle volume is independent of corpus size.
+    em = _t(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
