@@ -101,3 +101,18 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (S7): Spark-native columnar alternative to parquet — same
+    predicate-pushdown/column-pruning story, for HDFS estates standardized
+    on ORC. Nested arrays/binary (embeddings, multimodal payloads) round-trip.
+    """
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -106,3 +106,19 @@ def test_range_clustered_write_disjoint_files(spark, scratch_dir):
         assert hi <= lo, f"overlapping file ranges: {ranges}"
     # and nothing was lost
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_orc_roundtrip_nested_types(spark, scratch_dir):
+    # ORC must carry the LLM-pipeline column shapes: array<float> embeddings
+    # and binary payloads — plus pushdown-friendly scalars.
+    out = os.path.join(scratch_dir, "emb_orc")
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    payload = em.withColumn("blob", F.encode(F.col("label").cast("string"), "utf-8"))
+    sinks.write_orc(payload, out)
+    back = sinks.read_orc(spark, out)
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+    assert back.schema["blob"].dataType.simpleString() == "binary"
+    assert back.count() == em.count()
+    # predicate reaches the ORC scan (search-argument pushdown)
+    plan = back.filter(F.col("vec_id") < 5)._jdf.queryExecution().executedPlan().toString()
+    assert "vec_id" in plan and back.filter(F.col("vec_id") < 5).count() == 5
