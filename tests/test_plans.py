@@ -108,3 +108,34 @@ def test_salted_join_spreads_shuffle_key(spark):
     # the join's shuffle key must include the salt column
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q14_broadcasts_part_and_pushes_month_filter(spark):
+    plan = formatted_plan(spark, "q14_promo_effect")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_topk_without_full_sort(spark):
+    plan = plan_of(spark, "q18_large_volume")
+    assert "TakeOrderedAndProject" in plan
+    # exactly one real shuffle: the lineitem qty aggregation; both joins build
+    # on broadcast sides
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_sample_is_scan_side(spark):
+    # the sampling predicate must not force a shuffle — one stage, no Exchange
+    plan = plan_of(spark, "sample_hash_mod")
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_minhash_verify_single_shingle_subtree(spark):
+    # the verification path computes the tokenize→shingle chain once: exactly
+    # one scan of documents feeds a shingle projection into the verify join
+    # (the banding path reads documents separately via the signature UDF)
+    plan = plan_of(spark, "dedup_near_minhash")
+    assert plan.count("transform(array_remove(split(") <= 1
