@@ -2311,3 +2311,52 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@register(
+    "variant_funcs",
+    oracle="""
+    SELECT event_type, k_bucket, COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type,
+                 CAST(props->>'$.k' AS BIGINT) AS k,
+                 CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket
+          FROM events)
+    GROUP BY event_type, k_bucket
+    """,
+    tags=("scalar", "json"),
+)
+def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.8 semi-structured via VariantType (Spark 4): parse each props blob
+    # ONCE into a binary variant, then do typed path extractions from the
+    # parsed form — vs get_json_object, which re-parses the string per
+    # extraction. At 100 TB with many extractions per record, single-parse
+    # is the difference between N scans of the JSON text and one.
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"), (k % 10).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register("hll_distinct_sketch", oracle=None, tags=("agg", "approx"))
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4 at scale: HLL sketches are MERGEABLE — per-partition/per-group
+    # sketches union without rescanning, the building block for incremental
+    # distinct-count rollups over 100 TB (store sketch bytes per partition,
+    # merge at query time). The 'ALL' row re-aggregates the per-group
+    # sketches, touching 5 sketch blobs instead of 10k raw rows.
+    # Estimates ≠ exact by design → rows-only; error bound asserted in
+    # tests/test_operators.py against count_distinct.
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    grouped = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return grouped.unionByName(overall)

@@ -262,3 +262,20 @@ def test_dedup_components_end_to_end_minhash(spark):
         by_cluster.setdefault(r.cluster, []).append(r.id)
     for label, members in by_cluster.items():
         assert label == min(members)
+
+
+def test_hll_sketch_error_bound_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    rows = {r.event_type: r.approx_users
+            for r in REGISTRY["hll_distinct_sketch"].fn(spark, SF_ORACLE).collect()}
+    e = load_table(spark, SF_ORACLE, "events")
+    exact = {r.event_type: r.n for r in
+             e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()}
+    exact["ALL"] = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
