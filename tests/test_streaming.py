@@ -229,3 +229,50 @@ def test_watermark_drops_late_rows(spark, scratch_dir):
         counts[key] = max(counts.get(key, 0), r.n_events)
     assert (8, 0) not in counts, f"late window should be dropped: {counts}"
     assert counts.get((10, 0)) == 11  # 10 original + on-time straggler
+
+
+def test_stream_static_enrichment(spark, events_stream_dir, scratch_dir):
+    from hadoop_word_score_spark.sources.registry import load_table
+    from hadoop_word_score_spark.streaming.joins import enrich_stream_with_dim
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    dim = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    stream = enrich_stream_with_dim(
+        read_events_stream(spark, events_stream_dir), dim
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = run_available_now(
+        stream, os.path.join(scratch_dir, "ckpt_enrich"), "enrich_out"
+    )
+    batch = spark.read.parquet(events_stream_dir).join(
+        dim, F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "user_id", "c_mktsegment")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir, scratch_dir):
+    from hadoop_word_score_spark.streaming.joins import interval_join_streams
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_click, s_buy = sides(read_events_stream(spark, events_stream_dir))
+    got = run_available_now(
+        interval_join_streams(s_click, s_buy),
+        os.path.join(scratch_dir, "ckpt_ssj"),
+        "ssj_out",
+    )
+    b_click, b_buy = sides(spark.read.parquet(events_stream_dir))
+    batch = interval_join_streams(b_click, b_buy)  # same code path, batch DFs
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, batch.collect()))
+    assert len(got_rows) > 0  # the interval actually matched something
