@@ -2360,3 +2360,51 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("ALL").alias("event_type"), "approx_users")
     return grouped.unionByName(overall)
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 100000, c_name, c_nationkey,
+               CAST(0.0 AS DOUBLE), 'NEW'
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey    ELSE t.c_custkey    END AS c_custkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name       ELSE t.c_name       END AS c_name,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey  ELSE t.c_nationkey  END AS c_nationkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal    ELSE t.c_acctbal    END AS c_acctbal,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+               AND s.c_mktsegment = 'MACHINERY')
+    """,
+    tags=("merge", "join"),
+)
+def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO semantics on plain DataFrames: updates (+100 balance for
+    # every 10th customer), inserts (shifted-key 'NEW' rows), and a matched-
+    # delete arm (updated MACHINERY customers drop out). One key shuffle;
+    # the change-set side is small → AQE broadcasts it.
+    from ..operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100, 2)
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    src = updates.unionByName(inserts)
+    return merge_upsert(
+        c, src, "c_custkey", delete_when=F.col("s.c_mktsegment") == "MACHINERY"
+    )

@@ -279,3 +279,25 @@ def test_hll_sketch_error_bound_and_merge(spark):
     assert set(rows) == set(exact)
     for k, est in rows.items():
         assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
+
+
+def test_merge_upsert_arms_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.merge import merge_upsert
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    c = load_table(spark, SF_ORACLE, "customer")
+    src = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.lit(1.5)
+    )
+    once = merge_upsert(c, src, "c_custkey")
+    # update arm applied, nothing inserted/deleted
+    assert once.count() == c.count()
+    assert once.filter(F.col("c_acctbal") == 1.5).count() == src.count()
+    # idempotent for a pure-update source
+    twice = merge_upsert(once, src, "c_custkey")
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+    # delete arm removes matched rows
+    deleted = merge_upsert(c, src, "c_custkey", delete_when=F.lit(True))
+    assert deleted.count() == c.count() - src.count()
