@@ -2408,3 +2408,96 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         c, src, "c_custkey", delete_when=F.col("s.c_mktsegment") == "MACHINERY"
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, COUNT(t_signup) AS n_users FROM s
+    UNION ALL SELECT 'click', COUNT(*) FROM c
+    UNION ALL SELECT 'purchase', COUNT(*) FROM p
+    """,
+    tags=("events", "agg", "join"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered funnel: signup → first later click → first later purchase.
+    # Each stage is a tiny per-user aggregate joined back (AQE broadcasts
+    # it); events shuffle at most 3× on user_id — at 100 TB, pre-hash-
+    # partitioning events by user_id makes the later stages exchange-free.
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    cnt = lambda df, col: df.agg(F.count(col).alias("n_users"))  # noqa: E731
+    return (
+        cnt(s, "t_signup").select(F.lit("signup").alias("stage"), "n_users")
+        .unionByName(cnt(c, "t_click").select(F.lit("click").alias("stage"), "n_users"))
+        .unionByName(cnt(p, "t_purchase").select(F.lit("purchase").alias("stage"), "n_users"))
+    )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "join"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: users bucketed by first-seen week, counted
+    # distinct in each later week. first_seen is |users| rows → broadcast;
+    # the distinct-count shuffles (cohort, offset, user) — already the
+    # minimal key set.
+    e = _t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
