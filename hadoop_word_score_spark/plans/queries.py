@@ -2501,3 +2501,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           ROUND(qscale, 9) AS qscale,
+           CAST(codes[1] AS INT)  AS code_first,
+           CAST(codes[64] AS INT) AS code_last,
+           ROUND(rmse, 9) AS rmse
+    FROM (
+        SELECT vec_id, qscale,
+               list_transform(v, x -> CAST(round(x / qscale) AS INT)) AS codes,
+               sqrt(list_sum(list_transform(v,
+                    x -> pow(x - round(x / qscale) * qscale, 2))) / len(v)) AS rmse
+        FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS qscale
+            FROM embeddings
+        )
+    )
+    """,
+    tags=("llm", "similarity", "array"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symmetric int8 scalar quantization — 4× smaller vectors for the ANN
+    # candidate scan (dot products on int8 codes, exact re-rank on floats).
+    # Pure higher-order expressions, all scan-side, no shuffle at all; the
+    # let-binding evaluates scale once per vector, not once per element.
+    from ..functions.hashing import let1
+
+    em = _t(spark, sf_dir, "embeddings")
+    v = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    qexpr = let1(
+        v,
+        "v",
+        "named_struct("
+        "'qscale', array_max(transform(v, x -> abs(x))) / 127.0D, "
+        "'v', v)",
+    )
+    q = em.select("vec_id", F.expr(qexpr).alias("q"))
+    codes = "transform(q.v, x -> CAST(round(x / q.qscale) AS INT))"
+    rmse = (
+        "sqrt(aggregate(q.v, 0.0D, (s, x) -> "
+        "s + pow(x - round(x / q.qscale) * q.qscale, 2)) / size(q.v))"
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("q.qscale"), 9).alias("qscale"),
+        F.expr(codes)[0].alias("code_first"),
+        F.expr(codes)[63].alias("code_last"),
+        F.round(F.expr(rmse), 9).alias("rmse"),
+    )
