@@ -143,21 +143,19 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
     )
-    # Verification joins the shingle relation ONCE: each pair unpivots to two
-    # (pair, id) rows, the single join attaches that id's shingles, and a
-    # groupBy reassembles the pair. Two plain joins would instantiate the
-    # scan→tokenize→shingle subtree twice (Spark has no DAG-level CSE across
-    # join inputs) — at 100 TB that's tokenizing the corpus twice.
-    sides = candidates.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
-    )
-    side_of = lambda c: F.first(  # noqa: E731
-        F.when(F.col("id") == F.col(c), F.col("shingles")), ignorenulls=True
-    )
-    verified = (
-        sides.join(sh, "id")
-        .groupBy("id_a", "id_b")
-        .agg(side_of("id_a").alias("sh_a"), side_of("id_b").alias("sh_b"))
+    # Verification: two joins against the shingle relation. This instantiates
+    # the scan→tokenize→shingle subtree twice, but measured A/B/C on the 10×
+    # duplicate-heavy probe (tools/verify_variants_probe.py) shows it 2-4×
+    # faster than the alternatives: (A) unpivot pairs + single join + groupBy
+    # reassembly pays a shuffle+agg of the shingle *arrays*; (C) joining raw
+    # text and shingling after the join re-evaluates the HOF once per pair
+    # side instead of once per doc and shuffles text per pair. Here each doc
+    # shingles exactly once per scan, pairs broadcast under AQE, and nothing
+    # wider than the matched rows moves.
+    verified = candidates.join(
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -2554,3 +2554,191 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(codes)[63].alias("code_last"),
         F.round(F.expr(rmse), 9).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT: training-corpus assembly ops — chunking, packing, shard shuffle,
+# mixture sampling, benchmark decontamination. These are the steps between
+# "deduplicated corpus" and "tokenizer-ready shards" in an LLM data pipeline;
+# all deterministic (hash-keyed), so every one is DuckDB-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           s // 48                                    AS chunk_idx,
+           s                                          AS chunk_start,
+           CAST(len(toks[s + 1 : s + 64]) AS BIGINT)  AS chunk_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, len(toks) - 1, 48)) AS u(s)
+    """,
+    tags=("llm", "text"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping token-window chunking (64-token windows, stride 48): the
+    # context-length shaping step before tokenization. sequence() generates
+    # chunk starts scan-side; explode+slice never materializes more than one
+    # doc's tokens per row — no shuffle anywhere in the plan.
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.trim(F.col("text")), DELIM_CLASS), "")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+    e = t.select("doc_id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, F.lit(64))
+    return e.select(
+        "doc_id",
+        F.expr("CAST(s DIV 48 AS BIGINT)").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT)            AS offset_in_stream,
+           CAST((cum - n_tokens) // 512 AS BIGINT)   AS bin_id
+    FROM c
+    """,
+    tags=("llm", "text", "window"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concat-and-split sequence packing (what LLM training actually does):
+    # docs concatenate into a per-source token stream, the stream splits into
+    # 512-token bins; a doc's bin = its stream offset DIV 512. Packing per
+    # source shard keeps the window partitioned — no global sort, scales with
+    # the number of shards.
+    from ..functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count_ws("text").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    offset = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset_in_stream")
+    return t.select("source", "doc_id", "n_tokens", offset).withColumn(
+        "bin_id", F.expr("CAST(offset_in_stream DIV 512 AS BIGINT)")
+    )
+
+
+@register(
+    "shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS hx,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("llm", "sample", "window"),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic global shuffle into training shards: shard = hash bucket,
+    # position = rank by a *second* hash within the shard. Reproducible on
+    # any cluster topology, resumable, and never a single-partition global
+    # sort — the 100 TB-safe way to "shuffle the corpus".
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    t = d.select(
+        "doc_id", hx.alias("hx"), _hash_bucket("doc_id", 8).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return t.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+@register(
+    "mixture_sample_weighted",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE WHEN source IN ('src1', 'src2', 'src3') THEN 40 ELSE 10 END
+    """,
+    tags=("llm", "sample"),
+)
+def q_mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mixture weighting: per-source sampling rates (upsample curated sources,
+    # downsample the crawl) via the same deterministic hash-mod primitive as
+    # sample_hash_mod — scan-side filter, zero shuffle, exactly reproducible.
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("source").isin("src1", "src2", "src3"), 40).otherwise(10)
+    return d.filter(_hash_bucket("doc_id") < rate).select("doc_id", "source", "lang")
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+                   list_transform(range(1, len(w) - 3),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4])
+                   ELSE [] END)) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT)  AS n_eval_docs
+    FROM (SELECT * FROM sh WHERE bucket >= 20) t
+    JOIN (SELECT * FROM sh WHERE bucket < 20) e USING (shingle)
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: flag training docs sharing any 5-gram with
+    # the held-out eval split (here: hash buckets 0-19 stand in for the eval
+    # set). At 100 TB the eval shingle set is small → broadcast to the
+    # training-side scan; output is (flagged doc, evidence counts).
+    from ..functions.hashing import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        _hash_bucket("doc_id").alias("bucket"),
+        F.explode(shingles("text", 5)).alias("shingle"),
+    )
+    train = sh.filter(F.col("bucket") >= 20).select("doc_id", "shingle")
+    ev = (
+        sh.filter(F.col("bucket") < 20)
+        .select(F.col("doc_id").alias("eval_doc"), "shingle")
+    )
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -301,3 +301,59 @@ def test_merge_upsert_arms_and_idempotence(spark):
     # delete arm removes matched rows
     deleted = merge_upsert(c, src, "c_custkey", delete_when=F.lit(True))
     assert deleted.count() == c.count() - src.count()
+
+
+def test_doc_chunks_cover_every_token_and_overlap(spark):
+    # Every token index lands in ≥1 chunk; consecutive chunks overlap by 16
+    # tokens (64-window, 48-stride); reassembling stride-sized prefixes
+    # reproduces the tokenized doc.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["doc_chunks"].fn(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start - a.chunk_start == 48
+        last = chunks[-1]
+        n_tokens = last.chunk_start + last.chunk_tokens
+        assert (n_tokens - 1) // 48 == last.chunk_idx  # windows cover the doc
+        for c in chunks:
+            assert c.chunk_tokens == min(64, n_tokens - c.chunk_start)
+
+
+def test_pack_sequences_bins_are_contiguous(spark):
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["pack_sequences"].fn(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for docs in by_src.values():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        prev_bin = 0
+        for d in docs:
+            assert d.offset_in_stream == cum  # stream is gapless
+            assert d.bin_id == cum // 512
+            assert d.bin_id >= prev_bin  # bins are monotone in stream order
+            cum += d.n_tokens
+            prev_bin = d.bin_id
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["shuffle_shards"].fn(spark, SF_SMOKE).collect()
+    ids = sorted(r.doc_id for r in rows)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(ids) == len(set(ids)) == n_docs  # bijection: no loss, no dup
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
