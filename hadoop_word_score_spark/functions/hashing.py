@@ -94,33 +94,50 @@ def text_minhash_udf(num_hashes: int = 32, n: int = 3):
     Empty shingle sets (docs with < n tokens) → null.
     """
     import re
+    from itertools import chain
 
     from pyspark.sql.functions import pandas_udf
 
     rs = np.random.RandomState(1234)
     a = (rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rs.randint(1, 2**62, size=num_hashes).astype(np.uint64)
+    # per-offset odd multipliers for the rolling n-gram combine
+    cmix = (rs.randint(1, 2**62, size=n).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     delims = re.compile("[ \t\n\r\f]+")
 
     @pandas_udf("array<long>")
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = [w for w in delims.split(t or "") if w]
-            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            if not sh:
-                out.append(None)
-                continue
-            base = np.array(
-                [
-                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                    for s in sh
-                ],
-                dtype=np.uint64,
-            )
-            m = base[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
-            out.append(m.min(axis=0).astype(np.int64))
-        return pd.Series(out)
+        # Whole-batch vectorization: the only Python-level loop is the regex
+        # split per doc. Tokens hash once via pd.util.hash_array (C siphash,
+        # process-independent); shingle hashes are a rolling multiply-xor of
+        # n consecutive token hashes on the *flat* token array (doc-boundary
+        # crossings masked out); per-doc minima via np.minimum.reduceat.
+        # A min over a multiset equals the min over the set, so distinct
+        # shingle materialization — the old per-doc Python cost — is skipped.
+        n_docs = len(texts)
+        toks = [delims.split(t) if t else [] for t in texts]
+        flat = [w for ts in toks for w in ts if w]
+        counts = np.fromiter(
+            (sum(1 for w in ts if w) for ts in toks), dtype=np.int64, count=n_docs
+        )
+        sh_counts = np.maximum(counts - (n - 1), 0)
+        nz = np.flatnonzero(sh_counts)
+        if nz.size == 0:
+            return pd.Series([None] * n_docs, dtype=object)
+        h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+        m = h.size - (n - 1)
+        sh = h[0:m] * cmix[0]
+        for j in range(1, n):
+            sh = sh ^ (h[j : m + j] * cmix[j])
+        doc_of = np.repeat(np.arange(n_docs), counts)
+        sh = sh[doc_of[0:m] == doc_of[n - 1 : m + n - 1]]
+        starts = (np.cumsum(sh_counts) - sh_counts)[nz]
+        mins = np.empty((nz.size, num_hashes), dtype=np.int64)
+        for s in range(num_hashes):
+            mins[:, s] = np.minimum.reduceat(sh * a[s] + b[s], starts).view(np.int64)
+        out = np.full(n_docs, None, dtype=object)
+        out[nz] = list(mins)
+        return pd.Series(out, dtype=object)
 
     return sig
 
