@@ -2742,3 +2742,196 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("eval_doc").alias("n_eval_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT TPC-H-pattern breadth, batch 3: conditional aggregation (Q12 shape),
+# disjunctive multi-column predicates (Q19 shape), anti-join + scalar
+# subquery (Q22 shape). Reference precedent for conditional per-row scoring:
+# CWS:86-93, 113 (stars -> modifier lookup folded into an aggregate).
+# ---------------------------------------------------------------------------
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q12_priority_shipping", oracle=_Q12_SQL, tags=("ref-adjacent", "join", "agg"))
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (l_linestatus standing in for the absent l_shipmode):
+    # the CASE folds into the aggregate, so the shuffle carries only
+    # (linestatus, partial counts) — two ints per group, not the join output.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_SQL, tags=("ref-adjacent", "join"))
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst splits
+    # the disjunction into single-side implied filters (brand/size on part,
+    # quantity range on lineitem) that DO push to both scans, keeping the
+    # full predicate as the join residual; part is dim-sized -> broadcast.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@register("q22_inactive_customers", oracle=_Q22_SQL, tags=("ref-adjacent", "join", "subquery"))
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape (c_nationkey standing in for the absent phone prefix;
+    # "no orders since 1998" standing in for "no orders", which is empty on
+    # this data): scalar aggregate subquery (1-row broadcast, not a
+    # recompute-per-row) + anti join against orders. The anti join shuffles
+    # on custkey; the date filter pushes to the orders scan first.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1998-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT training-pipeline text cleaning: PII redaction and repetition-based
+# quality filtering (Gopher-style). Both stay in whole-stage codegen —
+# regexp_replace / higher-order array functions, no Python in the row path.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+@register("pii_redact", oracle=_PII_SQL, tags=("llm", "text", "clean"))
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scrub emails/phone numbers from the corpus before training. Pure
+    # regexp_replace: JVM-side, streams through the scan with zero shuffle;
+    # at 100 TB this is a map-only pass writing partitioned parquet.
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        (
+            F.regexp_count("text", F.lit(_EMAIL_RE))
+            + F.regexp_count("text", F.lit(_PHONE_RE))
+        ).cast("long").alias("n_redactions"),
+    )
+
+
+_REPETITION_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       ROUND(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_token_ratio,
+       ROUND(list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w), 6) AS mean_token_len,
+       (1.0 - len(list_distinct(w)) * 1.0 / len(w)) <= 0.6 AS keep
+FROM t
+WHERE len(w) > 0
+"""
+
+
+@register("quality_repetition_filter", oracle=_REPETITION_SQL, tags=("llm", "text", "quality"))
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filter: duplicate-token fraction + mean token
+    # length, keep-flag at 0.6. Higher-order array funcs only (split /
+    # array_distinct / aggregate) — map-only, no explode, no shuffle.
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split("text", "[ \\t\\n\\r\\f]+"), "")
+    n = F.size(toks)
+    dup = 1.0 - F.size(F.array_distinct(toks)) / n
+    tok_chars = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.round(dup, 6).alias("dup_token_ratio"),
+            F.round(tok_chars / n, 6).alias("mean_token_len"),
+            (dup <= 0.6).alias("keep"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
