@@ -357,3 +357,62 @@ def test_shuffle_shards_is_a_permutation(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    # Golden cases for the email/phone scrub used by the pii_redact query.
+    from hadoop_word_score_spark.plans.queries import _EMAIL_RE, _PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact a.smith+x@mail.example.org or 555-123-4567 today"),
+            (2, "no pii here, just words and 123 numbers"),
+            (3, "two mails a@b.io c@d.co and dotted phone 555.123.4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        (
+            F.regexp_count("text", F.lit(_EMAIL_RE))
+            + F.regexp_count("text", F.lit(_PHONE_RE))
+        ).cast("long").alias("n_redactions"),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].clean_text == "contact <EMAIL> or <PHONE> today"
+    assert rows[1].n_redactions == 2
+    assert rows[2].clean_text == "no pii here, just words and 123 numbers"
+    assert rows[2].n_redactions == 0
+    assert rows[3].clean_text == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>"
+    assert rows[3].n_redactions == 3
+
+
+def test_repetition_filter_ratio_bounds(spark):
+    # dup_token_ratio is 0 for all-distinct docs, ->1 for one repeated token,
+    # and the keep flag thresholds at 0.6.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),              # all distinct -> ratio 0, keep
+            (2, "x x x x x x x x x x"),    # 10 copies -> ratio 0.9, drop
+            (3, "p q p q p"),              # 5 tokens, 2 distinct -> 0.6, keep
+            (4, "   "),                    # no tokens -> filtered out
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_rep_docs")
+    fn = REGISTRY["quality_repetition_filter"].fn
+    import unittest.mock as mock
+    from hadoop_word_score_spark.plans import queries as qmod
+
+    with mock.patch.object(qmod, "_t", lambda s, d, n: df):
+        out = {r.doc_id: r for r in fn(spark, "unused").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_token_ratio == 0.0 and bool(out[1].keep)
+    assert out[2].dup_token_ratio == 0.9 and not out[2].keep
+    assert out[3].dup_token_ratio == 0.6 and bool(out[3].keep)
+    assert out[1].n_tokens == 5 and out[1].mean_token_len == 1.0
