@@ -123,9 +123,12 @@ def minhash_lsh_pairs(
     # tokenize→shingle→minhash fused in one Arrow-batched UDF over the raw
     # text — the interpreted-HOF route costs ~1600 expression evals per doc
     sig_fn = text_minhash_udf(num_hashes, n)
+    # No isNotNull filter on sig: a filter on a UDF column makes Catalyst
+    # evaluate the UDF twice (once under the Filter, once for the Project);
+    # null sigs fall out below at the band_hash filter instead.
     sig = docs.select(
         F.col(id_col).alias("id"), sig_fn(F.col(text_col)).alias("sig")
-    ).filter(F.col("sig").isNotNull())
+    )
     # posexplode_outer: the plain generator would infer a non-empty filter
     # that re-evaluates the whole signature→band chain at the scan.
     banded = sig.select(
