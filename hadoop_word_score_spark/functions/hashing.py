@@ -60,6 +60,18 @@ def shingles(text_col: str, n: int = 3) -> Column:
     return F.expr(shingles_expr(text_col, n))
 
 
+def shingle_hashes_expr(text_col: str, n: int = 3) -> str:
+    """SQL expr: distinct word n-gram shingles as 64-bit xxhash64 values.
+
+    Set cardinalities — and therefore exact Jaccard — are preserved up to
+    xxhash64 collisions (P ≈ |shingles|²/2⁶⁵; ~1e-10 at millions of distinct
+    shingles). Downstream shuffles/joins/intersections then carry 8-byte
+    longs instead of n-word strings, which is what the postings shuffle and
+    the verify join actually pay for.
+    """
+    return let1(shingles_expr(text_col, n), "sv", "transform(sv, x -> xxhash64(x))")
+
+
 def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     """MinHash signature: array of ``num_hashes`` 64-bit minima.
 

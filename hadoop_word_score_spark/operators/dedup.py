@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_hashes, minhash_signature, shingles_expr
+from ..functions.hashing import band_hashes, minhash_signature, shingle_hashes_expr
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -55,8 +55,10 @@ def ngram_jaccard_pairs(
     # generated *within* each shingle's posting list after a single shuffle.
     # explode_outer + post-filter keeps the inferred non-empty predicate off
     # the scan, where it would re-evaluate the shingle HOF per input row.
+    # Shingles travel as xxhash64 longs (exactness preserved up to 64-bit
+    # collisions) — the postings shuffle never carries n-gram strings.
     sh = docs.select(
-        F.col(id_col), F.expr(shingles_expr(text_col, n)).alias("shingles")
+        F.col(id_col), F.expr(shingle_hashes_expr(text_col, n)).alias("shingles")
     )
     postings = (
         sh.select(
@@ -111,8 +113,11 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs so the two are interchangeable.
     """
     rows = num_hashes // bands
+    # Hashed shingles (see ngram_jaccard_pairs): the verify join intersects
+    # long arrays, not n-gram string arrays.
     sh = docs.select(
-        F.col(id_col).alias("id"), F.expr(shingles_expr(text_col, n)).alias("shingles")
+        F.col(id_col).alias("id"),
+        F.expr(shingle_hashes_expr(text_col, n)).alias("shingles"),
     )
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
     # arrays. Buckets pair internally after one shuffle (no self-join, no
