@@ -186,3 +186,52 @@ def simhash64_expr(text_col: str) -> str:
 
 def simhash64(text_col: str) -> Column:
     return F.expr(simhash64_expr(text_col))
+
+
+def text_shingle_hashes_udf(n: int = 3):
+    """Vectorized text → distinct word n-gram shingle hashes (array<long>).
+
+    Same tokenize→rolling-hash pipeline as text_minhash_udf (same cmix
+    family, so the two agree on what a shingle is), but returns the per-doc
+    distinct shingle-hash set instead of folding it into a signature. Backs
+    the exact-Jaccard operators: set cardinality — hence exact Jaccard — is
+    preserved up to 64-bit collisions, and the interpreted-HOF chain
+    (sequence/slice/concat_ws per position) never runs.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    rs = np.random.RandomState(1234)
+    # identical derivation to text_minhash_udf -> identical shingle hashes
+    rs.randint(1, 2**62, size=32)
+    rs.randint(1, 2**62, size=32)
+    cmix = (rs.randint(1, 2**62, size=n).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    delims = re.compile("[ \t\n\r\f]+")
+
+    @pandas_udf("array<long>")
+    def sh_hashes(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        toks = [delims.split(t) if t else [] for t in texts]
+        counts = np.fromiter(
+            (sum(1 for w in ts if w) for ts in toks), dtype=np.int64, count=n_docs
+        )
+        flat = [w for ts in toks for w in ts if w]
+        sh_counts = np.maximum(counts - (n - 1), 0)
+        empty = np.empty(0, dtype=np.int64)
+        out = [empty] * n_docs
+        if len(flat) >= n:
+            h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+            m = h.size - (n - 1)
+            sh = h[0:m] * cmix[0]
+            for j in range(1, n):
+                sh = sh ^ (h[j : m + j] * cmix[j])
+            doc_of = np.repeat(np.arange(n_docs), counts)
+            sh = sh[doc_of[0:m] == doc_of[n - 1 : m + n - 1]].view(np.int64)
+            starts = np.cumsum(sh_counts) - sh_counts
+            for i in np.flatnonzero(sh_counts):
+                s = starts[i]
+                out[i] = np.unique(sh[s : s + sh_counts[i]])
+        return pd.Series(out, dtype=object)
+
+    return sh_hashes

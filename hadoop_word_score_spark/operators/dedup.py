@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_hashes, minhash_signature, shingle_hashes_expr
+from ..functions.hashing import band_hashes, minhash_signature
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -55,11 +55,14 @@ def ngram_jaccard_pairs(
     # generated *within* each shingle's posting list after a single shuffle.
     # explode_outer + post-filter keeps the inferred non-empty predicate off
     # the scan, where it would re-evaluate the shingle HOF per input row.
-    # Shingles travel as xxhash64 longs (exactness preserved up to 64-bit
-    # collisions) — the postings shuffle never carries n-gram strings.
-    sh = docs.select(
-        F.col(id_col), F.expr(shingle_hashes_expr(text_col, n)).alias("shingles")
-    )
+    # Shingles travel as 64-bit hashes (exactness preserved up to 64-bit
+    # collisions) — the postings shuffle never carries n-gram strings — and
+    # the hash sets come from one vectorized Arrow UDF per doc, not the
+    # interpreted sequence/slice/concat_ws HOF chain (~1600 evals/doc).
+    from ..functions.hashing import text_shingle_hashes_udf
+
+    sh_fn = text_shingle_hashes_udf(n)
+    sh = docs.select(F.col(id_col), sh_fn(F.col(text_col)).alias("shingles"))
     postings = (
         sh.select(
             F.col(id_col).alias("id"),
@@ -114,10 +117,12 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     # Hashed shingles (see ngram_jaccard_pairs): the verify join intersects
-    # long arrays, not n-gram string arrays.
+    # long arrays from the same vectorized UDF family the signature uses.
+    from ..functions.hashing import text_shingle_hashes_udf
+
+    sh_fn = text_shingle_hashes_udf(n)
     sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.expr(shingle_hashes_expr(text_col, n)).alias("shingles"),
+        F.col(id_col).alias("id"), sh_fn(F.col(text_col)).alias("shingles")
     )
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
     # arrays. Buckets pair internally after one shuffle (no self-join, no
