@@ -160,9 +160,13 @@ def band_hashes(signature_col: str, bands: int, rows: int) -> Column:
     Docs agreeing on any band land in the same bucket — the standard
     (b, r) S-curve tradeoff: P(candidate) = 1 - (1 - j^r)^b for Jaccard j.
     """
+    # Explicit null propagation: concat_ws(',', null) is '' (not null), so
+    # without the CASE every null-signature doc would hash into one shared
+    # bucket — empty-string band hashes — and pair with every other one.
     body = (
+        f"CASE WHEN g IS NULL THEN NULL ELSE "
         f"transform(sequence(0, {bands - 1}), "
-        f"b -> xxhash64(b, concat_ws(',', slice(g, b * {rows} + 1, {rows}))))"
+        f"b -> xxhash64(b, concat_ws(',', slice(g, b * {rows} + 1, {rows})))) END"
     )
     return F.expr(let1(signature_col, "g", body))
 
