@@ -3012,3 +3012,52 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+_GAPFILL_SQL = """
+WITH c AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+s AS (SELECT event_type, MIN(bucket_hour) AS h0, MAX(bucket_hour) AS h1
+      FROM c GROUP BY 1),
+g AS (SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_hour
+      FROM s)
+SELECT g.event_type, g.bucket_hour, COALESCE(c.n_events, 0) AS n_events
+FROM g LEFT JOIN c USING (event_type, bucket_hour)
+ORDER BY event_type, bucket_hour
+"""
+
+
+@register("events_gapfill_hourly", oracle=_GAPFILL_SQL, tags=("time", "agg"))
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-series densification (hypertable gap-fill): emit EVERY hour in
+    # each event_type's observed span, zero-filling hours with no events.
+    # The dense axis is generated from the tiny per-type span relation
+    # (sequence + explode — rows appear only post-agg, never at scan scale)
+    # and the sparse counts join back by (type, hour). At 100 TB the counts
+    # agg is the only full-data shuffle; the generated axis is dim-sized.
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_hour"))
+        .groupBy("event_type", "bucket_hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("h0"), F.max("bucket_hour").alias("h1")
+    )
+    axis = spans.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("bucket_hour"),
+    )
+    return (
+        axis.join(counts, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_hour")
+    )
