@@ -3061,3 +3061,119 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_hour")
     )
+
+
+_Q7_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE cn.n_name IN ('NATION_3', 'NATION_7')
+  AND sn.n_name IN ('NATION_3', 'NATION_7')
+  AND cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+ORDER BY cust_nation, supp_nation, l_year
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_SQL, tags=("ref-adjacent", "join"))
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: the same dimension (nation) joined twice under
+    # different roles. Both nation instances filter to 2 rows scan-side and
+    # broadcast; the only big shuffle is lineitem⋈orders.
+    li, o, c, s = (
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )
+
+
+_Q11_SQL = """
+SELECT l_partkey,
+       ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) >
+       (SELECT SUM(l_extendedprice * l_quantity) * 0.0005 FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_SQL, tags=("ref-adjacent", "agg", "subquery"))
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (lineitem value standing in for the absent partsupp):
+    # per-group aggregate HAVING-compared against a fraction of the GLOBAL
+    # aggregate. Two aggregations over one scan subtree; the global side
+    # reduces map-side to one row and broadcasts into the filter — the
+    # HAVING never re-shuffles the grouped relation.
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    per_part = li.groupBy("l_partkey").agg(val.alias("raw_value"))
+    total = li.agg((val * 0.0005).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("cutoff"))
+        .select(
+            "l_partkey", F.round(F.col("raw_value"), 2).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register("q16_supplier_counts", oracle=_Q16_SQL, tags=("ref-adjacent", "agg", "subquery"))
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (negative-balance suppliers standing in for the
+    # "complaints" LIKE filter): COUNT(DISTINCT) after a NOT IN exclusion.
+    # s_suppkey is non-null by schema, so NOT IN = left_anti (no tri-valued
+    # NULL trap); the distinct-count shuffles (brand, size, suppkey) once.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
