@@ -92,6 +92,19 @@ def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     return F.expr(let1(shingle_col, "v", body))
 
 
+def _shingle_cmix(n: int) -> np.ndarray:
+    """Per-offset odd multipliers for the rolling n-gram shingle combine.
+
+    Derived from an INDEPENDENT fixed seed, so text_minhash_udf and
+    text_shingle_hashes_udf produce identical shingle hashes for any
+    ``num_hashes`` — the previous derivation burned the signature family's
+    draws first, silently breaking the shared-family invariant whenever
+    minhash was called with num_hashes != 32.
+    """
+    rs = np.random.RandomState(987654321)
+    return (rs.randint(1, 2**62, size=n).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+
+
 def text_minhash_udf(num_hashes: int = 32, n: int = 3):
     """Vectorized text → MinHash signature (array<long>), fused in Python.
 
@@ -113,8 +126,7 @@ def text_minhash_udf(num_hashes: int = 32, n: int = 3):
     rs = np.random.RandomState(1234)
     a = (rs.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rs.randint(1, 2**62, size=num_hashes).astype(np.uint64)
-    # per-offset odd multipliers for the rolling n-gram combine
-    cmix = (rs.randint(1, 2**62, size=n).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    cmix = _shingle_cmix(n)
     delims = re.compile("[ \t\n\r\f]+")
 
     @pandas_udf("array<long>")
@@ -206,11 +218,7 @@ def text_shingle_hashes_udf(n: int = 3):
 
     from pyspark.sql.functions import pandas_udf
 
-    rs = np.random.RandomState(1234)
-    # identical derivation to text_minhash_udf -> identical shingle hashes
-    rs.randint(1, 2**62, size=32)
-    rs.randint(1, 2**62, size=32)
-    cmix = (rs.randint(1, 2**62, size=n).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    cmix = _shingle_cmix(n)
     delims = re.compile("[ \t\n\r\f]+")
 
     @pandas_udf("array<long>")

@@ -13,10 +13,42 @@ Scale notes (the whole point of these designs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import band_hashes, minhash_signature
+
+
+def content_hash_col(content_cols: list[str]) -> Column:
+    """Injective multi-column content encoding → md5.
+
+    Each column is encoded as ``\\x01`` when NULL, else ``\\x02`` + 10-digit
+    char length + value, then concatenated. The length prefix makes decoding
+    unambiguous for ANY content (no separator-injection collisions), and the
+    distinct NULL marker means NULL position always changes the hash —
+    a bare concat_ws would silently skip NULLs, colliding ('a', NULL, 'b')
+    with ('a', 'b', NULL) and dropping non-duplicate rows downstream.
+    """
+    parts = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("\x01")).otherwise(
+                F.concat(F.lit("\x02"), F.lpad(F.length(s).cast("string"), 10, "0"), s)
+            )
+        )
+    return F.md5(F.concat(*parts))
+
+
+def content_hash_sql(content_cols: list[str]) -> str:
+    """DuckDB SQL equivalent of ``content_hash_col`` (oracle parity)."""
+    parts = [
+        f"CASE WHEN {c} IS NULL THEN chr(1) "
+        f"ELSE chr(2) || lpad(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), 10, '0') "
+        f"|| CAST({c} AS VARCHAR) END"
+        for c in content_cols
+    ]
+    return f"md5({' || '.join(parts)})"
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -26,7 +58,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     (hash, id) pairs — at 100 TB the md5 is computed scan-side and the
     shuffle is ~48 bytes/row regardless of document size.
     """
-    h = F.md5(F.concat_ws("\x00", *[F.col(c) for c in content_cols]))
+    h = content_hash_col(content_cols)
     return (
         df.select(h.alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")

@@ -28,6 +28,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -42,7 +43,21 @@ def brute_force_topk(
     product differs from the SQL oracle's strict left-to-right list_sum,
     but both round to 6 dp — a boundary flip needs ~1e-9 luck per value
     (oracle-checked green at test SF).
+
+    ``max_queries`` guards the collect: the "few queries" assumption is
+    load-bearing (the query matrix is closed over by every executor task),
+    so a large query side fails fast at plan time with a clear error instead
+    of OOMing the driver. For bulk all-pairs workloads use the LSH/IVF paths
+    (or embedding_cosine_pairs), which keep both sides distributed.
     """
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query side to the driver; got "
+            f">{max_queries} query vectors. Pass a smaller query set, raise "
+            f"max_queries explicitly, or use lsh_bucketed_topk/ivf_topk for "
+            f"distributed bulk search."
+        )
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.fromiter((r[0] for r in qrows), dtype=np.int64, count=len(qrows))
     if qrows:

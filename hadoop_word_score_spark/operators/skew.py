@@ -32,7 +32,17 @@ def salted_join(
     a uniformly-distributed companion — pass an id column for stability).
     Output is identical to ``fact.join(dim, key, how)`` (asserted in tests);
     only the partitioning of the shuffle changes.
+
+    Only ``inner`` and ``left`` are supported: in right/full outer modes the
+    ×``salts`` replicated dim side would emit each *unmatched* dim row once
+    per salt — not equivalent to the plain join. (Skew salting targets hot
+    FACT keys; for a right/full join swap the sides or de-dup separately.)
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "outer dim rows would be duplicated once per salt"
+        )
     if salt_src is None:
         salt_src = F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()
     fact_s = fact.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salts)))

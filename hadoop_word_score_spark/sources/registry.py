@@ -83,12 +83,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # vectorized reader rejects. Read the physical int64 nanos and narrow
         # to microsecond TimestampType with *integer* division (float division
         # would lose precision past 2^53 ns) — matching DuckDB's own ns→µs
-        # truncation, so oracles compare equal.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # truncation, so oracles compare equal. The legacy conf is only
+        # consulted at analysis time (footer→schema conversion; verified:
+        # execution after restore succeeds), so scope it to this read rather
+        # than leaking a session-wide decoding change to later reads.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        df = spark.read.parquet(path)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while the conf is in effect
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         # re-written copies (e.g. tools/scale_probe.py) already carry µs
         # TimestampType; only raw driver testdata needs the narrowing
         if isinstance(df.schema["ts"].dataType, T.LongType):

@@ -89,6 +89,69 @@ def test_exact_dedup_idempotent(spark):
     assert once.count() == twice.count()
 
 
+def test_exact_dedup_null_position_not_collided(spark):
+    # concat_ws would silently skip NULLs, colliding ('a', NULL) with
+    # (NULL, 'a') and ('a',) — the encoded hash must keep them distinct
+    from hadoop_word_score_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", "a"), (4, "a", None)],
+        "doc_id long, t1 string, t2 string",
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, ["t1", "t2"], "doc_id").collect()}
+    assert out == {1: 2, 2: 1, 3: 1}  # only (1,4) are true duplicates
+
+
+def test_exact_dedup_hash_matches_duckdb_encoding(spark):
+    # content_hash_col and content_hash_sql are the same function in two
+    # dialects — the driver's oracle comparison depends on it
+    import duckdb
+
+    from hadoop_word_score_spark.operators.dedup import (
+        content_hash_col,
+        content_hash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, None, "x"), (3, "", None)],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", content_hash_col(["text", "lang"]).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    sql_h = content_hash_sql(["text", "lang"])
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {sql_h} FROM (VALUES (1, 'hello world', 'en'),"
+            f" (2, NULL, 'x'), (3, '', NULL)) AS t(doc_id, text, lang)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_minhash_shingle_family_independent_of_num_hashes(spark):
+    # cmix derives from its own seed: signatures of any width verify against
+    # the same shingle-hash sets, so n_common/jaccard stay exact
+    from hadoop_word_score_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six"),
+         (3, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    exact = {(r.id_a, r.id_b): r.n_common for r in ngram_jaccard_pairs(df).collect()}
+    wide = {
+        (r.id_a, r.id_b): r.n_common
+        for r in minhash_lsh_pairs(df, num_hashes=64, bands=32).collect()
+    }
+    assert wide == exact == {(1, 2): 4}
+
+
 def test_minhash_recall_vs_exact(spark):
     from hadoop_word_score_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -178,6 +241,20 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
         assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
 
 
+def test_brute_force_topk_guards_large_query_side(spark):
+    # the driver-side collect is bounded: a bulk query set must fail fast
+    # with a clear redirect, not OOM the driver
+    import pytest
+
+    from hadoop_word_score_spark.operators.similarity import brute_force_topk
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
+        brute_force_topk(em, em, k=5, max_queries=10)
+    # explicit opt-in raises the cap
+    assert brute_force_topk(em.limit(12), em, k=1, max_queries=50).count() > 0
+
+
 # --- approximate aggregates ----------------------------------------------
 
 
@@ -213,6 +290,20 @@ def test_salted_join_equals_plain_join(spark):
     plain = fact.join(s, "s_suppkey").groupBy("s_name").count()
     salted = salted_join(fact, s, "s_suppkey", salts=4).groupBy("s_name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    # right/full would emit unmatched dim rows once per salt — not a join
+    import pytest
+
+    from hadoop_word_score_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "x")], "k int, v string")
+    d = spark.createDataFrame([(1, "y")], "k int, w string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(f, d, "k", salts=4, how=how)
+    assert salted_join(f, d, "k", salts=4, how="left").count() == 1
 
 
 def test_salted_agg_matches_unsalted(spark):

@@ -139,3 +139,15 @@ def test_minhash_verify_single_shingle_subtree(spark):
     # (the banding path reads documents separately via the signature UDF)
     plan = plan_of(spark, "dedup_near_minhash")
     assert plan.count("transform(array_remove(split(") <= 1
+
+
+def test_events_loader_scopes_legacy_conf(spark):
+    # the nanos read conf must not leak to the shared session (a later read
+    # of a different nanos parquet would silently decode as long)
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = load_table(spark, SF_ORACLE, "events")
+    assert spark.conf.get(key) == "false"  # back to default after the read
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0  # execution survives the restore

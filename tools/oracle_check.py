@@ -33,10 +33,14 @@ def canon(v) -> str:
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
+        # Type-strict: integral floats keep a ".0" so a DOUBLE column never
+        # hashes equal to a BIGINT one. The driver's canonicalizer
+        # distinguishes them (r01 math_funcs: bit-identical values, BIGINT
+        # vs DOUBLE, hash FAIL) — collapsing here would hide driver reds.
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            return f"{int(v)}.0"
         return f"{v:.9g}"
     if isinstance(v, (dt.datetime, dt.date)):
         return v.isoformat()
