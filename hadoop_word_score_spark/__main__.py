@@ -7,7 +7,11 @@ Reference contract (ComputeWordScore.java:138-163, 221-223):
 Here:
 
     python -m hadoop_word_score_spark <input.jsonl-or-dir> <output-dir>
-        [--fail-fast] [--strict-int] [--partitioned]
+        [--fail-fast] [--strict-int] [--partitioned] [-D key=value ...]
+
+``-D key=value`` (alias ``--conf``) is the ToolRunner generic-option
+passthrough (CWS:144, 221-223): repeatable, applied to the SparkSession the
+way ``hadoop jar ... -D mapreduce.job.reduces=4`` feeds the MapReduce Job.
 
 Reads JSON-lines reviews (``stars``, ``text``), writes ``score \\t word``
 descending — one file by default (the reference's single-reducer contract),
@@ -43,10 +47,26 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="multi-file output (scale mode) instead of the single-file contract",
     )
+    p.add_argument(
+        "-D",
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        dest="confs",
+        help="Spark conf override, repeatable (ToolRunner -D parity)",
+    )
     try:
         args = p.parse_args(argv)
     except SystemExit:
         return 2  # usage error, reference parity (CWS:140-142)
+    extra_confs: dict[str, str] = {}
+    for kv in args.confs:
+        key, sep, value = kv.partition("=")
+        if not sep or not key:
+            print(f"bad -D option (want key=value): {kv!r}", file=sys.stderr)
+            return 2
+        extra_confs[key] = value
 
     from pyspark.sql import SparkSession
 
@@ -57,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     # getOrCreate returns any live session (e.g. a test harness's) — only
     # stop what we started
     owns_session = SparkSession.getActiveSession() is None
-    spark = get_spark("word-score")
+    spark = get_spark("word-score", extra_confs=extra_confs)
     try:
         reviews = read_reviews_jsonl(spark, args.input, fail_fast=args.fail_fast)
         scores = word_score(reviews, strict_int_parity=args.strict_int)

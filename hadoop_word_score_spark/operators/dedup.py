@@ -234,10 +234,20 @@ def dedup_components(
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    # Size the loop's parallelism to the EDGE set, not the session default:
+    # every round is a join + agg over (id, label) pairs, and on a
+    # near-dup graph that's orders of magnitude smaller than the corpus —
+    # at the default 64 shuffle partitions the per-round task overhead
+    # dominates wall-clock (measured 3-4× the whole pipeline's time at
+    # bench SF). ~50k edges/partition keeps partitions cache-resident;
+    # scales back up automatically when the pair set is actually large.
+    n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
+    edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .repartition(n_parts, "id")
         .localCheckpoint()
     )
     for _ in range(max_iter):

@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
 The Spark-side machinery here is real and tested — schema, Arrow batching,
-``mapInPandas`` signature, partition behaviour. The *decode* itself is a
-deterministic fake behind ``FAKE_DECODE`` (the real image/audio libraries are
-not in this container): it derives (width, height, mean_luma) from an md5 of
-the payload bytes, so tests are reproducible and the plumbing is exercised
-end-to-end. Swapping in a real decoder is a one-function change.
+``mapInPandas`` signature, partition behaviour. The *decode* step has a real
+PIL backend used automatically when Pillow is importable AND the payload is
+actual image bytes; otherwise it falls back to a deterministic fake (md5-
+derived dims/luma), so the pipeline is reproducible in codec-less containers
+and on the synthetic text-derived payloads in the test corpus. The real path
+is covered by a test that synthesizes a PNG in-process (skipped when Pillow
+is absent).
 """
 
 from __future__ import annotations
@@ -19,6 +21,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # real decoder seam — optional dependency, resolved once per worker
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover — exercised in codec-less containers
+    _PILImage = None
+
 # Output schema of the decode stage: original id + typed image metadata.
 DECODE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -28,18 +35,39 @@ DECODE_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-FAKE_DECODE = True  # no codec libs in this container — see module docstring
+# True when no real codec backend is importable (this container lacks one);
+# even when False, non-image payloads still take the deterministic fallback.
+FAKE_DECODE = _PILImage is None
 
 
-def _decode_one(payload: bytes) -> tuple[int, int, float]:
-    """(width, height, mean_luma) for one blob. Deterministic fake."""
-    if not FAKE_DECODE:  # pragma: no cover — real decoder goes here
-        raise NotImplementedError("real image decode requires PIL/libvips")
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic md5-derived (width, height, mean_luma) stand-in."""
     d = hashlib.md5(payload).digest()
     width = 16 + d[0] % 240
     height = 16 + d[1] % 240
     mean_luma = round(int.from_bytes(d[2:4], "big") / 65535.0, 6)
     return width, height, mean_luma
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) for one blob.
+
+    Real PIL decode when available and the bytes are an actual image;
+    deterministic fake otherwise (synthetic corpora, missing codecs).
+    """
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                gray = im.convert("L")
+                hist = gray.histogram()
+                n = sum(hist)
+                mean = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
+                return im.width, im.height, round(mean, 6)
+        except Exception:  # not decodable media — deterministic fallback
+            pass
+    return _fake_decode(payload)
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,23 +109,30 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: binary in → (dims, thumbnail bytes) out, Arrow-batched.
 
-    Deterministic fake "resize" (md5-keyed byte synthesis of target_w*target_h
-    bytes); a real implementation swaps the inner function for PIL/libvips.
-    Narrow transformation — no shuffle; output rows are *smaller* than input
-    (the point of resizing early in a 100 TB media pipeline: shrink before
-    any wide op touches the data).
+    Real PIL resize (grayscale thumbnail bytes) when Pillow is importable and
+    the payload decodes; deterministic fake (md5-keyed byte synthesis of
+    target_w*target_h bytes) otherwise. Narrow transformation — no shuffle;
+    output rows are *smaller* than input (the point of resizing early in a
+    100 TB media pipeline: shrink before any wide op touches the data).
     """
+
+    def resize_one(p: bytes, size: int) -> bytes:
+        if _PILImage is not None:
+            import io
+
+            try:
+                with _PILImage.open(io.BytesIO(p)) as im:
+                    return im.convert("L").resize((target_w, target_h)).tobytes()
+            except Exception:
+                pass
+        seed = hashlib.md5(p).digest()
+        reps = size // len(seed) + 1
+        return (seed * reps)[:size]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h
         for pdf in it:
-            thumbs = []
-            for p in pdf["payload"]:
-                if not FAKE_DECODE:  # pragma: no cover
-                    raise NotImplementedError("real resize requires PIL/libvips")
-                seed = hashlib.md5(bytes(p)).digest()
-                reps = size // len(seed) + 1
-                thumbs.append((seed * reps)[:size])
+            thumbs = [resize_one(bytes(p), size) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -127,8 +162,10 @@ def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
                 "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []
             }
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                if not FAKE_DECODE:  # pragma: no cover
-                    raise NotImplementedError("real frame sampling requires ffmpeg")
+                # Real keyframe extraction needs a container/codec demuxer
+                # (PyAV/ffmpeg) — not importable here; the evenly-spaced
+                # byte-offset fake below keeps the 1→N fan-out, offsets, and
+                # schema real so only the seek-and-decode inner call swaps.
                 p = bytes(p)
                 step = max(1, len(p) // n_frames)
                 for i in range(n_frames):

@@ -78,6 +78,21 @@ _DRIVER_GREEN_R01 = frozenset({
 })
 
 
+# Unproven queries whose §2 row already has a hash-green sibling from r01
+# (window_dist ← 4 green window queries; grouping_sets ← rollup+cube; the
+# scalar families ← 5 green siblings; agg_salted_two_phase ←
+# join_salted_skew; having_filter ← many green aggs; subquery_scalar ← 4
+# other subquery forms; embedding_quantize_int8 ← embedding_centroids).
+# They yield AFTER the rest of the unproven tier so a count-budgeted driver
+# spends its slots on rows with no driver evidence at all. All still pass
+# the local replica; nothing is dropped.
+_FAMILY_REDUNDANT = frozenset({
+    "window_dist", "grouping_sets", "map_funcs", "conditional_funcs",
+    "variant_funcs", "agg_salted_two_phase", "having_filter",
+    "subquery_scalar", "embedding_quantize_int8",
+})
+
+
 def _evidence_order() -> list[QuerySpec]:
     specs = list(REGISTRY.values())
     return sorted(
@@ -85,6 +100,7 @@ def _evidence_order() -> list[QuerySpec]:
         key=lambda s: (
             s.name in _DRIVER_GREEN_R01,  # unproven first
             s.oracle is None,  # oracle-backed (hash-checkable) first
+            s.name in _FAMILY_REDUNDANT,  # novel §2 rows before siblings
         ),
     )  # sorted() is stable: registration order preserved within each tier
 
@@ -1016,15 +1032,43 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggs", oracle=None, tags=("agg", "approx"))
+@register(
+    "approx_aggs",
+    # Bound-check oracle (sketch outputs differ engine-to-engine, so the
+    # driver can't hash the estimates themselves): emit the EXACT values +
+    # within-ε booleans computed against the sketches. DuckDB recomputes the
+    # exact side and asserts the bounds hold (TRUE); a broken sketch flips a
+    # boolean and fails the hash.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS customers_within_5pct,
+           TRUE AS median_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A4: sketch-based aggregates — HLL++ distinct and GK-quantile. Algorithm
-    # outputs differ engine-to-engine, so no SQL oracle; tests bound the
-    # relative error against the exact values instead (tests/test_approx.py).
+    # A4: sketch-based aggregates — HLL++ distinct (rsd 2%) and GK-quantile.
+    # At 100 TB the sketches are the point (mergeable, fixed memory); the
+    # exact aggregates here exist to make the error bound driver-checkable.
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median_price"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("ac"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("am"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("em"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("ac") - F.col("exact_customers")) / F.col("exact_customers")
+            <= 0.05
+        ).alias("customers_within_5pct"),
+        (F.abs(F.col("am") - F.col("em")) / F.col("em") <= 0.01).alias(
+            "median_within_1pct"
+        ),
     )
 
 
@@ -1056,10 +1100,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
 
 
-@register(
-    "dedup_near_jaccard",
-    oracle="""
-    WITH sh AS (
+# Exact 3-gram-shingle Jaccard >= 0.5 pairs over `documents` — the dedup
+# ground truth. Shared by dedup_near_jaccard (direct), dedup_near_minhash
+# (LSH output == exact set when every true pair has high jaccard; see that
+# query's docstring), and dedup_clusters (connected components over it).
+_NEAR_PAIRS_CTES = """
+    sh AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(w) >= 3 THEN
                    list_transform(range(1, len(w) - 1),
@@ -1078,11 +1124,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     )
+"""
+
+_NEAR_PAIRS_ORACLE = f"""
+    WITH {_NEAR_PAIRS_CTES}
     SELECT id_a, id_b, n_common,
            ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
     FROM pairs
     WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle=_NEAR_PAIRS_ORACLE,
     tags=("llm", "dedup"),
     bench=True,
 )
@@ -1094,33 +1149,129 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_near_minhash", oracle=None, tags=("llm", "dedup"), bench=True)
+@register(
+    "dedup_near_minhash",
+    oracle=_NEAR_PAIRS_ORACLE,
+    tags=("llm", "dedup"),
+    bench=True,
+)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L2 scale path: banded MinHash-LSH candidates, exact-Jaccard verified.
-    # xxhash64 isn't reproducible in DuckDB → no SQL oracle; recall vs the
-    # exact operator is asserted in tests/test_dedup.py.
+    # The EXACT pair set is a valid oracle here, not just a recall yardstick:
+    # precision is exact by construction (the verify join recomputes true
+    # Jaccard and filters), and recall is deterministic-in-practice at driver
+    # SF because every true pair has jaccard >= 0.9 (measured), where a
+    # 16-band/2-row miss needs all 16 bands to disagree — P = (1-j²)^16 ≤
+    # 2e-12 per pair, and the seeded hash family makes the outcome fixed,
+    # not a per-run gamble. Tests additionally assert recall ≥ 0.95 on a
+    # mixed-jaccard fixture (tests/test_operators.py).
     from ..operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_clusters", oracle=None, tags=("llm", "dedup"))
+@register(
+    "dedup_clusters",
+    # Connected components ARE SQL-expressible on bounded-diameter graphs:
+    # recursive transitive closure + min label per vertex. DuckDB walks the
+    # closure; Spark runs the iterative min-label propagation — two very
+    # different algorithms agreeing on the fixpoint is a strong check.
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTES},
+    near AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION
+        SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, MIN(label) AS cluster FROM reach GROUP BY id
+    """,
+    tags=("llm", "dedup"),
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L2 final stage: near-dup pairs → connected components → (id, cluster)
-    # survivor assignment. Iterative min-label propagation (driver loop,
-    # localCheckpoint per round) — not SQL-expressible; invariants tested in
-    # tests/test_operators.py.
-    from ..operators.dedup import dedup_components, minhash_lsh_pairs
+    # survivor assignment, over the exact pair set (deterministic input; the
+    # minhash→clusters composition is exercised end-to-end in
+    # dedup_pipeline_end_to_end and tests). Iterative min-label propagation
+    # with a driver loop + localCheckpoint per round.
+    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
 
-    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_components(pairs)
 
 
-@register("dedup_near_simhash", oracle=None, tags=("llm", "dedup"))
+@register("dedup_pipeline_end_to_end", oracle=None, tags=("llm", "dedup"), bench=True)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full near-dup pipeline a 100 TB corpus actually runs: MinHash-LSH
+    # pairs → connected components → keep min-id survivor per cluster →
+    # emit the cleaned corpus. Rows-only for the driver (iterative + seeded
+    # LSH inside); every stage is oracle-checked individually above.
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    clusters = dedup_components(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_near_simhash",
+    # Bound-check oracle (the simhash family itself isn't reproducible in
+    # SQL): plant one exact copy of each doc_id<50 doc at id+1_000_000 —
+    # identical text ⇒ identical simhash ⇒ hamming 0 ⇒ the pigeonhole
+    # banding MUST emit the pair, a guarantee, not a probability. Precision:
+    # every emitted pair (hamming ≤ 3) must share ≥ 0.8 word-set Jaccard
+    # (measured min on this corpus: 0.86, planted pairs: 1.0).
+    oracle="""
+    SELECT COUNT(*)  AS n_planted,
+           TRUE      AS planted_all_found,
+           TRUE      AS precision_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("llm", "dedup"),
+)
 def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    pairs = simhash_near_pairs(corpus, max_hamming=3)
+
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.col("text"), DELIM_CLASS), "")
+    )
+    words = corpus.select("doc_id", toks.alias("w"))
+    wj = F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb"))
+    checked = (
+        pairs.join(words.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")), "id_a")
+        .join(words.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")), "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("id_b") - F.col("id_a") == 1_000_000, 1).otherwise(0)
+            ).alias("n_planted_found"),
+            F.min(wj).alias("min_wj"),
+        )
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).alias("n_planted"))
+    return n_planted.crossJoin(checked).select(
+        "n_planted",
+        (F.col("n_planted_found") == F.col("n_planted")).alias("planted_all_found"),
+        (F.col("min_wj") >= 0.8).alias("precision_ok"),
+    )
 
 
 @register(
@@ -1157,14 +1308,48 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(em.filter(F.col("vec_id") < 10), em, k=5)
 
 
-@register("similarity_topk_lsh", oracle=None, tags=("llm", "similarity"))
+def _recall_bound_check(
+    exact: DataFrame, approx: DataFrame, queries: DataFrame, k: int, bound: float
+) -> DataFrame:
+    """Summary row (n_queries, recall_at_k_ok): overall recall@k of
+    ``approx`` against ``exact``, bound-checked. The oracle recomputes
+    n_queries and asserts TRUE — a recall regression flips the boolean."""
+    hits = exact.select("query_id", "cand_id").join(
+        approx.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    return (
+        queries.agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= F.col("n_queries") * k * bound).alias(
+                "recall_at_k_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "similarity_topk_lsh",
+    # Bound-check oracle (hyperplane sketches aren't reproducible in SQL):
+    # overall recall@5 vs the exact path must be >= 0.8. Measured 0.98 at
+    # 3 planes × 16 tables on this corpus; seeded planes → deterministic.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("llm", "similarity"),
+)
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L3 scale path: random-hyperplane LSH prefilter; recall@5 vs the exact
-    # path asserted in tests/test_similarity.py.
-    from ..operators.similarity import lsh_bucketed_topk
+    # L3 scale path: random-hyperplane LSH prefilter. 3-bit × 16-table regime
+    # for the mid-similarity neighbors this corpus has (cos ≈ 0.3-0.5).
+    from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
 
     em = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+    q = em.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, em, k=5)
+    approx = lsh_bucketed_topk(q, em, k=5, n_planes=3, n_tables=16)
+    return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
 
 
 _MULTI_GRAIN_SQL = """
@@ -1766,15 +1951,27 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_ivf", oracle=None, tags=("llm", "similarity"))
+@register(
+    "similarity_topk_ivf",
+    # Bound-check oracle (iterative centroid refinement isn't
+    # SQL-expressible): overall recall@5 vs exact >= 0.8. Measured 0.94 at
+    # 16 cells / 6 probes; deterministic seeding (lowest-id vectors).
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("llm", "similarity"),
+)
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 scale path #2: IVF-flat — spherical-kmeans coarse cells, probe the
-    # nearest n_probe cells only. Iterative centroid refinement isn't
-    # SQL-expressible → rows-only; recall@5 vs exact asserted in tests.
-    from ..operators.similarity import ivf_topk
+    # nearest n_probe cells only, exact cosine within them.
+    from ..operators.similarity import brute_force_topk, ivf_topk
 
     em = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+    q = em.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, em, k=5)
+    approx = ivf_topk(q, em, k=5, n_cells=16, n_probe=6)
+    return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
 
 
 _STOP_EN = "'the','a','of','and','to','in','is','it','for','on'"
@@ -2306,6 +2503,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "agg", "topk"),
+    bench=True,
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q18 shape: aggregate-then-filter (HAVING) drives the join — the
@@ -2382,23 +2580,51 @@ def q_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_sketch", oracle=None, tags=("agg", "approx"))
+@register(
+    "hll_distinct_sketch",
+    # Bound-check oracle: exact distinct counts + within-5% booleans for the
+    # sketch estimates (DataSketches HLL, lgConfigK=12 → σ ≈ 1.6%). The
+    # 'ALL' row checks the MERGE path: its estimate comes from unioning the
+    # per-group sketch blobs, never rescanning rows.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+    tags=("agg", "approx"),
+)
 def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A4 at scale: HLL sketches are MERGEABLE — per-partition/per-group
     # sketches union without rescanning, the building block for incremental
     # distinct-count rollups over 100 TB (store sketch bytes per partition,
-    # merge at query time). The 'ALL' row re-aggregates the per-group
-    # sketches, touching 5 sketch blobs instead of 10k raw rows.
-    # Estimates ≠ exact by design → rows-only; error bound asserted in
-    # tests/test_operators.py against count_distinct.
+    # merge at query time). The 'ALL' row re-aggregates the 5 per-group
+    # sketch blobs instead of 10k raw rows.
     e = _t(spark, sf_dir, "events")
-    per = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    grouped = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    overall = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) / exact <= 0.05
+    )
+    grouped = per.select(
+        "event_type",
+        "exact_users",
+        within(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "hll_within_5pct"
+        ),
+    )
+    overall = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(e.agg(F.count_distinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            within(F.col("est"), F.col("exact_users")).alias("hll_within_5pct"),
+        )
+    )
     return grouped.unionByName(overall)
 
 
@@ -2475,6 +2701,7 @@ def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'purchase', COUNT(*) FROM p
     """,
     tags=("events", "agg", "join"),
+    bench=True,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered funnel: signup → first later click → first later purchase.

@@ -54,13 +54,30 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
 
 
-def get_spark(app_name: str = "hadoop-word-score-spark", master: str | None = None) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's defaults applied."""
+def get_spark(
+    app_name: str = "hadoop-word-score-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults applied.
+
+    ``extra_confs`` are user overrides (the CLI's ``-D k=v`` generic options,
+    ToolRunner parity — ComputeWordScore.java:144,221-223); they are applied
+    LAST so they win over the engine defaults, at builder time so even
+    static confs take effect when this call creates the session.
+    """
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{default_parallelism()}]")
-    for k, v in {**STARTUP_CONFS, **SCALE_CONFS}.items():
+    for k, v in {**STARTUP_CONFS, **SCALE_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate may have returned a pre-existing session whose builder confs
+    # were ignored — re-apply runtime-settable overrides on the live session.
+    for k, v in (extra_confs or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable post-start — builder path already tried
+            pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

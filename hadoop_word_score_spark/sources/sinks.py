@@ -116,3 +116,37 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None)
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """S3 interop: write an actual Hadoop ``SequenceFile<Text, IntWritable>``-
+    compatible KV file — byte-level interchange with the reference's
+    intermediate dataset (ComputeWordScore.java:170-176 writes one between
+    its two jobs).
+
+    This is the only RDD-path sink in the engine, ON PURPOSE: SequenceFile is
+    a KV container with no columnar layout, so there is nothing for Catalyst
+    to push down into — it exists solely so reference-era files interoperate.
+    New pipelines should checkpoint as parquet (the S3/S4 substitution the
+    rest of the engine uses). Parallelism is preserved: one SequenceFile
+    partition per task, exactly like the reference's per-reducer outputs.
+    """
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_file(
+    spark: SparkSession, path: str, key_name: str, value_name: str
+) -> DataFrame:
+    """S4 interop: read a Hadoop SequenceFile written by the reference (or by
+    ``write_sequence_file``) back into a DataFrame.
+
+    Writable→Python conversion is automatic (Text→str, IntWritable/
+    LongWritable→int); the schema is inferred per-column from the first
+    record batch by ``createDataFrame`` — fine for KV files, which have
+    exactly two columns by construction (SequenceFileInputFormat contract,
+    ComputeWordScore.java:190-191).
+    """
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema=[key_name, value_name])

@@ -100,3 +100,42 @@ def test_frame_sampling_fanout(spark):
     )
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_real_pil_decode_path_when_available(spark):
+    # The real-decoder seam: with Pillow importable, actual image bytes must
+    # come back with their TRUE dimensions (not the md5 fake); non-image
+    # payloads still take the deterministic fallback. Skipped in codec-less
+    # containers — the seam itself (import resolution, fallback) is what the
+    # other tests cover there.
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_image_metadata,
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("L", (37, 21), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    d = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r for r in extract_image_metadata(d).collect()}
+    assert (meta[1].width, meta[1].height) == (37, 21)
+    assert abs(meta[1].mean_luma - 128 / 255) < 0.01
+    assert meta[2].width != 0  # fallback still produces metadata
+    thumbs = {r.doc_id: bytes(r.thumb) for r in resize_images(d, 8, 8).collect()}
+    assert len(thumbs[1]) == 64 and len(thumbs[2]) == 64
+
+
+def test_fake_decode_flag_reflects_environment():
+    import importlib.util
+
+    from hadoop_word_score_spark.operators import multimodal
+
+    assert multimodal.FAKE_DECODE == (importlib.util.find_spec("PIL") is None)

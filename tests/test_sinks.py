@@ -122,3 +122,28 @@ def test_orc_roundtrip_nested_types(spark, scratch_dir):
     # predicate reaches the ORC scan (search-argument pushdown)
     plan = back.filter(F.col("vec_id") < 5)._jdf.queryExecution().executedPlan().toString()
     assert "vec_id" in plan and back.filter(F.col("vec_id") < 5).count() == 5
+
+
+def test_sequence_file_roundtrip_reference_interop(spark, scratch_dir):
+    # S3/S4 interop: the reference hands a SequenceFile<Text, IntWritable>
+    # between its two jobs (CWS:170-176, 190-191); files we write must read
+    # back through the same Hadoop input format, preserving types
+    import os
+
+    from hadoop_word_score_spark.sources.sinks import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [("good", 4), ("bad", -2), ("good", 1)], "word string, score int"
+    )
+    path = os.path.join(scratch_dir, "seq_intermediate")
+    write_sequence_file(df, path, "word", "score")
+    back = read_sequence_file(spark, path, "word", "score")
+    assert sorted(map(tuple, back.collect())) == [("bad", -2), ("good", 1), ("good", 4)]
+    # and the Hadoop-typed read path (what the reference's job 2 does)
+    typed = spark.sparkContext.sequenceFile(
+        path, "org.apache.hadoop.io.Text", "org.apache.hadoop.io.IntWritable"
+    ).collect()
+    assert sorted(typed) == [("bad", -2), ("good", 1), ("good", 4)]

@@ -138,3 +138,25 @@ def test_cli_end_to_end(spark, scratch_dir):
     lines = [ln.split("\t") for ln in open(parts[0]).read().splitlines()]
     assert [(int(s), w) for s, w in lines] == [(4, "good"), (0, "bad")]
     assert main(["only-one-arg"]) == 2
+
+
+def test_cli_conf_passthrough(spark, scratch_dir):
+    # ToolRunner -D parity (CWS:144, 221-223): -D key=value lands on the
+    # session; malformed options are a usage error (exit 2)
+    import json
+    import os
+
+    from hadoop_word_score_spark.__main__ import main
+
+    inp = os.path.join(scratch_dir, "cli_conf_reviews")
+    os.makedirs(inp, exist_ok=True)
+    with open(os.path.join(inp, "r.json"), "w") as f:
+        f.write(json.dumps({"stars": 5.0, "text": "ok"}) + "\n")
+    out = os.path.join(scratch_dir, "cli_conf_out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main([inp, out, "-D", "spark.sql.shuffle.partitions=7"]) == 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert main([inp, out, "--conf", "not-a-pair"]) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
