@@ -148,14 +148,6 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs so the two are interchangeable.
     """
     rows = num_hashes // bands
-    # Hashed shingles (see ngram_jaccard_pairs): the verify join intersects
-    # long arrays from the same vectorized UDF family the signature uses.
-    from ..functions.hashing import text_shingle_hashes_udf
-
-    sh_fn = text_shingle_hashes_udf(n)
-    sh = docs.select(
-        F.col(id_col).alias("id"), sh_fn(F.col(text_col)).alias("shingles")
-    )
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
     # arrays. Buckets pair internally after one shuffle (no self-join, no
     # duplicated scan subtree); document bodies re-enter only for the final
@@ -189,14 +181,25 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
     )
     # Verification: two joins against the shingle relation. This instantiates
-    # the scan→tokenize→shingle subtree twice, but measured A/B/C on the 10×
-    # duplicate-heavy probe (tools/verify_variants_probe.py) shows it 2-4×
-    # faster than the alternatives: (A) unpivot pairs + single join + groupBy
-    # reassembly pays a shuffle+agg of the shingle *arrays*; (C) joining raw
-    # text and shingling after the join re-evaluates the HOF once per pair
-    # side instead of once per doc and shuffles text per pair. Here each doc
-    # shingles exactly once per scan, pairs broadcast under AQE, and nothing
-    # wider than the matched rows moves.
+    # the scan→tokenize→shingle subtree twice, but measured A/B/C/D on the
+    # 10× duplicate-heavy probe (tools/verify_variants_probe.py) shows it
+    # 2-4× faster than the alternatives: (A) unpivot pairs + single join +
+    # groupBy reassembly pays a shuffle+agg of the shingle *arrays*; (C)
+    # joining raw text and shingling after the join re-evaluates the chain
+    # once per pair side; (D) persisting candidates and semi-filtering docs
+    # to candidate ids before shingling — attractive on paper (skips
+    # shingling non-candidate docs) — measured 2× SLOWER on the dup-heavy
+    # probe (persist materialization + distinct + semi-join overhead exceed
+    # the shingle work saved whenever candidates aren't a vanishing
+    # fraction) and no better at 1×. Here each doc shingles exactly once
+    # per scan, pairs broadcast under AQE, and nothing wider than the
+    # matched rows moves.
+    from ..functions.hashing import text_shingle_hashes_udf
+
+    sh_fn = text_shingle_hashes_udf(n)
+    sh = docs.select(
+        F.col(id_col).alias("id"), sh_fn(F.col(text_col)).alias("shingles")
+    )
     verified = candidates.join(
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
     ).join(

@@ -163,3 +163,33 @@ def main_c():
     joins = [i for i, l in enumerate(plan.splitlines()) if "Join" in l]
     hofs = [i for i, l in enumerate(plan.splitlines()) if "transform(array(array_remove" in l]
     print("join lines:", joins, "shingle-HOF lines:", hofs)
+
+
+def variant_d(docs):
+    """Semi-join prefilter: persist candidates, shingle ONLY docs appearing
+    in a candidate pair. NEGATIVE RESULT, kept as a receipt: measured 2x
+    slower than B on the 10x dup-heavy corpus (persist + distinct + semi
+    join overhead > shingle work saved when candidates aren't a vanishing
+    corpus fraction) and within noise of B at 1x. B remains the operator."""
+    sh, candidates = stages(docs)
+    candidates = candidates.persist()
+    need = candidates.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    sh_need = sh.join(need, "id", "left_semi")
+    verified = candidates.join(
+        sh_need.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sh_need.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+    )
+    return finish(verified)
+
+
+def main_d():
+    spark = get_spark()
+    build(spark)
+    docs1 = spark.read.parquet(BASE)
+    docs10 = spark.read.parquet(SCALED)
+    for label, fn in [("B:two-join", variant_b), ("D:semi-prefilter", variant_d)]:
+        for sf, docs in [("1x", docs1), ("10x", docs10)]:
+            t0 = time.time()
+            n = fn(docs).count()
+            print(f"{label} {sf}: {time.time() - t0:.2f}s  pairs={n}", flush=True)
