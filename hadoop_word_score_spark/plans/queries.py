@@ -761,12 +761,17 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(l_quantity), 6)                       AS qty_sqrt,
            CAST(l_quantity AS INT) % 7                      AS qty_mod7
     FROM lineitem
+    WHERE l_orderkey % 4 = 0
     """,
     tags=("scalar",),
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: DuckDB LOG() is base-10 — oracle uses LN to match Spark's F.log.
-    li = _t(spark, sf_dir, "lineitem")
+    # Row-trimmed (deterministic orderkey slice): scalar-function parity
+    # doesn't need every fact row, and this is the largest result set in the
+    # driver's front-tier value-hash pass — the slice keeps the check cheap
+    # without narrowing the exercised function surface.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",

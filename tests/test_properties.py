@@ -117,3 +117,53 @@ def test_global_sort_is_permutation_invariant(spark, xs):
     df = spark.createDataFrame([(x,) for x in xs], "v long")
     got = [r.v for r in df.orderBy(F.desc("v")).collect()]
     assert got == sorted(xs, reverse=True)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=12)),
+            st.one_of(st.none(), st.text(max_size=12)),
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_content_hash_injective_and_matches_sql(spark, rows):
+    # Distinct (t1, t2) tuples — including NULLs in any position and values
+    # containing the encoding's own marker characters — must get distinct
+    # hashes, and the DuckDB rendering must agree byte-for-byte.
+    import duckdb
+
+    from hadoop_word_score_spark.operators.dedup import (
+        content_hash_col,
+        content_hash_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "doc_id long, t1 string, t2 string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", content_hash_col(["t1", "t2"]).alias("h")
+        ).collect()
+    }
+    assert len(set(got.values())) == len(rows)  # injective on distinct inputs
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, t1 VARCHAR, t2 VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {content_hash_sql(['t1', 't2'])} FROM t"
+        ).fetchall()
+    )
+    assert got == want
