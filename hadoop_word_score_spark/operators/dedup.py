@@ -132,6 +132,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The corpus's LSH band index: (id, band_idx, band_hash), one row per
+    band per doc.
+
+    This is the *persistable* artifact of near-dup ingestion — write it
+    bucketed by (band_idx, band_hash) (sources/sinks.write_bucketed) and
+    incremental batches probe it with a co-located join, never re-signing
+    the corpus. Deterministic seeds (functions/hashing.py) make an index
+    built today collide correctly with a signature computed next month.
+    """
+    rows = num_hashes // bands
+    from ..functions.hashing import text_minhash_udf
+
+    # tokenize→shingle→minhash fused in one Arrow-batched UDF over the raw
+    # text — the interpreted-HOF route costs ~1600 expression evals per doc
+    sig_fn = text_minhash_udf(num_hashes, n)
+    # No isNotNull filter on sig: a filter on a UDF column makes Catalyst
+    # evaluate the UDF twice (once under the Filter, once for the Project);
+    # null sigs fall out below at the band_hash filter instead.
+    sig = docs.select(
+        F.col(id_col).alias("id"), sig_fn(F.col(text_col)).alias("sig")
+    )
+    # posexplode_outer: the plain generator would infer a non-empty filter
+    # that re-evaluates the whole signature→band chain at the scan.
+    return sig.select(
+        "id",
+        F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).filter(F.col("band_hash").isNotNull())
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -147,30 +186,11 @@ def minhash_lsh_pairs(
     against the exact operator is asserted in tests. Output schema matches
     ngram_jaccard_pairs so the two are interchangeable.
     """
-    rows = num_hashes // bands
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
     # arrays. Buckets pair internally after one shuffle (no self-join, no
     # duplicated scan subtree); document bodies re-enter only for the final
     # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
-    from ..functions.hashing import text_minhash_udf
-
-    # tokenize→shingle→minhash fused in one Arrow-batched UDF over the raw
-    # text — the interpreted-HOF route costs ~1600 expression evals per doc
-    sig_fn = text_minhash_udf(num_hashes, n)
-    # No isNotNull filter on sig: a filter on a UDF column makes Catalyst
-    # evaluate the UDF twice (once under the Filter, once for the Project);
-    # null sigs fall out below at the band_hash filter instead.
-    sig = docs.select(
-        F.col(id_col).alias("id"), sig_fn(F.col(text_col)).alias("sig")
-    )
-    # posexplode_outer: the plain generator would infer a non-empty filter
-    # that re-evaluates the whole signature→band chain at the scan.
-    banded = sig.select(
-        "id",
-        F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
-            "band_idx", "band_hash"
-        ),
-    ).filter(F.col("band_hash").isNotNull())
+    banded = minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
     candidates = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
@@ -212,6 +232,65 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    base_index: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus — the
+    incremental-ingest shape every rolling crawl needs.
+
+    The corpus is probed through its band index (pass ``base_index`` — e.g.
+    the persisted output of :func:`minhash_band_index` read back from
+    parquet — to skip re-signing the corpus entirely; built in-flight from
+    ``base`` when omitted). Candidates come from one equi-join on
+    (band_idx, band_hash): new-batch index rows × corpus index rows — at
+    100 TB the new batch is the small side (broadcast or bucket-co-located
+    against the index's own bucketing), and corpus *text* re-enters only
+    for candidate ids in the exact-Jaccard verification join.
+
+    Returns (new_id, base_id, n_common, jaccard ≥ threshold); precision is
+    exact by construction (true Jaccard recomputed), recall is the banded
+    S-curve as in :func:`minhash_lsh_pairs`.
+    """
+    if base_index is None:
+        base_index = minhash_band_index(base, id_col, text_col, n, num_hashes, bands)
+    new_index = minhash_band_index(new, id_col, text_col, n, num_hashes, bands)
+    candidates = (
+        new_index.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
+        .join(
+            base_index.select(F.col("id").alias("base_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "base_id")
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    from ..functions.hashing import text_shingle_hashes_udf
+
+    sh_fn = text_shingle_hashes_udf(n)
+    sh_new = new.select(
+        F.col(id_col).alias("new_id"), sh_fn(F.col(text_col)).alias("sh_a")
+    )
+    sh_base = base.select(
+        F.col(id_col).alias("base_id"), sh_fn(F.col(text_col)).alias("sh_b")
+    )
+    verified = candidates.join(sh_new, "new_id").join(sh_base, "base_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.withColumn("n_common", inter.cast("long"))
+        .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "n_common", "jaccard")
     )
 
 
@@ -259,23 +338,27 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence signal rides along as a 0/1 column computed in the
+        # same pass that produces the new labels — `labels` is still in scope
+        # on the join's left side, so no second old-vs-new join (a full extra
+        # shuffle per round) is needed; the checkpoint materializes once and
+        # the sum() over it is a cheap local scan.
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
+                    "new_label"
                 ),
+                (F.coalesce("nbr_label", "label") < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
+            .withColumnRenamed("new_label", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster"))

@@ -3016,6 +3016,138 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_bloom",
+    # Bound-check oracle: the Bloom path's one-sided error is the checkable
+    # contract — DuckDB recomputes the EXACT contaminated-doc count from
+    # string 5-grams; the Spark side must (a) reproduce that exact count via
+    # its own broadcast join, (b) have Bloom-flagged every exact-contaminated
+    # doc (no false negatives — a guarantee, not a probability), and (c) hold
+    # false positives under 1% of the training split (expected ≈0 at the
+    # deterministic seeds and m = 2^24 bits).
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+                   list_transform(range(1, len(w) - 3),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4])
+                   ELSE [] END)) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT * FROM sh WHERE bucket >= 20) t
+        JOIN (SELECT * FROM sh WHERE bucket < 20) e USING (shingle)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 >= 20)             AS n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM contaminated) AS n_contaminated,
+           TRUE AS recall_ok,
+           TRUE AS fp_ok
+    """,
+    tags=("llm", "dedup", "text"),
+    bench=True,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB decontamination path: broadcast a Bloom filter of the eval
+    # split's 5-gram hashes (size set by the EVAL corpus, not the training
+    # side) and probe every training doc scan-side — vs decontaminate_ngrams'
+    # broadcast join of the raw eval shingles. The exact join here exists
+    # only to *audit* the Bloom answer for the oracle's recall/FP bounds.
+    from ..functions.hashing import shingles
+    from ..operators.bloom import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    b = _hash_bucket("doc_id")
+    train = d.filter(b >= 20)
+    ev = d.filter(b < 20)
+
+    res = bloom_decontaminate(train, ev, n=5, m=1 << 24, k=5)
+
+    tr_sh = train.select("doc_id", F.explode(shingles("text", 5)).alias("shingle"))
+    ev_sh = ev.select(F.explode(shingles("text", 5)).alias("shingle")).distinct()
+    exact_ids = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    j = res.join(exact_ids, "doc_id", "left")
+    flagged = F.col("n_bloom_hits") > 0
+    is_exact = F.col("is_exact").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(is_exact.cast("int")).cast("long").alias("n_contaminated"),
+        F.coalesce(F.min(F.when(is_exact, flagged)), F.lit(True)).alias("recall_ok"),
+        F.sum((flagged & ~is_exact).cast("int")).alias("n_fp"),
+    ).select(
+        "n_train",
+        "n_contaminated",
+        "recall_ok",
+        (F.col("n_fp") <= F.greatest(F.lit(1), (F.col("n_train") / 100).cast("long"))).alias("fp_ok"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    # Exact oracle (same deterministic-in-practice recall argument as
+    # dedup_near_minhash): cross-split 3-gram Jaccard ≥ 0.5 pairs computed
+    # exactly in DuckDB. Precision is exact by construction (the operator
+    # re-verifies true Jaccard); every true pair at driver SF has j ≥ 0.9,
+    # where a 16-band miss needs all 16 bands to disagree — P ≤ 2e-12 with
+    # seeded hashes, i.e. a fixed outcome, not a per-run gamble.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+    ), ex AS (
+        SELECT doc_id, bucket, len(shingles) AS sh_size, unnest(shingles) AS shingle
+        FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+               a.sh_size AS size_a, b.sh_size AS size_b,
+               COUNT(*) AS n_common
+        FROM (SELECT * FROM ex WHERE bucket < 20) a
+        JOIN (SELECT * FROM ex WHERE bucket >= 20) b USING (shingle)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT new_id, base_id, n_common,
+           ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental ingest: the 20% "new crawl" split probed against the 80%
+    # "existing corpus" split's band index — the corpus is never all-pairs'd
+    # against itself, and with a persisted index (minhash_band_index written
+    # bucketed) it wouldn't even be re-signed; see operators/dedup.py.
+    from ..operators.dedup import incremental_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    b = _hash_bucket("doc_id")
+    return incremental_lsh_pairs(
+        base=d.filter(b >= 20), new=d.filter(b < 20), threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # EXT TPC-H-pattern breadth, batch 3: conditional aggregation (Q12 shape),
 # disjunctive multi-column predicates (Q19 shape), anti-join + scalar

@@ -510,3 +510,97 @@ def test_repetition_filter_ratio_bounds(spark):
     assert out[2].dup_token_ratio == 0.9 and not out[2].keep
     assert out[3].dup_token_ratio == 0.6 and bool(out[3].keep)
     assert out[1].n_tokens == 5 and out[1].mean_token_len == 1.0
+
+
+# --- bloom decontamination -------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_hit_lower_bound(spark):
+    # Every hash inserted on the build side MUST be a member on the probe
+    # side (Bloom's one-sided error), so per-doc hits ≥ the true shared
+    # count — asserted exactly against a string-level ground truth.
+    from hadoop_word_score_spark.operators.bloom import bloom_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # full copy: all 5-grams shared
+         (2, "xx one two three four five six yy"),     # contains an eval 5-gram run
+         (3, "totally unrelated words in this doc here")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_bloom_hits for r in
+            bloom_decontaminate(train, ev, n=5).collect()}
+    assert hits[1] == 2          # 6 tokens → 2 distinct 5-grams, both shared
+    assert hits[2] == 2          # "one two three four five" + "two ... six"
+    assert hits[3] == 0          # nothing shared, and m=2^22 makes FPs ~impossible
+    assert set(hits) == {1, 2, 3}  # every train row reported
+
+
+def test_bloom_bitmap_build_is_exact_membership_superset(spark):
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.bloom import (
+        _bit_positions,
+        build_bloom_bitmap,
+    )
+
+    vals = [(int(v),) for v in np.random.RandomState(7).randint(-2**62, 2**62, 200)]
+    df = spark.createDataFrame(vals, "h long")
+    m, k = 1 << 18, 5
+    bitmap = build_bloom_bitmap(df, "h", m=m, k=k)
+    p = _bit_positions(np.array([v[0] for v in vals], dtype=np.int64), m, k)
+    member = ((bitmap[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert member.all()          # zero false negatives by construction
+
+
+# --- incremental dedup -----------------------------------------------------
+
+
+def test_incremental_lsh_matches_cross_split_pairs(spark):
+    # Incremental(base, new) must equal the cross-split subset of the
+    # all-corpus pair set — same threshold, same verification.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = {frozenset((r.new_id, r.base_id))
+           for r in incremental_lsh_pairs(base, new, threshold=0.5).collect()}
+    full = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    cross = {frozenset((r.id_a, r.id_b)) for r in full
+             if (r.id_a % 5 == 0) != (r.id_b % 5 == 0)}
+    assert inc == cross
+    assert inc, "fixture should contain cross-split near-dups"
+
+
+def test_incremental_lsh_with_persisted_index(tmp_path, spark):
+    # The scale path: the corpus's band index is written to parquet once and
+    # probed by a later batch without re-signing the corpus.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "band_index")
+    minhash_band_index(base).write.parquet(path)
+    idx = spark.read.parquet(path)
+    from_idx = {(r.new_id, r.base_id, r.jaccard) for r in
+                incremental_lsh_pairs(base, new, threshold=0.5,
+                                      base_index=idx).collect()}
+    in_flight = {(r.new_id, r.base_id, r.jaccard) for r in
+                 incremental_lsh_pairs(base, new, threshold=0.5).collect()}
+    assert from_idx == in_flight and from_idx
