@@ -40,7 +40,9 @@ def _bit_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
 
     g_i(x) = h1(x) + i·h2(x) mod m with h1 the raw 64-bit value and h2 a
     splitmix64 finalizer of it (so the two are independent); h2 is forced
-    nonzero so the k probes never collapse onto one bit. Pure uint64 numpy —
+    ODD — m is a power of two, so an odd step is coprime with m and the k
+    probes land on k distinct bits (an even h2, worst case m/2, would
+    collapse them and push the FP rate above (k·n/m)^k). Pure uint64 numpy —
     wrapping multiplies are the hash mix, and the identical function runs on
     both the build and probe side, which is the whole correctness contract.
     """
@@ -50,7 +52,7 @@ def _bit_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
     z = z ^ (z >> np.uint64(31))
     h1 = x % np.uint64(m)
-    h2 = (z % np.uint64(m - 1)) + np.uint64(1)
+    h2 = (z % np.uint64(m)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
@@ -75,6 +77,9 @@ def build_bloom_bitmap(
     Eager by necessity (like brute_force_topk's query-side collect): the
     bitmap must exist before the probe plan can close over it.
     """
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two (got {m}): the odd-h2 "
+                         "double-hashing scheme relies on gcd(h2, m) == 1")
     pos = (
         hashes.select(F.explode(_positions_udf(m, k)(F.col(hash_col))).alias("p"))
         .distinct()

@@ -132,6 +132,16 @@ def ngram_jaccard_pairs(
     )
 
 
+# Hash-family version tag: bump whenever functions/hashing.py changes the
+# shingle/minhash seed derivation (_shingle_cmix) — an index built under a
+# different family collides wrong, not loudly.
+_MH_FAMILY = "cmix1"
+
+
+def _mh_meta(n: int, num_hashes: int, bands: int) -> str:
+    return f"{_MH_FAMILY}:n={n},h={num_hashes},b={bands}"
+
+
 def minhash_band_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -148,6 +158,13 @@ def minhash_band_index(
     incremental batches probe it with a co-located join, never re-signing
     the corpus. Deterministic seeds (functions/hashing.py) make an index
     built today collide correctly with a signature computed next month.
+
+    Every row carries ``mh_meta``, a literal build-parameter tag
+    (hash-family version + n/num_hashes/bands). A single dictionary-encoded
+    constant column costs ~nothing in parquet but lets
+    :func:`incremental_lsh_pairs` reject an index whose parameters (or hash
+    family) don't match the probe side — a mismatch would otherwise degrade
+    recall silently.
     """
     rows = num_hashes // bands
     from ..functions.hashing import text_minhash_udf
@@ -163,12 +180,16 @@ def minhash_band_index(
     )
     # posexplode_outer: the plain generator would infer a non-empty filter
     # that re-evaluates the whole signature→band chain at the scan.
-    return sig.select(
-        "id",
-        F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
-            "band_idx", "band_hash"
-        ),
-    ).filter(F.col("band_hash").isNotNull())
+    return (
+        sig.select(
+            "id",
+            F.posexplode_outer(band_hashes("sig", bands, rows)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        .filter(F.col("band_hash").isNotNull())
+        .withColumn("mh_meta", F.lit(_mh_meta(n, num_hashes, bands)))
+    )
 
 
 def minhash_lsh_pairs(
@@ -264,6 +285,17 @@ def incremental_lsh_pairs(
     """
     if base_index is None:
         base_index = minhash_band_index(base, id_col, text_col, n, num_hashes, bands)
+    elif "mh_meta" in base_index.columns:
+        # A persisted index built with different n/num_hashes/bands (or an
+        # older hash family) joins fine and degrades recall silently — check
+        # the build tag the index carries. One-row probe, not a full scan.
+        expected = _mh_meta(n, num_hashes, bands)
+        found = base_index.select("mh_meta").first()
+        if found is not None and found[0] != expected:
+            raise ValueError(
+                f"base_index was built with {found[0]!r} but this probe uses "
+                f"{expected!r}; rebuild the index or match the parameters"
+            )
     new_index = minhash_band_index(new, id_col, text_col, n, num_hashes, bands)
     candidates = (
         new_index.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
@@ -323,8 +355,13 @@ def dedup_components(
     # dominates wall-clock (measured 3-4× the whole pipeline's time at
     # bench SF). ~50k edges/partition keeps partitions cache-resident;
     # scales back up automatically when the pair set is actually large.
+    # The checkpoint above is the ONLY materialization of the edge lineage:
+    # count() scans the checkpointed blocks, and the repartition exchange is
+    # computed lazily once — later rounds reuse the same shuffle output
+    # (stage skipping), so a second localCheckpoint would just write the
+    # edge set to block storage twice.
     n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
+    edges = edges.repartition(n_parts, "dst")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -78,6 +78,33 @@ _DRIVER_GREEN_R01 = frozenset({
 })
 
 
+# Queries the round-2 driver proved green (rows+schema+hash, sf0.01) —
+# CORRECTNESS_r02.json, 50/50 green. Same evidence-scheduling role as the
+# r01 set: once proven, a query yields after the still-unproven tier so the
+# driver's per-round budget lands on queries with no driver evidence yet.
+_DRIVER_GREEN_R02 = frozenset({
+    "approx_aggs", "cohort_retention_weekly", "decontaminate_bloom",
+    "decontaminate_ngrams", "dedup_apply_survivors", "dedup_clusters",
+    "dedup_incremental", "dedup_near_embedding", "dedup_near_minhash",
+    "dedup_near_simhash", "doc_chunks", "doc_fingerprint",
+    "embedding_centroids", "events_gapfill_hourly",
+    "funnel_signup_click_purchase", "hll_distinct_sketch", "lang_id_heuristic",
+    "math_funcs", "merge_upsert_customers", "mixture_sample_weighted",
+    "multimodal_meta", "pack_sequences", "pii_redact", "q10_returned_items",
+    "q11_important_parts", "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity_revenue", "q18_large_volume", "q19_disjunctive_revenue",
+    "q22_inactive_customers", "q4_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "quality_repetition_filter", "sample_hash_mod",
+    "sample_stratified_lang", "shuffle_shards", "similarity_topk_ivf",
+    "similarity_topk_lsh", "subquery_correlated_scalar", "subquery_exists",
+    "subquery_in", "subquery_not_exists", "text_quality", "tfidf_top_terms",
+    "token_counts",
+})
+
+_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+
+
 # Unproven queries whose §2 row already has a hash-green sibling from r01
 # (window_dist ← 4 green window queries; grouping_sets ← rollup+cube; the
 # scalar families ← 5 green siblings; agg_salted_two_phase ←
@@ -98,7 +125,7 @@ def _evidence_order() -> list[QuerySpec]:
     return sorted(
         specs,
         key=lambda s: (
-            s.name in _DRIVER_GREEN_R01,  # unproven first
+            s.name in _DRIVER_GREEN,  # unproven first
             s.oracle is None,  # oracle-backed (hash-checkable) first
             s.name in _FAMILY_REDUNDANT,  # novel §2 rows before siblings
         ),
@@ -1213,12 +1240,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
-@register("dedup_pipeline_end_to_end", oracle=None, tags=("llm", "dedup"), bench=True)
+@register(
+    "dedup_pipeline_end_to_end",
+    # Composed from the per-stage oracles above: exact-Jaccard pairs (valid
+    # for the LSH stage — precision exact by construction, recall
+    # deterministic-in-practice at driver SF, see dedup_near_minhash) →
+    # recursive-CTE transitive closure → min-label survivor per component →
+    # anti-join back to the corpus. Two different algorithm families
+    # (banded LSH + iterative label propagation vs all-pairs join +
+    # recursive closure) agreeing on the exact survivor ID set.
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTES},
+    near AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION
+        SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM clusters WHERE id <> cluster)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The full near-dup pipeline a 100 TB corpus actually runs: MinHash-LSH
     # pairs → connected components → keep min-id survivor per cluster →
-    # emit the cleaned corpus. Rows-only for the driver (iterative + seeded
-    # LSH inside); every stage is oracle-checked individually above.
+    # emit the cleaned corpus. Every stage is also oracle-checked
+    # individually above; this entry hash-checks their composition.
     from ..operators.dedup import dedup_components, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -1233,8 +1293,10 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_near_simhash",
     # Bound-check oracle (the simhash family itself isn't reproducible in
-    # SQL): plant one exact copy of each doc_id<50 doc at id+1_000_000 —
-    # identical text ⇒ identical simhash ⇒ hamming 0 ⇒ the pigeonhole
+    # SQL): plant one exact copy of each doc_id<50 doc at -(doc_id+1) — a
+    # namespace disjoint from genuine non-negative doc_ids at EVERY scale
+    # factor (a fixed positive offset would collide once real ids reach it).
+    # Identical text ⇒ identical simhash ⇒ hamming 0 ⇒ the pigeonhole
     # banding MUST emit the pair, a guarantee, not a probability. Precision:
     # every emitted pair (hamming ≤ 3) must share ≥ 0.8 word-set Jaccard
     # (measured min on this corpus: 0.86, planted pairs: 1.0).
@@ -1251,7 +1313,7 @@ def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
     )
     corpus = d.unionByName(planted)
     pairs = simhash_near_pairs(corpus, max_hamming=3)
@@ -1265,8 +1327,10 @@ def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(words.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa")), "id_a")
         .join(words.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb")), "id_b")
         .agg(
+            # id_a < id_b puts the planted (negative) id first; the planted
+            # copy of doc k sits at -(k+1), so the pair is (-(id_b+1), id_b)
             F.sum(
-                F.when(F.col("id_b") - F.col("id_a") == 1_000_000, 1).otherwise(0)
+                F.when(F.col("id_a") == -(F.col("id_b") + 1), 1).otherwise(0)
             ).alias("n_planted_found"),
             F.min(wj).alias("min_wj"),
         )

@@ -132,8 +132,26 @@ def write_sequence_file(
     New pipelines should checkpoint as parquet (the S3/S4 substitution the
     rest of the engine uses). Parallelism is preserved: one SequenceFile
     partition per task, exactly like the reference's per-reducer outputs.
+
+    The Writable classes are chosen by Pyrolite's int boxing, so the value
+    is range-checked to int32 explicitly: a value outside int32 would box to
+    Long → LongWritable, silently changing (or, mixed within one file,
+    breaking) the SequenceFile<Text, IntWritable> byte contract the
+    reference's job 2 expects. Out-of-range values raise rather than clamp —
+    a score that overflows IntWritable is a caller bug, not data to mangle.
     """
-    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+    def _kv(row):
+        k, v = row[0], int(row[1])
+        if not (-(1 << 31) <= v < (1 << 31)):
+            raise ValueError(
+                f"write_sequence_file: value {v} for key {k!r} exceeds "
+                "IntWritable's int32 range; the SequenceFile<Text, "
+                "IntWritable> contract cannot represent it"
+            )
+        return (str(k), v)
+
+    df.select(key_col, value_col).rdd.map(_kv).saveAsSequenceFile(path)
 
 
 def read_sequence_file(
@@ -143,10 +161,15 @@ def read_sequence_file(
     ``write_sequence_file``) back into a DataFrame.
 
     Writable→Python conversion is automatic (Text→str, IntWritable/
-    LongWritable→int); the schema is inferred per-column from the first
-    record batch by ``createDataFrame`` — fine for KV files, which have
-    exactly two columns by construction (SequenceFileInputFormat contract,
-    ComputeWordScore.java:190-191).
+    LongWritable→int); the two-column KV shape is fixed by construction
+    (SequenceFileInputFormat contract, ComputeWordScore.java:190-191), so
+    the schema is passed explicitly — string key, long value (long also
+    absorbs IntWritable) — rather than inferred, which would fail on an
+    empty file's empty RDD.
     """
     rdd = spark.sparkContext.sequenceFile(path)
-    return spark.createDataFrame(rdd, schema=[key_name, value_name])
+    schema = T.StructType([
+        T.StructField(key_name, T.StringType()),
+        T.StructField(value_name, T.LongType()),
+    ])
+    return spark.createDataFrame(rdd, schema=schema)
