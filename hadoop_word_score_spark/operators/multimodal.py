@@ -21,10 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real decoder seam — optional dependency, resolved once per worker
+try:  # full-codec seam — optional dependency, resolved once per worker
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover — exercised in codec-less containers
     _PILImage = None
+
+# Always-available pure-Python codecs (PPM/PGM/BMP) — the real-decode
+# guarantee no longer depends on Pillow being installable in the runtime.
+from ..functions import codecs as _codecs
 
 # Output schema of the decode stage: original id + typed image metadata.
 DECODE_SCHEMA = T.StructType([
@@ -35,8 +39,11 @@ DECODE_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-# True when no real codec backend is importable (this container lacks one);
-# even when False, non-image payloads still take the deterministic fallback.
+# True when the OPTIONAL full-codec backend (Pillow) is absent. The built-in
+# pure-Python PPM/PGM/BMP codecs are always available regardless, so real
+# image bytes in those formats always take a real decode path; only payloads
+# no backend recognizes (e.g. the synthetic text corpus) fall back to the
+# deterministic md5 fake.
 FAKE_DECODE = _PILImage is None
 
 
@@ -52,8 +59,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 def _decode_one(payload: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma) for one blob.
 
-    Real PIL decode when available and the bytes are an actual image;
-    deterministic fake otherwise (synthetic corpora, missing codecs).
+    Backend order: PIL (full codec coverage, optional) → built-in pure-Python
+    PPM/PGM/BMP codecs (always present) → deterministic md5 fake (payloads no
+    backend recognizes, e.g. synthetic text corpora).
     """
     if _PILImage is not None:
         import io
@@ -65,8 +73,16 @@ def _decode_one(payload: bytes) -> tuple[int, int, float]:
                 n = sum(hist)
                 mean = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
                 return im.width, im.height, round(mean, 6)
-        except Exception:  # not decodable media — deterministic fallback
+        except Exception:  # not PIL-decodable — try the built-in codecs
             pass
+    try:
+        rgb = _codecs.decode_rgb(payload)
+    except ValueError:  # recognized format but broken/unsupported variant
+        rgb = None
+    if rgb is not None:
+        h, w = rgb.shape[:2]
+        mean = float(_codecs.to_gray(rgb).mean()) / 255.0
+        return w, h, round(mean, 6)
     return _fake_decode(payload)
 
 
@@ -109,11 +125,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: binary in → (dims, thumbnail bytes) out, Arrow-batched.
 
-    Real PIL resize (grayscale thumbnail bytes) when Pillow is importable and
-    the payload decodes; deterministic fake (md5-keyed byte synthesis of
-    target_w*target_h bytes) otherwise. Narrow transformation — no shuffle;
-    output rows are *smaller* than input (the point of resizing early in a
-    100 TB media pipeline: shrink before any wide op touches the data).
+    Grayscale thumbnail bytes via PIL when importable, else the built-in
+    PPM/PGM/BMP codecs + nearest-neighbour resample; deterministic fake
+    (md5-keyed byte synthesis of target_w*target_h bytes) only for payloads
+    no backend decodes. Narrow transformation — no shuffle; output rows are
+    *smaller* than input (the point of resizing early in a 100 TB media
+    pipeline: shrink before any wide op touches the data).
     """
 
     def resize_one(p: bytes, size: int) -> bytes:
@@ -125,6 +142,13 @@ def resize_images(
                     return im.convert("L").resize((target_w, target_h)).tobytes()
             except Exception:
                 pass
+        try:
+            rgb = _codecs.decode_rgb(p)
+        except ValueError:
+            rgb = None
+        if rgb is not None:
+            gray = _codecs.to_gray(rgb)
+            return _codecs.resize_nearest(gray, target_w, target_h).tobytes()
         seed = hashlib.md5(p).digest()
         reps = size // len(seed) + 1
         return (seed * reps)[:size]

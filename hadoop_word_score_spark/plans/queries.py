@@ -102,32 +102,52 @@ _DRIVER_GREEN_R02 = frozenset({
     "token_counts",
 })
 
-_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
-
-
-# Unproven queries whose §2 row already has a hash-green sibling from r01
-# (window_dist ← 4 green window queries; grouping_sets ← rollup+cube; the
-# scalar families ← 5 green siblings; agg_salted_two_phase ←
-# join_salted_skew; having_filter ← many green aggs; subquery_scalar ← 4
-# other subquery forms; embedding_quantize_int8 ← embedding_centroids).
-# They yield AFTER the rest of the unproven tier so a count-budgeted driver
-# spends its slots on rows with no driver evidence at all. All still pass
-# the local replica; nothing is dropped.
-_FAMILY_REDUNDANT = frozenset({
-    "window_dist", "grouping_sets", "map_funcs", "conditional_funcs",
-    "variant_funcs", "agg_salted_two_phase", "having_filter",
-    "subquery_scalar", "embedding_quantize_int8",
+# Queries the round-3 driver touched (hash-green or rows-only, sf0.01) —
+# CORRECTNESS_r03.json. With r1∪r2∪r3 covering all registered queries, the
+# scheduling goal flips from "prove the unproven" to "refresh the stalest":
+# code churns every round, so the driver's ~50-query budget should re-verify
+# the queries whose latest driver evidence is oldest.
+_DRIVER_GREEN_R03 = frozenset({
+    "agg_salted_two_phase", "agg_stats", "approx_aggs", "array_funcs",
+    "asof_join_events", "asof_join_events_forward", "conditional_funcs",
+    "cube_segment_status", "date_funcs", "dedup_clusters", "dedup_exact",
+    "dedup_near_jaccard", "dedup_near_minhash", "dedup_pipeline_end_to_end",
+    "embedding_quantize_int8", "filter_project", "grouping_sets",
+    "having_filter", "join_anti", "join_cross", "join_left_outer",
+    "join_range_theta", "join_semi", "json_funcs", "map_funcs", "math_funcs",
+    "multimodal_decode", "multimodal_frames", "multimodal_resize",
+    "percentile_exact", "q1_pricing_summary", "q21_waiting_supplier",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q8_market_share",
+    "rollup_status_priority", "session_window", "set_ops", "sliding_window",
+    "string_funcs", "subquery_scalar", "topk_per_group", "tumbling_window",
+    "variant_funcs", "window_analytic", "window_dist", "window_ranking",
+    "window_running", "wordscore", "wordscore_top10",
 })
 
 
+def _latest_evidence_round(name: str) -> int:
+    """Most recent round whose driver run touched this query (0 = never)."""
+    if name in _DRIVER_GREEN_R03:
+        return 3
+    if name in _DRIVER_GREEN_R02:
+        return 2
+    if name in _DRIVER_GREEN_R01:
+        return 1
+    return 0
+
+
 def _evidence_order() -> list[QuerySpec]:
+    # Oldest-evidence-first: never-verified queries (round 0 — any future
+    # addition) lead, then r1-only, r2, r3 — so each round's count-budgeted
+    # driver pass refreshes the queries most likely to have drifted since
+    # their last verification. Oracle-backed before rows-only within a tier
+    # (a hash check is stronger evidence than a row count).
     specs = list(REGISTRY.values())
     return sorted(
         specs,
         key=lambda s: (
-            s.name in _DRIVER_GREEN,  # unproven first
-            s.oracle is None,  # oracle-backed (hash-checkable) first
-            s.name in _FAMILY_REDUNDANT,  # novel §2 rows before siblings
+            _latest_evidence_round(s.name),
+            s.oracle is None,
         ),
     )  # sorted() is stable: registration order preserved within each tier
 

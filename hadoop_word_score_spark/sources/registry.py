@@ -79,17 +79,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (TESTDATA), which Spark's
-        # vectorized reader rejects. Read the physical int64 nanos and narrow
-        # to microsecond TimestampType with *integer* division (float division
-        # would lose precision past 2^53 ns) — matching DuckDB's own ns→µs
-        # truncation, so oracles compare equal. The legacy conf is only
-        # consulted at analysis time (footer→schema conversion; verified:
-        # execution after restore succeeds), so scope it to this read rather
-        # than leaking a session-wide decoding change to later reads.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
+
+def _events_ts_unit(path: str) -> str | None:
+    """Sniff the physical parquet unit of ``ts`` (ns/us/ms) via the footer.
+
+    The driver has shipped events.ts as both TIMESTAMP(NANOS) (early rounds)
+    and TIMESTAMP(MICROS, isAdjustedToUTC=false) (current), and each needs a
+    different read path, so decide from the file itself rather than from an
+    assumption about the testdata generation.
+    """
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                glob.glob(os.path.join(path, "*.parquet"))
+                or glob.glob(os.path.join(path, "part-*"))
+            )
+            if not parts:
+                return None
+            probe = parts[0]
+        return getattr(pq.ParquetFile(probe).schema_arrow.field("ts").type, "unit", None)
+    except Exception:
+        return None
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with ``ts`` normalized to the declared ``TimestampType``.
+
+    Two physical encodings exist in the wild:
+
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) — current driver testdata.
+      Spark would infer ``timestamp_ntz``; instead read schema-first with the
+      declared ``TimestampType`` so the session-tz (UTC) semantics match the
+      registry AND filter pushdown / row-group pruning on ``ts`` still reach
+      the scan (a post-read cast would sit between the filter and the scan).
+    - TIMESTAMP(NANOS) — legacy files, which Spark's vectorized reader
+      rejects. Read the physical int64 nanos under a read-scoped legacy conf
+      and narrow with *integer* division (float division would lose precision
+      past 2^53 ns) — matching DuckDB's own ns→µs truncation, so oracles
+      compare equal. The conf is only consulted at analysis time, so scope it
+      to this read rather than leaking a session-wide decoding change.
+    """
+    from pyspark.sql import functions as F
+
+    if _events_ts_unit(path) == "ns":
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")
@@ -101,12 +141,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-        # re-written copies (e.g. tools/scale_probe.py) already carry µs
-        # TimestampType; only raw driver testdata needs the narrowing
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
-    return spark.read.parquet(path)
+
+    df = spark.read.schema(TABLES["events"]).parquet(path)
+    # Belt-and-braces: if a future encoding still lands as non-declared
+    # (e.g. schema-first read ignored for some source), cast to the registry
+    # type so every downstream consumer sees one schema.
+    declared = TABLES["events"]["ts"].dataType
+    if df.schema["ts"].dataType != declared:
+        df = df.withColumn("ts", F.col("ts").cast(declared))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -102,35 +102,69 @@ def test_frame_sampling_fanout(spark):
     assert "Exchange" not in plan
 
 
-def test_real_pil_decode_path_when_available(spark):
-    # The real-decoder seam: with Pillow importable, actual image bytes must
-    # come back with their TRUE dimensions (not the md5 fake); non-image
-    # payloads still take the deterministic fallback. Skipped in codec-less
-    # containers — the seam itself (import resolution, fallback) is what the
-    # other tests cover there.
-    import pytest
+def test_real_decode_path_runs_everywhere(spark):
+    # The real-decoder guarantee without Pillow: actual image bytes (PPM, PGM,
+    # BMP — generated in-process from their public specs) come back through
+    # the distributed decode stage with their TRUE dimensions and luma, not
+    # the md5 fake; unrecognized payloads still take the deterministic
+    # fallback. This test never skips — the pure-Python codecs are built in.
+    import numpy as np
 
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
-
+    from hadoop_word_score_spark.functions import codecs
     from hadoop_word_score_spark.operators.multimodal import (
         extract_image_metadata,
         resize_images,
     )
 
-    buf = io.BytesIO()
-    PIL_Image.new("L", (37, 21), color=128).save(buf, format="PNG")
-    png = buf.getvalue()
+    rgb = np.zeros((21, 37, 3), dtype=np.uint8)
+    rgb[:, :, :] = 128  # uniform gray → luma 128/255 in every backend
+    gradient = np.tile(np.arange(40, dtype=np.uint8) * 6, (10, 1))  # 10x40 PGM
     d = spark.createDataFrame(
-        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        [
+            (1, bytearray(codecs.encode_ppm(rgb))),
+            (2, bytearray(codecs.encode_bmp24(rgb))),
+            (3, bytearray(codecs.encode_pgm(gradient))),
+            (4, bytearray(b"not an image")),
+        ],
         "doc_id long, payload binary",
     )
     meta = {r.doc_id: r for r in extract_image_metadata(d).collect()}
-    assert (meta[1].width, meta[1].height) == (37, 21)
-    assert abs(meta[1].mean_luma - 128 / 255) < 0.01
-    assert meta[2].width != 0  # fallback still produces metadata
+    for did in (1, 2):
+        assert (meta[did].width, meta[did].height) == (37, 21)
+        assert abs(meta[did].mean_luma - 128 / 255) < 0.01
+    assert (meta[3].width, meta[3].height) == (40, 10)
+    assert abs(meta[3].mean_luma - float(gradient.mean()) / 255) < 0.01
+    assert meta[4].width != 0  # fallback still produces metadata
+    # true-content thumbnails: uniform-gray images resize to uniform bytes,
+    # and PPM and BMP encodings of the SAME pixels produce the SAME thumb
     thumbs = {r.doc_id: bytes(r.thumb) for r in resize_images(d, 8, 8).collect()}
-    assert len(thumbs[1]) == 64 and len(thumbs[2]) == 64
+    assert all(len(t) == 64 for t in thumbs.values())
+    assert thumbs[1] == thumbs[2]
+    if len(set(thumbs[1])) == 1:  # pure-codec path: exact luma of gray 128
+        assert set(thumbs[1]) == {128}
+
+
+def test_codec_roundtrip_and_corruption_detection():
+    # decode(encode(x)) == x for all three formats; truncated rasters raise
+    # (corruption is distinguishable from "not an image" → None)
+    import numpy as np
+    import pytest
+
+    from hadoop_word_score_spark.functions import codecs
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_rgb(codecs.encode_ppm(rgb)), rgb)
+    assert np.array_equal(codecs.decode_rgb(codecs.encode_bmp24(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    back = codecs.decode_rgb(codecs.encode_pgm(gray))
+    assert np.array_equal(back[:, :, 0], gray)
+    assert np.array_equal(back[:, :, 1], gray)
+    assert codecs.decode_rgb(b"GIF89a...") is None  # unrecognized → None
+    with pytest.raises(ValueError):
+        codecs.decode_rgb(codecs.encode_ppm(rgb)[:-10])  # truncated → raise
+    with pytest.raises(ValueError):
+        codecs.decode_rgb(codecs.encode_bmp24(rgb)[:-10])
 
 
 def test_fake_decode_flag_reflects_environment():

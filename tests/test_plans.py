@@ -141,13 +141,51 @@ def test_minhash_verify_single_shingle_subtree(spark):
     assert plan.count("transform(array_remove(split(") <= 1
 
 
-def test_events_loader_scopes_legacy_conf(spark):
-    # the nanos read conf must not leak to the shared session (a later read
-    # of a different nanos parquet would silently decode as long)
+def test_events_loader_normalizes_ts_to_declared_type(spark):
+    # current testdata encodes ts as TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # the loader must serve the registry-declared TimestampType (not the
+    # inferred timestamp_ntz), without touching the legacy nanos conf, and
+    # with ts predicates still reaching the parquet scan
     from hadoop_word_score_spark.sources.registry import load_table
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     df = load_table(spark, SF_ORACLE, "events")
-    assert spark.conf.get(key) == "false"  # back to default after the read
+    assert spark.conf.get(key) == "false"  # untouched on the µs path
     assert df.schema["ts"].dataType.typeName() == "timestamp"
-    assert df.count() > 0  # execution survives the restore
+    assert df.count() > 0
+    plan = df.filter(F.col("ts") >= "2024-01-02")._sc._jvm.PythonSQLUtils.explainString(
+        df.filter(F.col("ts") >= "2024-01-02")._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan)
+
+
+def test_events_loader_legacy_nanos_branch(spark, tmp_path):
+    # legacy driver testdata carried TIMESTAMP(NANOS); the loader must still
+    # read such files (scoped legacy conf, integer ns→µs narrowing) and serve
+    # the same declared TimestampType, with the conf restored afterwards
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    ns = pa.array([1_700_000_000_123_456_789, 1_700_000_111_987_654_321],
+                  type=pa.timestamp("ns"))
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": ns,
+        "user_id": pa.array([10, 20], type=pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"),
+                   coerce_timestamps=None, version="2.6")
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = load_table(spark, str(tmp_path), "events")
+    assert spark.conf.get(key) == "false"  # restored after the scoped read
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    rows = {r.event_id: r.ts for r in df.collect()}
+    # integer truncation ns→µs (matches DuckDB), not float rounding
+    assert rows[1].microsecond == 123456
+    assert rows[2].microsecond == 987654
