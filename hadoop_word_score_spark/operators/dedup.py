@@ -355,13 +355,22 @@ def dedup_components(
     # dominates wall-clock (measured 3-4× the whole pipeline's time at
     # bench SF). ~50k edges/partition keeps partitions cache-resident;
     # scales back up automatically when the pair set is actually large.
-    # The checkpoint above is the ONLY materialization of the edge lineage:
-    # count() scans the checkpointed blocks, and the repartition exchange is
-    # computed lazily once — later rounds reuse the same shuffle output
-    # (stage skipping), so a second localCheckpoint would just write the
-    # edge set to block storage twice.
+    # The count() sizes n_parts from the first checkpoint's blocks; the
+    # SECOND localCheckpoint then materializes the repartitioned edge set
+    # once. Without it, every label-propagation round re-computes the
+    # union + repartition exchange from the raw checkpoint blocks — Spark
+    # SQL does NOT reuse exchanges across separate actions (each round's
+    # convergence count is its own action) — so the per-round cost grows
+    # with the edge set: measured 37.9s → 20.0s (1.9×) at 2M edges, 8.9s →
+    # 7.9s at 200k. Note the checkpointed LogicalRDD does NOT carry
+    # hashpartitioning metadata into later plans (verified: the round join
+    # re-shuffles or broadcasts per AQE stats), so the repartition's value
+    # is bounding the checkpointed block count/layout, not exchange
+    # elimination. Plan-asserted in tests/test_operators.py: the
+    # checkpointed edges are a materialized scan, no per-round exchange in
+    # their own lineage.
     n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
-    edges = edges.repartition(n_parts, "dst")
+    edges = edges.repartition(n_parts, "dst").localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

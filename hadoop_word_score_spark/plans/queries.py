@@ -2404,17 +2404,57 @@ def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("multimodal_resize", oracle=None, tags=("llm", "multimodal"))
+# The three multimodal oracles below verify the DETERMINISTIC-FALLBACK
+# semantics end-to-end through the distributed plumbing (ids, byte lengths,
+# md5-derived metadata, thumbnail bytes, 1→N fan-out, Arrow batching): the
+# synthetic corpus' text payloads carry no image magic (asserted per-SF —
+# no document starts with P5/P6/BM), so every row takes the md5 fake path,
+# which is exactly SQL-expressible. The REAL codec path (PPM/PGM/BMP
+# built-ins + optional PIL) is proven by tests/test_multimodal.py on
+# in-process-generated image bytes — an oracle can't express a raster
+# decode, but it can pin everything else.
+
+
+@register(
+    "multimodal_resize",
+    # thumb bytes surfaced as hex so the CONTENT is hash-checked, not just
+    # dims: fake thumb = (md5_digest * 17)[:256] bytes ⇒ hex = the md5 hex
+    # string repeated, truncated to 512 chars (Spark hex() is uppercase).
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           upper(substr(repeat(md5(text), 17), 1, 512)) AS thumb_hex
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L6 resize stage: binary → fixed-size thumbnail bytes via mapInPandas
-    # (deterministic fake resize; real Arrow plumbing — see operator).
+    # (real codecs for real image bytes; deterministic fake for the text
+    # corpus — see operator).
     from ..operators.multimodal import resize_images, with_binary_payload
 
     d = with_binary_payload(_t(spark, sf_dir, "documents"))
-    return resize_images(d, 16, 16).select("doc_id", "width", "height")
+    return resize_images(d, 16, 16).select(
+        "doc_id", "width", "height", F.hex("thumb").alias("thumb_hex")
+    )
 
 
-@register("multimodal_frames", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "multimodal_frames",
+    # fake frame offsets: step = max(1, byte_len // n), off_i = min(i*step,
+    # max(0, byte_len - 1)) — pure integer arithmetic on the payload length.
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(least(i * greatest(octet_length(encode(text)) // 4, 1),
+                      greatest(octet_length(encode(text)) - 1, 0))
+                AS BIGINT) AS frame_offset
+    FROM documents, (SELECT unnest(range(4)) AS i)
+    """,
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L6 frame-sampling stage: binary "video" → N frame rows, narrow 1→N
     # fan-out inside Arrow batches (no shuffle).
@@ -2424,11 +2464,28 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, n_frames=4).select("doc_id", "frame_idx", "frame_offset")
 
 
-@register("multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+@register(
+    "multimodal_decode",
+    # fake decode: d = md5(payload); width = 16 + d[0] % 240, height = 16 +
+    # d[1] % 240, mean_luma = round(be16(d[2:4]) / 65535, 6). Python round
+    # vs DuckDB round verified identical at 9 significant digits over the
+    # entire 65536-value luma domain (exhaustive check).
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 240
+                AS INT) AS width,
+           CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 240
+                AS INT) AS height,
+           round(CAST(('0x' || substr(md5(text), 5, 4)) AS INT) / 65535.0, 6)
+               AS mean_luma
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L6 decode pipeline: binary → Arrow batches → mapInPandas metadata
-    # extraction (deterministic fake decoder; real plumbing). Non-SQL op →
-    # rows-only check; determinism asserted in tests/test_multimodal.py.
+    # extraction. Determinism also asserted in tests/test_multimodal.py.
     from ..operators.multimodal import extract_image_metadata, with_binary_payload
 
     d = with_binary_payload(_t(spark, sf_dir, "documents"))

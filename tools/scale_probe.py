@@ -83,6 +83,98 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bloom_vs_broadcast_rows(spark) -> list[str]:
+    """Eval-side scaling receipt: Bloom probe vs broadcast ngram join.
+
+    Train side FIXED (sf0.1 documents, hash buckets >= 20); eval side at 1x
+    (buckets < 20) and ~10x (eval docs replicated with shifted ids + a
+    per-copy suffix token). The Bloom operator's reason to exist is that its
+    per-training-shingle probe cost is flat in eval size (the bitmap is
+    fixed at m bits), while the broadcast join's build side — the eval
+    shingle set itself — grows linearly with the eval corpus.
+    """
+    from hadoop_word_score_spark.functions.hashing import shingles
+    from hadoop_word_score_spark.operators.bloom import bloom_decontaminate
+    from hadoop_word_score_spark.plans.queries import _hash_bucket
+
+    docs = load_table(spark, BASE, "documents")
+    bucket = _hash_bucket("doc_id")  # same split as the registered queries
+    train = docs.filter(bucket >= 20).localCheckpoint()
+    eval_1x = docs.filter(bucket < 20).localCheckpoint()
+    n_train, n_eval = train.count(), eval_1x.count()
+
+    def scaled_eval(mult: int):
+        copies = []
+        for c in range(mult):
+            copies.append(
+                eval_1x.withColumn("doc_id", F.col("doc_id") + F.lit(c * 1_000_000))
+                .withColumn("text", F.concat(F.col("text"), F.lit(f" evalcopy{c}")))
+            )
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out.localCheckpoint()
+
+    eval_10x, eval_50x = scaled_eval(10), scaled_eval(50)
+
+    def bloom_path(ev):
+        return bloom_decontaminate(train, ev, n=5, m=1 << 24, k=5)
+
+    def bcast_path(ev):
+        tr_sh = train.select(
+            "doc_id", F.explode(shingles("text", 5)).alias("shingle")
+        )
+        ev_sh = ev.select(
+            F.col("doc_id").alias("eval_doc"),
+            F.explode(shingles("text", 5)).alias("shingle"),
+        )
+        return (
+            tr_sh.join(F.broadcast(ev_sh), "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("shingle").alias("n_shared_shingles"),
+                F.count_distinct("eval_doc").alias("n_eval_docs"),
+            )
+        )
+
+    def t(df_fn, ev):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df_fn(ev).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    b1, b10 = t(bloom_path, eval_1x), t(bloom_path, eval_10x)
+    b50 = t(bloom_path, eval_50x)
+    j1, j10 = t(bcast_path, eval_1x), t(bcast_path, eval_10x)
+    j50 = t(bcast_path, eval_50x)
+    rows = [
+        "",
+        "## Eval-side scaling: Bloom probe vs broadcast ngram join",
+        "",
+        f"Train side fixed (sf0.1, {n_train} docs); eval side {n_eval} docs "
+        f"at 1x, replicated+perturbed to 10x/50x. Min of 2 warm runs.",
+        "",
+        "| path | 1x eval | 10x eval | 50x eval | 50x ratio | expected model |",
+        "|---|---|---|---|---|---|",
+        f"| decontaminate_bloom | {b1:.2f} | {b10:.2f} | {b50:.2f} | "
+        f"{b50 / b1:.1f}x | ~flat probe (fixed m-bit bitmap; only the "
+        "one-time build grows with eval) |",
+        f"| broadcast ngram join | {j1:.2f} | {j10:.2f} | {j50:.2f} | "
+        f"{j50 / j1:.1f}x | build side grows linearly with eval shingles |",
+        "",
+        "At 100 TB the eval suite's shingle set is GBs — past the broadcast",
+        "threshold entirely (driver + every executor holds it) — while the",
+        "Bloom bitmap stays at m/8 bytes (2 MiB here) no matter how large",
+        "the eval corpus grows; only its one-time build pass scales.",
+    ]
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     if "--rebuild" in sys.argv:
@@ -118,6 +210,7 @@ def main() -> None:
             f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {models[name]} |"
         )
         print(lines[-1], flush=True)
+    lines.extend(bloom_vs_broadcast_rows(spark))
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE_PROBE.md")
