@@ -341,7 +341,7 @@ def test_dedup_components_edges_materialized_once(spark):
     # materialized scan: no union/repartition exchange in its own lineage
     # (those would otherwise re-run in EVERY label-propagation round — each
     # round's convergence count is a separate action and Spark SQL does not
-    # reuse exchanges across actions; measured 1.9x slower at 2M edges).
+    # reuse exchanges across actions; measured 1.9x slower at 2M edges — protocol: tools/components_ab.py).
     # The block count must be the sized n_parts, not the session default.
     from pyspark.sql import functions as F
 
