@@ -2194,6 +2194,138 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_counts",
+    # Adjacent-pair (bigram) OCCURRENCE counts — the seed statistic for BPE
+    # merge selection and n-gram LM estimation. Unlike shingles() this keeps
+    # duplicates within a doc (counts, not set membership). min-count
+    # pruning (n >= 5) mirrors every tokenizer trainer's vocabulary cutoff.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg
+    GROUP BY bigram
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("llm", "text"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB shape: tokenize + pair-expand are narrow (inside the scan
+    # stage); the single shuffle carries (bigram, partial counts) with
+    # map-side combine — the same plan family as wordscore. The min-count
+    # HAVING prunes the long tail BEFORE any driver-side consumption.
+    from ..functions.hashing import let1, tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(let1(
+        tokens_expr("text"), "w",
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END",
+    ))
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "vocab_stats",
+    # Per-language vocabulary statistics: corpus sizing for tokenizer
+    # training (how big a vocab does each language need, how much text
+    # backs it). ttr_ppm = floor(1e6 * vocab / tokens) computed in DOUBLE on
+    # both sides so the division is bit-identical.
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang, doc_id,
+               unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size,
+           CAST(floor(1000000.0 * COUNT(DISTINCT tok) / COUNT(*)) AS BIGINT)
+               AS ttr_ppm
+    FROM tok
+    GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One explode + one shuffle on lang (5 groups); both count_distincts
+    # expand in the same aggregate. At 100 TB swap the exact distincts for
+    # approx_count_distinct / HLL (see hll_distinct_sketch) — exact kept
+    # here as the oracle-checkable contract.
+    from ..functions.text import DELIM_CLASS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.col("text"), DELIM_CLASS), "")
+    return (
+        d.select("lang", "doc_id", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_distinct("tok").alias("vocab_size"),
+            F.floor(
+                F.lit(1000000.0) * F.count_distinct("tok") / F.count(F.lit(1))
+            ).cast("long").alias("ttr_ppm"),
+        )
+    )
+
+
+@register(
+    "doc_length_buckets",
+    # Length distribution in exact integer bins (256-char buckets) — the
+    # input to sequence-packing planning (pack_sequences) and truncation
+    # policy. Integer bin arithmetic keeps Spark and DuckDB bit-identical
+    # (log-scale binning would hinge on float log rounding).
+    oracle="""
+    SELECT CAST(n_chars // 256 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY bucket
+    """,
+    tags=("llm", "text"),
+)
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-side combine into <=~hundreds of bucket groups; the scan reads
+    # only n_chars (plan-prunable to one column).
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.floor(F.col("n_chars") / 256).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

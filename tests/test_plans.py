@@ -141,6 +141,22 @@ def test_minhash_verify_single_shingle_subtree(spark):
     assert plan.count("transform(array_remove(split(") <= 1
 
 
+def test_doc_length_buckets_prunes_to_one_column(spark):
+    # the histogram reads ONLY n_chars — a scan of all 5 document columns
+    # for a 1-column aggregate would be wrong at 100 TB
+    plan = formatted_plan(spark, "doc_length_buckets")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and [c.split(":")[0] for c in m.group(1).split(",")] == ["n_chars"]
+
+
+def test_bigram_counts_has_map_side_combine(spark):
+    # tokenize + pair-expand are narrow; the one shuffle carries partial
+    # counts (paired partial/final HashAggregate), same family as wordscore
+    plan = plan_of(spark, "bigram_counts")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan
+
+
 def test_events_loader_normalizes_ts_to_declared_type(spark):
     # current testdata encodes ts as TIMESTAMP(MICROS, isAdjustedToUTC=false);
     # the loader must serve the registry-declared TimestampType (not the
