@@ -47,12 +47,26 @@ DECODE_SCHEMA = T.StructType([
 FAKE_DECODE = _PILImage is None
 
 
+def _quant6(x: float) -> float:
+    """6-decimal quantization via floor(x*1e6 + 0.5)/1e6.
+
+    Deliberately NOT round(x, 6): Python's round applies exact-decimal
+    half-even semantics to the double while SQL engines typically round the
+    scaled double half-away — the two disagree on true ties (hit in
+    practice: a luma of exactly .3734375). floor over identical double ops
+    is bit-identical in any engine, so oracles can mirror it verbatim.
+    """
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic md5-derived (width, height, mean_luma) stand-in."""
     d = hashlib.md5(payload).digest()
     width = 16 + d[0] % 240
     height = 16 + d[1] % 240
-    mean_luma = round(int.from_bytes(d[2:4], "big") / 65535.0, 6)
+    mean_luma = _quant6(int.from_bytes(d[2:4], "big") / 65535.0)
     return width, height, mean_luma
 
 
@@ -72,7 +86,7 @@ def _decode_one(payload: bytes) -> tuple[int, int, float]:
                 hist = gray.histogram()
                 n = sum(hist)
                 mean = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
-                return im.width, im.height, round(mean, 6)
+                return im.width, im.height, _quant6(mean)
         except Exception:  # not PIL-decodable — try the built-in codecs
             pass
     try:
@@ -82,7 +96,7 @@ def _decode_one(payload: bytes) -> tuple[int, int, float]:
     if rgb is not None:
         h, w = rgb.shape[:2]
         mean = float(_codecs.to_gray(rgb).mean()) / 255.0
-        return w, h, round(mean, 6)
+        return w, h, _quant6(mean)
     return _fake_decode(payload)
 
 
@@ -208,6 +222,33 @@ def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary column (stand-in for image/audio bytes)."""
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def with_pgm_payload(
+    docs: DataFrame, text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Render each doc's bytes as a REAL PGM image payload.
+
+    Gray pixel rows = the text's bytes, space-padded to a ``width``-wide
+    raster — so the payloads are genuine decodable images (exercising the
+    real codec path end-to-end, not the md5 fallback) while every decoded
+    property (dims, byte length, mean luma) stays pure arithmetic over the
+    text, i.e. oracle-checkable in SQL. Arrow-batched scalar UDF; narrow.
+    """
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def render(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")
+            h = max(1, -(-len(b) // width))
+            b = b.ljust(width * h, b" ")
+            arr = np.frombuffer(b, dtype=np.uint8).reshape(h, width)
+            out.append(_codecs.encode_pgm(arr))
+        return pd.Series(out)
+
+    return docs.withColumn("payload", render(F.col(text_col)))
 
 
 def extract_image_metadata(docs_with_payload: DataFrame) -> DataFrame:

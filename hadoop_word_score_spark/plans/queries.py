@@ -2599,9 +2599,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode",
     # fake decode: d = md5(payload); width = 16 + d[0] % 240, height = 16 +
-    # d[1] % 240, mean_luma = round(be16(d[2:4]) / 65535, 6). Python round
-    # vs DuckDB round verified identical at 9 significant digits over the
-    # entire 65536-value luma domain (exhaustive check).
+    # d[1] % 240, mean_luma = quant6(be16(d[2:4]) / 65535) where quant6 is
+    # floor(x*1e6 + 0.5)/1e6 — identical double ops in both engines, so no
+    # tie-semantics dependence (see operators/multimodal.py:_quant6).
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -2609,8 +2609,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS INT) AS width,
            CAST(16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 240
                 AS INT) AS height,
-           round(CAST(('0x' || substr(md5(text), 5, 4)) AS INT) / 65535.0, 6)
-               AS mean_luma
+           floor((CAST(('0x' || substr(md5(text), 5, 4)) AS INT) / 65535.0)
+                 * 1000000 + 0.5) / 1000000 AS mean_luma
     FROM documents
     """,
     tags=("llm", "multimodal"),
@@ -2621,6 +2621,48 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_image_metadata, with_binary_payload
 
     d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_image_metadata(d)
+
+
+@register(
+    "multimodal_decode_real",
+    # THE REAL CODEC PATH, hash-checked: payloads are genuine PGM images
+    # (gray pixel rows = the doc's ASCII bytes, space-padded to a 16-wide
+    # raster), decoded by the actual raster decoder — not the md5 fallback.
+    # Every decoded property is then pure arithmetic over the text, which
+    # this oracle recomputes: byte_len = PGM header (11 + digits of h) +
+    # 16*h raster bytes; ITU-601 luma of a gray pixel (r=g=b=v) is exactly
+    # v, so mean_luma = quant6((byte sum + 32*padding) / (16*h) / 255) with
+    # division order and the floor-quantization mirrored for bit-identical
+    # doubles (true decimal ties DO occur in this domain — quant6 exists
+    # because round() semantics diverge on them). Corpus asserted pure
+    # printable ASCII per SF, so DuckDB codepoints == payload bytes.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS olen,
+               greatest(1, (octet_length(encode(text)) + 15) // 16) AS h,
+               coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                                                i -> ord(text[i]))), 0) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(11 + length(CAST(h AS VARCHAR)) + 16 * h AS BIGINT)
+               AS byte_len,
+           CAST(16 AS INT) AS width,
+           CAST(h AS INT) AS height,
+           floor((((s + 32.0 * (16 * h - olen)) / (16 * h)) / 255.0)
+                 * 1000000 + 0.5) / 1000000 AS mean_luma
+    FROM b
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Render (narrow pandas UDF) → decode (narrow mapInPandas): zero
+    # shuffles; the driver's hash gate covers the real decoder end-to-end.
+    from ..operators.multimodal import extract_image_metadata, with_pgm_payload
+
+    d = with_pgm_payload(_t(spark, sf_dir, "documents"))
     return extract_image_metadata(d)
 
 

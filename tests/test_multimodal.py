@@ -144,6 +144,29 @@ def test_real_decode_path_runs_everywhere(spark):
         assert set(thumbs[1]) == {128}
 
 
+def test_pgm_payload_decodes_through_real_codec(spark):
+    # with_pgm_payload renders text bytes as genuine PGM rasters; the decode
+    # stage must return the TRUE raster geometry (16-wide, ceil(len/16)
+    # rows) and the exact byte mean as luma — values only a real decode can
+    # produce (the md5 fake depends on the whole payload hash, not content).
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_image_metadata,
+        with_pgm_payload,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "A" * 40), (2, ""), (3, "z")], "doc_id long, text string"
+    )
+    meta = {r.doc_id: r for r in extract_image_metadata(with_pgm_payload(d)).collect()}
+    assert (meta[1].width, meta[1].height) == (16, 3)  # ceil(40/16) = 3 rows
+    pad = 16 * 3 - 40
+    want = (40 * ord("A") + pad * 32) / (16 * 3) / 255.0
+    assert abs(meta[1].mean_luma - want) < 1e-6
+    assert (meta[2].width, meta[2].height) == (16, 1)  # empty → 1 blank row
+    assert abs(meta[2].mean_luma - 32 / 255.0) < 1e-6
+    assert (meta[3].width, meta[3].height) == (16, 1)
+
+
 def test_codec_roundtrip_and_corruption_detection():
     # decode(encode(x)) == x for all three formats; truncated rasters raise
     # (corruption is distinguishable from "not an image" → None)
