@@ -167,3 +167,47 @@ def test_content_hash_injective_and_matches_sql(spark, rows):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from(["ppm", "pgm", "bmp"]),
+)
+def test_codec_roundtrip_property(w, h, seed, fmt):
+    # decode(encode(x)) == x for arbitrary dims/content in every built-in
+    # format — including the BMP row-padding edge cases (w % 4 != 0) that a
+    # single golden fixture can't sweep
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    if fmt == "pgm":
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        back = codecs.decode_rgb(codecs.encode_pgm(gray))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back[:, :, 0], gray)
+        assert np.array_equal(back[:, :, 2], gray)
+    else:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        enc = codecs.encode_ppm(rgb) if fmt == "ppm" else codecs.encode_bmp24(rgb)
+        assert np.array_equal(codecs.decode_rgb(enc), rgb)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 16), st.integers(1, 16))
+def test_resize_nearest_property(w, h, tw, th):
+    # nearest-neighbour resample: every output pixel is SOME input pixel,
+    # dims are exact, and identity-resize is a no-op
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+
+    img = np.arange(w * h, dtype=np.uint64).reshape(h, w) % 251
+    out = codecs.resize_nearest(img, tw, th)
+    assert out.shape == (th, tw)
+    assert np.isin(out, img).all()
+    assert np.array_equal(codecs.resize_nearest(img, w, h), img)
