@@ -38,6 +38,7 @@ PROBES = [
     "tumbling_window",
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_pipeline_end_to_end",
     "dedup_near_jaccard",
 ]
 
@@ -201,6 +202,7 @@ def main() -> None:
         "tumbling_window": "linear (hash agg)",
         "dedup_exact": "linear (hash shuffle)",
         "dedup_near_minhash": "~linear (sig + bucket pairs)",
+        "dedup_pipeline_end_to_end": "~linear + O(diameter) rounds (LSH → components → survivors)",
         "dedup_near_jaccard": "superlinear (Σ df² pairing — oracle-only op)",
     }
     for name in PROBES:
