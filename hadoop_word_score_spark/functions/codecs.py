@@ -65,7 +65,11 @@ def _decode_netpbm(payload: bytes) -> np.ndarray | None:
     if magic not in (b"P6", b"P5"):
         return None
     (w, h, maxval), off = _netpbm_tokens(payload, 2, 3)
-    if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+    # maxval != 255 is recognized-but-unsupported: raw samples would need
+    # scaling by 255/maxval to mean what the luma contract says (and to
+    # agree with the PIL backend), so refuse loudly rather than decode a
+    # 0..maxval raster as if it were 0..255.
+    if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError(f"unsupported netpbm maxval/dims: {maxval} {w}x{h}")
     channels = 3 if magic == b"P6" else 1
     need = w * h * channels

@@ -326,11 +326,55 @@ def incremental_lsh_pairs(
     )
 
 
+def _prepare_edges(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    checkpoint_partitioned: bool = True,
+) -> tuple[DataFrame, int]:
+    """Symmetrize pairs into a sized, materialized (src, dst) edge set.
+
+    Size the loop's parallelism to the EDGE set, not the session default:
+    every label-propagation round is a join + agg over (id, label) pairs,
+    and on a near-dup graph that's orders of magnitude smaller than the
+    corpus — at the default 64 shuffle partitions the per-round task
+    overhead dominates wall-clock (measured 3-4× the whole pipeline's time
+    at bench SF). ~50k edges/partition keeps partitions cache-resident;
+    scales back up automatically when the pair set is actually large.
+
+    The count() sizes n_parts from the first checkpoint's blocks; the
+    SECOND localCheckpoint then materializes the repartitioned edge set
+    once. Without it, every label-propagation round re-computes the union +
+    repartition exchange from the raw checkpoint blocks — Spark SQL does
+    NOT reuse exchanges across separate actions (each round's convergence
+    count is its own action) — so the per-round cost grows with the edge
+    set: measured 37.9s → 20.0s (1.9×) at 2M edges, 8.9s → 7.9s at 200k
+    (protocol: tools/components_ab.py, which flips
+    ``checkpoint_partitioned`` on the REAL implementation). Note the
+    checkpointed LogicalRDD does NOT carry hashpartitioning metadata into
+    later plans (verified: the round join re-shuffles or broadcasts per AQE
+    stats), so the repartition's value is bounding the checkpointed block
+    count/layout, not exchange elimination. Plan-asserted in
+    tests/test_operators.py against THIS function: the returned edges are a
+    materialized scan, no per-round exchange in their own lineage.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
+    edges = edges.repartition(n_parts, "dst")
+    if checkpoint_partitioned:
+        edges = edges.localCheckpoint()
+    return edges, n_parts
+
+
 def dedup_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    checkpoint_partitioned: bool = True,
 ) -> DataFrame:
     """Duplicate *clusters* from near-dup pairs: (id, cluster) with cluster =
     min id of the connected component — the survivor-selection stage every
@@ -342,35 +386,11 @@ def dedup_components(
     Iteration is driver-controlled with ``localCheckpoint`` per round to
     truncate lineage — the standard Spark pattern for iterative algorithms
     (GraphX Pregel does the same); each round is one join + one aggregation
-    shuffling (id, label) pairs only.
+    shuffling (id, label) pairs only. ``checkpoint_partitioned`` exists for
+    the A/B measurement harness (tools/components_ab.py) — production
+    callers keep the default True (see ``_prepare_edges``).
     """
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    # Size the loop's parallelism to the EDGE set, not the session default:
-    # every round is a join + agg over (id, label) pairs, and on a
-    # near-dup graph that's orders of magnitude smaller than the corpus —
-    # at the default 64 shuffle partitions the per-round task overhead
-    # dominates wall-clock (measured 3-4× the whole pipeline's time at
-    # bench SF). ~50k edges/partition keeps partitions cache-resident;
-    # scales back up automatically when the pair set is actually large.
-    # The count() sizes n_parts from the first checkpoint's blocks; the
-    # SECOND localCheckpoint then materializes the repartitioned edge set
-    # once. Without it, every label-propagation round re-computes the
-    # union + repartition exchange from the raw checkpoint blocks — Spark
-    # SQL does NOT reuse exchanges across separate actions (each round's
-    # convergence count is its own action) — so the per-round cost grows
-    # with the edge set: measured 37.9s → 20.0s (1.9×) at 2M edges, 8.9s →
-    # 7.9s at 200k. Note the checkpointed LogicalRDD does NOT carry
-    # hashpartitioning metadata into later plans (verified: the round join
-    # re-shuffles or broadcasts per AQE stats), so the repartition's value
-    # is bounding the checkpointed block count/layout, not exchange
-    # elimination. Plan-asserted in tests/test_operators.py: the
-    # checkpointed edges are a materialized scan, no per-round exchange in
-    # their own lineage.
-    n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
+    edges, n_parts = _prepare_edges(pairs, a_col, b_col, checkpoint_partitioned)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

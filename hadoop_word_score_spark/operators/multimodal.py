@@ -2,18 +2,27 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
 The Spark-side machinery here is real and tested — schema, Arrow batching,
-``mapInPandas`` signature, partition behaviour. The *decode* step has a real
-PIL backend used automatically when Pillow is importable AND the payload is
-actual image bytes; otherwise it falls back to a deterministic fake (md5-
-derived dims/luma), so the pipeline is reproducible in codec-less containers
-and on the synthetic text-derived payloads in the test corpus. The real path
-is covered by a test that synthesizes a PNG in-process (skipped when Pillow
-is absent).
+``mapInPandas`` signature, partition behaviour. The *decode* step resolves a
+three-tier backend chain per payload:
+
+1. Pillow, when importable (full codec coverage — optional dependency);
+2. the built-in pure-Python PPM/PGM/BMP codecs (``functions/codecs.py`` —
+   always importable, so real image bytes in those formats ALWAYS take a
+   real decode path, Pillow or not);
+3. a deterministic md5-derived fake for payloads no backend recognizes
+   (e.g. the synthetic text-derived corpus), keeping the pipeline
+   reproducible on non-image data.
+
+The real path is covered by never-skipping tests on in-process-generated
+PPM/PGM/BMP bytes, and hash-checked end-to-end by the
+``multimodal_decode_real`` query (genuine PGM payloads rendered in-pipeline).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,8 +65,6 @@ def _quant6(x: float) -> float:
     practice: a luma of exactly .3734375). floor over identical double ops
     is bit-identical in any engine, so oracles can mirror it verbatim.
     """
-    import math
-
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
@@ -78,14 +85,16 @@ def _decode_one(payload: bytes) -> tuple[int, int, float]:
     backend recognizes, e.g. synthetic text corpora).
     """
     if _PILImage is not None:
-        import io
-
         try:
             with _PILImage.open(io.BytesIO(payload)) as im:
                 gray = im.convert("L")
                 hist = gray.histogram()
                 n = sum(hist)
-                mean = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
+                # Same float-op ORDER as the codecs branch and the SQL
+                # oracles ((S/n)/255, NOT S/(255*n)) — the orders produce
+                # different doubles on quantization ties, which would make
+                # the result depend on which backend decoded the payload.
+                mean = (sum(i * c for i, c in enumerate(hist)) / n) / 255.0
                 return im.width, im.height, _quant6(mean)
         except Exception:  # not PIL-decodable — try the built-in codecs
             pass
@@ -149,8 +158,6 @@ def resize_images(
 
     def resize_one(p: bytes, size: int) -> bytes:
         if _PILImage is not None:
-            import io
-
             try:
                 with _PILImage.open(io.BytesIO(p)) as im:
                     return im.convert("L").resize((target_w, target_h)).tobytes()

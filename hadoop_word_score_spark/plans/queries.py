@@ -2539,11 +2539,13 @@ def q_dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The three multimodal oracles below verify the DETERMINISTIC-FALLBACK
 # semantics end-to-end through the distributed plumbing (ids, byte lengths,
 # md5-derived metadata, thumbnail bytes, 1→N fan-out, Arrow batching): the
-# synthetic corpus' text payloads carry no image magic (asserted per-SF —
-# no document starts with P5/P6/BM), so every row takes the md5 fake path,
-# which is exactly SQL-expressible. The REAL codec path (PPM/PGM/BMP
-# built-ins + optional PIL) is proven by tests/test_multimodal.py on
-# in-process-generated image bytes — an oracle can't express a raster
+# synthetic corpus' text payloads carry no image magic and are pure
+# printable ASCII — both preconditions asserted loudly per-SF by
+# tests/test_multimodal.py::test_corpus_preconditions_for_multimodal_oracles
+# — so every row takes the md5 fake path, which is exactly SQL-expressible.
+# The REAL codec path (PPM/PGM/BMP built-ins + optional PIL) is proven by
+# tests/test_multimodal.py on in-process-generated image bytes and
+# hash-checked by multimodal_decode_real — an oracle can't express a raster
 # decode, but it can pin everything else.
 
 
@@ -2635,8 +2637,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v, so mean_luma = quant6((byte sum + 32*padding) / (16*h) / 255) with
     # division order and the floor-quantization mirrored for bit-identical
     # doubles (true decimal ties DO occur in this domain — quant6 exists
-    # because round() semantics diverge on them). Corpus asserted pure
-    # printable ASCII per SF, so DuckDB codepoints == payload bytes.
+    # because round() semantics diverge on them). Pure-printable-ASCII
+    # precondition (DuckDB codepoints == payload bytes) asserted by
+    # tests/test_multimodal.py::test_corpus_preconditions_for_multimodal_oracles.
     oracle="""
     WITH b AS (
         SELECT doc_id,

@@ -129,7 +129,21 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    if _events_ts_unit(path) == "ns":
+    unit = _events_ts_unit(path)
+    if unit is None:
+        # Sniff unavailable (no pyarrow / unreadable footer): let Spark's
+        # own schema inference decide — it reads footers at ANALYSIS time,
+        # so a legacy nanos file fails fast here (inference rejects
+        # TIMESTAMP(NANOS) without the legacy conf) and routes to the
+        # legacy branch, preserving the pre-sniff capability.
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis — raises on nanos footers
+            unit = "us"
+        except Exception:
+            unit = "ns"
+
+    if unit == "ns":
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")

@@ -7,7 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_decode_schema_and_determinism(spark):
@@ -188,6 +188,35 @@ def test_codec_roundtrip_and_corruption_detection():
         codecs.decode_rgb(codecs.encode_ppm(rgb)[:-10])  # truncated → raise
     with pytest.raises(ValueError):
         codecs.decode_rgb(codecs.encode_bmp24(rgb)[:-10])
+
+
+def test_corpus_preconditions_for_multimodal_oracles(spark):
+    # The fake-path multimodal oracles (plans/queries.py) are valid ONLY if
+    # (a) no document's text starts with an image magic (P5/P6/BM — such a
+    # payload could divert to a real decode the SQL oracle can't express)
+    # and (b) the corpus is pure printable ASCII (DuckDB ord() yields
+    # codepoints; the byte-level oracles need codepoint == byte). This test
+    # makes those preconditions LOUD if the driver ever regenerates testdata
+    # that violates them — fix the oracles, not this test.
+    for sf in (SF_SMOKE, SF_ORACLE):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        magic = docs.filter(
+            F.col("text").startswith("P5")
+            | F.col("text").startswith("P6")
+            | F.col("text").startswith("BM")
+        ).count()
+        assert magic == 0, (
+            f"{sf}: {magic} docs start with image magic bytes — the fake-path "
+            "multimodal oracles are no longer valid for them"
+        )
+        non_ascii = docs.filter(
+            F.col("text").rlike("[^\\x20-\\x7e]")
+            | (F.octet_length("text") != F.length("text"))
+        ).count()
+        assert non_ascii == 0, (
+            f"{sf}: {non_ascii} non-printable-ASCII docs — byte-level oracle "
+            "arithmetic (codepoint == byte) breaks for them"
+        )
 
 
 def test_fake_decode_flag_reflects_environment():

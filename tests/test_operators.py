@@ -341,22 +341,23 @@ def test_dedup_components_edges_materialized_once(spark):
     # materialized scan: no union/repartition exchange in its own lineage
     # (those would otherwise re-run in EVERY label-propagation round — each
     # round's convergence count is a separate action and Spark SQL does not
-    # reuse exchanges across actions; measured 1.9x slower at 2M edges — protocol: tools/components_ab.py).
-    # The block count must be the sized n_parts, not the session default.
-    from pyspark.sql import functions as F
+    # reuse exchanges across actions; measured 1.9x slower at 2M edges —
+    # protocol: tools/components_ab.py). Asserted against the SHIPPED
+    # _prepare_edges (the seam dedup_components actually runs), so removing
+    # its checkpoint fails here.
+    from hadoop_word_score_spark.operators.dedup import _prepare_edges
 
-    fwd = spark.createDataFrame(
-        [(i, i + 1) for i in range(0, 400, 2)], "src long, dst long"
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 2)], "id_a long, id_b long"
     )
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    n_parts = 4
-    edges = edges.repartition(n_parts, "dst").localCheckpoint()
+    edges, n_parts = _prepare_edges(pairs)
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert edges.rdd.getNumPartitions() == n_parts
+    # and the measurement seam really does skip the materialization
+    edges_ab, _ = _prepare_edges(pairs, checkpoint_partitioned=False)
+    assert "Exchange" in edges_ab._jdf.queryExecution().executedPlan().toString()
 
 
 def test_dedup_components_end_to_end_minhash(spark):
