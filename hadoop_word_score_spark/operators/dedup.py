@@ -348,7 +348,7 @@ def _prepare_edges(
     repartition exchange from the raw checkpoint blocks — Spark SQL does
     NOT reuse exchanges across separate actions (each round's convergence
     count is its own action) — so the per-round cost grows with the edge
-    set: measured 37.9s → 20.0s (1.9×) at 2M edges, 8.9s → 7.9s at 200k
+    set: measured 20.0s → 14.5s (1.4×) at 2M edges, 7.7s → 5.9s at 200k
     (protocol: tools/components_ab.py, which flips
     ``checkpoint_partitioned`` on the REAL implementation). Note the
     checkpointed LogicalRDD does NOT carry hashpartitioning metadata into

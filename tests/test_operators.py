@@ -341,7 +341,7 @@ def test_dedup_components_edges_materialized_once(spark):
     # materialized scan: no union/repartition exchange in its own lineage
     # (those would otherwise re-run in EVERY label-propagation round — each
     # round's convergence count is a separate action and Spark SQL does not
-    # reuse exchanges across actions; measured 1.9x slower at 2M edges —
+    # reuse exchanges across actions; measured 1.4x slower at 2M edges —
     # protocol: tools/components_ab.py). Asserted against the SHIPPED
     # _prepare_edges (the seam dedup_components actually runs), so removing
     # its checkpoint fails here.

@@ -13,10 +13,12 @@ convergence count is its own action).
 Variant B (True, the shipped default): materialize the repartitioned edges
 once.
 
-Recorded result (local[32], min of 2 warm runs per cell):
+Recorded result (local[32], min of 2 warm runs per cell, measured through
+the real dedup_components — an earlier inline-copy protocol read 37.9s vs
+20.0s for the 10x cells; the shipped-code numbers below supersede it):
 
-    1x  A-old:  8.90s   B-new:  7.85s
-    10x A-old: 37.91s   B-new: 19.99s   (1.9x)
+    1x  A-old:  7.68s   B-new:  5.86s
+    10x A-old: 19.98s   B-new: 14.49s   (1.4x)
 
 Run: python tools/components_ab.py
 """
