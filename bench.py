@@ -87,7 +87,7 @@ def main() -> None:
             trials[name].append(dt)
     timings = {n: min(ts) for n, ts in trials.items()}
 
-    prev = _previous_round_timings()
+    prev = _previous_round_timings(sf_of(sf_dir))
     reruns: dict[str, int] = {}
     for name in names:
         for _ in range(2):  # at most 2 extra trials per suspicious query
@@ -120,8 +120,10 @@ def main() -> None:
     spark.stop()
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r*.json, if any (else {})."""
+def _previous_round_timings(sf: float) -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r*.json at the SAME scale
+    factor (else {} — comparing across SFs would mislabel every query as a
+    regression or mask real ones)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -130,8 +132,10 @@ def _previous_round_timings() -> dict[str, float]:
         return {}
     try:
         with open(files[-1]) as f:
-            q = json.load(f).get("queries", {})
-        return {k: float(v) for k, v in q.items()}
+            rec = json.load(f)
+        if rec.get("sf") != sf:
+            return {}
+        return {k: float(v) for k, v in rec.get("queries", {}).items()}
     except Exception:
         return {}
 
