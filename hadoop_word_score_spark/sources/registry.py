@@ -29,9 +29,13 @@ def _schema(*fields: tuple[str, T.DataType]) -> T.StructType:
     return T.StructType([T.StructField(n, t, True) for n, t in fields])
 
 
-# Declared schemas (FIXTURES.md §2). Used for validation and for schema-first
-# reads of non-parquet encodings of the same tables; parquet reads use the
-# footer schema (identical — asserted in tests).
+# Declared schemas (FIXTURES.md §2). EVERY read is schema-first against these
+# (parquet included): the declared schema is the engine's contract, so what a
+# query sees never silently follows testdata regeneration drift — the driver
+# re-encoded timestamp columns once already (ns → µs/NTZ), which would
+# otherwise flip served types (TimestampType vs timestamp_ntz) under
+# inference. Declared == served is asserted for all tables in
+# tests/test_plans.py::test_all_tables_serve_declared_schema.
 TABLES: dict[str, T.StructType] = {
     "region": _schema(("r_regionkey", _I), ("r_name", _S)),
     "nation": _schema(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
@@ -80,7 +84,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    # Schema-first read: declared types win over footer inference (e.g.
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise infer as
+    # timestamp_ntz for o_orderdate/l_shipdate under Spark 4 defaults while
+    # the engine declares session-tz TimestampType). Pushdown and pruning
+    # are unaffected — filters on these columns still reach the scan.
+    return spark.read.schema(TABLES[name]).parquet(path)
 
 
 def _events_ts_unit(path: str) -> str | None:

@@ -157,6 +157,21 @@ def test_bigram_counts_has_map_side_combine(spark):
     assert "Generate explode" in plan
 
 
+def test_all_tables_serve_declared_schema(spark):
+    # The registry's declared schemas are the engine contract: every loader
+    # must serve exactly them, regardless of how the driver re-encodes the
+    # parquet (the events ts ns->us regeneration flipped served types once;
+    # orders/lineitem timestamps would drift to timestamp_ntz under
+    # inference). This is the assertion the registry docstring cites.
+    from hadoop_word_score_spark.sources.registry import TABLES, load_table
+
+    for name, declared in TABLES.items():
+        served = load_table(spark, SF_ORACLE, name).schema
+        assert [(f.name, f.dataType) for f in served.fields] == [
+            (f.name, f.dataType) for f in declared.fields
+        ], f"{name}: served schema != declared"
+
+
 def test_events_loader_normalizes_ts_to_declared_type(spark):
     # current testdata encodes ts as TIMESTAMP(MICROS, isAdjustedToUTC=false);
     # the loader must serve the registry-declared TimestampType (not the
