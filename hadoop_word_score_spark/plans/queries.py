@@ -2194,6 +2194,45 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bitwise_funcs",
+    # §2.8 bitwise family: scalar &, |, ^, ~, shifts + the bit_and/or/xor
+    # aggregates — both engines implement two's-complement semantics on
+    # 64-bit ints, so values compare exactly.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS agg_band,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS agg_bor,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS agg_bxor,
+           CAST(SUM(l_linenumber << 2) AS BIGINT) AS shl_sum,
+           CAST(SUM(l_linenumber >> 1) AS BIGINT) AS shr_sum,
+           CAST(SUM(l_linenumber & 3) AS BIGINT) AS masked_sum,
+           CAST(SUM(l_linenumber | 8) AS BIGINT) AS or_sum,
+           CAST(SUM(xor(l_linenumber, 5)) AS BIGINT) AS xor_sum,
+           CAST(SUM(~l_linenumber) AS BIGINT) AS not_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scalar", "agg"),
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-stage-codegen'd integer ops feeding a partial/final aggregate —
+    # the same plan family as every other §2.8 battery.
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(c).cast("long").alias("agg_band"),
+        F.bit_or(c).cast("long").alias("agg_bor"),
+        F.bit_xor(c).cast("long").alias("agg_bxor"),
+        F.sum(F.shiftleft(c, 2)).cast("long").alias("shl_sum"),
+        F.sum(F.shiftright(c, 1)).cast("long").alias("shr_sum"),
+        F.sum(c.bitwiseAND(F.lit(3))).cast("long").alias("masked_sum"),
+        F.sum(c.bitwiseOR(F.lit(8))).cast("long").alias("or_sum"),
+        F.sum(c.bitwiseXOR(F.lit(5))).cast("long").alias("xor_sum"),
+        F.sum(F.bitwise_not(c)).cast("long").alias("not_sum"),
+    )
+
+
+@register(
     "bigram_counts",
     # Adjacent-pair (bigram) OCCURRENCE counts — the seed statistic for BPE
     # merge selection and n-gram LM estimation. Unlike shingles() this keeps
