@@ -17,6 +17,8 @@ deterministic (see __spark_entry__.py docstring):
 
 from __future__ import annotations
 
+import hashlib
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -125,22 +127,195 @@ _DRIVER_GREEN_R03 = frozenset({
 })
 
 
+
+# Queries the round-4 driver proved green (rows+schema+hash, sf0.01) —
+# CORRECTNESS_r04.json, 50/50 green. The staleness rotation worked as
+# designed: these 50 were exactly the oldest-evidence names going in.
+_DRIVER_GREEN_R04 = frozenset({
+    "bigram_counts", "bitwise_funcs", "bm25_ranking",
+    "cohort_retention_weekly", "decontaminate_ngrams",
+    "dedup_apply_survivors", "dedup_near_embedding", "dedup_near_simhash",
+    "doc_chunks", "doc_fingerprint", "doc_length_buckets",
+    "embedding_centroids", "events_rollup_multi_grain",
+    "funnel_signup_click_purchase", "histogram_totalprice",
+    "hll_distinct_sketch", "join_salted_skew", "lang_id_heuristic",
+    "merge_upsert_customers", "mixture_sample_weighted",
+    "multimodal_decode_real", "multimodal_meta", "null_semantics",
+    "pack_sequences", "pivot_status_priority", "q10_returned_items",
+    "q13_customer_distribution", "q14_promo_effect", "q18_large_volume",
+    "q6_forecast_revenue", "sample_hash_mod", "sample_stratified_lang",
+    "shuffle_shards", "similarity_topk", "similarity_topk_ivf",
+    "similarity_topk_lsh", "stats_corr_covar", "string_agg_nations",
+    "subquery_correlated_scalar", "subquery_exists", "subquery_in",
+    "subquery_not_exists", "text_quality", "tfidf_top_terms",
+    "token_counts", "udf_grouped_agg_wavg", "udf_grouped_zscore",
+    "unpivot_lineitem_metrics", "vocab_stats", "window_range_frame"
+})
+
+
+def _oracle_fp(oracle: str | None) -> str:
+    """Whitespace-insensitive fingerprint of an oracle's SQL text.
+
+    Driver evidence is only as good as the oracle it was checked against: a
+    query whose oracle has been rewritten since its last driver touch has, in
+    effect, never been verified (r4 postmortem: multimodal_decode/resize/
+    frames gained real hash oracles but kept ranking as freshly-verified, so
+    the budgeted driver pass skipped them indefinitely). Fingerprints are
+    whitespace-normalized so reformatting alone does not reset evidence.
+    """
+    if oracle is None:
+        return "rows_only"
+    return hashlib.md5(" ".join(oracle.split()).encode()).hexdigest()[:12]
+
+
+# name -> fingerprint of the oracle the driver LAST verified this query
+# against ("rows_only" = the driver only did a rows-only check, i.e. the
+# oracle was None at the time). Maintained by tools/gen_evidence.py: each
+# round, entries for names in the new CORRECTNESS_r{N}.json are refreshed to
+# the then-current oracle text. A registry oracle that no longer matches its
+# recorded fingerprint demotes the query to the never-verified tier.
+_VERIFIED_ORACLE_FP: dict[str, str] = {
+    "agg_salted_two_phase": "d7953ce1674b",
+    "agg_stats": "bee545d79fae",
+    "approx_aggs": "6eedf763cf35",
+    "array_funcs": "b1e393232f18",
+    "asof_join_events": "e968e8a9b2fd",
+    "asof_join_events_forward": "36d0838b0e93",
+    "bigram_counts": "c9d0c7cc6237",
+    "bitwise_funcs": "14020aef671c",
+    "bm25_ranking": "6bff8ce61029",
+    "cohort_retention_weekly": "bedf40b9dd3b",
+    "conditional_funcs": "61feebf4741f",
+    "cube_segment_status": "00da5551f9ed",
+    "date_funcs": "e57b8125fb64",
+    "decontaminate_bloom": "4158443f5f4d",
+    "decontaminate_ngrams": "f4c3b9888715",
+    "dedup_apply_survivors": "007b73d0476e",
+    "dedup_clusters": "b8ba5e975a80",
+    "dedup_exact": "b5919931923e",
+    "dedup_incremental": "b10560da39e5",
+    "dedup_near_embedding": "ae4e15d1b137",
+    "dedup_near_jaccard": "1cdf1ec48dac",
+    "dedup_near_minhash": "1cdf1ec48dac",
+    "dedup_near_simhash": "0117fd3c1802",
+    "dedup_pipeline_end_to_end": "4b809bfa609c",
+    "doc_chunks": "ffd74a0e21d5",
+    "doc_fingerprint": "677d0308cba2",
+    "doc_length_buckets": "e333f9bf8417",
+    "embedding_centroids": "2cf8aa98e9a1",
+    "embedding_quantize_int8": "aaa8faade4fe",
+    "events_gapfill_hourly": "e8f7525be53f",
+    "events_rollup_multi_grain": "33ff39ed700d",
+    "filter_project": "a9a8bfadf49d",
+    "funnel_signup_click_purchase": "92866f84bd49",
+    "grouping_sets": "f5bacfcdb761",
+    "having_filter": "77fb0b6c240c",
+    "histogram_totalprice": "8038b735944f",
+    "hll_distinct_sketch": "822ed83be27d",
+    "join_anti": "a42439ea4756",
+    "join_cross": "9eefc1dae676",
+    "join_left_outer": "ac2386af11a5",
+    "join_range_theta": "68a33d9d01c9",
+    "join_salted_skew": "484b58033f85",
+    "join_semi": "1919b78cb1de",
+    "json_funcs": "cf0dc27421a4",
+    "lang_id_heuristic": "797a781a0e60",
+    "map_funcs": "a88e8ae7eb7b",
+    "math_funcs": "232331fb6315",
+    "merge_upsert_customers": "fbc09c1f1812",
+    "mixture_sample_weighted": "189cecf6d5bd",
+    "multimodal_decode": "rows_only",
+    "multimodal_decode_real": "574e7a4c7f72",
+    "multimodal_frames": "rows_only",
+    "multimodal_meta": "0f99c74fe197",
+    "multimodal_resize": "rows_only",
+    "null_semantics": "14f06cc19e8d",
+    "pack_sequences": "efcce867afee",
+    "percentile_exact": "9fa832056777",
+    "pii_redact": "cfb6df9885a2",
+    "pivot_status_priority": "388c5a142a77",
+    "q10_returned_items": "c42fd16d245e",
+    "q11_important_parts": "4b65a2f61ef9",
+    "q12_priority_shipping": "0069aee7a7d8",
+    "q13_customer_distribution": "83fa5b0f5321",
+    "q14_promo_effect": "5234ad3ac699",
+    "q15_top_supplier": "b9cf710d6bd7",
+    "q16_supplier_counts": "9c32a312242e",
+    "q17_small_quantity_revenue": "07a57ae5e522",
+    "q18_large_volume": "b69beef07caa",
+    "q19_disjunctive_revenue": "54d13d665430",
+    "q1_pricing_summary": "e4a8b58127b6",
+    "q21_waiting_supplier": "19ec193338a5",
+    "q22_inactive_customers": "03e311c221bf",
+    "q3_shipping_priority": "67441f8f5e73",
+    "q4_order_priority": "af54c0df6321",
+    "q5_local_supplier_volume": "fc68e6ae7659",
+    "q6_forecast_revenue": "2964f042473e",
+    "q7_nation_volume": "9c6e6d9c487b",
+    "q8_market_share": "dcac2cc8b7e0",
+    "quality_repetition_filter": "55636dd83470",
+    "rollup_status_priority": "fd02b19f270d",
+    "sample_hash_mod": "4e92ad8c6a40",
+    "sample_stratified_lang": "1cd168b40df0",
+    "session_window": "3e2119405138",
+    "set_ops": "eb45e5f01a18",
+    "shuffle_shards": "2460ab3b27d7",
+    "similarity_topk": "3f981c9ca563",
+    "similarity_topk_ivf": "d7d0848ae2b2",
+    "similarity_topk_lsh": "d7d0848ae2b2",
+    "sliding_window": "818260545727",
+    "stats_corr_covar": "cefb09f24eae",
+    "string_agg_nations": "76762812c549",
+    "string_funcs": "c1625848b848",
+    "subquery_correlated_scalar": "53ceaaae9a11",
+    "subquery_exists": "484c23d7ddf9",
+    "subquery_in": "3dc6b21c5c48",
+    "subquery_not_exists": "42b5ede8f3ac",
+    "subquery_scalar": "4dde634ba620",
+    "text_quality": "e28fc1910949",
+    "tfidf_top_terms": "39a3de4fffd4",
+    "token_counts": "9f48181d97ff",
+    "topk_per_group": "b36244fa0146",
+    "tumbling_window": "816cdfbf8e11",
+    "udf_grouped_agg_wavg": "c0fe11dc17aa",
+    "udf_grouped_zscore": "ac9c94dfbb03",
+    "unpivot_lineitem_metrics": "ceac6a0e32cf",
+    "variant_funcs": "1dfefd695b3d",
+    "vocab_stats": "db379a6f6fbe",
+    "window_analytic": "15541ecc7341",
+    "window_dist": "0a36a1030c7c",
+    "window_range_frame": "c153dbee1c0b",
+    "window_ranking": "b565eda11419",
+    "window_running": "803fcd3c4d77",
+    "wordscore": "1d4f77f79e31",
+    "wordscore_top10": "255b5f8f7d35",
+}
+
+
 def _latest_evidence_round(name: str) -> int:
-    """Most recent round whose driver run touched this query (0 = never)."""
-    if name in _DRIVER_GREEN_R03:
-        return 3
-    if name in _DRIVER_GREEN_R02:
-        return 2
-    if name in _DRIVER_GREEN_R01:
-        return 1
+    """Most recent round whose driver run verified this query AS CURRENTLY
+    ORACLED (0 = never). An oracle rewrite since the last driver touch resets
+    the query to round 0: the old evidence attests a different check."""
+    spec = REGISTRY.get(name)
+    if spec is not None and _VERIFIED_ORACLE_FP.get(name) != _oracle_fp(spec.oracle):
+        return 0
+    for rnd, ledger in (
+        (4, _DRIVER_GREEN_R04),
+        (3, _DRIVER_GREEN_R03),
+        (2, _DRIVER_GREEN_R02),
+        (1, _DRIVER_GREEN_R01),
+    ):
+        if name in ledger:
+            return rnd
     return 0
 
 
 def _evidence_order() -> list[QuerySpec]:
-    # Oldest-evidence-first: never-verified queries (round 0 — any future
-    # addition) lead, then r1-only, r2, r3 — so each round's count-budgeted
-    # driver pass refreshes the queries most likely to have drifted since
-    # their last verification. Oracle-backed before rows-only within a tier
+    # Oldest-evidence-first: never-verified queries lead (round 0 = new
+    # additions AND any query whose oracle changed since its last driver
+    # touch), then r1, r2, r3, r4 — so each round's count-budgeted driver
+    # pass refreshes the queries most likely to have drifted since their
+    # last verification. Oracle-backed before rows-only within a tier
     # (a hash check is stronger evidence than a row count).
     specs = list(REGISTRY.values())
     return sorted(
@@ -1428,6 +1603,7 @@ def _recall_bound_check(
     FROM embeddings WHERE vec_id < 10
     """,
     tags=("llm", "similarity"),
+    bench=True,  # the advertised scale path needs a timing history (r4 verdict #5)
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 scale path: random-hyperplane LSH prefilter. 3-bit × 16-table regime
@@ -2050,6 +2226,7 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10
     """,
     tags=("llm", "similarity"),
+    bench=True,  # the advertised scale path needs a timing history (r4 verdict #5)
 )
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L3 scale path #2: IVF-flat — spherical-kmeans coarse cells, probe the
@@ -2837,8 +3014,12 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q14 shape: conditional aggregation ratio over a fact⋈dim join.
-    # part is the small side → broadcast; the month filter prunes the
-    # lineitem scan before the join (PushedFilters on l_shipdate).
+    # part grows with scale factor (~SF·200k rows), so NO broadcast hint: an
+    # explicit hint bypasses AQE's size check and BroadcastExchange has hard
+    # limits (8 GiB / 512M rows) plus per-executor memory cost at 100 TB.
+    # AQE converts to broadcast at runtime whenever observed size allows
+    # (asserted in test_plans); the month filter prunes the lineitem scan
+    # before the join (PushedFilters on l_shipdate).
     li, p = (_t(spark, sf_dir, n) for n in ("lineitem", "part"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
@@ -2847,7 +3028,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue"))
     )
 
@@ -3113,15 +3294,20 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort retention triangle: users bucketed by first-seen week, counted
-    # distinct in each later week. first_seen is |users| rows → broadcast;
-    # the distinct-count shuffles (cohort, offset, user) — already the
-    # minimal key set.
+    # distinct in each later week. first_seen is a per-user aggregate —
+    # |users| rows, unbounded at 100 TB — so it must NOT carry a broadcast
+    # hint (a hint bypasses AQE's size check; BroadcastExchange hard-fails
+    # past 8 GiB/512M rows). Both sides hash-partition on user_id, and the
+    # aggregate side is already partitioned that way from its own groupBy,
+    # so the join adds no extra shuffle of the aggregate; AQE still
+    # broadcast-converts when |users| is small. The distinct-count shuffles
+    # (cohort, offset, user) — already the minimal key set.
     e = _t(spark, sf_dir, "events")
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
             (
@@ -3567,7 +3753,10 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst splits
     # the disjunction into single-side implied filters (brand/size on part,
     # quantity range on lineitem) that DO push to both scans, keeping the
-    # full predicate as the join residual; part is dim-sized -> broadcast.
+    # full predicate as the join residual. part is SF-scaled, so no explicit
+    # broadcast hint — AQE converts from runtime stats when the (implied
+    # brand-filter) build side fits, without risking the 8 GiB/512M-row
+    # BroadcastExchange walls at 100 TB.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     arm = lambda brand, smax, qlo, qhi: (
@@ -3576,7 +3765,7 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -3846,7 +4035,10 @@ ORDER BY cust_nation, supp_nation, l_year
 def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q7 shape: the same dimension (nation) joined twice under
     # different roles. Both nation instances filter to 2 rows scan-side and
-    # broadcast; the only big shuffle is lineitem⋈orders.
+    # broadcast (bounded: nation is a fixed-cardinality dim). supplier is
+    # SF-scaled, so it carries no hint — AQE broadcast-converts at runtime
+    # when its observed size fits; the only guaranteed big shuffle is
+    # lineitem⋈orders.
     li, o, c, s = (
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "orders"),
@@ -3859,7 +4051,7 @@ def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -3926,14 +4118,17 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "complaints" LIKE filter): COUNT(DISTINCT) after a NOT IN exclusion.
     # s_suppkey is non-null by schema, so NOT IN = left_anti (no tri-valued
     # NULL trap); the distinct-count shuffles (brand, size, suppkey) once.
+    # Both the filtered part and the bad-supplier sides are constant
+    # FRACTIONS of SF-scaled tables — unbounded at 100 TB — so neither gets
+    # a broadcast hint; AQE converts from observed sizes when legal.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -3956,13 +4151,15 @@ def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes one grouped aggregate joined back by partkey — the aggregate
     # runs once over lineitem, not once per probe row. Written decorrelated
     # explicitly (what Catalyst's RewriteCorrelatedScalarSubquery produces).
+    # The brand-filtered part is a constant fraction of an SF-scaled table
+    # (1/25 of it), so no broadcast hint — AQE converts when it fits.
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_cutoff")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_q, F.col("ap_key") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -3992,7 +4189,9 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q8 shape: conditional-sum / sum ratio per year ("market share
     # of NATION_5 suppliers inside ASIA-customer revenue"). Nation appears
     # twice: customer-side instance restricts via region (broadcast chain),
-    # supplier-side instance only feeds the CASE — no second filter.
+    # supplier-side instance only feeds the CASE — no second filter. Only
+    # the bounded dims (nation/region) carry hints; supplier is SF-scaled
+    # and left to AQE's runtime broadcast conversion.
     li, o, c, s = (
         _t(spark, sf_dir, "lineitem"),
         _t(spark, sf_dir, "orders"),
@@ -4010,7 +4209,7 @@ def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -4051,7 +4250,8 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-supplier finalized order — EXISTS and NOT EXISTS against the
     # SAME fact, expressed as left_semi then left_anti with non-equi
     # residuals. The lineitem self-relations join on l_orderkey, so under
-    # AQE/SMJ all three legs share one hash-partitioning of the fact.
+    # AQE/SMJ all three legs share one hash-partitioning of the fact; the
+    # final supplier join carries no hint (SF-scaled side, AQE decides).
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
@@ -4076,7 +4276,7 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        lone.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        lone.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
