@@ -110,11 +110,40 @@ def test_salted_join_spreads_shuffle_key(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q14_broadcasts_part_and_pushes_month_filter(spark):
+def test_q14_pushes_month_filter(spark):
     plan = formatted_plan(spark, "q14_promo_effect")
-    assert "BroadcastHashJoin" in plan
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
     assert "CartesianProduct" not in plan
+
+
+def executed_plan_of(spark, name: str) -> str:
+    # AQE finalizes join strategy from runtime stats — the plan worth
+    # asserting only exists after execution.
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dehinted_sf_scaled_joins_still_broadcast_via_aqe(spark):
+    # r4 verdict: explicit broadcast hints on SF-scaled sides (part,
+    # supplier, per-user aggregates) bypass AQE's size check and hard-fail
+    # at 100 TB (BroadcastExchange: 8 GiB / 512M rows). The hints are gone;
+    # this pins the other half of the contract — at bench/test SF, AQE's
+    # runtime conversion still picks BroadcastHashJoin, so dropping the
+    # hints cost nothing locally while making the plan scale-safe.
+    for name in (
+        "q14_promo_effect",
+        "q19_disjunctive_revenue",
+        "q16_supplier_counts",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q17_small_quantity_revenue",
+        "q21_waiting_supplier",
+        "cohort_retention_weekly",
+    ):
+        plan = executed_plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no AQE broadcast\n{plan}"
+        assert "CartesianProduct" not in plan, name
 
 
 def test_q18_topk_without_full_sort(spark):
