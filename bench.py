@@ -68,10 +68,15 @@ def main() -> None:
     #
     # Noise robustness (round-3 lesson: min-of-2 on a busy box published a
     # phantom 22% regression): min-of-3 baseline, then a targeted re-run for
-    # any query that still looks contaminated — warm passes disagreeing by
-    # >1.5x, or the best time >1.5x the previous round's published number
-    # (BENCH_r*.json) — with the re-run count reported so a noisy run is
-    # visible in the artifact instead of silently shaping the totals.
+    # any query whose warm passes disagree by >1.5x — a contamination signal
+    # that fires equally for fast and slow queries. Deliberately NOT
+    # re-running on "slower than last round" (r4 advice): that trigger
+    # granted extra min draws only to regressed-looking queries, letting a
+    # real regression min-shop itself away. Regressions vs the previous
+    # round are instead REPORTED (vs_prev_regressions) and the warm median
+    # is published beside the min, so a lucky minimum can't hide a shifted
+    # steady state. Re-run counts are reported so a noisy run is visible in
+    # the artifact instead of silently shaping the totals.
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -87,7 +92,6 @@ def main() -> None:
             trials[name].append(dt)
     timings = {n: min(ts) for n, ts in trials.items()}
 
-    prev = _previous_round_timings(sf_of(sf_dir))
     reruns: dict[str, int] = {}
     for name in names:
         for _ in range(2):  # at most 2 extra trials per suspicious query
@@ -97,25 +101,39 @@ def main() -> None:
             # never clear it) — two independent fast runs agreeing is the
             # "steady state reached" witness.
             w1, w2 = sorted(trials[name][1:])[:2]
-            spread_bad = w1 > 0 and w2 / w1 > 1.5
-            vs_prev_bad = prev.get(name, 0) > 0 and timings[name] > 1.5 * prev[name]
-            if not (spread_bad or vs_prev_bad):
+            if not (w1 > 0 and w2 / w1 > 1.5):
                 break
             dt = run_once(name)
             trials[name].append(dt)
             reruns[name] = reruns.get(name, 0) + 1
             timings[name] = min(timings[name], dt)
 
+    import statistics
+
+    warm_median = {
+        n: round(statistics.median(ts[1:]), 3) for n, ts in trials.items()
+    }
+    prev = _previous_round_timings(sf_of(sf_dir))
+    regressions = {
+        n: round(timings[n] / prev[n], 2)
+        for n in names
+        if prev.get(n, 0) > 0 and timings[n] > 1.5 * prev[n]
+    }
+
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "warm_median_queries": warm_median,
+        "warm_median_total_sec": round(sum(warm_median.values()), 3),
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf_of(sf_dir),
     }
     if reruns:
         out["noise_reruns"] = reruns
+    if regressions:
+        out["vs_prev_regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
 

@@ -359,13 +359,24 @@ def _prepare_edges(
     materialized scan, no per-round exchange in their own lineage.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.union(
+    staged = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    n_parts = max(2, min(64, int(edges.count()) // 50_000 + 2))
-    edges = edges.repartition(n_parts, "dst")
+    n_parts = max(2, min(64, int(staged.count()) // 50_000 + 2))
+    edges = staged.repartition(n_parts, "dst")
     if checkpoint_partitioned:
         edges = edges.localCheckpoint()
+        # Release the unpartitioned staging checkpoint: the loop only reads
+        # the repartitioned copy, but the first checkpoint's blocks would
+        # otherwise stay pinned in executor block storage for the rest of
+        # the job — double storage at large edge sets for blocks never read
+        # again. The persisted RDD lives inside the LogicalRDD plan node;
+        # best-effort, harmless if the internals move (the ContextCleaner
+        # reclaims it at GC anyway — this just makes it prompt).
+        try:
+            staged._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+        except Exception:
+            pass
     return edges, n_parts
 
 

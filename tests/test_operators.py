@@ -360,6 +360,23 @@ def test_dedup_components_edges_materialized_once(spark):
     assert "Exchange" in edges_ab._jdf.queryExecution().executedPlan().toString()
 
 
+def test_prepare_edges_releases_staging_checkpoint(spark):
+    # Two localCheckpoints run inside _prepare_edges (staging union, then the
+    # repartitioned copy the loop reads); the staging copy's blocks must NOT
+    # stay pinned for the rest of the job (r4 advice: doubles block storage
+    # at large edge sets). Net persisted-RDD growth across the call == 1.
+    from hadoop_word_score_spark.operators.dedup import _prepare_edges
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 100, 2)], "id_a long, id_b long"
+    )
+    edges, _ = _prepare_edges(pairs)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before == 1, f"staging checkpoint still pinned ({before}->{after})"
+    assert edges.count() == 100  # the surviving copy is the readable one
+
+
 def test_dedup_components_end_to_end_minhash(spark):
     from hadoop_word_score_spark.operators.dedup import (
         dedup_components,
