@@ -192,22 +192,32 @@ def test_codec_roundtrip_and_corruption_detection():
 
 def test_corpus_preconditions_for_multimodal_oracles(spark):
     # The fake-path multimodal oracles (plans/queries.py) are valid ONLY if
-    # (a) no document's text starts with an image magic (P5/P6/BM — such a
-    # payload could divert to a real decode the SQL oracle can't express)
-    # and (b) the corpus is pure printable ASCII (DuckDB ord() yields
-    # codepoints; the byte-level oracles need codepoint == byte). This test
-    # makes those preconditions LOUD if the driver ever regenerates testdata
-    # that violates them — fix the oracles, not this test.
+    # (a) every corpus payload actually takes the md5 fake path and (b) the
+    # corpus is pure printable ASCII (DuckDB ord() yields codepoints; the
+    # byte-level oracles need codepoint == byte). (a) is asserted as the
+    # ACTUAL invariant, not a magic-prefix allowlist: the divert condition
+    # is "any backend recognizes the payload" — with Pillow installed that
+    # includes plain netpbm P1-P4, GIF8, XBM, etc., which no prefix list
+    # tracks (r4 advice). Run each payload through the decode chain itself
+    # and require it to equal the fake. Covers BOTH the pytest SF and the
+    # driver's correctness SF, so a testdata regen that violates the
+    # invariant fails here before it fails in CORRECTNESS. Fix the oracles,
+    # not this test.
+    from hadoop_word_score_spark.operators.multimodal import (
+        _decode_one,
+        _fake_decode,
+    )
+
     for sf in (SF_SMOKE, SF_ORACLE):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        magic = docs.filter(
-            F.col("text").startswith("P5")
-            | F.col("text").startswith("P6")
-            | F.col("text").startswith("BM")
-        ).count()
-        assert magic == 0, (
-            f"{sf}: {magic} docs start with image magic bytes — the fake-path "
-            "multimodal oracles are no longer valid for them"
+        payloads = [r.text.encode("utf-8") for r in docs.select("text").collect()]
+        diverted = [
+            p[:24] for p in payloads if _decode_one(p) != _fake_decode(p)
+        ]
+        assert not diverted, (
+            f"{sf}: {len(diverted)} payloads decode via a real backend — the "
+            f"fake-path multimodal oracles are no longer valid for them; "
+            f"first prefixes: {diverted[:3]}"
         )
         non_ascii = docs.filter(
             F.col("text").rlike("[^\\x20-\\x7e]")

@@ -40,6 +40,8 @@ PROBES = [
     "dedup_near_minhash",
     "dedup_pipeline_end_to_end",
     "dedup_near_jaccard",
+    "funnel_signup_click_purchase",
+    "cohort_retention_weekly",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -204,6 +206,11 @@ def main() -> None:
         "dedup_near_minhash": "~linear (sig + bucket pairs)",
         "dedup_pipeline_end_to_end": "~linear + O(diameter) rounds (LSH → components → survivors)",
         "dedup_near_jaccard": "superlinear (Σ df² pairing — oracle-only op)",
+        # events replicate with shifted event_id but FIXED user_id set, so
+        # these probe the events-heavy axis: 10× rows per user, same user
+        # cardinality — the shape a hot product sees.
+        "funnel_signup_click_purchase": "linear in events (3 per-user min-aggs share one scan)",
+        "cohort_retention_weekly": "linear in events (per-user agg + user-keyed join, AQE-broadcast when small)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
