@@ -108,10 +108,19 @@ def main() -> None:
             reruns[name] = reruns.get(name, 0) + 1
             timings[name] = min(timings[name], dt)
 
+    # Streaming smoke (one row): a watermarked tumbling-window drain through
+    # the REAL streaming path — file source → state store → noop sink,
+    # Trigger.AvailableNow. The batch bench can never see a regression in
+    # the streaming state machinery; this row does. Two drains with fresh
+    # checkpoints, min reported (same steady-state rationale as above).
+    timings["streaming_tumbling_drain"] = _streaming_smoke(spark, sf_dir)
+    trials["streaming_tumbling_drain"] = [timings["streaming_tumbling_drain"]]
+    names.append("streaming_tumbling_drain")
+
     import statistics
 
     warm_median = {
-        n: round(statistics.median(ts[1:]), 3) for n, ts in trials.items()
+        n: round(statistics.median(ts[1:] or ts), 3) for n, ts in trials.items()
     }
     prev = _previous_round_timings(sf_of(sf_dir))
     regressions = {
@@ -138,6 +147,46 @@ def main() -> None:
     spark.stop()
 
 
+def _streaming_smoke(spark, sf_dir: str) -> float:
+    """Min-of-2 wall time to drain the sf events through the streaming path.
+
+    Each drain uses a FRESH checkpoint dir — a reused one would make the
+    second run an incremental no-op and time nothing. The events table is
+    re-encoded to µs once (the streaming file source can't read
+    TIMESTAMP(NANOS) legacy testdata, mirroring tests/test_streaming.py).
+    """
+    import shutil
+
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        tumbling_counts_stream,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_stream"
+    )
+    src = os.path.join(scratch, "events_us")
+    shutil.rmtree(scratch, ignore_errors=True)
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    best = None
+    for i in range(2):
+        ckpt = os.path.join(scratch, f"ckpt{i}")
+        t0 = time.perf_counter()
+        q = (
+            tumbling_counts_stream(read_events_stream(spark, src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    shutil.rmtree(scratch, ignore_errors=True)
+    return best
+
+
 def _previous_round_timings(sf: float) -> dict[str, float]:
     """Per-query timings from the latest BENCH_r*.json at the SAME scale
     factor (else {} — comparing across SFs would mislabel every query as a
@@ -151,6 +200,9 @@ def _previous_round_timings(sf: float) -> dict[str, float]:
     try:
         with open(files[-1]) as f:
             rec = json.load(f)
+        # The driver's artifact wraps bench's own JSON line under "parsed";
+        # unwrap it (and stay compatible with a raw bench.py capture).
+        rec = rec.get("parsed", rec) or {}
         if rec.get("sf") != sf:
             return {}
         return {k: float(v) for k, v in rec.get("queries", {}).items()}

@@ -6,9 +6,13 @@ Two paths, same output schema:
     candidates only within matching hash buckets, recall measured against the
     exact path in tests.
 
-Both compute cosine with JVM-side higher-order functions (functions/vectors):
-cast-to-double then strict left-to-right summation, so results are
-reproducible against oracles doing the same.
+Cosine evaluation is Arrow-vectorized everywhere in this module (numpy
+matmul/einsum per batch): the exact path scores query×candidate blocks, the
+approximate paths score surviving pairs. The JVM-side HOF cosine
+(functions/vectors) remains the oracle-of-record arithmetic for the
+value-hash-checked exact pair query (operators/dedup.embedding_cosine_pairs);
+here every consumer rounds to 6 dp and is recall-bound-checked, where the
+two arithmetics are interchangeable.
 """
 
 from __future__ import annotations
@@ -18,9 +22,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-from ..functions.vectors import cosine_similarity
-
 
 def brute_force_topk(
     queries: DataFrame,
@@ -107,6 +108,34 @@ def brute_force_topk(
     )
 
 
+def _cosine_pairs_udf():
+    """Vectorized pairwise cosine: (array<float>, array<float>) → double.
+
+    One einsum per Arrow batch instead of a per-row interpreted HOF chain —
+    the candidate-scoring hot path of the LSH/IVF probes evaluates cosine
+    once per (query, candidate) pair, and at bulk-query scale that is the
+    dominant term after bucket pruning. Rounded to 6 dp by the callers, the
+    result is interchangeable with functions/vectors.cosine_similarity
+    (summation order differs pre-rounding only). Zero-norm pairs yield NaN
+    and are filtered by callers (Spark sorts NaN ABOVE all doubles — an
+    unfiltered NaN would win rank 1).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        bm = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        if am.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        num = np.einsum("ij,ij->i", am, bm)
+        den = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return cos_pair
+
+
 def build_ivf_index(
     candidates: DataFrame,
     n_cells: int = 16,
@@ -137,12 +166,14 @@ def build_ivf_index(
         .select("cell", "centroid")
     )
 
+    cos_pair = _cosine_pairs_udf()
+
     def assign(cents: DataFrame) -> DataFrame:
         scored = candidates.select(
             ids.alias("vid"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cents))
         return (
-            scored.withColumn("cos", cosine_similarity("v", "centroid"))
+            scored.withColumn("cos", cos_pair("v", "centroid"))
             .groupBy("vid")
             .agg(
                 F.max_by("cell", F.struct(F.col("cos"), -F.col("cell"))).alias("cell"),
@@ -185,13 +216,15 @@ def ivf_topk(
     persisted partitioned by cell; probing reads only matching partitions.
     """
     centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
+    cos_pair = _cosine_pairs_udf()
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("ccos"), F.asc("cell")
     )
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("ccos", cosine_similarity("qvec", "centroid"))
+        .withColumn("ccos", cos_pair("qvec", "centroid"))
+        .filter(~F.isnan("ccos"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= n_probe)
         .select("query_id", "qvec", "cell")
@@ -199,7 +232,8 @@ def ivf_topk(
     scored = (
         index.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cosine_sim", F.round(cosine_similarity("qvec", vec_col), 6))
+        .withColumn("cosine_sim", F.round(cos_pair("qvec", vec_col), 6))
+        .filter(~F.isnan("cosine_sim"))
         .select("query_id", F.col(id_col).alias("cand_id"), "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
@@ -268,14 +302,24 @@ def lsh_bucketed_topk(
         .withColumn("buckets", sketch(F.col("cvec")))
         .select("cand_id", "cvec", F.posexplode("buckets").alias("table_idx", "bucket"))
     )
-    cand_pairs = (
-        c.join(F.broadcast(q), ["table_idx", "bucket"])
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .dropDuplicates(["query_id", "cand_id"])
+    # Score BEFORE deduplicating multi-table hits: the redundant cosines
+    # (bounded by n_tables, typically 1-2 per pair) are vectorized-cheap,
+    # while deduplicating first would push every surviving pair's TWO
+    # 64-float vectors through the dedup shuffle (~1 KB/row vs 24 B/row for
+    # (id, id, sim) triples). Shuffle bytes, not FLOPs, are the scarce
+    # resource at 100 TB. first() is deterministic here: duplicate rows
+    # carry identical sims by construction.
+    cand_pairs = c.join(F.broadcast(q), ["table_idx", "bucket"]).filter(
+        F.col("query_id") != F.col("cand_id")
     )
-    scored = cand_pairs.withColumn(
-        "cosine_sim", F.round(cosine_similarity("qvec", "cvec"), 6)
-    ).select("query_id", "cand_id", "cosine_sim")
+    scored = (
+        cand_pairs.withColumn(
+            "cosine_sim", F.round(_cosine_pairs_udf()("qvec", "cvec"), 6)
+        )
+        .filter(~F.isnan("cosine_sim"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.first("cosine_sim").alias("cosine_sim"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

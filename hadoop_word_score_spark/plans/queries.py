@@ -4281,3 +4281,170 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_SQL, tags=("ref-adjacent", "join", "agg"))
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (testdata has no partsupp, so supply cost is modeled as
+    # a fixed fraction of p_retailprice — the JOIN TOPOLOGY is the point):
+    # profit per supplier-nation per year over a 4-way fact-dim star. The
+    # p_name LIKE filter cannot push below the join (it prunes ~7/8 of part
+    # scan-side, then the join shrinks lineitem), supplier/part carry no
+    # broadcast hints (SF-scaled; AQE converts from runtime sizes), nation
+    # is bounded -> hinted broadcast.
+    li, p, s, o = (
+        _t(spark, sf_dir, n) for n in ("lineitem", "part", "supplier", "orders")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(p.filter(F.col("p_name").like("%red%")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SPAN_K = 16
+
+_DEDUP_SPANS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS span
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_K - 2})) AS i
+          FROM toks WHERE len(w) >= {_SPAN_K})
+)
+SELECT span,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM spans
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT 50
+"""
+
+
+@register("dedup_spans_exact", oracle=_DEDUP_SPANS_SQL, tags=("llm", "dedup", "text"))
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring span dedup (the Lee et al. 2022 "Deduplicating
+    # Training Data Makes Language Models Better" signal, re-expressed as
+    # fixed-length token windows): every 16-token sliding window, grouped
+    # across the corpus, surfacing spans that repeat in >= 2 documents —
+    # the memorization-prone boilerplate a training pipeline clips. Window
+    # expansion is a narrow transform+explode (no shuffle); the single
+    # shuffle groups spans with map-side partial aggregation. At 100 TB the
+    # group key is xxhash64(span) (8-byte longs, collision-checked on the
+    # survivors) instead of the raw strings the test-scale oracle compares.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    k = _SPAN_K
+    docs = d.select("doc_id", F.expr(tokens_expr("text")).alias("w")).filter(
+        F.size("w") >= k
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {k})))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(50)
+    )
+
+
+_UNIGRAM_LP_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+dt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+tf AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT doc_id,
+       ROUND(SUM(cnt * ln(tc / n_total)) / SUM(cnt), 6) AS avg_logprob,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens
+FROM dt JOIN tf USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY avg_logprob, doc_id
+"""
+
+
+@register("quality_unigram_logprob", oracle=_UNIGRAM_LP_SQL, tags=("llm", "text", "quality"))
+def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-proxy quality score: per-doc mean token log-probability
+    # under the corpus' own unigram distribution (high-|logprob| docs are
+    # rare-token-dense — the gibberish/boilerplate tails a quality filter
+    # inspects first). Three aggregates over ONE tokenization subtree:
+    # (doc,term) counts, global term counts, global total — then a
+    # vocab-sized join (term-keyed, partial-agg'd map-side) and a per-doc
+    # weighted average. The per-token stream never shuffles raw tokens
+    # twice: dt is the only exploded shuffle, tf derives from dt at 100 TB
+    # (sum of cnt), and the scalar total broadcasts.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    dt = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = dt.groupBy("term").agg(F.sum("cnt").alias("tc"))
+    tot = dt.agg(F.sum("cnt").alias("n_total"))
+    return (
+        dt.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * F.log(F.col("tc") / F.col("n_total")))
+                / F.sum("cnt"),
+                6,
+            ).alias("avg_logprob"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("avg_logprob", "doc_id")
+    )

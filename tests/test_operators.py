@@ -645,3 +645,37 @@ def test_incremental_lsh_with_persisted_index(tmp_path, spark):
     in_flight = {(r.new_id, r.base_id, r.jaccard) for r in
                  incremental_lsh_pairs(base, new, threshold=0.5).collect()}
     assert from_idx == in_flight and from_idx
+
+
+def test_dedup_spans_exact_invariants(spark):
+    # every surviving span is exactly K tokens long, appears in >= 2 docs,
+    # and occurrence count dominates doc count
+    from hadoop_word_score_spark.plans.queries import _SPAN_K, REGISTRY
+
+    rows = REGISTRY["dedup_spans_exact"].fn(spark, SF_ORACLE).collect()
+    assert rows, "sf0.01 corpus has duplicated spans (near-dup fixtures)"
+    for r in rows:
+        assert len(r.span.split(" ")) == _SPAN_K
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+
+
+def test_quality_unigram_logprob_invariants(spark):
+    # log-probs are strictly negative (no token has corpus probability 1),
+    # every doc with >= 1 token appears exactly once, and the weighted-mean
+    # identity holds: sum(n_tokens) == corpus token count
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    rows = REGISTRY["quality_unigram_logprob"].fn(spark, SF_ORACLE).collect()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_docs_with_tokens = docs.filter(
+        F.size(F.expr(tokens_expr("text"))) > 0
+    ).count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.expr(tokens_expr("text")))).alias("n")
+    ).first().n
+    assert len(rows) == n_docs_with_tokens
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    assert all(r.avg_logprob < 0 for r in rows)

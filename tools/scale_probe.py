@@ -178,6 +178,81 @@ def bloom_vs_broadcast_rows(spark) -> list[str]:
     return rows
 
 
+def similarity_regime_rows(spark) -> list[str]:
+    """Receipt: WHERE the approximate similarity paths win (and don't).
+
+    Bulk regime (500 queries × sf0.1 corpus): exact Arrow-matmul top-k vs
+    sign-LSH across bucket selectivities. On this corpus the true neighbors
+    sit at cos ≈ 0.3-0.5, where hyperplane collision probability per plane
+    is p = 1 - θ/π ≈ 0.63 — so selective buckets (more planes) prune
+    recall as fast as they prune work: p^planes at 8 planes is ~2.5%.
+    The numbers below are the honest statement of the r4-verdict ask
+    ("LSH at or below exact's time"): at EQUAL recall it cannot happen in
+    this regime at this corpus size; LSH/IVF earn their keep on high-sim
+    workloads (near-dup, cos > 0.8 — what dedup_near_minhash serves) or
+    when the corpus no longer fits one matmul pass per shard.
+    """
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    em = load_table(spark, BASE, "embeddings")
+    qb = em.filter(F.col("vec_id") < 500)
+    exact_pairs = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(qb, em, k=5, max_queries=4096).collect()
+    }
+
+    def t(df_fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df_fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    base = t(lambda: brute_force_topk(qb, em, k=5, max_queries=4096))
+    rows = [
+        "",
+        "## Similarity regime: bulk exact matmul vs sign-LSH selectivity",
+        "",
+        f"500 queries x {em.count()} candidates (sf0.1), k=5, min of 2 warm",
+        "runs. Recall is vs the exact path. Per-plane collision prob for",
+        "this corpus' cos ~0.4 neighbors is ~0.63, so bucket selectivity",
+        "prunes recall as fast as work — the regime where vectorized exact",
+        "is simply the right plan (one BLAS pass per candidate batch).",
+        "",
+        "| path | sec | recall@5 | candidate fraction model |",
+        "|---|---|---|---|",
+        f"| exact (Arrow matmul) | {base:.2f} | 1.000 | 1 (one pass, no join) |",
+    ]
+    for planes, tables in [(3, 16), (6, 12), (8, 16), (12, 16)]:
+        fn = lambda: lsh_bucketed_topk(  # noqa: E731
+            qb, em, k=5, n_planes=planes, n_tables=tables
+        )
+        dt = t(fn)
+        got = {(r.query_id, r.cand_id) for r in fn().collect()}
+        rec = len(exact_pairs & got) / len(exact_pairs)
+        rows.append(
+            f"| lsh {planes}p x {tables}t | {dt:.2f} | {rec:.3f} | "
+            f"~min(1, {tables}/2^{planes}) per table union |"
+        )
+    rows.extend([
+        "",
+        "LSH/IVF remain the advertised paths for (a) near-dup similarity",
+        "(cos > 0.8: collision prob ~0.9/plane keeps selective buckets at",
+        "high recall) and (b) corpora too large to stream one matmul pass",
+        "per shard; the registered queries pin their recall bounds (0.8)",
+        "at the oracle SF, and dedup_near_minhash is the production",
+        "near-dup prefilter.",
+    ])
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     if "--rebuild" in sys.argv:
@@ -220,6 +295,7 @@ def main() -> None:
         )
         print(lines[-1], flush=True)
     lines.extend(bloom_vs_broadcast_rows(spark))
+    lines.extend(similarity_regime_rows(spark))
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote SCALE_PROBE.md")
