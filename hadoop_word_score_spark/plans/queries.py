@@ -4448,3 +4448,152 @@ def q_quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("avg_logprob", "doc_id")
     )
+
+
+# partsupp stand-in for the two TPC-H shapes that need it (testdata ships no
+# partsupp table): the DISTINCT (l_partkey, l_suppkey) pairs observed in
+# lineitem, with supply cost / available quantity as deterministic integer
+# arithmetic over the keys — mirrorable exactly in the DuckDB oracle, and
+# the JOIN/DECORRELATION topology (the point of the shapes) is unchanged.
+# CAST AS DOUBLE: Spark parses the 100.0 literal as DECIMAL(4,1) and would
+# serve DecimalType; DuckDB divides as double — the cast pins both to double.
+_PS_COST = (
+    "ROUND(CAST((ps_partkey * 31 + ps_suppkey * 17) % 10000 AS DOUBLE) / 100.0, 2)"
+)
+_PS_AVAIL = "(ps_partkey * 7 + ps_suppkey * 13) % 500 + 1"
+
+_Q2_SQL = f"""
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+),
+eligible AS (
+    SELECT ps_partkey, {_PS_COST} AS ps_supplycost, s_name, s_acctbal, n_name
+    FROM ps
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, ps_supplycost
+FROM part
+JOIN eligible ON ps_partkey = p_partkey
+WHERE p_size = 15 AND p_type = 'ECONOMY'
+  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eligible e2
+                       WHERE e2.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL, tags=("ref-adjacent", "join", "subquery"))
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape: correlated MIN over a dimension chain — for each
+    # qualifying part, the suppliers achieving the minimum regional supply
+    # cost. The correlated scalar decorrelates to a WINDOW MIN over the
+    # eligible set partitioned by part (one shuffle, no second scan or
+    # self-join); region/nation broadcast (bounded dims), supplier and the
+    # derived partsupp stay hint-free for AQE. Top-k is
+    # TakeOrderedAndProject, never a global sort.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    eligible = (
+        ps.withColumn("ps_supplycost", F.expr(_PS_COST))
+        .join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eligible.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        p.join(best, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "ps_supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q20_SQL = f"""
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+),
+shipped AS (
+    SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+      SELECT ps_suppkey FROM ps
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE {_PS_AVAIL} > half_qty
+        AND ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  )
+ORDER BY s_name
+"""
+
+
+@register("q20_excess_stock", oracle=_Q20_SQL, tags=("ref-adjacent", "join", "subquery"))
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape: a nested semi-join chain with a correlated
+    # half-of-shipped threshold — suppliers of 'red' parts holding more
+    # stock than half of what shipped in 1997. Written as the decorrelated
+    # plan: the per-(part, supplier) shipped aggregate joins the derived
+    # partsupp once (both sides hash-partition on the same compound key),
+    # part membership is a broadcast-friendly semi join, and the surviving
+    # supplier keys semi-join into supplier. nation broadcasts (bounded);
+    # everything SF-scaled is hint-free for AQE.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        ps.join(p.select("p_partkey"), F.col("p_partkey") == F.col("ps_partkey"), "left_semi")
+        .withColumn("ps_availqty", F.expr(_PS_AVAIL))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(excess, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

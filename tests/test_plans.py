@@ -249,3 +249,21 @@ def test_events_loader_legacy_nanos_branch(spark, tmp_path):
     # integer truncation ns→µs (matches DuckDB), not float rounding
     assert rows[1].microsecond == 123456
     assert rows[2].microsecond == 987654
+
+
+def test_q2_decorrelates_to_window_min(spark):
+    # the correlated per-part MIN must run as a window over the eligible
+    # set (one shuffle), not a re-scan/self-join per probe row, and the
+    # LIMIT must ride a TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_is_a_semi_join_chain(spark):
+    # part membership and the final supplier filter are LeftSemi (no row
+    # multiplication anywhere), with no cartesian fallback
+    plan = plan_of(spark, "q20_excess_stock")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
