@@ -72,6 +72,31 @@ def shingle_hashes_expr(text_col: str, n: int = 3) -> str:
     return let1(shingles_expr(text_col, n), "sv", "transform(sv, x -> xxhash64(x))")
 
 
+def winnow_fingerprints_expr(text_col: str, k: int = 5, w: int = 8) -> str:
+    """SQL expr: winnowing fingerprint set (Schleimer/Wilkerson/Aiken 2003).
+
+    md5 every ``k``-token gram, keep the minimum hash of each ``w``-wide
+    window of consecutive gram hashes, distinct. Guarantee: two documents
+    sharing any run of ``w + k - 1`` tokens share at least one fingerprint
+    (property-tested); expected density 2/(w+1) of the gram count. md5
+    rather than xxhash64 so DuckDB oracles compute bit-identical values.
+    Both passes are let-bound — one tokenize and one gram pass per document.
+    """
+    grams = (
+        f"CASE WHEN size(w) >= {k} THEN "
+        f"transform(sequence(1, size(w) - {k - 1}),"
+        f" i -> md5(concat_ws(' ', slice(w, i, {k})))) "
+        f"ELSE array() END"
+    )
+    sel = (
+        f"CASE WHEN size(hs) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(hs) - {w - 1}),"
+        f" j -> array_min(slice(hs, j, {w})))) "
+        f"ELSE array() END"
+    )
+    return let1(let1(tokens_expr(text_col), "w", grams), "hs", sel)
+
+
 def minhash_signature(shingle_col: str, num_hashes: int = 32) -> Column:
     """MinHash signature: array of ``num_hashes`` 64-bit minima.
 

@@ -4597,3 +4597,131 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+_WIN_K = 5   # k-gram length (tokens)
+_WIN_W = 8   # winnowing window over consecutive k-gram hashes
+
+_WINNOW_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    -- range() is END-EXCLUSIVE (Spark's sequence() is inclusive): the stop
+    -- is len - k + 2 so the last k-gram starts at len - k + 1, same as Spark
+    SELECT doc_id,
+           list_transform(range(1, len(w) - {_WIN_K - 2}),
+                          i -> md5(array_to_string(list_slice(w, i, i + {_WIN_K - 1}), ' '))) AS hs
+    FROM toks WHERE len(w) >= {_WIN_K}
+),
+sel AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(hs) - {_WIN_W - 2}),
+                                 j -> list_min(list_slice(hs, j, j + {_WIN_W - 1})))) AS fp
+    FROM grams WHERE len(hs) >= {_WIN_W}
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 50
+"""
+
+
+@register("dedup_winnowing_pairs", oracle=_WINNOW_SQL, tags=("llm", "dedup", "text"))
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    # algorithm): per document, hash every 5-token k-gram, then keep the
+    # minimum hash of each 8-wide window — a guaranteed-coverage local
+    # sampling (any shared run of w+k-1 tokens shares >= 1 fingerprint)
+    # with expected density 2/(w+1), i.e. ~4x fewer postings than
+    # dedup_spans_exact at the same guarantee length. Pairs come from a
+    # postings self-join on fingerprint — bucketed candidate generation,
+    # never all-pairs; the fingerprint selection itself is pure let-bound
+    # HOF expressions (one tokenize, one gram pass per doc, zero shuffle
+    # until the postings groupBy). md5 (not xxhash64) so the DuckDB oracle
+    # computes bit-identical fingerprints.
+    from ..functions.hashing import winnow_fingerprints_expr
+
+    fp_expr = winnow_fingerprints_expr("text", _WIN_K, _WIN_W)
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select("doc_id", F.explode(F.expr(fp_expr)).alias("fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+_REPORT_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tok_stats AS (
+    SELECT lang, source,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab
+    FROM toks GROUP BY lang, source
+),
+doc_stats AS (
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT COUNT(*) AS corpus_tokens FROM toks)
+SELECT d.lang, d.source, n_docs, avg_chars, n_tokens, vocab,
+       ROUND(CAST(n_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share
+FROM doc_stats d
+JOIN tok_stats t ON d.lang = t.lang AND d.source = t.source
+CROSS JOIN tot
+ORDER BY d.lang, d.source
+"""
+
+
+@register("corpus_report_by_source", oracle=_REPORT_SQL, tags=("llm", "text", "agg"))
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mixture-planner's input table: per (lang, source) document counts,
+    # size, token counts, vocabulary, and share of corpus tokens. Two
+    # aggregate shapes over ONE scan subtree — doc-level stats straight off
+    # the table, token-level stats off a single tokenize+explode — joined on
+    # the group key, with the scalar corpus total broadcast. At 100 TB each
+    # aggregate is map-side partial; nothing reshuffles raw tokens twice.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    tok_stats = toks.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("vocab"),
+    )
+    doc_stats = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("corpus_tokens"))
+    return (
+        doc_stats.join(tok_stats, ["lang", "source"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_docs", "avg_chars", "n_tokens", "vocab",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("corpus_tokens"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -679,3 +679,32 @@ def test_quality_unigram_logprob_invariants(spark):
     assert len(rows) == n_docs_with_tokens
     assert sum(r.n_tokens for r in rows) == total_tokens
     assert all(r.avg_logprob < 0 for r in rows)
+
+
+def test_winnowing_coverage_guarantee(spark):
+    # The algorithm's defining property (Schleimer et al. 2003): documents
+    # sharing any token run of length >= w + k - 1 share at least one
+    # fingerprint — regardless of the differing context around the run.
+    from hadoop_word_score_spark.functions.hashing import winnow_fingerprints_expr
+
+    k, w = 5, 8
+    shared = " ".join(f"common{i}" for i in range(w + k - 1))  # exactly the bound
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon"),
+            (2, f"one two {shared} three four five six"),
+            (3, "entirely disjoint tokens nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", F.expr(winnow_fingerprints_expr("text", k, w)).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared run of w+k-1 tokens must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: fingerprints are a strict sample of the gram hashes
+    n_grams_1 = len(df.collect()[0].text.split()) - k + 1
+    assert 0 < len(fps[1]) < n_grams_1
