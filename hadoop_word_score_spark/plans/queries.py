@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -4724,4 +4724,59 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
         .orderBy("lang", "source")
+    )
+
+
+_SCD2_SQL = """
+WITH v1 AS (
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+    FROM customer
+),
+v2 AS (
+    SELECT c_custkey, ROUND(c_acctbal + 100.0, 2) AS acctbal,
+           c_mktsegment AS segment,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from
+    FROM customer WHERE c_custkey % 7 = 0
+),
+hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT c_custkey, acctbal, segment, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+           AS valid_to,
+       CAST(LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+            IS NULL AS INT) AS is_current
+FROM hist
+ORDER BY c_custkey, valid_from
+"""
+
+
+@register("scd2_customer_history", oracle=_SCD2_SQL, tags=("warehouse", "window", "merge"))
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Slowly-changing-dimension type 2: effective-dated history rows with
+    # half-open [valid_from, valid_to) ranges and a current flag, built from
+    # versioned snapshots with ONE window pass (lead over the union — no
+    # self-join of versions). The update set is synthesized deterministically
+    # from the base table (custkey % 7 gets a balance revision) so the oracle
+    # mirrors it exactly. At 100 TB the union is two scans feeding one
+    # custkey-partitioned window shuffle; appending the next version later is
+    # the same plan over (current ∪ delta) — the standard warehouse pattern.
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    return (
+        v1.unionByName(v2)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .orderBy("c_custkey", "valid_from")
     )
