@@ -149,40 +149,60 @@ def build_ivf_index(
     means, which all collapse to the global mean), assign by max cosine,
     recompute per-cell elementwise means, re-assign.
 
-    Scale shape: centroids are tiny (n_cells ≈ √N rows) and broadcast; both
-    assignment passes are narrow maps over the candidate set; the elementwise
-    mean shuffles (cell, pos, value) triples — dim × N rows of 24 bytes, not
-    vectors. The index DataFrame is what you'd ``write.partitionBy("cell")``
-    so probes prune partitions at read time.
+    Scale shape: centroids are bounded by construction (n_cells ≈ √N rows),
+    so they collect to the driver and ride each assignment pass as a closure
+    matrix — both passes are then NARROW mapInPandas argmax scans with zero
+    shuffle and zero join (the previous crossJoin + groupBy(max_by) form
+    shuffled every candidate vector once per pass). The only shuffle in the
+    build is the elementwise mean: (cell, pos, value) triples — dim × N rows
+    of 24 bytes, not vectors. Ties break to the lowest cell (np.argmax takes
+    the first maximum). The index DataFrame is what you'd
+    ``write.partitionBy("cell")`` so probes prune partitions at read time.
     """
     ids = F.col(id_col)
-    seeds = (
-        candidates.orderBy(ids).limit(n_cells)
-        .select(ids.alias("seed_id"), F.col(vec_col).alias("centroid"))
-        .withColumn(
-            "cell",
-            F.row_number().over(Window.orderBy("seed_id")).cast("int") - 1,
+    seed_rows = [
+        (i, r[0])
+        for i, r in enumerate(
+            candidates.orderBy(ids).limit(n_cells)
+            .select(F.col(vec_col).alias("centroid"))
+            .collect()
         )
-        .select("cell", "centroid")
-    )
+    ]
 
-    cos_pair = _cosine_pairs_udf()
+    def assign_with(cent_rows: list) -> DataFrame:
+        # cent_rows: [(cell_id, centroid)] — argmax positions map back
+        # through cell_ids so a cell emptied by refinement can't skew the
+        # positional index (cell ids need not be dense).
+        cell_ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+        cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0] = 1.0
+        vec_type = candidates.schema[vec_col].dataType.simpleString()
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = candidates.select(
+        def assign_batches(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"vid": pd.Series(dtype="int64"),
+                         "v": pd.Series(dtype="object"),
+                         "cell": pd.Series(dtype="int32")}
+                    )
+                    continue
+                vm = np.array(list(pdf["v"]), dtype=np.float64)
+                vnorm = np.sqrt((vm * vm).sum(axis=1))
+                vnorm[vnorm == 0] = 1.0
+                sims = (vm / vnorm[:, None]) @ (cmat / cnorm[:, None]).T
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "v": pdf["v"],
+                     "cell": cell_ids[np.argmax(sims, axis=1)]}
+                )
+
+        return candidates.select(
             ids.alias("vid"), F.col(vec_col).alias("v")
-        ).crossJoin(F.broadcast(cents))
-        return (
-            scored.withColumn("cos", cos_pair("v", "centroid"))
-            .groupBy("vid")
-            .agg(
-                F.max_by("cell", F.struct(F.col("cos"), -F.col("cell"))).alias("cell"),
-                F.first("v").alias("v"),
-            )
-        )
+        ).mapInPandas(assign_batches, f"vid long, v {vec_type}, cell int")
 
     refined = (
-        assign(seeds)
+        assign_with(seed_rows)
         .select("cell", F.posexplode("v").alias("pos", "x"))
         .groupBy("cell", "pos")
         .agg(F.avg("x").alias("m"))
@@ -193,7 +213,10 @@ def build_ivf_index(
             ).alias("centroid")
         )
     )
-    index = assign(refined).select(
+    refined_rows = [
+        (r[0], r[1]) for r in refined.orderBy("cell").select("cell", "centroid").collect()
+    ]
+    index = assign_with(refined_rows).select(
         F.col("vid").alias(id_col), F.col("v").alias(vec_col), "cell"
     )
     return refined, index
