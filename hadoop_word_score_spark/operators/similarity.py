@@ -169,6 +169,16 @@ def build_ivf_index(
         )
     ]
 
+    vec_schema = candidates.schema[vec_col].dataType.simpleString()
+    if not seed_rows:  # empty candidate set → empty centroids + index
+        empty_cents = candidates.sparkSession.createDataFrame(
+            [], f"cell int, centroid {vec_schema}"
+        )
+        empty_index = candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, {vec_col} {vec_schema}, cell int"
+        )
+        return empty_cents, empty_index
+
     def assign_with(cent_rows: list) -> DataFrame:
         # cent_rows: [(cell_id, centroid)] — argmax positions map back
         # through cell_ids so a cell emptied by refinement can't skew the

@@ -53,6 +53,13 @@ def test_similarity_empty(spark):
     vecs = _empty_vecs(spark)
     assert brute_force_topk(vecs, vecs, k=5).count() == 0
     assert lsh_bucketed_topk(vecs, vecs, k=5).count() == 0
+    # IVF: the closure-based centroid build must short-circuit on an empty
+    # candidate set (no seed vectors to collect) with the right schemas
+    from hadoop_word_score_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(vecs, vecs, k=5)
+    assert out.columns == ["query_id", "cand_id", "cosine_sim", "rank"]
+    assert out.count() == 0
 
 
 def test_asof_empty_sides(spark):

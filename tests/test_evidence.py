@@ -52,3 +52,31 @@ def test_ledger_names_are_registered():
     ):
         assert ledger <= set(Q.REGISTRY)
     assert set(Q._VERIFIED_ORACLE_FP) <= set(Q.REGISTRY)
+
+
+def test_every_oracle_compiles_in_duckdb():
+    # The driver runs oracles against DuckDB at sf0.01; a syntax error or a
+    # missing-function reference would burn a round's evidence budget on an
+    # err row. EXPLAIN compiles (plans) each oracle without executing it —
+    # a millisecond-scale guard over all ~120 oracles.
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    failures = []
+    for name, spec in Q.REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {spec.oracle}")
+        except Exception as e:  # noqa: BLE001 — report every broken oracle
+            failures.append(f"{name}: {e}")
+    assert not failures, "\n".join(failures)
