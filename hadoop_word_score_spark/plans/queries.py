@@ -4780,3 +4780,115 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .orderBy("c_custkey", "valid_from")
     )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type, bucket_hour, n,
+           AVG(n)         OVER w AS mu,
+           STDDEV_SAMP(n) OVER w AS sigma
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_hour, n, ROUND((n - mu) / sigma, 4) AS zscore
+FROM scored
+WHERE sigma > 0 AND ABS((n - mu) / sigma) > 2
+ORDER BY event_type, bucket_hour
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ANOMALY_SQL, tags=("events", "window", "time"))
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window anomaly detection: each hour's event count scored
+    # against the mean/stddev of its OWN preceding 24 hours (frame excludes
+    # the current row — no self-contamination), flagging |z| > 2. Two-level
+    # composition: the hourly rollup shuffles once on (type, hour); the
+    # window frame then runs over the aggregate — thousands of rows per
+    # type, not raw events — which is what makes the pattern viable on a
+    # 100 TB event stream (the expensive pass is the rollup, and it is
+    # map-side partial).
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(-24, -1)
+    )
+    # window expressions materialize as columns BEFORE the filter (Spark
+    # rejects window functions inside WHERE); the raw z rides along so the
+    # predicate and the rounded output can't disagree on boundary values
+    return (
+        hourly.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sigma", F.stddev_samp("n").over(w))
+        .withColumn("z_raw", (F.col("n") - F.col("mu")) / F.col("sigma"))
+        .filter((F.col("sigma") > 0) & (F.abs("z_raw") > 2))
+        .select(
+            "event_type", "bucket_hour", "n", F.round("z_raw", 4).alias("zscore")
+        )
+        .orderBy("event_type", "bucket_hour")
+    )
+
+
+_TTC_SQL = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS t_signup
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+    SELECT user_id, MIN(ts) AS t_purchase
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+deltas AS (
+    SELECT date_diff('second', t_signup, t_purchase) AS delta_s
+    FROM s JOIN p USING (user_id)
+    WHERE t_purchase >= t_signup
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(delta_s, 0.5), 2) AS p50_seconds,
+       ROUND(quantile_cont(delta_s, 0.9), 2) AS p90_seconds
+FROM deltas
+"""
+
+
+@register("funnel_time_to_convert", oracle=_TTC_SQL, tags=("events", "agg", "funnel"))
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversion-latency distribution: per user, first signup to first
+    # purchase (purchase at-or-after signup), summarized as exact
+    # interpolated percentiles. Both per-user minima come off one scan
+    # subtree with pushed event_type filters; the join keys both sides on
+    # user_id (the aggregates are already partitioned that way); seconds
+    # via epoch truncation on both engines (floor(t2) - floor(t1) ==
+    # date_diff('second')).
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    deltas = (
+        s.join(p, "user_id")
+        .filter(F.col("t_purchase") >= F.col("t_signup"))
+        .select(
+            (
+                F.col("t_purchase").cast("long") - F.col("t_signup").cast("long")
+            ).alias("delta_s")
+        )
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 2).alias("p50_seconds"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 2).alias("p90_seconds"),
+    )
