@@ -153,6 +153,32 @@ _DRIVER_GREEN_R04 = frozenset({
 })
 
 
+
+# Queries the round-5 driver proved green (rows+schema+hash, sf0.01) --
+# CORRECTNESS_r05.json, 50/50 green. The rotation landed exactly where the
+# ledger pointed it: the three re-oracled multimodal queries got their first
+# real hash evidence, plus the r3-stale tier and every r5 addition.
+_DRIVER_GREEN_R05 = frozenset({
+    "agg_stats", "corpus_report_by_source", "cube_segment_status",
+    "date_funcs", "decontaminate_bloom", "dedup_incremental",
+    "dedup_spans_exact", "dedup_winnowing_pairs", "events_anomaly_zscore",
+    "events_gapfill_hourly", "filter_project", "funnel_time_to_convert",
+    "join_anti", "join_cross", "join_left_outer", "join_range_theta",
+    "join_semi", "json_funcs", "math_funcs", "multimodal_decode",
+    "multimodal_frames", "multimodal_resize", "pii_redact",
+    "q11_important_parts", "q12_priority_shipping", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_stock",
+    "q22_inactive_customers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q7_nation_volume", "q9_product_profit", "quality_repetition_filter",
+    "quality_unigram_logprob", "rollup_status_priority",
+    "scd2_customer_history", "set_ops", "string_funcs", "topk_per_group",
+    "window_analytic", "window_ranking", "window_running", "wordscore",
+    "wordscore_top10"
+})
+
+
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
 
@@ -186,6 +212,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bm25_ranking": "6bff8ce61029",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
+    "corpus_report_by_source": "aa23b8986484",
     "cube_segment_status": "00da5551f9ed",
     "date_funcs": "e57b8125fb64",
     "decontaminate_bloom": "4158443f5f4d",
@@ -199,15 +226,19 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "dedup_near_minhash": "1cdf1ec48dac",
     "dedup_near_simhash": "0117fd3c1802",
     "dedup_pipeline_end_to_end": "4b809bfa609c",
+    "dedup_spans_exact": "d61fcc2d29f0",
+    "dedup_winnowing_pairs": "c6feba0a04ac",
     "doc_chunks": "ffd74a0e21d5",
     "doc_fingerprint": "677d0308cba2",
     "doc_length_buckets": "e333f9bf8417",
     "embedding_centroids": "2cf8aa98e9a1",
     "embedding_quantize_int8": "aaa8faade4fe",
+    "events_anomaly_zscore": "8e8930f7feeb",
     "events_gapfill_hourly": "e8f7525be53f",
     "events_rollup_multi_grain": "33ff39ed700d",
     "filter_project": "a9a8bfadf49d",
     "funnel_signup_click_purchase": "92866f84bd49",
+    "funnel_time_to_convert": "d647673746a7",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
     "histogram_totalprice": "8038b735944f",
@@ -224,11 +255,11 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "math_funcs": "232331fb6315",
     "merge_upsert_customers": "fbc09c1f1812",
     "mixture_sample_weighted": "189cecf6d5bd",
-    "multimodal_decode": "rows_only",
+    "multimodal_decode": "7ede53011cbb",
     "multimodal_decode_real": "574e7a4c7f72",
-    "multimodal_frames": "rows_only",
+    "multimodal_frames": "8533e90e9148",
     "multimodal_meta": "0f99c74fe197",
-    "multimodal_resize": "rows_only",
+    "multimodal_resize": "da5dd6feffc2",
     "null_semantics": "14f06cc19e8d",
     "pack_sequences": "efcce867afee",
     "percentile_exact": "9fa832056777",
@@ -245,18 +276,23 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "q18_large_volume": "b69beef07caa",
     "q19_disjunctive_revenue": "54d13d665430",
     "q1_pricing_summary": "e4a8b58127b6",
+    "q20_excess_stock": "c8feea51bde1",
     "q21_waiting_supplier": "19ec193338a5",
     "q22_inactive_customers": "03e311c221bf",
+    "q2_min_cost_supplier": "cff5cb401082",
     "q3_shipping_priority": "67441f8f5e73",
     "q4_order_priority": "af54c0df6321",
     "q5_local_supplier_volume": "fc68e6ae7659",
     "q6_forecast_revenue": "2964f042473e",
     "q7_nation_volume": "9c6e6d9c487b",
     "q8_market_share": "dcac2cc8b7e0",
+    "q9_product_profit": "be46a54fd1bf",
     "quality_repetition_filter": "55636dd83470",
+    "quality_unigram_logprob": "806b0c6c302d",
     "rollup_status_priority": "fd02b19f270d",
     "sample_hash_mod": "4e92ad8c6a40",
     "sample_stratified_lang": "1cd168b40df0",
+    "scd2_customer_history": "1f02960c1eb3",
     "session_window": "3e2119405138",
     "set_ops": "eb45e5f01a18",
     "shuffle_shards": "2460ab3b27d7",
@@ -292,14 +328,34 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
 }
 
 
+# Manual implementation-revision demotions (ADVICE r5): the oracle
+# fingerprint cannot see an execution-path rewrite that keeps the oracle
+# text unchanged, so list here any query whose implementation was rewritten
+# since its last driver touch. Listed names rank as never-verified until a
+# driver round re-proves them; tools/gen_evidence.py drops names that appear
+# green in the new CORRECTNESS file.
+_IMPL_DEMOTED: frozenset[str] = frozenset({
+    # r6: IVF probe path split build/probe + persisted partitioned index;
+    # LSH defaults retuned for the cos>0.8 near-dup regime. Both rewritten
+    # after their last (r4) driver verification.
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+})
+
+
 def _latest_evidence_round(name: str) -> int:
     """Most recent round whose driver run verified this query AS CURRENTLY
-    ORACLED (0 = never). An oracle rewrite since the last driver touch resets
-    the query to round 0: the old evidence attests a different check."""
+    ORACLED AND IMPLEMENTED (0 = never). An oracle rewrite since the last
+    driver touch resets the query to round 0 (the old evidence attests a
+    different check); so does an _IMPL_DEMOTED listing (the old evidence
+    attests different code)."""
+    if name in _IMPL_DEMOTED:
+        return 0
     spec = REGISTRY.get(name)
     if spec is not None and _VERIFIED_ORACLE_FP.get(name) != _oracle_fp(spec.oracle):
         return 0
     for rnd, ledger in (
+        (5, _DRIVER_GREEN_R05),
         (4, _DRIVER_GREEN_R04),
         (3, _DRIVER_GREEN_R03),
         (2, _DRIVER_GREEN_R02),
@@ -312,8 +368,8 @@ def _latest_evidence_round(name: str) -> int:
 
 def _evidence_order() -> list[QuerySpec]:
     # Oldest-evidence-first: never-verified queries lead (round 0 = new
-    # additions AND any query whose oracle changed since its last driver
-    # touch), then r1, r2, r3, r4 — so each round's count-budgeted driver
+    # additions AND any query whose oracle or implementation changed since
+    # its last driver touch), then r1..r5 — so each round's count-budgeted driver
     # pass refreshes the queries most likely to have drifted since their
     # last verification. Oracle-backed before rows-only within a tier
     # (a hash check is stronger evidence than a row count).

@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hadoop_word_score_spark.plans.queries import (  # noqa: E402
     REGISTRY,
+    _IMPL_DEMOTED,
     _VERIFIED_ORACLE_FP,
     _oracle_fp,
 )
@@ -39,11 +40,18 @@ def main(correctness_path: str, round_no: int) -> None:
     results = json.load(open(correctness_path))
     green, red = [], []
     for name, row in sorted(results.items()):
-        # hash green, or rows-only green for queries with no oracle by nature
-        ok = row.get("err") is None and row.get("rows_match") and (
-            row.get("hash_match") or name not in {
-                n for n, s in REGISTRY.items() if s.oracle is not None
-            }
+        # hash green, or rows-only green for queries with no oracle by nature.
+        # schema_match mirrors the driver's full rows+schema+hash gate: a row
+        # with matching values but a mismatched schema is NOT verified.
+        ok = (
+            row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match", True)
+            and (
+                row.get("hash_match") or name not in {
+                    n for n, s in REGISTRY.items() if s.oracle is not None
+                }
+            )
         )
         (green if ok else red).append(name)
     if red:
@@ -64,6 +72,11 @@ def main(correctness_path: str, round_no: int) -> None:
     for name in sorted(fp):
         print(f'    "{name}": "{fp[name]}",')
     print("}")
+
+    # a fresh driver green clears a manual implementation demotion
+    still_demoted = sorted(_IMPL_DEMOTED - set(green))
+    body = ", ".join(f'"{n}"' for n in still_demoted) or ""
+    print(f"\n_IMPL_DEMOTED: frozenset[str] = frozenset({{{body}}})")
 
 
 if __name__ == "__main__":
