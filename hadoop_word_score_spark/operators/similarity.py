@@ -17,9 +17,11 @@ two arithmetics are interchangeable.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -51,15 +53,16 @@ def brute_force_topk(
     of OOMing the driver. For bulk all-pairs workloads use the LSH/IVF paths
     (or embedding_cosine_pairs), which keep both sides distributed.
     """
-    n_queries = queries.limit(max_queries + 1).count()
-    if n_queries > max_queries:
+    # guard fused into the collect (limit max_queries+1, then len check):
+    # one Spark job instead of a count job followed by a collect job
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query side to the driver; got "
             f">{max_queries} query vectors. Pass a smaller query set, raise "
             f"max_queries explicitly, or use lsh_bucketed_topk/ivf_topk for "
             f"distributed bulk search."
         )
-    qrows = queries.select(id_col, vec_col).collect()
     qids = np.fromiter((r[0] for r in qrows), dtype=np.int64, count=len(qrows))
     if qrows:
         qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -170,12 +173,15 @@ def build_ivf_index(
     ]
 
     vec_schema = candidates.schema[vec_col].dataType.simpleString()
+    # derive the id type from the input instead of assuming long: a string or
+    # int id column must survive the mapInPandas round-trip unchanged
+    id_schema = candidates.schema[id_col].dataType.simpleString()
     if not seed_rows:  # empty candidate set → empty centroids + index
         empty_cents = candidates.sparkSession.createDataFrame(
             [], f"cell int, centroid {vec_schema}"
         )
         empty_index = candidates.sparkSession.createDataFrame(
-            [], f"{id_col} long, {vec_col} {vec_schema}, cell int"
+            [], f"{id_col} {id_schema}, {vec_col} {vec_schema}, cell int"
         )
         return empty_cents, empty_index
 
@@ -193,7 +199,7 @@ def build_ivf_index(
             for pdf in batches:
                 if len(pdf) == 0:
                     yield pd.DataFrame(
-                        {"vid": pd.Series(dtype="int64"),
+                        {"vid": pdf["vid"],
                          "v": pd.Series(dtype="object"),
                          "cell": pd.Series(dtype="int32")}
                     )
@@ -209,7 +215,7 @@ def build_ivf_index(
 
         return candidates.select(
             ids.alias("vid"), F.col(vec_col).alias("v")
-        ).mapInPandas(assign_batches, f"vid long, v {vec_type}, cell int")
+        ).mapInPandas(assign_batches, f"vid {id_schema}, v {vec_type}, cell int")
 
     refined = (
         assign_with(seed_rows)
@@ -277,6 +283,169 @@ def ivf_topk(
     )
 
 
+def persist_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF index once and persist it PARTITIONED BY cell.
+
+    This is the build half of the build/probe split a 100 TB ANN serving
+    path needs: the corpus is signed into cells exactly once (two narrow
+    argmax scans, see build_ivf_index), written as
+    ``{path}/index/cell=<c>/...`` so every later probe is a partition-pruned
+    read of ~n_probe/n_cells of the corpus, and ``{path}/centroids`` (a
+    bounded ~sqrt(N)-row table) is what probes load to pick cells. Rebuilds
+    are corpus-change events, not per-query work.
+    """
+    centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
+    # repartition by cell before the partitioned write: one file per cell
+    # instead of (write-tasks × cells) shards. The build is the offline half,
+    # so its one extra shuffle buys every probe a minimal file count — small
+    # ragged files are pure per-task overhead on the serving path. (At real
+    # scale you'd repartition(cells_per_file_target, "cell") to bound file
+    # sizes; one file per cell is right for the test corpus.)
+    index.repartition("cell").write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "index")
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+# Process-level centroid cache, keyed by (realpath, _SUCCESS mtime) so a
+# rebuilt index invalidates it. Centroids are the in-memory half of an IVF
+# serving deployment (a bounded ~sqrt(N)-row table pinned on every prober);
+# re-reading them per query would charge every probe a whole Spark job for
+# data that changes only on corpus rebuild.
+_CENTROIDS_CACHE: dict[tuple[str, float], list] = {}
+
+
+def _load_centroids(spark: SparkSession, path: str) -> list:
+    cdir = os.path.join(path, "centroids")
+    marker = os.path.join(cdir, "_SUCCESS")
+    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
+    key = (os.path.realpath(cdir), mtime)
+    if key not in _CENTROIDS_CACHE:
+        _CENTROIDS_CACHE[key] = spark.read.parquet(cdir).collect()
+    return _CENTROIDS_CACHE[key]
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Probe-only top-k against a ``persist_ivf_index`` output.
+
+    Centroids (bounded by construction) and the query batch (guarded like
+    brute_force_topk) collect to the driver; the per-query nearest
+    ``n_probe`` cells are a tiny driver-side matmul. The union of probed
+    cells becomes a LITERAL ``cell IN (...)`` predicate on the partition
+    column — static partition pruning at the parquet scan, plan-asserted in
+    tests/test_plans.py — so the scan reads only the probed fraction of the
+    corpus. Scoring is then the same narrow Arrow matmul shape as
+    brute_force_topk (zero join, zero shuffle before the final rank), with a
+    per-(query, cell) mask so a candidate only scores against queries that
+    probed its cell. Strictly less work than the exact path: same kernel,
+    ~n_probe/n_cells of the reads and FLOPs.
+    """
+    cent_rows = _load_centroids(spark, path)
+    # guard fused into the collect — one Spark job, mirroring brute_force_topk
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_probe_topk collects the query side to the driver; got "
+            f">{max_queries} query vectors. Pass a smaller query set or raise "
+            f"max_queries explicitly."
+        )
+    index = spark.read.parquet(os.path.join(path, "index"))
+    id_schema = index.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_schema}, cand_id {id_schema}, cosine_sim double"
+    if not cent_rows or not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qn = np.where(qnorm == 0, 1.0, qnorm)
+
+    sims = (qmat / qn[:, None]) @ (cmat / cnorm[:, None]).T  # (nq, n_cells)
+    order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cell_ids))]
+    probed = cell_ids[order]  # (nq, n_probe) cell ids per query
+    all_cells = sorted({int(c) for row in probed for c in row})
+    # (cell -> which queries probed it) closure mask; cells are dense small
+    # ints (0..n_cells-1) so a dict keeps it robust to non-dense ids too
+    cell_mask = {
+        c: np.array([(c in set(row)) for row in probed]) for c in all_cells
+    }
+
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=qids.dtype), "cand_id": pd.Series(dtype=qids.dtype),
+         "cosine_sim": pd.Series(dtype="float64")}
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            cid = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.round(vm @ qmat.T / (vnorm[:, None] * qnorm[None, :]), 6)
+            allowed = np.vstack([cell_mask[int(c)] for c in cells])  # (nc, nq)
+            nc, nq = s.shape
+            flat_q = np.tile(qids, nc)
+            flat_c = np.repeat(cid, nq)
+            flat_s = s.ravel()
+            keep = (flat_q != flat_c) & np.isfinite(flat_s) & allowed.ravel()
+            yield pd.DataFrame(
+                {"query_id": flat_q[keep], "cand_id": flat_c[keep],
+                 "cosine_sim": flat_s[keep]}
+            )
+
+    pruned = index.filter(F.col("cell").isin(all_cells))  # static partition pruning
+    # Arrow batch sizing: Spark splits the pruned scan to reach default
+    # parallelism, which at test scale hands mapInPandas dozens of tiny
+    # batches whose per-batch worker roundtrip dwarfs the matmul. When the
+    # index is on a local filesystem, coalesce to ~32 MB of probed bytes per
+    # task (never above the scan's own split count); on cluster stores the
+    # listing is skipped and the scan's natural parallelism stands — there
+    # each cell is many full-size files and batches are already wide.
+    probed_bytes = 0
+    idx_dir = os.path.join(path, "index")
+    if os.path.isdir(idx_dir):
+        for c in all_cells:
+            cdir = os.path.join(idx_dir, f"cell={c}")
+            if os.path.isdir(cdir):
+                with os.scandir(cdir) as it:
+                    probed_bytes += sum(e.stat().st_size for e in it if e.is_file())
+        target = max(1, -(-probed_bytes // (32 << 20)))  # ceil div
+        if target < pruned.rdd.getNumPartitions():
+            pruned = pruned.coalesce(target)
+    scored = pruned.select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    ).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
+
+
 def _sign_sketch_udf(n_planes: int, n_tables: int, dim: int):
     """Vectorized sign-sketch: array<float> → array<long> of bucket ids.
 
@@ -307,8 +476,8 @@ def lsh_bucketed_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 10,
+    n_tables: int = 16,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (sign) LSH prefilter, then exact
@@ -319,10 +488,17 @@ def lsh_bucketed_topk(
     vectorized pandas UDF (Arrow batches, one matmul per batch); candidate
     scoring and ranking stay JVM-side.
 
-    Parameter regime: per-plane agreement for angle θ is 1-θ/π, so recall for
-    a true neighbor ≈ 1-(1-p^planes)^tables. The 4×8 default targets the
-    mid-similarity regime (cos ≈ 0.3-0.5 → recall ≈ 0.7-0.95); raise
-    ``n_planes`` for near-dup workloads (cos > 0.8) to keep buckets selective.
+    Parameter regime: per-plane agreement for angle θ is p = 1-θ/π, so recall
+    for a true neighbor ≈ 1-(1-p^planes)^tables and the random-pair candidate
+    fraction ≈ 1-(1-0.5^planes)^tables. The 10×16 default targets the
+    NEAR-DUP regime this operator is mandated for (cos ≥ 0.8 → p ≥ 0.795 →
+    recall ≥ 0.82, rising to 0.97 at cos 0.9) while keeping buckets selective
+    (random-pair candidate fraction ≈ 1.6%; measured 2.3% on the test corpus
+    — the old 4-plane default admitted ~40%, r5 SCALE_PROBE sweep). LOWER
+    ``n_planes`` for mid-similarity retrieval (cos 0.3-0.5): 3×16 measures
+    0.98 recall@5 on the test corpus at ~40% candidate fraction — at that
+    similarity floor sign-LSH cannot be both selective and high-recall, and
+    the exact path usually wins (documented crossover in SCALE_PROBE.md).
     """
     sketch = _sign_sketch_udf(n_planes, n_tables, dim)
     q = (

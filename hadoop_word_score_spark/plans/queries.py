@@ -18,6 +18,7 @@ deterministic (see __spark_entry__.py docstring):
 from __future__ import annotations
 
 import hashlib
+import os
 
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -1649,21 +1650,94 @@ def _recall_bound_check(
     )
 
 
+def _planted_embeddings(em: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(queries, corpus-with-planted-near-dups) for the near-dup regime.
+
+    The natural test corpus has NO pairs above cos 0.8 (measured: top-1
+    neighbor cos 0.33-0.60), so the near-dup regime sign-LSH/IVF are mandated
+    for is exercised by planting one deterministic near-duplicate per query
+    vector: v' = v + 0.48·roll(v, 7), which lands at cos(v, v') ≈ 0.89 for
+    these vectors — far above the natural neighbor band, so v' is
+    unambiguously v's true nearest neighbor. JVM-side transform, no UDF;
+    planted ids are offset by 1_000_000 so recall checks are a semi-join.
+    """
+    q = em.filter(F.col("vec_id") < 10)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return q, em.unionByName(planted)
+
+
+def _planted_recall_summary(
+    approx: DataFrame, q: DataFrame, bound: float = 0.8
+) -> DataFrame:
+    """Summary row (n_queries, planted_recall_ok): did the approximate path
+    surface each query's planted near-duplicate in its top-k? The oracle
+    recomputes n_queries and asserts TRUE — a recall regression flips the
+    boolean."""
+    expected = q.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + F.lit(1000000)).alias("cand_id"),
+    )
+    found = approx.join(expected, ["query_id", "cand_id"], "left_semi")
+    return (
+        q.agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_queries",
+            (F.col("n_found") >= F.col("n_queries") * F.lit(bound)).alias(
+                "planted_recall_ok"
+            ),
+        )
+    )
+
+
 @register(
     "similarity_topk_lsh",
     # Bound-check oracle (hyperplane sketches aren't reproducible in SQL):
-    # overall recall@5 vs the exact path must be >= 0.8. Measured 0.98 at
-    # 3 planes × 16 tables on this corpus; seeded planes → deterministic.
+    # each query's planted cos≈0.89 near-dup must appear in its LSH top-5
+    # for >= 80% of queries. Seeded planes → deterministic; measured 10/10
+    # at sf0.01 and sf0.1 with the 10-plane × 16-table near-dup defaults
+    # (candidate fraction 2.3% vs ~40% under the old 4-plane default).
     oracle="""
-    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok
     FROM embeddings WHERE vec_id < 10
     """,
     tags=("llm", "similarity"),
     bench=True,  # the advertised scale path needs a timing history (r4 verdict #5)
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L3 scale path: random-hyperplane LSH prefilter. 3-bit × 16-table regime
-    # for the mid-similarity neighbors this corpus has (cos ≈ 0.3-0.5).
+    # L3 scale path: sign-LSH in its mandated near-dup regime (cos > 0.8).
+    # Approx-only — no exact-path recompute inside the benched query; recall
+    # is checked against the planted ground truth instead (r5 verdict #3).
+    from ..operators.similarity import lsh_bucketed_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, corpus = _planted_embeddings(em)
+    approx = lsh_bucketed_topk(q, corpus, k=5)  # near-dup defaults: 10×16
+    return _planted_recall_summary(approx, q)
+
+
+@register(
+    "similarity_lsh_recall_midsim",
+    # Bound-check oracle: overall recall@5 vs the exact path must be >= 0.8
+    # in the MID-similarity regime (this corpus's natural neighbors, cos
+    # 0.3-0.5). Measured 0.98 at 3 planes × 16 tables; at this similarity
+    # floor LSH cannot also be selective (~40% candidate fraction) — the
+    # regime where exact wins, kept as recall evidence, not a bench row.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_lsh_recall_midsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, lsh_bucketed_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -2272,21 +2346,119 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Index geometry for the registered build/probe pair. n_cells ~ sqrt(N) is
+# the IVF guidance (sqrt(510)≈23 at sf0.01, sqrt(2010)≈45 at sf0.1 — 32 sits
+# between); n_probe=3 measured 10/10 planted recall at BOTH test SFs while
+# leaving a third of the partitions pruned even with 10 spread-out queries
+# (20-21/32 cells probed; a single query prunes 29/32).
+_IVF_N_CELLS = 32
+_IVF_N_PROBE = 3
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Cache location for the persisted IVF index of one corpus.
+
+    Keyed by the embeddings file's identity (realpath, mtime, size) plus the
+    build parameters, so a regenerated corpus or a retuned index can never
+    serve stale cells. Lives under the repo's gitignored .scratch/.
+    """
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|planted-v2|{_IVF_N_CELLS}".encode()  # v2: one file per cell
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, ".scratch", "ivf", key)
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing for the persisted IVF index (the serving pattern:
+    the index is a corpus artifact, rebuilt on corpus change, never per
+    query)."""
+    from ..operators.similarity import persist_ivf_index
+
+    path = _ivf_index_path(sf_dir)
+    if not (
+        os.path.exists(os.path.join(path, "index", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "centroids", "_SUCCESS"))
+    ):
+        em = _t(spark, sf_dir, "embeddings")
+        _, corpus = _planted_embeddings(em)
+        persist_ivf_index(corpus, path, n_cells=_IVF_N_CELLS)
+    return path
+
+
+@register(
+    "similarity_ivf_build",
+    # The build half of the IVF build/probe split (r5 verdict #2), benched
+    # as its own row: spherical-kmeans cells, written partitionBy(cell).
+    # n_cells is exact by construction (every lowest-id seed vector assigns
+    # to its own cell, so no cell empties); n_indexed = corpus + 10 planted.
+    oracle="""
+    SELECT CAST(32 AS INT) AS n_cells,
+           (SELECT COUNT(*) + 10 FROM embeddings) AS n_indexed
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import persist_ivf_index
+
+    em = _t(spark, sf_dir, "embeddings")
+    _, corpus = _planted_embeddings(em)
+    path = _ivf_index_path(sf_dir)
+    persist_ivf_index(corpus, path, n_cells=_IVF_N_CELLS)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    idx = spark.read.parquet(os.path.join(path, "index"))
+    return cents.agg(F.count(F.lit(1)).cast("int").alias("n_cells")).crossJoin(
+        idx.agg(F.count(F.lit(1)).alias("n_indexed"))
+    )
+
+
 @register(
     "similarity_topk_ivf",
     # Bound-check oracle (iterative centroid refinement isn't
-    # SQL-expressible): overall recall@5 vs exact >= 0.8. Measured 0.94 at
-    # 16 cells / 6 probes; deterministic seeding (lowest-id vectors).
+    # SQL-expressible): each query's planted cos≈0.89 near-dup must appear
+    # in its probed top-5 for >= 80% of queries. Probe-only against the
+    # persisted partitioned index — the scan reads ONLY the probed cells
+    # (static partition pruning, plan-asserted in tests/test_plans.py).
     oracle="""
-    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
-    FROM embeddings WHERE vec_id < 10
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok
+    FROM embeddings WHERE vec_id < 10 -- ivf probe
     """,
     tags=("llm", "similarity"),
     bench=True,  # the advertised scale path needs a timing history (r4 verdict #5)
 )
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L3 scale path #2: IVF-flat — spherical-kmeans coarse cells, probe the
-    # nearest n_probe cells only, exact cosine within them.
+    # L3 scale path #2, probe half: read n_probe/n_cells of the persisted
+    # index (partition-pruned), narrow Arrow matmul, rank. The build is a
+    # separate corpus-lifecycle cost (similarity_ivf_build); build-if-missing
+    # here only fires on a cold cache.
+    from ..operators.similarity import ivf_probe_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, _ = _planted_embeddings(em)
+    path = _ensure_ivf_index(spark, sf_dir)
+    approx = ivf_probe_topk(spark, path, q, k=5, n_probe=_IVF_N_PROBE)
+    return _planted_recall_summary(approx, q)
+
+
+@register(
+    "similarity_ivf_recall",
+    # Bound-check oracle: overall recall@5 vs the exact path >= 0.8 on the
+    # NATURAL corpus (mid-similarity neighbors) via the inline ivf_topk
+    # path. Measured 0.94 at 16 cells / 6 probes; deterministic seeding
+    # (lowest-id vectors). Recall evidence, not a bench row.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     em = _t(spark, sf_dir, "embeddings")

@@ -184,7 +184,7 @@ def test_simhash_identical_docs_distance_zero(spark):
 # --- similarity -----------------------------------------------------------
 
 
-def test_lsh_similarity_recall(spark):
+def test_lsh_similarity_recall_midsim(spark):
     from hadoop_word_score_spark.operators.similarity import (
         brute_force_topk,
         lsh_bucketed_topk,
@@ -193,10 +193,33 @@ def test_lsh_similarity_recall(spark):
     em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     q = em.filter(F.col("vec_id") < 10)
     exact = {(r.query_id, r.cand_id) for r in brute_force_topk(q, em, k=5).collect()}
-    approx = {(r.query_id, r.cand_id) for r in lsh_bucketed_topk(q, em, k=5).collect()}
+    # mid-similarity regime (true neighbors at cos≈0.3) needs LOW plane
+    # counts — see operator docstring; the default targets near-dups
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in lsh_bucketed_topk(q, em, k=5, n_planes=3, n_tables=16).collect()
+    }
     recall = len(exact & approx) / len(exact)
-    # mid-similarity regime (true neighbors at cos≈0.3) — see operator docstring
     assert recall >= 0.5, f"LSH recall@5 {recall:.2f} < 0.5"
+
+
+def test_lsh_near_dup_regime_defaults(spark):
+    # the 10×16 defaults must (a) find planted cos≈0.89 near-dups and
+    # (b) keep buckets selective — the r5-verdict failure mode was a 4-plane
+    # default admitting ~40% of the corpus as candidates
+    from hadoop_word_score_spark.operators.similarity import lsh_bucketed_topk
+    from hadoop_word_score_spark.plans.queries import _planted_embeddings
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q, corpus = _planted_embeddings(em)
+    top = lsh_bucketed_topk(q, corpus, k=5).collect()
+    planted = {(r.query_id, r.cand_id) for r in top if r.cand_id >= 1000000}
+    n_q = q.count()
+    found = sum((qid, qid + 1000000) in planted for qid in range(n_q))
+    assert found >= 0.8 * n_q, f"planted near-dup recall {found}/{n_q}"
+    # planted neighbor is far above the natural cos≈0.3-0.6 band → rank 1
+    rank1 = {r.query_id: r.cand_id for r in top if r.rank == 1}
+    assert sum(rank1.get(qid) == qid + 1000000 for qid in range(n_q)) >= 0.8 * n_q
 
 
 def test_ivf_similarity_recall(spark):
@@ -213,6 +236,48 @@ def test_ivf_similarity_recall(spark):
     # every result must carry a correct exact cosine and valid rank
     rows = ivf_topk(q, em, k=5).collect()
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_ivf_persist_probe_roundtrip(spark, tmp_path):
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    persist_ivf_index(em, path, n_cells=8)
+    rows = ivf_probe_topk(spark, path, q, k=5, n_probe=4).collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(r.query_id != r.cand_id for r in rows)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(q, em, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in rows}
+    # probing 4/8 cells: spherical cells concentrate neighbors, so recall
+    # should comfortably beat the a priori 50% corpus fraction
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_ivf_index_preserves_id_type(spark, tmp_path):
+    # r5 advice: the mapInPandas schemas must derive the id type from the
+    # input, not assume long — an int id must survive build AND probe
+    from hadoop_word_score_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    _, index = build_ivf_index(em, n_cells=4)
+    assert index.schema["vec_id"].dataType.simpleString() == "int"
+    path = str(tmp_path / "ivf_int")
+    persist_ivf_index(em, path, n_cells=4)
+    out = ivf_probe_topk(spark, path, em.filter("vec_id < 2"), k=3, n_probe=2)
+    assert out.schema["query_id"].dataType.simpleString() == "int"
+    assert out.count() > 0
 
 
 def test_embedding_cosine_pairs_symmetric_bound(spark):

@@ -267,3 +267,28 @@ def test_q20_is_a_semi_join_chain(spark):
     plan = plan_of(spark, "q20_excess_stock")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    # the probe half of the IVF split must read ONLY the probed cells:
+    # a literal cell IN (...) predicate on the partition column, visible as
+    # PartitionFilters at the scan (r5 verdict #2). A single query probes
+    # exactly n_probe of the _IVF_N_CELLS partitions.
+    from hadoop_word_score_spark.operators.similarity import ivf_probe_topk
+    from hadoop_word_score_spark.plans.queries import (
+        _IVF_N_CELLS,
+        _ensure_ivf_index,
+        _t,
+    )
+
+    em = _t(spark, SF_ORACLE, "embeddings")
+    q1 = em.filter(F.col("vec_id") == 3)
+    path = _ensure_ivf_index(spark, SF_ORACLE)
+    probe = ivf_probe_topk(spark, path, q1, k=5, n_probe=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # small lists render as "IN (3,5,18)", larger ones as "INSET 3, 5, …"
+    m = re.search(r"PartitionFilters: \[cell[^\]]* IN(?:SET)? \(?([\d, ]+)\)?\]", plan)
+    assert m, f"no partition filter at the index scan:\n{plan}"
+    probed = m.group(1).split(",")
+    assert len(probed) == 3 < _IVF_N_CELLS
+    assert probe.count() == 5  # and the pruned probe still serves top-k
