@@ -129,6 +129,15 @@ def main() -> None:
         if prev.get(n, 0) > 0 and timings[n] > 1.5 * prev[n]
     }
 
+    # Membership fingerprint (r5 advice): the headline total is only
+    # comparable across rounds when the bench SET is unchanged; recording
+    # the sorted membership + a short hash lets any cross-round comparison
+    # detect that the denominator moved instead of misreading a grown set
+    # as a regression (r5's total grew 5.2s purely from 3 added rows).
+    import hashlib
+
+    member_hash = hashlib.md5("|".join(sorted(names)).encode()).hexdigest()[:12]
+
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -137,6 +146,8 @@ def main() -> None:
         "warm_median_queries": warm_median,
         "warm_median_total_sec": round(sum(warm_median.values()), 3),
         "cold_total_sec": round(sum(cold.values()), 3),
+        "bench_set": sorted(names),
+        "bench_set_hash": member_hash,
         "sf": sf_of(sf_dir),
     }
     if reruns:

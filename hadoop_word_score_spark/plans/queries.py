@@ -4978,7 +4978,12 @@ ORDER BY c_custkey, valid_from
 """
 
 
-@register("scd2_customer_history", oracle=_SCD2_SQL, tags=("warehouse", "window", "merge"))
+@register(
+    "scd2_customer_history",
+    oracle=_SCD2_SQL,
+    tags=("warehouse", "window", "merge"),
+    bench=True,  # r5 verdict #7: guard the window-over-snapshot plan's timing
+)
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Slowly-changing-dimension type 2: effective-dated history rows with
     # half-open [valid_from, valid_to) ranges and a current flag, built from
@@ -5031,7 +5036,12 @@ ORDER BY event_type, bucket_hour
 """
 
 
-@register("events_anomaly_zscore", oracle=_ANOMALY_SQL, tags=("events", "window", "time"))
+@register(
+    "events_anomaly_zscore",
+    oracle=_ANOMALY_SQL,
+    tags=("events", "window", "time"),
+    bench=True,  # r5 verdict #7: guard the window-over-rollup plan's timing
+)
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Trailing-window anomaly detection: each hour's event count scored
     # against the mean/stddev of its OWN preceding 24 hours (frame excludes
