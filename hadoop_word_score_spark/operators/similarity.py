@@ -313,22 +313,37 @@ def persist_ivf_index(
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
-# Process-level centroid cache, keyed by (realpath, _SUCCESS mtime) so a
-# rebuilt index invalidates it. Centroids are the in-memory half of an IVF
+# Process-level serving caches, keyed by (realpath, _SUCCESS mtime) so a
+# rebuilt index invalidates them. Centroids are the in-memory half of an IVF
 # serving deployment (a bounded ~sqrt(N)-row table pinned on every prober);
-# re-reading them per query would charge every probe a whole Spark job for
-# data that changes only on corpus rebuild.
+# the index DataFrame handle is cached because spark.read.parquet on a
+# partitioned table re-lists every cell directory — at sqrt(N) cells that
+# listing costs more than the probe itself, and it only changes on corpus
+# rebuild. Re-paying either per query would be a serving anti-pattern.
 _CENTROIDS_CACHE: dict[tuple[str, float], list] = {}
+_INDEX_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _index_key(spark: SparkSession, subdir: str) -> tuple[str, str, float]:
+    marker = os.path.join(subdir, "_SUCCESS")
+    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
+    return (spark.sparkContext.applicationId, os.path.realpath(subdir), mtime)
 
 
 def _load_centroids(spark: SparkSession, path: str) -> list:
     cdir = os.path.join(path, "centroids")
-    marker = os.path.join(cdir, "_SUCCESS")
-    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
-    key = (os.path.realpath(cdir), mtime)
+    key = _index_key(spark, cdir)[1:]
     if key not in _CENTROIDS_CACHE:
         _CENTROIDS_CACHE[key] = spark.read.parquet(cdir).collect()
     return _CENTROIDS_CACHE[key]
+
+
+def _load_index(spark: SparkSession, path: str) -> DataFrame:
+    idir = os.path.join(path, "index")
+    key = _index_key(spark, idir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = spark.read.parquet(idir)
+    return _INDEX_CACHE[key]
 
 
 def ivf_probe_topk(
@@ -364,7 +379,7 @@ def ivf_probe_topk(
             f">{max_queries} query vectors. Pass a smaller query set or raise "
             f"max_queries explicitly."
         )
-    index = spark.read.parquet(os.path.join(path, "index"))
+    index = _load_index(spark, path)
     id_schema = index.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_schema}, cand_id {id_schema}, cosine_sim double"
     if not cent_rows or not qrows:
@@ -421,20 +436,19 @@ def ivf_probe_topk(
     # parallelism, which at test scale hands mapInPandas dozens of tiny
     # batches whose per-batch worker roundtrip dwarfs the matmul. When the
     # index is on a local filesystem, coalesce to ~32 MB of probed bytes per
-    # task (never above the scan's own split count); on cluster stores the
-    # listing is skipped and the scan's natural parallelism stands — there
-    # each cell is many full-size files and batches are already wide.
-    probed_bytes = 0
+    # task (coalesce never raises parallelism, so a larger target is a
+    # no-op); on cluster stores the listing is skipped and the scan's
+    # natural parallelism stands — there each cell is many full-size files
+    # and batches are already wide.
     idx_dir = os.path.join(path, "index")
     if os.path.isdir(idx_dir):
+        probed_bytes = 0
         for c in all_cells:
             cdir = os.path.join(idx_dir, f"cell={c}")
             if os.path.isdir(cdir):
                 with os.scandir(cdir) as it:
                     probed_bytes += sum(e.stat().st_size for e in it if e.is_file())
-        target = max(1, -(-probed_bytes // (32 << 20)))  # ceil div
-        if target < pruned.rdd.getNumPartitions():
-            pruned = pruned.coalesce(target)
+        pruned = pruned.coalesce(max(1, -(-probed_bytes // (32 << 20))))
     scored = pruned.select(
         F.col(id_col), F.col(vec_col), F.col("cell")
     ).mapInPandas(score, out_schema)

@@ -4625,6 +4625,65 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPANS_HASHED_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \t\n\r\f]+'), t -> t <> '') AS w
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + {_SPAN_K - 1}), ' ') AS span
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_K - 2})) AS i
+          FROM toks WHERE len(w) >= {_SPAN_K})
+),
+groups AS (
+    SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT n_docs, n_occurrences, COUNT(*) AS n_spans
+FROM groups GROUP BY n_docs, n_occurrences
+"""
+
+
+@register("dedup_spans_hashed", oracle=_SPANS_HASHED_SQL, tags=("llm", "dedup", "text"))
+def q_dedup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB execution of dedup_spans_exact: group on xxhash64(span)
+    # (8-byte shuffle key) instead of the raw ~100-byte 16-token string.
+    # Returned shape is the HASH-INDEPENDENT group-size histogram, and the
+    # oracle recomputes it from raw spans — so the driver's value-hash check
+    # IS the equivalence proof that hashing the key merged no groups (a
+    # collision would shift the histogram). Survivor spans at production
+    # scale are re-verified against raw strings (bounded set), so a
+    # collision could only cost a re-check, never a wrong clip.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    k = _SPAN_K
+    docs = d.select("doc_id", F.expr(tokens_expr("text")).alias("w")).filter(
+        F.size("w") >= k
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}),"
+                f" i -> xxhash64(concat_ws(' ', slice(w, i, {k}))))"
+            )
+        ).alias("span_h"),
+    )
+    return (
+        spans.groupBy("span_h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .groupBy("n_docs", "n_occurrences")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
 _UNIGRAM_LP_SQL = """
 WITH tok AS (
     SELECT doc_id,

@@ -49,9 +49,25 @@ def test_ledger_names_are_registered():
     for ledger in (
         Q._DRIVER_GREEN_R01, Q._DRIVER_GREEN_R02,
         Q._DRIVER_GREEN_R03, Q._DRIVER_GREEN_R04,
+        Q._DRIVER_GREEN_R05,
     ):
         assert ledger <= set(Q.REGISTRY)
     assert set(Q._VERIFIED_ORACLE_FP) <= set(Q.REGISTRY)
+    assert Q._IMPL_DEMOTED <= set(Q.REGISTRY)
+
+
+def test_impl_demotion_resets_evidence(monkeypatch):
+    # r5 advice: an execution-path rewrite with an unchanged oracle must not
+    # ride old driver evidence — _IMPL_DEMOTED listings rank as round 0
+    name = next(
+        n for n in Q._DRIVER_GREEN_R05
+        if Q._VERIFIED_ORACLE_FP.get(n) == Q._oracle_fp(Q.REGISTRY[n].oracle)
+        and n not in Q._IMPL_DEMOTED
+    )
+    assert Q._latest_evidence_round(name) == 5
+    monkeypatch.setattr(Q, "_IMPL_DEMOTED", frozenset({name}))
+    assert Q._latest_evidence_round(name) == 0
+    assert name in list(Q.queries())[:8]
 
 
 def test_every_oracle_compiles_in_duckdb():
