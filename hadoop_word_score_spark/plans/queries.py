@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -195,6 +196,80 @@ def _oracle_fp(oracle: str | None) -> str:
     return hashlib.md5(" ".join(oracle.split()).encode()).hexdigest()[:12]
 
 
+_REL_IMPORT_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import", re.M)
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _resolve_rel_imports(src: str, pkg_parts: tuple[str, ...]) -> set[str]:
+    """Engine modules named by the relative imports in ``src``, as dotted
+    paths relative to the package root (e.g. ``operators.similarity``).
+    ``pkg_parts`` is the package the source lives in (``("plans",)`` for a
+    query function's body)."""
+    mods: set[str] = set()
+    for dots, rest in _REL_IMPORT_RE.findall(src):
+        up = len(dots) - 1
+        base = pkg_parts[: len(pkg_parts) - up] if up else pkg_parts
+        target = ".".join((*base, *rest.split("."))) if rest else ".".join(base)
+        if target:
+            mods.add(target)
+    return mods
+
+
+def _engine_module_closure(mods: tuple[str, ...]) -> list[str]:
+    """Transitive closure of engine modules over their own relative imports,
+    so a rewrite two hops away (queries → operators.dedup →
+    functions.hashing) still lands in the fingerprint."""
+    seen: set[str] = set()
+    stack = list(mods)
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        path = os.path.join(_PKG_ROOT, *m.split(".")) + ".py"
+        if not os.path.exists(path):
+            continue
+        seen.add(m)
+        with open(path, encoding="utf-8") as f:
+            stack.extend(_resolve_rel_imports(f.read(), tuple(m.split(".")[:-1])))
+    return sorted(seen)
+
+
+def _modules_digest(mods: tuple[str, ...]) -> str:
+    cache = _modules_digest_cache
+    if mods not in cache:
+        parts = []
+        for m in _engine_module_closure(mods):
+            path = os.path.join(_PKG_ROOT, *m.split(".")) + ".py"
+            with open(path, "rb") as f:
+                parts.append(m + ":" + hashlib.md5(f.read()).hexdigest())
+        cache[mods] = hashlib.md5("\n".join(parts).encode()).hexdigest()
+    return cache[mods]
+
+
+_modules_digest_cache: dict[tuple[str, ...], str] = {}
+
+
+def _impl_fp(fn: QueryFn) -> str:
+    """Fingerprint of a query's IMPLEMENTATION: its function source plus the
+    content of every engine module its body imports (transitively). Driver
+    evidence attests the code that ran, not just the oracle it was compared
+    against (r5 advice: the IVF/LSH execution rewrite kept its oracle text
+    and rode round-4 'verified' standing) — so a rewrite of the query fn OR
+    of any operator module it reaches demotes the query to the
+    never-verified tier. Granularity is module-level and conservative: an
+    unrelated edit in a shared module costs at most one driver re-check;
+    edits to queries.py OUTSIDE the fn (ledgers, helpers) do not demote.
+    """
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return "nosource"
+    mods = tuple(sorted(_resolve_rel_imports(src, ("plans",))))
+    return hashlib.md5((src + "|" + _modules_digest(mods)).encode()).hexdigest()[:12]
+
+
 # name -> fingerprint of the oracle the driver LAST verified this query
 # against ("rows_only" = the driver only did a rows-only check, i.e. the
 # oracle was None at the time). Maintained by tools/gen_evidence.py: each
@@ -329,6 +404,138 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
 }
 
 
+# name -> fingerprint of the IMPLEMENTATION (fn source + transitive engine
+# modules) the driver LAST verified this query with. Maintained by
+# tools/gen_evidence.py alongside _VERIFIED_ORACLE_FP; a mismatch with the
+# current _impl_fp demotes the query to the never-verified tier, so an
+# execution-path rewrite can never ride stale driver evidence (r5 advice).
+# Bootstrapped r6 from the then-current tree minus the _IMPL_DEMOTED names.
+_VERIFIED_IMPL_FP: dict[str, str] = {
+    "agg_salted_two_phase": "09780e710bf7",
+    "agg_stats": "064b5a09c05c",
+    "approx_aggs": "df8430b30d90",
+    "array_funcs": "2b08e62eb4a0",
+    "asof_join_events": "5f8b528493ce",
+    "asof_join_events_forward": "68aeb5b92d28",
+    "bigram_counts": "2a712e132a10",
+    "bitwise_funcs": "be9d7277aa30",
+    "bm25_ranking": "1b34992ba729",
+    "cohort_retention_weekly": "70b5233f1f0d",
+    "conditional_funcs": "f3ec91d7cec2",
+    "corpus_report_by_source": "0196cfdbaf3e",
+    "cube_segment_status": "c98c0943f295",
+    "date_funcs": "939160ec60c3",
+    "decontaminate_bloom": "673706eb6572",
+    "decontaminate_ngrams": "90fe1088a634",
+    "dedup_apply_survivors": "9c7674b231df",
+    "dedup_clusters": "f7e8609f2a3f",
+    "dedup_exact": "bb72a441c841",
+    "dedup_incremental": "5a0d87b0d269",
+    "dedup_near_embedding": "fc61eda90ee1",
+    "dedup_near_jaccard": "5ad0ec62fb80",
+    "dedup_near_minhash": "f98d7d804027",
+    "dedup_near_simhash": "457d79c236d8",
+    "dedup_pipeline_end_to_end": "35c02a30548e",
+    "dedup_spans_exact": "a957e26f13a1",
+    "dedup_winnowing_pairs": "109518bb11a6",
+    "doc_chunks": "9f2ce895fa25",
+    "doc_fingerprint": "6b0614ec0ba5",
+    "doc_length_buckets": "163bfe9dbc31",
+    "embedding_centroids": "d75aac54926d",
+    "embedding_quantize_int8": "fa6270943dae",
+    "events_anomaly_zscore": "e0cb144b4a8e",
+    "events_gapfill_hourly": "12aebbd9de60",
+    "events_rollup_multi_grain": "797d2f5d803a",
+    "filter_project": "863807c295ee",
+    "funnel_signup_click_purchase": "ece35022f9da",
+    "funnel_time_to_convert": "2e74ff2fb77e",
+    "grouping_sets": "70db8a2d6dd3",
+    "having_filter": "e24d5d3db02b",
+    "histogram_totalprice": "1d5e505fd699",
+    "hll_distinct_sketch": "7bb7864b9b59",
+    "join_anti": "a4a842e6de82",
+    "join_cross": "701e41731c20",
+    "join_left_outer": "26cbda41692d",
+    "join_range_theta": "95456ba8b1a9",
+    "join_salted_skew": "e1c7773854e5",
+    "join_semi": "5721ec4bead0",
+    "json_funcs": "6b6927a1de6a",
+    "lang_id_heuristic": "49313b1e46c8",
+    "map_funcs": "6d74dd304ba6",
+    "math_funcs": "da0c50726e64",
+    "merge_upsert_customers": "77b48f09b4ae",
+    "mixture_sample_weighted": "b3a95dcb125c",
+    "multimodal_decode": "63c1e9985c8d",
+    "multimodal_decode_real": "707243cc28a7",
+    "multimodal_frames": "1205282d393f",
+    "multimodal_meta": "06eebbd9ffe6",
+    "multimodal_resize": "991446dc9fae",
+    "null_semantics": "c3e3e3c08e79",
+    "pack_sequences": "ba1ba7d9a7b6",
+    "percentile_exact": "5d22604fc9c1",
+    "pii_redact": "e02e943d9e58",
+    "pivot_status_priority": "a5b05ef8c5e4",
+    "q10_returned_items": "2061a3ee2a84",
+    "q11_important_parts": "c38e860a0fd4",
+    "q12_priority_shipping": "dd2ef8a2e7ad",
+    "q13_customer_distribution": "595e51eb90c5",
+    "q14_promo_effect": "39197008e82f",
+    "q15_top_supplier": "0fcf9aad16bf",
+    "q16_supplier_counts": "ef283ea4a979",
+    "q17_small_quantity_revenue": "4832b2de8d15",
+    "q18_large_volume": "b33295341174",
+    "q19_disjunctive_revenue": "b90cc365b9e7",
+    "q1_pricing_summary": "568268f2cc9e",
+    "q20_excess_stock": "b135aa8a326a",
+    "q21_waiting_supplier": "0c54fe72d73b",
+    "q22_inactive_customers": "596f44525cf0",
+    "q2_min_cost_supplier": "18510bfec4ac",
+    "q3_shipping_priority": "610a34da71ac",
+    "q4_order_priority": "70d95217be2e",
+    "q5_local_supplier_volume": "dc1a8541ec4e",
+    "q6_forecast_revenue": "fc90b4907499",
+    "q7_nation_volume": "710fef669354",
+    "q8_market_share": "a66119b8957e",
+    "q9_product_profit": "b61e25e38c65",
+    "quality_repetition_filter": "ecad3ad1293d",
+    "quality_unigram_logprob": "e5f1965f40c4",
+    "rollup_status_priority": "84dfd40dc2c7",
+    "sample_hash_mod": "35413b90f466",
+    "sample_stratified_lang": "a6671969bba0",
+    "scd2_customer_history": "201308665b10",
+    "session_window": "4fa8d68ec706",
+    "set_ops": "dbf8e5e70a0f",
+    "shuffle_shards": "90c2dded7bd7",
+    "similarity_topk": "6a75ee206ac9",
+    "sliding_window": "09b227c628d7",
+    "stats_corr_covar": "c431b6922b48",
+    "string_agg_nations": "9bb22fb9bbb9",
+    "string_funcs": "129540067d07",
+    "subquery_correlated_scalar": "e6cedd2d2b14",
+    "subquery_exists": "6df4817bcc28",
+    "subquery_in": "5eda1d957c14",
+    "subquery_not_exists": "5638ee823140",
+    "subquery_scalar": "93803eedd5e7",
+    "text_quality": "d0d2cfb39984",
+    "tfidf_top_terms": "bc37e44f299f",
+    "token_counts": "6ec886bf31d3",
+    "topk_per_group": "8f100becd6e6",
+    "tumbling_window": "a610bcb1011e",
+    "udf_grouped_agg_wavg": "b79c81a05094",
+    "udf_grouped_zscore": "d72120b62e57",
+    "unpivot_lineitem_metrics": "d036f183362f",
+    "variant_funcs": "93b90aaa3dd4",
+    "vocab_stats": "83600c393f57",
+    "window_analytic": "03d8f86777ec",
+    "window_dist": "0c94ec602910",
+    "window_range_frame": "930de4758975",
+    "window_ranking": "6eaddbb044dd",
+    "window_running": "9535d0e0767b",
+    "wordscore": "6c7f240a32da",
+    "wordscore_top10": "fd3e92b420ec",
+}
+
+
 # Manual implementation-revision demotions (ADVICE r5): the oracle
 # fingerprint cannot see an execution-path rewrite that keeps the oracle
 # text unchanged, so list here any query whose implementation was rewritten
@@ -348,12 +555,15 @@ def _latest_evidence_round(name: str) -> int:
     """Most recent round whose driver run verified this query AS CURRENTLY
     ORACLED AND IMPLEMENTED (0 = never). An oracle rewrite since the last
     driver touch resets the query to round 0 (the old evidence attests a
-    different check); so does an _IMPL_DEMOTED listing (the old evidence
-    attests different code)."""
+    different check); so does an implementation-fingerprint mismatch (the
+    old evidence attests different code — fn source or any transitively
+    imported engine module) or an explicit _IMPL_DEMOTED listing."""
     if name in _IMPL_DEMOTED:
         return 0
     spec = REGISTRY.get(name)
     if spec is not None and _VERIFIED_ORACLE_FP.get(name) != _oracle_fp(spec.oracle):
+        return 0
+    if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
         return 0
     for rnd, ledger in (
         (5, _DRIVER_GREEN_R05),

@@ -70,6 +70,63 @@ def test_impl_demotion_resets_evidence(monkeypatch):
     assert name in list(Q.queries())[:8]
 
 
+def test_impl_fp_rewrite_resets_evidence(monkeypatch):
+    # r5 advice, structural form: driver evidence is keyed to an
+    # implementation fingerprint (fn source + transitive engine modules), so
+    # a code rewrite demotes the query even with an unchanged oracle.
+    name = next(
+        n for n in Q._DRIVER_GREEN_R05
+        if Q._latest_evidence_round(n) == 5
+    )
+    patched = dict(Q._VERIFIED_IMPL_FP)
+    patched[name] = "rewritten_code"
+    monkeypatch.setattr(Q, "_VERIFIED_IMPL_FP", patched)
+    assert Q._latest_evidence_round(name) == 0
+    assert name in list(Q.queries())[:12]
+
+
+def test_impl_fp_sees_transitive_module_content(tmp_path, monkeypatch):
+    # The fingerprint must change when a transitively-imported engine module
+    # changes content — that is the exact gap the r5 advice flagged (the
+    # similarity.py rewrite was invisible to oracle-keyed evidence).
+    spec = Q.REGISTRY["similarity_topk"]
+    before = Q._impl_fp(spec.fn)
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    mods = Q._resolve_rel_imports(src, ("plans",))
+    assert "operators.similarity" in Q._engine_module_closure(tuple(sorted(mods)))
+    # simulate a module edit by clearing the digest cache and patching the
+    # file content hash path through a copied package root
+    import hashlib as h
+    import os
+    import shutil
+
+    fake_root = tmp_path / "pkg"
+    shutil.copytree(Q._PKG_ROOT, fake_root)
+    target = fake_root / "operators" / "similarity.py"
+    target.write_text(target.read_text() + "\n# rewritten\n")
+    monkeypatch.setattr(Q, "_PKG_ROOT", str(fake_root))
+    monkeypatch.setattr(Q, "_modules_digest_cache", {})
+    after = Q._impl_fp(spec.fn)
+    assert after != before
+
+
+def test_impl_fp_ignores_ledger_edits():
+    # Edits to queries.py outside a fn body (the evidence ledgers this tool
+    # rewrites every round) must NOT demote anything: the fp hashes the fn
+    # source and imported modules, never the whole queries.py file.
+    spec = Q.REGISTRY["wordscore"]
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    assert "_DRIVER_GREEN" not in src
+    mods = Q._engine_module_closure(
+        tuple(sorted(Q._resolve_rel_imports(src, ("plans",))))
+    )
+    assert "plans.queries" not in mods
+
+
 def test_every_oracle_compiles_in_duckdb():
     # The driver runs oracles against DuckDB at sf0.01; a syntax error or a
     # missing-function reference would burn a round's evidence budget on an

@@ -31,7 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from hadoop_word_score_spark.plans.queries import (  # noqa: E402
     REGISTRY,
     _IMPL_DEMOTED,
+    _VERIFIED_IMPL_FP,
     _VERIFIED_ORACLE_FP,
+    _impl_fp,
     _oracle_fp,
 )
 
@@ -71,6 +73,18 @@ def main(correctness_path: str, round_no: int) -> None:
     print("_VERIFIED_ORACLE_FP: dict[str, str] = {")
     for name in sorted(fp):
         print(f'    "{name}": "{fp[name]}",')
+    print("}")
+
+    # Implementation fingerprints: a driver green attests the CURRENT code
+    # of the query fn and every engine module it transitively imports.
+    ifp = dict(_VERIFIED_IMPL_FP)
+    for name in green:
+        spec = REGISTRY.get(name)
+        if spec is not None:
+            ifp[name] = _impl_fp(spec.fn)
+    print("\n_VERIFIED_IMPL_FP: dict[str, str] = {")
+    for name in sorted(ifp):
+        print(f'    "{name}": "{ifp[name]}",')
     print("}")
 
     # a fresh driver green clears a manual implementation demotion
