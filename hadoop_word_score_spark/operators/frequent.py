@@ -1,0 +1,84 @@
+"""Frequent-items (heavy hitters) over unbounded term domains.
+
+The naive top-k — ``groupBy(term).count().orderBy(...).limit(k)`` — shuffles
+one row per DISTINCT term. At 100 TB the distinct-term domain is billions
+(typos, hashes, code identifiers), so the shuffle and the final-stage hash
+tables scale with vocabulary, not with k. The two-phase plan here bounds
+that by summary capacity instead:
+
+  Phase 1  per-partition mergeable Misra-Gries summaries (mapInPandas,
+           Arrow-batched; memory and emitted rows <= capacity per task).
+           The merge rule is the mergeable-summaries form (Agarwal,
+           Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries",
+           PODS 2012): combine counts, then subtract the (capacity+1)-th
+           largest value and drop non-positives. Guarantee: any term with
+           true partition count > n_partition/(capacity+1) survives with an
+           underestimate off by at most n_partition/(capacity+1).
+  Phase 2  the union of summary terms (<= partitions x capacity rows —
+           KBs, not the vocabulary) is a guaranteed superset of every term
+           with global frequency > N/(capacity+1); broadcast-semi-join it
+           back against the token stream and recount EXACTLY, so the
+           output is the true top-k whenever the k-th frequency clears
+           that threshold (asserted by the caller's choice of capacity;
+           property-tested against the full groupBy at test SF).
+
+Cost shape at scale: two scans of the token stream (the second filtered to
+candidates scan-side), shuffles of O(partitions x capacity) and
+O(candidates) rows — never O(distinct terms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summarize(term_col: str, capacity: int):
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            # batch-level merge: add the batch's exact value_counts, then
+            # apply the mergeable-summaries prune once per batch (not per
+            # token) — the bound telescopes across merges.
+            for term, c in pdf[term_col].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(c)
+            if len(counts) > capacity:
+                vals = sorted(counts.values(), reverse=True)
+                sub = vals[capacity]
+                counts = {t: c - sub for t, c in counts.items() if c > sub}
+        yield pd.DataFrame(
+            {"term": list(counts.keys()), "mg_count": list(counts.values())}
+        )
+
+    return summarize
+
+
+def heavy_hitters_topk(
+    tokens: DataFrame, term_col: str, k: int, capacity: int = 512
+) -> DataFrame:
+    """Exact top-k most frequent terms, bounded-memory two-phase plan.
+
+    ``tokens`` is one row per token occurrence. Output columns:
+    (term, n) ordered by n desc, term asc — deterministic under ties.
+    Exactness requires the k-th true frequency > N_tokens/(capacity+1);
+    pick capacity accordingly (512 covers a stopword-headed distribution
+    four orders of magnitude past test SF).
+    """
+    summaries = tokens.select(F.col(term_col).alias("term")).mapInPandas(
+        _mg_summarize("term", capacity), schema="term string, mg_count long"
+    )
+    candidates = summaries.select("term").distinct()
+    return (
+        tokens.join(
+            F.broadcast(candidates),
+            tokens[term_col] == candidates["term"],
+            "left_semi",
+        )
+        .groupBy(F.col(term_col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )

@@ -5399,3 +5399,154 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delta_s", F.lit(0.5)), 2).alias("p50_seconds"),
         F.round(F.percentile("delta_s", F.lit(0.9)), 2).alias("p90_seconds"),
     )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20
+"""
+
+
+@register(
+    "heavy_hitters_terms",
+    # Exact oracle: the two-phase plan is EXACT top-k whenever the k-th
+    # frequency clears N_tokens/(capacity+1) — the naive full groupBy in SQL
+    # is the ground truth the bounded-memory plan must reproduce.
+    oracle=_HEAVY_HITTERS_SQL,
+    tags=("llm", "text", "agg"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L4/A4 frequent items at vocabulary scale: per-partition mergeable
+    # Misra-Gries summaries (shuffle <= partitions x capacity rows) ->
+    # guaranteed-superset candidates -> broadcast-semi recount, exact top-k.
+    # The full groupBy this replaces shuffles one row per DISTINCT term —
+    # billions at 100 TB; this plan's shuffles never scale with vocabulary.
+    from ..functions.hashing import tokens_expr
+    from ..operators.frequent import heavy_hitters_topk
+
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    return heavy_hitters_topk(tokens, "term", k=20, capacity=512)
+
+
+_DRIFT_KL_SQL = """
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+), st AS (
+    SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+), s_tot AS (
+    SELECT source, SUM(c) AS s_n FROM st GROUP BY source
+), corp AS (
+    SELECT term, SUM(c) AS g_c FROM st GROUP BY term
+), g_tot AS (
+    SELECT SUM(c) AS g_n FROM st
+)
+SELECT source,
+       CAST(s_n AS BIGINT) AS n_tokens,
+       ROUND(SUM((c / s_n) * ln((c / s_n) / (g_c / g_n))), 6) AS kl_vs_corpus
+FROM st JOIN s_tot USING (source) JOIN corp USING (term) CROSS JOIN g_tot
+GROUP BY source, s_n
+ORDER BY source
+"""
+
+
+@register("corpus_drift_kl", oracle=_DRIFT_KL_SQL, tags=("llm", "text", "agg"))
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mixture-drift monitor: KL(source unigram dist || corpus unigram dist)
+    # per source — the alarm a training-data pipeline watches when a source
+    # shifts under it. One (source, term) aggregation feeds everything
+    # downstream: source totals, corpus term counts (re-aggregated from the
+    # partials, never a rescan), and the final per-source sum — so the raw
+    # token stream shuffles exactly once.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint()  # reused by three subtrees; ~vocab-sized, not corpus-sized
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("s_n"))
+    corp = st.groupBy("term").agg(F.sum("c").alias("g_c"))
+    g_tot = st.agg(F.sum("c").alias("g_n"))
+    p_s = F.col("c") / F.col("s_n")
+    p_g = F.col("g_c") / F.col("g_n")
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(corp, "term")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source", "s_n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 6).alias("kl_vs_corpus"))
+        .select(
+            "source",
+            F.col("s_n").cast("bigint").alias("n_tokens"),
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
+_ZORDER_BITS = 8
+_ZORDER_SQL = f"""
+WITH b AS (
+    SELECT l_orderkey, l_partkey,
+           LEAST(GREATEST(CAST(FLOOR((l_orderkey - mn_o) * 256.0 / (mx_o - mn_o + 1)) AS BIGINT), 0), 255) AS xb,
+           LEAST(GREATEST(CAST(FLOOR((l_partkey - mn_p) * 256.0 / (mx_p - mn_p + 1)) AS BIGINT), 0), 255) AS yb
+    FROM lineitem,
+         (SELECT MIN(l_orderkey) AS mn_o, MAX(l_orderkey) AS mx_o,
+                 MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p FROM lineitem)
+)
+SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(zvalue) AS BIGINT) AS z_lo, CAST(MAX(zvalue) AS BIGINT) AS z_hi
+FROM (
+    SELECT {" + ".join(f"(((xb >> {i}) & 1) << {2 * i + 1}) + (((yb >> {i}) & 1) << {2 * i})" for i in range(8))} AS zvalue,
+           ((xb >> 4) << 4) + (yb >> 4) AS zbucket
+    FROM b
+)
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
+@register("zorder_keys", oracle=_ZORDER_SQL, tags=("layout", "scalar"))
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Data-layout clustering key: Morton-interleave 8-bit buckets of
+    # (l_orderkey, l_partkey) — pure bit expressions, whole-stage codegen,
+    # bit-identical to the SQL oracle. The writer half (cluster_by_zorder)
+    # range-partitions on this key so per-file min/max stats stay tight in
+    # BOTH dimensions; the bounding-box receipt is in tests/test_operators.py.
+    from ..operators.layout import zorder_bucket, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("mn_o"), F.max("l_orderkey").alias("mx_o"),
+        F.min("l_partkey").alias("mn_p"), F.max("l_partkey").alias("mx_p"),
+    )
+    b = li.crossJoin(F.broadcast(bounds)).select(
+        zorder_bucket(F.col("l_orderkey"), F.col("mn_o"), F.col("mx_o"), _ZORDER_BITS).alias("xb"),
+        zorder_bucket(F.col("l_partkey"), F.col("mn_p"), F.col("mx_p"), _ZORDER_BITS).alias("yb"),
+    )
+    z = b.select(
+        zorder_key(F.col("xb"), F.col("yb"), _ZORDER_BITS).alias("zvalue"),
+        (F.shiftleft(F.shiftright(F.col("xb"), 4), 4) + F.shiftright(F.col("yb"), 4)).alias("zbucket"),
+    )
+    return (
+        z.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zvalue").alias("z_lo"),
+            F.max("zvalue").alias("z_hi"),
+        )
+        .orderBy("zbucket")
+    )

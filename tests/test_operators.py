@@ -773,3 +773,160 @@ def test_winnowing_coverage_guarantee(spark):
     # density: fingerprints are a strict sample of the gram hashes
     n_grams_1 = len(df.collect()[0].text.split()) - k + 1
     assert 0 < len(fps[1]) < n_grams_1
+
+
+def test_heavy_hitters_matches_full_groupby(spark):
+    # The two-phase bounded-memory plan must be EXACT whenever the k-th
+    # frequency clears N/(capacity+1) — compare against the naive full
+    # groupBy top-k on the real corpus.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.frequent import heavy_hitters_topk
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    got = heavy_hitters_topk(tokens, "term", k=15, capacity=256).collect()
+    want = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(15)
+        .collect()
+    )
+    assert [(r.term, r.n) for r in got] == [(r.term, r.n) for r in want]
+
+
+def test_heavy_hitters_candidate_guarantee(spark):
+    # Mergeable-MG guarantee: every term with global frequency >
+    # N/(capacity+1) survives pruning into the candidate set, even at a
+    # deliberately tiny capacity where the summaries are heavily pruned.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.frequent import _mg_summarize
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    capacity = 16
+    d = load_table(spark, SF_SMOKE, "documents")
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    summaries = tokens.mapInPandas(
+        _mg_summarize("term", capacity), schema="term string, mg_count long"
+    )
+    candidates = {r.term for r in summaries.select("term").distinct().collect()}
+    n_total = tokens.count()
+    threshold = n_total / (capacity + 1)
+    must_survive = {
+        r.term
+        for r in tokens.groupBy("term").count().filter(F.col("count") > threshold).collect()
+    }
+    assert must_survive <= candidates
+    # and pruning actually happened (candidates ≪ vocabulary)
+    vocab = tokens.select("term").distinct().count()
+    assert len(candidates) < vocab
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    # The receipt behind the z-order claim. At equal file counts the mean
+    # bounding-box AREA of z-tiles and linear slices is the same (f square
+    # tiles vs f thin slices both cover domain/f); what z-order buys is
+    # per-DIMENSION pruning: a selective predicate on EITHER column
+    # intersects only ~sqrt-many files' min/max ranges, where a
+    # single-column sort prunes one dimension perfectly and the other not
+    # at all. Measure files whose per-file min/max range intersects a
+    # 1/16-of-domain predicate, per dimension — the file-skipping a
+    # min/max-stats reader performs.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_bucket,
+        zorder_key,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("mn_o"), F.max("l_orderkey").alias("mx_o"),
+        F.min("l_partkey").alias("mn_p"), F.max("l_partkey").alias("mx_p"),
+    ).collect()[0]
+    zcol = zorder_key(
+        zorder_bucket(F.col("l_orderkey"), bounds.mn_o, bounds.mx_o, 8),
+        zorder_bucket(F.col("l_partkey"), bounds.mn_p, bounds.mx_p, 8),
+        8,
+    )
+
+    n_files = 16
+    paths = {"zorder": str(tmp_path / "z"), "linear": str(tmp_path / "lin")}
+    # Deterministic tiling: file id = top 4 bits of the 16-bit z-key, i.e.
+    # an exact 4x4 Morton-quadrant grid (repartitionByRange would sample
+    # split points and give a run-dependent, raggedly-straddling layout —
+    # right for a production writer, wrong for a receipt).
+    (
+        li.withColumn("zfile", F.shiftright(zcol, 12))
+        .write.partitionBy("zfile")
+        .parquet(paths["zorder"])
+    )
+    (
+        li.withColumn(
+            "zfile",
+            zorder_bucket(F.col("l_orderkey"), bounds.mn_o, bounds.mx_o, 4),
+        )
+        .write.partitionBy("zfile")
+        .parquet(paths["linear"])
+    )
+
+    def files_intersecting(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy("zfile")
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+        )
+        return (
+            stats.filter((F.col("mx") >= lo) & (F.col("mn") <= hi)).count(),
+            stats.count(),
+        )
+
+    def mid_range(lo, hi):
+        span = (hi - lo + 1) // 16
+        mid = (lo + hi) // 2
+        return mid, mid + span
+
+    o_pred = mid_range(bounds.mn_o, bounds.mx_o)
+    p_pred = mid_range(bounds.mn_p, bounds.mx_p)
+
+    z_o, z_n = files_intersecting(paths["zorder"], "l_orderkey", *o_pred)
+    z_p, _ = files_intersecting(paths["zorder"], "l_partkey", *p_pred)
+    l_o, l_n = files_intersecting(paths["linear"], "l_orderkey", *o_pred)
+    l_p, _ = files_intersecting(paths["linear"], "l_partkey", *p_pred)
+
+    # linear prunes orderkey hard but partkey not at all (every file spans
+    # the full partkey domain); the z-grid prunes BOTH to at most 2 of the
+    # 4 tile-columns (a 1/16-span predicate straddles at most 2 quadrant
+    # rows/cols) = half the files. The scale claim is the WORST dimension:
+    # linear's worst is a full scan, z-order's stays bounded.
+    assert z_n == n_files and l_n == n_files, (z_n, l_n)
+    assert l_o <= z_o, (l_o, z_o)
+    assert l_p == l_n, (l_p, l_n)
+    assert z_o <= z_n // 2, (z_o, z_n)
+    assert z_p <= z_n // 2, (z_p, z_n)
+    assert max(z_o, z_p) < max(l_o, l_p), ((z_o, z_p), (l_o, l_p))
+
+    # the production writer half: range partitioning on the z-key yields
+    # files whose z-ranges are DISJOINT (file boundaries follow the curve)
+    # — deterministic by construction, unlike its sampled split points.
+    zpath = str(tmp_path / "zwriter")
+    cluster_by_zorder(li.withColumn("zv", zcol), F.col("zv"), 8).write.parquet(zpath)
+    ranges = sorted(
+        (r.mn, r.mx)
+        for r in spark.read.parquet(zpath)
+        .groupBy(F.input_file_name())
+        .agg(F.min("zv").alias("mn"), F.max("zv").alias("mx"))
+        .collect()
+    )
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, ranges

@@ -292,3 +292,39 @@ def test_ivf_probe_prunes_partitions(spark):
     probed = m.group(1).split(",")
     assert len(probed) == 3 < _IVF_N_CELLS
     assert probe.count() == 5  # and the pruned probe still serves top-k
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    # Phase 2's exact recount must broadcast the bounded candidate set
+    # (partitions x capacity rows) as a semi join — a shuffled semi join
+    # would reintroduce the vocabulary-scale shuffle the operator exists to
+    # avoid — and the final agg keeps map-side partials.
+    plan = plan_of(spark, "heavy_hitters_terms")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_keys_is_pure_codegen(spark):
+    # The z-key is bit arithmetic only: no Python workers anywhere in the
+    # plan (a UDF here would put an Arrow hop in every write path using the
+    # key), and the scan reads just the two clustered columns.
+    plan = plan_of(spark, "zorder_keys")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "shiftleft" in plan  # the interleave stayed a JVM expression
+    f = formatted_plan(spark, "zorder_keys")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", f)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_orderkey", "l_partkey",
+    }, f
+
+
+def test_corpus_drift_reuses_one_token_aggregation(spark):
+    # The raw token stream is tokenized and aggregated to (source, term)
+    # counts exactly ONCE (localCheckpoint), then every downstream subtree —
+    # source totals, corpus term counts, the grand total, the KL sum —
+    # scans that materialized partial instead of re-exploding the corpus:
+    # the final plan contains no Generate at all, only ExistingRDD scans.
+    plan = plan_of(spark, "corpus_drift_kl")
+    assert "Generate explode" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
