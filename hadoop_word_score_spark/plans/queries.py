@@ -5422,6 +5422,7 @@ LIMIT 20
     # is the ground truth the bounded-memory plan must reproduce.
     oracle=_HEAVY_HITTERS_SQL,
     tags=("llm", "text", "agg"),
+    bench=True,  # the bounded-memory two-phase plan needs a timing history
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L4/A4 frequent items at vocabulary scale: per-partition mergeable
@@ -5461,7 +5462,9 @@ ORDER BY source
 """
 
 
-@register("corpus_drift_kl", oracle=_DRIFT_KL_SQL, tags=("llm", "text", "agg"))
+@register(
+    "corpus_drift_kl", oracle=_DRIFT_KL_SQL, tags=("llm", "text", "agg"), bench=True
+)
 def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mixture-drift monitor: KL(source unigram dist || corpus unigram dist)
     # per source — the alarm a training-data pipeline watches when a source

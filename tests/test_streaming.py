@@ -276,3 +276,57 @@ def test_stream_stream_interval_join_equals_batch(spark, events_stream_dir, scra
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows == sorted(map(tuple, batch.collect()))
     assert len(got_rows) > 0  # the interval actually matched something
+
+
+def test_foreach_batch_upsert_sink_exactly_once(spark, events_stream_dir, tmp_path):
+    # T5 sink half: foreachBatch MERGE into a keyed table. The drain must
+    # equal the batch latest-per-user aggregate, a REPLAYED batch must be a
+    # no-op (the at-least-once -> exactly-once guard), and a fresh batch
+    # must still merge afterwards.
+    from hadoop_word_score_spark.streaming.sinks import (
+        read_table,
+        upsert_sink,
+    )
+    from hadoop_word_score_spark.streaming.windows import read_events_stream
+
+    target = str(tmp_path / "user_table")
+    per_user = (
+        read_events_stream(spark, events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    q = (
+        per_user.writeStream.foreachBatch(upsert_sink(target, "user_id"))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = read_table(spark, target)
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # replay guard: re-delivering an already-committed batch_id changes nothing
+    sink = upsert_sink(target, "user_id")
+    before = sorted(map(tuple, read_table(spark, target).collect()))
+    replayed = batch.limit(5).withColumn("total", F.lit(0.0))
+    sink(replayed, 0)  # batch 0 was committed by the drain above
+    assert sorted(map(tuple, read_table(spark, target).collect())) == before
+
+    # a NEW batch id still merges: one updated user, one brand-new user
+    some_user = before[0][0]
+    fresh = spark.createDataFrame(
+        [(some_user, 999, 1.5), (10**9, 1, 2.0)],
+        schema=got.schema,
+    )
+    sink(fresh, 1)
+    after = {r[0]: tuple(r) for r in read_table(spark, target).collect()}
+    assert after[some_user] == (some_user, 999, 1.5)
+    assert after[10**9] == (10**9, 1, 2.0)
+    assert len(after) == len(before) + 1

@@ -44,6 +44,8 @@ PROBES = [
     "cohort_retention_weekly",
     "dedup_spans_exact",
     "dedup_winnowing_pairs",
+    "heavy_hitters_terms",
+    "corpus_drift_kl",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -511,6 +513,12 @@ def main() -> None:
         # single shuffle carries one row per span occurrence either way
         "dedup_spans_exact": "linear shuffle rows; map-side partial agg absorbs the 10x-deeper groups",
         "dedup_winnowing_pairs": "~linear (local-min sampling ~1/(w+1) of spans; bucketed postings self-join)",
+        # two scans of the token stream; summary + candidate shuffles are
+        # capacity-bounded, so growth tracks scan cost, never vocabulary
+        "heavy_hitters_terms": "linear (2 scans; shuffles bounded by partitions x capacity)",
+        # the (source, term) aggregation dominates; downstream joins/aggs
+        # run over vocab-sized partials
+        "corpus_drift_kl": "linear in tokens (one (source,term) shuffle; rest on partials)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
