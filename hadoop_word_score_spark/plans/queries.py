@@ -5553,3 +5553,71 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+_BPE_SQL = """
+WITH d0 AS (
+    SELECT ' ' || array_to_string(
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''),
+               ' ') || ' ' AS w
+    FROM documents
+),
+r1 AS (
+    SELECT pair, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM (SELECT string_split(trim(w), ' ') AS t FROM d0)
+        WHERE len(t) >= 2
+    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+),
+d1 AS (
+    SELECT replace(w, ' ' || r1.pair || ' ',
+                   ' ' || replace(r1.pair, ' ', chr(31)) || ' ') AS w
+    FROM d0, r1
+),
+r2 AS (
+    SELECT pair, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM (SELECT string_split(trim(w), ' ') AS t FROM d1)
+        WHERE len(t) >= 2
+    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+),
+d2 AS (
+    SELECT replace(w, ' ' || r2.pair || ' ',
+                   ' ' || replace(r2.pair, ' ', chr(31)) || ' ') AS w
+    FROM d1, r2
+),
+r3 AS (
+    SELECT pair, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM (SELECT string_split(trim(w), ' ') AS t FROM d2)
+        WHERE len(t) >= 2
+    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+)
+SELECT step, pair, n FROM (
+    SELECT 1 AS step, pair, CAST(n AS BIGINT) AS n FROM r1
+    UNION ALL SELECT 2, pair, CAST(n AS BIGINT) FROM r2
+    UNION ALL SELECT 3, pair, CAST(n AS BIGINT) FROM r3
+) ORDER BY step
+"""
+
+
+@register("bpe_merge_rules", oracle=_BPE_SQL, tags=("llm", "text", "iterative"))
+def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The iterative-algorithm pattern (operators/bpe.py): three BPE rounds
+    # at word level — count adjacent pairs, merge the winner corpus-wide,
+    # recount. Each round is a narrow scan + map-side-partial pair agg; the
+    # only driver collect is the 1-row argmax per round (bounded by
+    # construction, same policy class as similarity.py's centroid pull).
+    # The oracle chains the identical rounds as CTEs — both engines'
+    # left-to-right non-overlapping replace() makes them bit-equal.
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import learn_merge_rules
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    rules = learn_merge_rules(docs, "txt", n_rules=3)
+    return spark.createDataFrame(
+        rules, schema="step int, pair string, n long"
+    ).orderBy("step")

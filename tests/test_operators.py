@@ -930,3 +930,36 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     )
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, ranges
+
+
+def test_bpe_merge_rules_hand_corpus(spark):
+    # Hand-checkable corpus: "a a a b" x2 and "a b c" x1.
+    #   round 1: pairs {a a:4, a b:3, b c:1} -> merge (a, a)
+    #            ("a a a b" -> "(aa) a b": left-to-right non-overlap)
+    #   round 2: pairs {aa_a:2, a b:3, b c:1} -> merge (a, b)
+    #   round 3: {aa (ab):2, (ab) c:1} -> merge aa_a{J}b... top is (aa, ab) x2
+    from hadoop_word_score_spark.operators.bpe import JOINER, learn_merge_rules
+
+    docs = spark.createDataFrame(
+        [("a a a b",), ("a a a b",), ("a b c",)], schema="txt string"
+    )
+    rules = learn_merge_rules(docs, "txt", n_rules=3)
+    aa = f"a{JOINER}a"
+    ab = f"a{JOINER}b"
+    assert rules == [
+        (1, "a a", 4),
+        (2, "a b", 3),
+        (3, f"{aa} {ab}", 2),
+    ], rules
+
+
+def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
+    # "a a a a a" must merge as "(aa) (aa) a" — 2 disjoint occurrences
+    # consumed left to right, never the overlapping 4.
+    from hadoop_word_score_spark.operators.bpe import learn_merge_rules
+
+    docs = spark.createDataFrame([("a a a a a",)], schema="txt string")
+    rules = learn_merge_rules(docs, "txt", n_rules=2)
+    assert rules[0] == (1, "a a", 4)  # pre-merge count of the adjacent pair
+    # post-merge corpus is "(aa) (aa) a": top-2 pair is (aa, aa) x1
+    assert rules[1][2] == 1, rules
