@@ -1,0 +1,97 @@
+"""Distributed linear algebra over embedding columns: covariance + PCA.
+
+The pattern every "fit a small model over a huge corpus" job uses: the
+corpus-sized pass reduces to FIXED-SIZE sufficient statistics (here the
+d-vector of sums and the d x d matrix of cross-product sums, one partial
+per partition via Arrow batches), the tiny dense solve (eigendecomposition
+of a 64 x 64 matrix) runs on the driver, and the result broadcasts back for
+a scan-side projection. Nothing corpus-sized ever shuffles: the only
+aggregation is over n_partitions rows of (1 + d + d^2) doubles, and the
+projection is a narrow mapInPandas matmul.
+
+Driver-side boundary is the sufficient-statistics collect — bounded by
+partition count, not data (same policy class as similarity.py's centroid
+pull). At 100 TB with 64-dim vectors the partials total
+n_partitions x 33 KB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _partials_fn(vec_col: str, d: int):
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        sx = np.zeros(d)
+        sxy = np.zeros((d, d))
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            sx += m.sum(axis=0)
+            sxy += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "sx": [sx.tolist()], "sxy": [sxy.ravel().tolist()]}
+        )
+
+    return partials
+
+
+def covariance_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """One row per partition: (n, sx[d], sxy[d*d]) in float64."""
+    return df.select(vec_col).mapInPandas(
+        _partials_fn(vec_col, d),
+        schema="n long, sx array<double>, sxy array<double>",
+    )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, d: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """(cov[d,d], mean[d], n) — population covariance, one corpus pass."""
+    rows = covariance_partials(df, vec_col, d).collect()  # n_partitions rows
+    n = sum(r.n for r in rows)
+    sx = np.sum([r.sx for r in rows], axis=0)
+    sxy = np.sum([np.asarray(r.sxy).reshape(d, d) for r in rows], axis=0)
+    mean = sx / n
+    cov = sxy / n - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def pca_fit(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k eigenpairs of a symmetric covariance: (eigvals desc, components
+    [k, d]). The dense solve is O(d^3) driver work — microseconds at d=64."""
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    return w[order], v[:, order].T
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, components: np.ndarray, mean: np.ndarray
+) -> DataFrame:
+    """Scan-side projection: (df columns minus vec_col) + proj array<double>.
+
+    ``components`` [k, d] and ``mean`` [d] ride into the workers as numpy
+    captures of the Arrow UDF closure — KBs, the broadcast-small-model half
+    of the fit/apply split.
+    """
+    comp = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+    out_cols = [c for c in df.columns if c != vec_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    ) + ", proj array<double>"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = (m - mu) @ comp.T
+            out = pdf[out_cols].copy()
+            out["proj"] = list(p)
+            yield out
+
+    return df.mapInPandas(project, schema=out_schema)

@@ -5621,3 +5621,112 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, schema="step int, pair string, n long"
     ).orderBy("step")
+
+
+_EMB_D = 64
+_COV_SQL = """
+WITH e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           unnest(embedding) AS x
+    FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 6) AS cov
+FROM e a JOIN e b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+@register("embedding_covariance", oracle=_COV_SQL, tags=("llm", "embedding", "agg"))
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed covariance via fixed-size sufficient statistics
+    # (operators/linalg.py): one Arrow pass emits per-partition (n, Σx,
+    # Σxxᵀ) partials; everything after aggregates n_partitions rows of
+    # (1 + d + d²) doubles — the oracle's unnest-self-join (corpus × d²
+    # rows) is exactly the plan this operator exists to avoid.
+    from ..operators.linalg import covariance_partials
+
+    em = _t(spark, sf_dir, "embeddings")
+    p = covariance_partials(em, "embedding", _EMB_D).localCheckpoint()
+    xy = (
+        p.select(F.posexplode("sxy").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("sxy"))
+    )
+    x = (
+        p.select(F.posexplode("sx").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sx"))
+    )
+    n = p.agg(F.sum("n").alias("n"))
+    return (
+        xy.select(
+            (F.col("pos") / _EMB_D).cast("int").alias("i"),
+            (F.col("pos") % _EMB_D).cast("int").alias("j"),
+            "sxy",
+        )
+        .join(F.broadcast(x), "i")
+        .join(F.broadcast(x.select(F.col("i").alias("j"), F.col("sx").alias("sy"))), "j")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@register(
+    "embedding_pca_project",
+    # Bound-check oracle (eigenvectors aren't SQL-expressible; signs aren't
+    # even unique): top-8 components must capture >= 13% of total variance
+    # (isotropic floor is 8/64 = 12.5%; measured 0.20 at sf0.01, 0.16 at
+    # sf0.1), and the corpus-wide mean squared norm of the projected,
+    # centered vectors must equal the captured eigenvalue sum (the
+    # projection's internal consistency, checked to 1e-6 relative).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, 8 AS k,
+           TRUE AS variance_ratio_ok, TRUE AS projection_consistent
+    FROM embeddings
+    """,
+    tags=("llm", "embedding"),
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fit/apply split: corpus pass -> 64x64 sufficient statistics ->
+    # driver eigh (microseconds) -> components ride back inside the Arrow
+    # projection closure. Nothing corpus-sized shuffles in either phase.
+    from ..operators.linalg import (
+        covariance_matrix,
+        pca_fit,
+        pca_project,
+    )
+
+    k = 8
+    em = _t(spark, sf_dir, "embeddings")
+    cov, mean, n = covariance_matrix(em, "embedding", _EMB_D)
+    eigvals, components = pca_fit(cov, k)
+    ratio = float(eigvals.sum() / cov.trace())
+    proj = pca_project(em, "embedding", components, mean)
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg(F.aggregate("proj", F.lit(0.0), lambda a, v: a + v * v)).alias(
+            "proj_var"
+        ),
+    )
+    eig_sum = float(eigvals.sum())
+    return stats.select(
+        "n_vectors",
+        F.lit(k).alias("k"),
+        F.lit(ratio >= 0.13).alias("variance_ratio_ok"),
+        (
+            F.abs(F.col("proj_var") - F.lit(eig_sum))
+            <= F.lit(1e-6) * F.lit(eig_sum)
+        ).alias("projection_consistent"),
+    )

@@ -963,3 +963,43 @@ def test_bpe_merge_is_left_to_right_nonoverlapping(spark):
     assert rules[0] == (1, "a a", 4)  # pre-merge count of the adjacent pair
     # post-merge corpus is "(aa) (aa) a": top-2 pair is (aa, aa) x1
     assert rules[1][2] == 1, rules
+
+
+def test_covariance_partials_match_numpy(spark):
+    # The fixed-size sufficient statistics must reproduce numpy's population
+    # covariance and mean exactly (float64 partials over float32 input).
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.linalg import covariance_matrix
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cov, mean, n = covariance_matrix(em, "embedding", 64)
+    m = np.stack([r.embedding for r in em.select("embedding").collect()]).astype(
+        np.float64
+    )
+    assert n == m.shape[0]
+    assert np.allclose(mean, m.mean(axis=0), atol=1e-12)
+    assert np.allclose(cov, np.cov(m.T, bias=True), atol=1e-10)
+
+
+def test_pca_project_preserves_topk_variance(spark):
+    # Projection consistency: mean squared norm of projected centered
+    # vectors == sum of the captured eigenvalues, and components are
+    # orthonormal.
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.linalg import (
+        covariance_matrix,
+        pca_fit,
+        pca_project,
+    )
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cov, mean, n = covariance_matrix(em, "embedding", 64)
+    eigvals, comp = pca_fit(cov, 8)
+    assert np.allclose(comp @ comp.T, np.eye(8), atol=1e-10)
+    proj = pca_project(em, "embedding", comp, mean)
+    rows = proj.collect()
+    assert len(rows) == n and len(rows[0].proj) == 8
+    p = np.stack([r.proj for r in rows])
+    assert np.isclose((p**2).sum(axis=1).mean(), eigvals.sum(), rtol=1e-9)
