@@ -5730,3 +5730,110 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(1e-6) * F.lit(eig_sum)
         ).alias("projection_consistent"),
     )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM g
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_SQL, tags=("events", "window", "time"))
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch sessionization, the lag + cumulative-sum idiom: a session break
+    # is a gap > 30 min; running-sum the break flags to number sessions,
+    # then aggregate per (user, session). One user-keyed shuffle feeds both
+    # windows AND the final group-by (all share PARTITION BY user_id) — at
+    # 100 TB the sort within each user partition is the only per-row cost
+    # beyond the scan. Deterministic tie-break: (ts, event_id).
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 1800, 0).otherwise(1).alias("is_start"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+_EWMA_ALPHA = 0.2
+_EWMA_SQL = f"""
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       ROUND(list_reduce(vals, (acc, v) -> {_EWMA_ALPHA} * v + {1 - _EWMA_ALPHA} * acc), 6) AS ewma
+FROM (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id
+)
+ORDER BY user_id
+"""
+
+
+@register("events_ewma_value", oracle=_EWMA_SQL, tags=("events", "stateful"))
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequential per-key fold (EWMA, alpha=0.2) — the recurrence y_t =
+    # a·x_t + (1-a)·y_{{t-1}} depends on the previous OUTPUT, which no
+    # window frame expresses; it is the batch shape of per-key stateful
+    # processing (streaming/stateful.py holds the same fold as streaming
+    # state). applyInPandas folds each user's ordered values in float64 in
+    # ONE pass; the oracle's list_reduce performs the identical
+    # left-to-right fp operation order, so the match is bit-exact before
+    # the defensive ROUND. Groups are per-user (bounded); a giant key would
+    # salt first — operators/skew.py.
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for v in pdf["value"].astype("float64"):
+            acc = v if acc is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [acc],
+            }
+        )
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema="user_id long, n_events long, ewma double")
+        # round OUTSIDE the fold: F.round is half-away-from-zero like
+        # DuckDB's ROUND; Python's round() is banker's and would diverge on
+        # exact .5 boundaries
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+        .orderBy("user_id")
+    )
