@@ -14,26 +14,57 @@ character level inside words). Round structure on Spark:
 
   count   narrow scan → pair explode → hash agg (map-side partials);
           top-1 is a 1-row driver collect (bounded by construction)
-  merge   one ``replace`` expression over the corpus column — pure JVM
-          string op, no shuffle at all
+  merge   one ``aggregate`` higher-order fold over the token array — pure
+          JVM expression, no UDF, no shuffle at all
 
 So N rounds cost N scans + N vocab-shuffles and nothing quadratic; corpus
-state between rounds is one string column. The merge uses left-to-right
-non-overlapping replacement — exactly BPE's convention ("a a a" + rule
-(a,a) → "(aa) a") — and both engines' ``replace`` implement it, which is
-what makes the chained-CTE DuckDB oracle bit-exact.
+state between rounds is one string column.
+
+Merge semantics are BPE's left-to-right NON-OVERLAPPING pass — "a a a"
+with rule (a, a) yields "(aa) a", and "a a a a" yields "(aa) (aa)" — as a
+fold with a one-token lookback: merge when the accumulator's LAST token
+equals the rule's left side and the incoming token its right side. (A naive
+space-delimited string replace gets runs wrong: adjacent matches share a
+boundary space, so "a a a a" merges once, not twice — caught by the
+property test against the reference fold.) A just-merged token can never
+re-match: it ends with U+001F + right-side, never with a space-delimited
+left side, so the fold's lookback is exactly the classic pending-token
+algorithm. DuckDB's ``list_reduce`` performs the same fold with the same
+string ops for the oracle.
 
 Determinism: ties on count break by pair text ascending; the merged pair is
-joined with U+001F (unit separator) so a merged token can never re-create
-the space-delimited search pattern.
+joined with U+001F (unit separator), which cannot appear mid-token
+otherwise.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 JOINER = "\x1f"
+
+
+def _tokens(w: Column) -> Column:
+    return F.filter(F.split(w, " "), lambda t: t != "")
+
+
+def merge_pair_expr(w: Column, pa: str, pb: str) -> Column:
+    """Canonical left-to-right BPE merge of adjacent (pa, pb) in the
+    space-joined token string ``w``; returns the re-joined string."""
+    suffix = F.lit(" " + pa)
+    tail = F.lit(" " + pa + JOINER + pb)
+    cut_len = len(pa) + 1
+
+    def step(acc: Column, x: Column) -> Column:
+        merged = F.concat(
+            acc.substr(F.lit(1), F.length(acc) - F.lit(cut_len)), tail
+        )
+        return F.when(acc.endswith(suffix) & (x == F.lit(pb)), merged).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+
+    return F.ltrim(F.aggregate(_tokens(w), F.lit(""), step))
 
 
 def learn_merge_rules(docs: DataFrame, text_col: str, n_rules: int) -> list[tuple]:
@@ -41,25 +72,21 @@ def learn_merge_rules(docs: DataFrame, text_col: str, n_rules: int) -> list[tupl
 
     ``docs[text_col]`` must be canonical single-space-joined tokens. The
     corpus column is re-derived per round from the immutable input plus the
-    rules learned so far (re-applying k cheap replaces per scan) — no
-    growing lineage, no cache pinning a 100 TB corpus in memory.
+    rules learned so far (re-applying k cheap fold expressions per scan) —
+    no growing lineage, no cache pinning a 100 TB corpus in memory.
     """
     rules: list[tuple] = []
-    for step in range(1, n_rules + 1):
-        w = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    for step_no in range(1, n_rules + 1):
+        w = F.col(text_col)
         for _, pair, _ in rules:
-            w = F.replace(
-                w,
-                F.lit(f" {pair} "),
-                F.lit(" " + pair.replace(" ", JOINER) + " "),
-            )
-        toks = F.split(F.trim(w), " ")
+            pa, _, pb = pair.rpartition(" ")
+            w = merge_pair_expr(w, pa, pb)
         pairs = F.expr(
             "transform(sequence(1, size(_toks) - 1),"
             " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
         )
         top = (
-            docs.select(toks.alias("_toks"))
+            docs.select(_tokens(w).alias("_toks"))
             .filter(F.size("_toks") >= 2)
             .select(F.explode(pairs).alias("pair"))
             .groupBy("pair")
@@ -70,5 +97,5 @@ def learn_merge_rules(docs: DataFrame, text_col: str, n_rules: int) -> list[tupl
         )
         if not top:
             break
-        rules.append((step, top[0].pair, top[0].n))
+        rules.append((step_no, top[0].pair, top[0].n))
     return rules

@@ -5557,41 +5557,60 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SQL = """
 WITH d0 AS (
-    SELECT ' ' || array_to_string(
+    SELECT array_to_string(
                list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''),
-               ' ') || ' ' AS w
+               ' ') AS w
     FROM documents
 ),
 r1 AS (
-    SELECT pair, COUNT(*) AS n FROM (
-        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
-        FROM (SELECT string_split(trim(w), ' ') AS t FROM d0)
-        WHERE len(t) >= 2
-    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    SELECT pair, n, string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+    FROM (
+        SELECT pair, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT list_filter(string_split(w, ' '), x -> x <> '') AS t FROM d0)
+            WHERE len(t) >= 2
+        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )
 ),
 d1 AS (
-    SELECT replace(w, ' ' || r1.pair || ' ',
-                   ' ' || replace(r1.pair, ' ', chr(31)) || ' ') AS w
+    SELECT ltrim(list_reduce(
+        list_prepend('', list_filter(string_split(w, ' '), x -> x <> '')),
+        (acc, x) -> CASE
+            WHEN ends_with(acc, ' ' || pa) AND x = pb
+            THEN left(acc, len(acc) - len(pa) - 1) || ' ' || pa || chr(31) || pb
+            ELSE acc || ' ' || x END
+    )) AS w
     FROM d0, r1
 ),
 r2 AS (
-    SELECT pair, COUNT(*) AS n FROM (
-        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
-        FROM (SELECT string_split(trim(w), ' ') AS t FROM d1)
-        WHERE len(t) >= 2
-    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    SELECT pair, n, string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+    FROM (
+        SELECT pair, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT list_filter(string_split(w, ' '), x -> x <> '') AS t FROM d1)
+            WHERE len(t) >= 2
+        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )
 ),
 d2 AS (
-    SELECT replace(w, ' ' || r2.pair || ' ',
-                   ' ' || replace(r2.pair, ' ', chr(31)) || ' ') AS w
+    SELECT ltrim(list_reduce(
+        list_prepend('', list_filter(string_split(w, ' '), x -> x <> '')),
+        (acc, x) -> CASE
+            WHEN ends_with(acc, ' ' || pa) AND x = pb
+            THEN left(acc, len(acc) - len(pa) - 1) || ' ' || pa || chr(31) || pb
+            ELSE acc || ' ' || x END
+    )) AS w
     FROM d1, r2
 ),
 r3 AS (
-    SELECT pair, COUNT(*) AS n FROM (
-        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
-        FROM (SELECT string_split(trim(w), ' ') AS t FROM d2)
-        WHERE len(t) >= 2
-    ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    SELECT pair, n, string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+    FROM (
+        SELECT pair, COUNT(*) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+            FROM (SELECT list_filter(string_split(w, ' '), x -> x <> '') AS t FROM d2)
+            WHERE len(t) >= 2
+        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    )
 )
 SELECT step, pair, n FROM (
     SELECT 1 AS step, pair, CAST(n AS BIGINT) AS n FROM r1

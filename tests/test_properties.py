@@ -211,3 +211,91 @@ def test_resize_nearest_property(w, h, tw, th):
     assert out.shape == (th, tw)
     assert np.isin(out, img).all()
     assert np.array_equal(codecs.resize_nearest(img, w, h), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=400),
+    st.integers(2, 12),
+)
+def test_misra_gries_summary_guarantee(tokens, capacity):
+    # Mergeable-summaries invariants (pure pandas path of
+    # operators/frequent.py): (1) any term with true count > N/(capacity+1)
+    # survives; (2) every reported count underestimates by at most
+    # N/(capacity+1); (3) the summary never exceeds capacity after pruning.
+    from collections import Counter
+
+    import pandas as pd
+
+    from hadoop_word_score_spark.operators.frequent import _mg_summarize
+
+    # feed as several batches to exercise the cross-batch merge rule
+    batches = [
+        pd.DataFrame({"term": tokens[i : i + 64]}) for i in range(0, len(tokens), 64)
+    ]
+    [summary] = list(_mg_summarize("term", capacity)(iter(batches)))
+    got = dict(zip(summary["term"], summary["mg_count"]))
+    true = Counter(tokens)
+    n = len(tokens)
+    err = n / (capacity + 1)
+    for term, c in true.items():
+        if c > err:
+            assert term in got, (term, c, err, got)
+    for term, c in got.items():
+        assert c <= true[term]
+        assert true[term] - c <= err, (term, c, true[term], err)
+
+
+def _ref_bpe_merge(tokens: list[str], pair: tuple[str, str], joiner: str) -> list[str]:
+    """Reference left-to-right non-overlapping pair merge on a token list."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and (tokens[i], tokens[i + 1]) == pair:
+            out.append(tokens[i] + joiner + tokens[i + 1])
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_expr_matches_reference_fold(spark):
+    # operators/bpe.py merges with an aggregate-HOF fold over the token
+    # array; prove it equals the token-list fold BPE is defined by
+    # (Sennrich et al. 2016) on the adversarial shapes: odd/even runs of
+    # the pair ("a a a" -> "(aa) a", "a a a a" -> "(aa) (aa)" — the case a
+    # space-delimited string replace gets wrong), the pair as a token
+    # SUFFIX ("xa a" must not merge), self-pairs, and empties. One Spark
+    # job evaluates every case.
+    import itertools
+    import random
+
+    from hadoop_word_score_spark.operators.bpe import (
+        JOINER,
+        merge_pair_expr,
+    )
+
+    rng = random.Random(6)
+    cases = [
+        [], ["a"], ["a", "a"], ["a", "a", "a"], ["a", "a", "a", "a"],
+        ["a", "a", "a", "a", "a"], ["a", "a", "a", "a", "a", "a"],
+        ["xa", "a"], ["a", "ax"], ["b", "a", "a", "b"],
+        ["a", "b", "a", "b", "a"], [f"a{JOINER}b", "a", "b"],
+    ] + [
+        [rng.choice(["a", "b", "xa"]) for _ in range(rng.randint(2, 12))]
+        for _ in range(40)
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("b", "a")]
+    rows = [
+        (i, " ".join(toks))
+        for i, (toks, _) in enumerate(itertools.product(cases, pairs))
+    ]
+    df = spark.createDataFrame(rows, "case_id long, txt string")
+    sel = [F.col("case_id")]
+    for j, (pa, pb) in enumerate(pairs):
+        sel.append(merge_pair_expr(F.col("txt"), pa, pb).alias(f"m{j}"))
+    got = {r.case_id: r for r in df.select(sel).collect()}
+    for i, (toks, _) in enumerate(itertools.product(cases, pairs)):
+        for j, pair in enumerate(pairs):
+            want = " ".join(_ref_bpe_merge(toks, pair, JOINER))
+            assert got[i][f"m{j}"] == want, (toks, pair, got[i][f"m{j}"], want)
