@@ -30,6 +30,8 @@ def _partials_fn(vec_col: str, d: int):
         sx = np.zeros(d)
         sxy = np.zeros((d, d))
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n += m.shape[0]
             sx += m.sum(axis=0)
@@ -53,6 +55,8 @@ def covariance_matrix(df: DataFrame, vec_col: str, d: int) -> tuple[np.ndarray, 
     """(cov[d,d], mean[d], n) — population covariance, one corpus pass."""
     rows = covariance_partials(df, vec_col, d).collect()  # n_partitions rows
     n = sum(r.n for r in rows)
+    if n == 0:
+        raise ValueError("covariance_matrix: empty corpus (fail fast beats NaNs)")
     sx = np.sum([r.sx for r in rows], axis=0)
     sxy = np.sum([np.asarray(r.sxy).reshape(d, d) for r in rows], axis=0)
     mean = sx / n
@@ -88,6 +92,8 @@ def pca_project(
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             p = (m - mu) @ comp.T
             out = pdf[out_cols].copy()

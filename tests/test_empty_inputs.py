@@ -90,3 +90,61 @@ def test_short_docs_yield_no_shingles(spark):
     approx = minhash_lsh_pairs(docs, threshold=0.5).collect()
     assert {(r.id_a, r.id_b) for r in exact} == {(4, 5)}
     assert {(r.id_a, r.id_b) for r in approx} == {(4, 5)}
+
+
+def test_round6_operators_empty(spark):
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.bpe import learn_merge_rules
+    from hadoop_word_score_spark.operators.frequent import heavy_hitters_topk
+    from hadoop_word_score_spark.operators.layout import (
+        cluster_by_zorder,
+        zorder_bucket,
+        zorder_key,
+    )
+    from hadoop_word_score_spark.operators.linalg import covariance_partials
+
+    # heavy hitters over zero tokens: empty summary, empty top-k
+    toks = spark.createDataFrame([], "term string")
+    assert heavy_hitters_topk(toks, "term", k=5, capacity=8).count() == 0
+
+    # BPE on an empty corpus (and on docs with < 2 tokens): no rules
+    docs = spark.createDataFrame([], "txt string")
+    assert learn_merge_rules(docs, "txt", n_rules=2) == []
+    one_tok = spark.createDataFrame([("solo",), ("",)], "txt string")
+    assert learn_merge_rules(one_tok, "txt", n_rules=2) == []
+
+    # covariance partials over zero vectors: zero-count partial rows only
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    parts = covariance_partials(vecs, "embedding", 4).collect()
+    assert sum(r.n for r in parts) == 0
+    assert all(np.allclose(r.sx, 0) for r in parts)
+
+    # z-order clustering of an empty frame keeps the schema and zero rows
+    e = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    z = zorder_key(
+        zorder_bucket(F.col("l_orderkey"), 0, 100, 4),
+        zorder_bucket(F.col("l_partkey"), 0, 100, 4),
+        4,
+    )
+    out = cluster_by_zorder(e, z, 4)
+    assert out.columns == ["l_orderkey", "l_partkey"] and out.count() == 0
+
+
+def test_ewma_and_sessionize_empty(spark):
+    # the registered event queries must survive a zero-row events table
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = os.path.join(d, "sf")
+        os.makedirs(sf)
+        spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(os.path.join(sf, "events.parquet"))
+        assert REGISTRY["events_ewma_value"].fn(spark, sf).count() == 0
+        assert REGISTRY["sessionize_events"].fn(spark, sf).count() == 0
