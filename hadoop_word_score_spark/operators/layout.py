@@ -33,11 +33,26 @@ def zorder_bucket(col: Column, lo: Column | int, hi: Column | int, bits: int) ->
 
 def zorder_key(x_bucket: Column, y_bucket: Column, bits: int) -> Column:
     """Morton-interleave two ``bits``-wide bucket ids (x gets odd bits)."""
+    return zorder_key_n([x_bucket, y_bucket], bits)
+
+
+def zorder_key_n(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave k ``bits``-wide bucket ids into one k*bits-bit key.
+
+    Bit 0 of the LAST column lands in key bit 0; earlier columns take
+    successively higher bits within each round — so for two columns the
+    first gets the odd bits, matching :func:`zorder_key`. k*bits must stay
+    under 63 (long). Still pure bit expressions — codegen, no UDF — for any
+    dimension count.
+    """
+    k = len(buckets)
+    if k * bits > 62:
+        raise ValueError(f"z-key would need {k * bits} bits; max 62 in a long")
     z = F.lit(0).cast("long")
     for i in range(bits):
-        xbit = F.shiftright(x_bucket, i).bitwiseAND(F.lit(1))
-        ybit = F.shiftright(y_bucket, i).bitwiseAND(F.lit(1))
-        z = z + F.shiftleft(xbit, 2 * i + 1) + F.shiftleft(ybit, 2 * i)
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + (k - 1 - j))
     return z
 
 

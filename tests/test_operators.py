@@ -1003,3 +1003,37 @@ def test_pca_project_preserves_topk_variance(spark):
     assert len(rows) == n and len(rows[0].proj) == 8
     p = np.stack([r.proj for r in rows])
     assert np.isclose((p**2).sum(axis=1).mean(), eigvals.sum(), rtol=1e-9)
+
+
+def test_zorder_key_n_is_a_bijection_and_matches_2d(spark):
+    # Exhaustive over a 16x16 grid: the interleave is a bijection onto
+    # [0, 256) and the n-d generalization reproduces the 2-d key bit for
+    # bit; 3-d keys stay a bijection over a 8^3 grid.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.layout import zorder_key, zorder_key_n
+
+    grid = spark.range(256).select(
+        (F.col("id") / 16).cast("long").alias("x"),
+        (F.col("id") % 16).alias("y"),
+    )
+    out = grid.select(
+        zorder_key(F.col("x"), F.col("y"), 4).alias("z2"),
+        zorder_key_n([F.col("x"), F.col("y")], 4).alias("zn"),
+    ).collect()
+    assert all(r.z2 == r.zn for r in out)
+    zs = sorted(r.z2 for r in out)
+    assert zs == list(range(256))
+
+    g3 = spark.range(512).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        ((F.col("id") / 8) % 8).cast("long").alias("y"),
+        (F.col("id") % 8).alias("w"),
+    )
+    z3 = sorted(
+        r.z
+        for r in g3.select(
+            zorder_key_n([F.col("x"), F.col("y"), F.col("w")], 3).alias("z")
+        ).collect()
+    )
+    assert z3 == list(range(512))

@@ -330,3 +330,39 @@ def test_foreach_batch_upsert_sink_exactly_once(spark, events_stream_dir, tmp_pa
     assert after[some_user] == (some_user, 999, 1.5)
     assert after[10**9] == (10**9, 1, 2.0)
     assert len(after) == len(before) + 1
+
+
+def test_foreach_batch_upsert_sink_crash_atomicity(spark, tmp_path, monkeypatch):
+    # Crash BETWEEN snapshot write and pointer swap: the table must still
+    # serve the previous version, and retrying the same batch (what the
+    # streaming engine does after recovery) must commit it cleanly —
+    # at-least-once delivery + this sink = exactly-once table state.
+    import os as _os
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "t")
+    sink = S.upsert_sink(target, "k")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink(df0, 0)
+    before = sorted(map(tuple, S.read_table(spark, target).collect()))
+
+    df1 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(S.os, "replace", boom)
+    try:
+        sink(df1, 1)
+        raise AssertionError("expected simulated crash")
+    except OSError:
+        pass
+    # pointer untouched -> still version 1 content
+    assert sorted(map(tuple, S.read_table(spark, target).collect())) == before
+
+    monkeypatch.setattr(S.os, "replace", real_replace)
+    sink(df1, 1)  # recovery replay of the SAME batch id now commits
+    after = {r.k: r.v for r in S.read_table(spark, target).collect()}
+    assert after == {1: "a", 2: "B", 3: "c"}

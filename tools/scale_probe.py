@@ -46,6 +46,10 @@ PROBES = [
     "dedup_winnowing_pairs",
     "heavy_hitters_terms",
     "corpus_drift_kl",
+    "sessionize_events",
+    "events_ewma_value",
+    "embedding_covariance",
+    "zorder_keys",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -54,6 +58,7 @@ OFFSETS = {
     "lineitem": ["l_orderkey"],
     "events": ["event_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -519,6 +524,14 @@ def main() -> None:
         # the (source, term) aggregation dominates; downstream joins/aggs
         # run over vocab-sized partials
         "corpus_drift_kl": "linear in tokens (one (source,term) shuffle; rest on partials)",
+        # events replicate with FIXED user_id set: 10x rows per user — the
+        # per-user sort (sessionize) / fold (ewma) deepens but never widens
+        "sessionize_events": "linear in events (one user-keyed sort-shuffle feeds windows + agg)",
+        "events_ewma_value": "linear in events (per-key Arrow fold; output stays one row per user)",
+        # the corpus pass reduces to (n, Σx, Σxxᵀ) per partition — the only
+        # aggregation is over partition-count rows regardless of corpus size
+        "embedding_covariance": "linear scan, fixed-size state (partials ≤ partitions x 33 KB)",
+        "zorder_keys": "linear (pure-codegen bit math; 256-group agg)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
