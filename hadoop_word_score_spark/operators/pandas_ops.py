@@ -50,8 +50,14 @@ def zscore_per_group(
             }
         )
 
+    from ..session import default_parallelism
+
     return (
         df.select(group_col, id_col, value_col)
+        # explicit group-key exchange width: grouped-Python cost is per
+        # group, not per byte — AQE's size-based coalescing would fold the
+        # stage onto 1-2 cores at small-shuffle sizes (see events_ewma_value)
+        .repartition(default_parallelism(), group_col)
         .groupBy(group_col)
         .applyInPandas(norm, schema=schema)
     )

@@ -5846,8 +5846,17 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    from ..session import default_parallelism
+
     return (
         e.select("user_id", "ts", "event_id", "value")
+        # Pin the group-key exchange width: AQE's bytes-based coalescing
+        # sees a "small" shuffle and folds grouped-Python stages onto 1-2
+        # cores, but this stage's cost is per-GROUP Arrow/pandas overhead,
+        # not bytes (measured 3.2s -> 0.8s at sf0.1 with the pin). An
+        # explicit numPartitions repartition on the grouping key becomes
+        # the groupBy's exchange and is exempt from AQE coalescing.
+        .repartition(default_parallelism(), "user_id")
         .groupBy("user_id")
         .applyInPandas(fold, schema="user_id long, n_events long, ewma double")
         # round OUTSIDE the fold: F.round is half-away-from-zero like

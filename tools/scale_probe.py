@@ -90,9 +90,16 @@ def build(spark) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    # min-of-2: a single shot lets one-time costs (Arrow worker spin-up,
+    # codegen) masquerade as operator cost — r6 caught a 3x-inflated 1x
+    # measurement on the first applyInPandas query of the session.
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def bloom_vs_broadcast_rows(spark) -> list[str]:
@@ -486,8 +493,10 @@ def main() -> None:
 
         shutil.rmtree(SCALED, ignore_errors=True)
     build(spark)
-    # warm JVM + python pool
+    # warm JVM + python pool (scalar pandas UDF AND grouped applyInPandas —
+    # each spins its own worker path)
     time_query(spark, "dedup_near_minhash", BASE)
+    time_query(spark, "events_ewma_value", BASE)
 
     lines = [
         "# SCALE_PROBE — 10× growth behaviour (sf0.1 → 10×sf0.1)",
