@@ -5818,7 +5818,12 @@ ORDER BY user_id
 """
 
 
-@register("events_ewma_value", oracle=_EWMA_SQL, tags=("events", "stateful"))
+@register(
+    "events_ewma_value",
+    oracle=_EWMA_SQL,
+    tags=("events", "stateful"),
+    bench=True,  # guards the grouped-Python path's exchange-width pin (r6)
+)
 def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sequential per-key fold (EWMA, alpha=0.2) — the recurrence y_t =
     # a·x_t + (1-a)·y_{{t-1}} depends on the previous OUTPUT, which no
