@@ -13,6 +13,16 @@ from __future__ import annotations
 from hadoop_word_score_spark.plans import queries as Q
 
 
+def _tier0_prefix():
+    # the never-verified block leads the order; its width moves as queries
+    # are added/demoted, so position assertions measure against it, not a
+    # hard-coded count
+    names = list(Q.queries())
+    rounds = [Q._latest_evidence_round(n) for n in names]
+    width = rounds.count(0)
+    return names[:width]
+
+
 def test_order_is_a_permutation_of_the_registry():
     ordered = list(Q.queries())
     assert sorted(ordered) == sorted(Q.REGISTRY)
@@ -36,7 +46,7 @@ def test_oracle_rewrite_resets_evidence(monkeypatch):
     patched[name] = "stale_fp"
     monkeypatch.setattr(Q, "_VERIFIED_ORACLE_FP", patched)
     assert Q._latest_evidence_round(name) == 0
-    assert list(Q.queries())[0] == name or name in list(Q.queries())[:8]
+    assert name in _tier0_prefix()
 
 
 def test_fingerprint_is_whitespace_insensitive():
@@ -67,7 +77,7 @@ def test_impl_demotion_resets_evidence(monkeypatch):
     assert Q._latest_evidence_round(name) == 5
     monkeypatch.setattr(Q, "_IMPL_DEMOTED", frozenset({name}))
     assert Q._latest_evidence_round(name) == 0
-    assert name in list(Q.queries())[:8]
+    assert name in _tier0_prefix()
 
 
 def test_impl_fp_rewrite_resets_evidence(monkeypatch):
@@ -82,7 +92,7 @@ def test_impl_fp_rewrite_resets_evidence(monkeypatch):
     patched[name] = "rewritten_code"
     monkeypatch.setattr(Q, "_VERIFIED_IMPL_FP", patched)
     assert Q._latest_evidence_round(name) == 0
-    assert name in list(Q.queries())[:12]
+    assert name in _tier0_prefix()
 
 
 def test_impl_fp_sees_transitive_module_content(tmp_path, monkeypatch):
