@@ -5870,3 +5870,104 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
         .orderBy("user_id")
     )
+
+
+_DQ_SQL = """
+SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+    SELECT 'orders_fk_customer' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'events_ts_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts IS NULL)
+    UNION ALL
+    SELECT 'documents_empty_text',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE text IS NULL OR trim(text) = '')
+) ORDER BY check_name
+"""
+
+
+@register("data_quality_report", oracle=_DQ_SQL, tags=("dq", "agg", "join"))
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expectation checks as one report — the validation gate every
+    # ingestion pipeline runs before promoting a batch: referential
+    # integrity (anti join; the FK side shuffles once, AQE broadcasts the
+    # dim), range, null, and emptiness scans (each a pushed-filter count —
+    # at 100 TB these are metadata-cheap parquet scans). A failed row names
+    # its check; the caller gates on AND(pass).
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = (
+        check(
+            "orders_fk_customer",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+        )
+        .unionByName(
+            check(
+                "lineitem_qty_range",
+                li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            )
+        )
+        .unionByName(check("events_ts_null", e.filter(F.col("ts").isNull())))
+        .unionByName(
+            check(
+                "documents_empty_text",
+                d.filter(
+                    F.col("text").isNull() | (F.trim(F.col("text")) == "")
+                ),
+            )
+        )
+    )
+    return checks.select(
+        "check_name", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    ).orderBy("check_name")
+
+
+_KANON_SQL = """
+SELECT CAST(5 AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT) AS n_risky_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       COUNT(*) FILTER (WHERE n < 5) = 0 AS k_anonymous
+FROM (
+    SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+"""
+
+
+@register("k_anonymity_check", oracle=_KANON_SQL, tags=("dq", "privacy", "agg"))
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Privacy gate: quasi-identifier combinations held by FEWER than k
+    # individuals are re-identification risks (Sweeney 2002); a release
+    # pipeline suppresses or generalizes those groups. One hash aggregation
+    # over the quasi-identifier tuple (map-side partials), then a bounded
+    # second agg over the group sizes — the raw rows never shuffle twice.
+    # The report always has one row (risky count + min group size), so the
+    # oracle hash is value-rich even when the table IS k-anonymous.
+    c = _t(spark, sf_dir, "customer")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    risky = F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+    return groups.agg(
+        F.lit(5).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        risky.alias("n_risky_groups"),
+        F.min("n").alias("min_group_size"),
+        (risky == 0).alias("k_anonymous"),
+    )
