@@ -50,6 +50,7 @@ PROBES = [
     "events_ewma_value",
     "embedding_covariance",
     "zorder_keys",
+    "bpe_merge_rules",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -541,6 +542,9 @@ def main() -> None:
         # aggregation is over partition-count rows regardless of corpus size
         "embedding_covariance": "linear scan, fixed-size state (partials ≤ partitions x 33 KB)",
         "zorder_keys": "linear (pure-codegen bit math; 256-group agg)",
+        # 3 rounds x (scan + pair agg + 1-row collect); each round's merge
+        # is a fold expression replayed scan-side, so cost = rounds x scans
+        "bpe_merge_rules": "linear x n_rounds (per-round scan + vocab-sized pair agg)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
