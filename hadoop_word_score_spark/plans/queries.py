@@ -3332,11 +3332,12 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan-side; the filter prunes before any shuffle.
 # ---------------------------------------------------------------------------
 
-def _hash_bucket(col: str, buckets: int = 100):
+def _hash_bucket(col, buckets: int = 100):
     # First 8 md5 hex digits → int bucket; identical text → identical bucket
     # in Spark and DuckDB (both emit lowercase-hex md5 of the UTF-8 bytes).
+    c = col if not isinstance(col, str) else F.col(col)
     return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long") % buckets
     )
 
@@ -5970,4 +5971,75 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         risky.alias("n_risky_groups"),
         F.min("n").alias("min_group_size"),
         (risky == 0).alias("k_anonymous"),
+    )
+
+
+_SPLIT_SQL = f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+near AS (
+    SELECT id_a, id_b FROM pairs
+    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM near
+    UNION SELECT id_b, id_a FROM near
+),
+reach(id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+roots AS (SELECT id, MIN(label) AS root FROM reach GROUP BY id),
+assigned AS (
+    SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS root
+    FROM documents d LEFT JOIN roots r ON r.id = d.doc_id
+),
+split AS (
+    SELECT doc_id, root,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM assigned
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters
+FROM split GROUP BY split ORDER BY split
+"""
+
+
+@register("split_leakage_safe", oracle=_SPLIT_SQL, tags=("llm", "dedup", "sample"))
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe train/eval split: a near-duplicate of a training doc in
+    # the eval split silently inflates every benchmark, so the split must
+    # be assigned per near-dup CLUSTER, not per document — each doc follows
+    # its component root through the deterministic md5 bucket (singletons
+    # root at themselves). The no-straddle invariant is pytest-asserted
+    # over every near-dup pair; scale shape = the dedup pipeline (bucketed
+    # pairs, label propagation) + one broadcast-ish join of the bounded
+    # cluster map back onto the corpus.
+    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_components(
+        ngram_jaccard_pairs(d, threshold=0.5)
+    ).withColumnRenamed("id", "doc_id")
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.col("doc_id")).alias("root")
+        )
+    )
+    split = assigned.select(
+        "root",
+        F.when(_hash_bucket(F.col("root")) < 10, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("root").alias("n_clusters"),
+        )
+        .orderBy("split")
     )

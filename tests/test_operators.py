@@ -1037,3 +1037,42 @@ def test_zorder_key_n_is_a_bijection_and_matches_2d(spark):
         ).collect()
     )
     assert z3 == list(range(512))
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    # The property the split exists for: NO near-dup pair may cross the
+    # train/eval boundary (a leaked near-dup inflates eval metrics). Check
+    # every exact-Jaccard pair's endpoints land in the same split.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+    from hadoop_word_score_spark.plans.queries import _hash_bucket
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_ORACLE
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    assert pairs.count() > 0, "fixture should contain near-dups"
+    clusters = dedup_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", F.col("doc_id")).alias("root"))
+        .select("doc_id", (_hash_bucket(F.col("root")) < 10).alias("is_eval"))
+    )
+    a = assigned.withColumnRenamed("doc_id", "id_a").withColumnRenamed("is_eval", "eval_a")
+    b = assigned.withColumnRenamed("doc_id", "id_b").withColumnRenamed("is_eval", "eval_b")
+    straddlers = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("eval_a") != F.col("eval_b"))
+    )
+    assert straddlers.count() == 0
+    # and the naive per-doc split WOULD leak on this corpus — the reason
+    # the cluster-aware split exists
+    naive = pairs.select(
+        (_hash_bucket(F.col("id_a")) < 10).alias("ea"),
+        (_hash_bucket(F.col("id_b")) < 10).alias("eb"),
+    ).filter(F.col("ea") != F.col("eb"))
+    assert naive.count() > 0
