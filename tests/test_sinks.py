@@ -147,3 +147,33 @@ def test_sequence_file_roundtrip_reference_interop(spark, scratch_dir):
         path, "org.apache.hadoop.io.Text", "org.apache.hadoop.io.IntWritable"
     ).collect()
     assert sorted(typed) == [("bad", -2), ("good", 1), ("good", 4)]
+
+
+def test_schema_evolution_merge_and_projection(spark, tmp_path):
+    # Ingestion over months adds columns: batch 2 gains `quality`. The
+    # standing corpus must read as the SUPERSET schema (old rows null-fill)
+    # with mergeSchema, and a projection to the original columns must still
+    # prune the scan to exactly those columns (no penalty for the wider
+    # logical schema).
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(path + "/batch=1")
+    spark.createDataFrame(
+        [(3, "gamma", 0.9)], "doc_id long, text string, quality double"
+    ).write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"doc_id", "text", "quality", "batch"}
+    rows = {r.doc_id: r.quality for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.9}
+
+    plan = merged.select("doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "doc_id", "text",
+    }, plan
