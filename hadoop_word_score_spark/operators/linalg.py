@@ -51,6 +51,56 @@ def covariance_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     )
 
 
+def covariance_upper_rounded(
+    df: DataFrame, vec_col: str, d: int, decimals: int = 3
+) -> DataFrame:
+    """Upper-triangle population covariance as rows (i, j, cov), all-Spark.
+
+    The distributed sibling of :func:`covariance_matrix`: partials stay in
+    DataFrames end to end (no driver collect), aggregated with F.sum over
+    the posexploded (1 + d + d^2)-double partial rows. Output is rounded to
+    ``decimals`` — callers comparing against a differently-ordered fp
+    accumulation (a SQL oracle, another partitioning) need the boundary far
+    from summation noise; 3 dp is ~1000x clear of it where 6 dp flaked
+    (CORRECTNESS_r06 postmortem).
+    """
+    from pyspark.sql import functions as F
+
+    p = covariance_partials(df, vec_col, d).localCheckpoint()
+    xy = (
+        p.select(F.posexplode("sxy").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("sxy"))
+    )
+    x = (
+        p.select(F.posexplode("sx").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sx"))
+    )
+    n = p.agg(F.sum("n").alias("n"))
+    return (
+        xy.select(
+            (F.col("pos") / d).cast("int").alias("i"),
+            (F.col("pos") % d).cast("int").alias("j"),
+            "sxy",
+        )
+        .join(F.broadcast(x), "i")
+        .join(F.broadcast(x.select(F.col("i").alias("j"), F.col("sx").alias("sy"))), "j")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                decimals,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def covariance_matrix(df: DataFrame, vec_col: str, d: int) -> tuple[np.ndarray, np.ndarray, int]:
     """(cov[d,d], mean[d], n) — population covariance, one corpus pass."""
     rows = covariance_partials(df, vec_col, d).collect()  # n_partitions rows

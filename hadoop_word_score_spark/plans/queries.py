@@ -181,6 +181,30 @@ _DRIVER_GREEN_R05 = frozenset({
 })
 
 
+# CORRECTNESS_r06.json, 49/50 green; embedding_covariance (hash-only
+# rounding-boundary red, VERDICT r6 item 1) is EXCLUDED — a failed check
+# is not evidence.
+_DRIVER_GREEN_R06 = frozenset({
+    "agg_salted_two_phase", "approx_aggs", "array_funcs",
+    "asof_join_events", "asof_join_events_forward", "bm25_ranking",
+    "bpe_merge_rules", "conditional_funcs", "corpus_drift_kl",
+    "data_quality_report", "dedup_clusters", "dedup_exact",
+    "dedup_near_jaccard", "dedup_near_minhash", "dedup_near_simhash",
+    "dedup_pipeline_end_to_end", "dedup_spans_hashed",
+    "embedding_pca_project", "embedding_quantize_int8", "events_ewma_value",
+    "events_rollup_multi_grain", "grouping_sets", "having_filter",
+    "heavy_hitters_terms", "histogram_totalprice", "k_anonymity_check",
+    "map_funcs", "null_semantics", "percentile_exact",
+    "q21_waiting_supplier", "q8_market_share", "session_window",
+    "sessionize_events", "similarity_ivf_build", "similarity_ivf_recall",
+    "similarity_lsh_recall_midsim", "similarity_topk",
+    "similarity_topk_ivf", "similarity_topk_lsh", "sliding_window",
+    "split_leakage_safe", "string_agg_nations", "subquery_scalar",
+    "tumbling_window", "udf_grouped_agg_wavg", "udf_grouped_zscore",
+    "variant_funcs", "window_dist", "zorder_keys"
+})
+
+
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
 
@@ -196,7 +220,7 @@ def _oracle_fp(oracle: str | None) -> str:
     return hashlib.md5(" ".join(oracle.split()).encode()).hexdigest()[:12]
 
 
-_REL_IMPORT_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import", re.M)
+_REL_IMPORT_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(.+)$", re.M)
 _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -204,14 +228,41 @@ def _resolve_rel_imports(src: str, pkg_parts: tuple[str, ...]) -> set[str]:
     """Engine modules named by the relative imports in ``src``, as dotted
     paths relative to the package root (e.g. ``operators.similarity``).
     ``pkg_parts`` is the package the source lives in (``("plans",)`` for a
-    query function's body)."""
+    query function's body).
+
+    A target that resolves to a package DIRECTORY (``from ..functions import
+    codecs``) contributes its ``__init__`` plus every imported name that is a
+    submodule — previously such imports were silently dropped because only
+    ``<target>.py`` was probed, so e.g. ``functions/codecs.py`` stayed out of
+    every multimodal query's implementation fingerprint (r6 ADVICE, medium).
+    An unresolvable relative import now fails loudly instead of narrowing
+    the fingerprint.
+    """
     mods: set[str] = set()
-    for dots, rest in _REL_IMPORT_RE.findall(src):
+    for dots, rest, names in _REL_IMPORT_RE.findall(src):
         up = len(dots) - 1
         base = pkg_parts[: len(pkg_parts) - up] if up else pkg_parts
         target = ".".join((*base, *rest.split("."))) if rest else ".".join(base)
-        if target:
+        if not target:
+            continue
+        mod_path = os.path.join(_PKG_ROOT, *target.split(".")) + ".py"
+        pkg_dir = os.path.join(_PKG_ROOT, *target.split("."))
+        if os.path.exists(mod_path):
             mods.add(target)
+        elif os.path.isdir(pkg_dir):
+            mods.add(target + ".__init__")
+            # `from ..pkg import a, b as c` — each name that is a submodule
+            # file joins the fingerprint; pure-attribute names resolve via
+            # the package __init__ hashed above.
+            for name in names.split("#", 1)[0].strip("()").split(","):
+                sub = name.strip().split(" as ")[0].strip()
+                if sub and os.path.exists(os.path.join(pkg_dir, sub + ".py")):
+                    mods.add(target + "." + sub)
+        else:
+            raise ImportError(
+                f"fingerprint closure cannot resolve relative import "
+                f"'from {dots}{rest} import {names.strip()}' (pkg {pkg_parts})"
+            )
     return mods
 
 
@@ -286,10 +337,13 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bigram_counts": "c9d0c7cc6237",
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
+    "bpe_merge_rules": "337d9cdb287d",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
+    "corpus_drift_kl": "7016858964c1",
     "corpus_report_by_source": "aa23b8986484",
     "cube_segment_status": "00da5551f9ed",
+    "data_quality_report": "5c7bc04a92f9",
     "date_funcs": "e57b8125fb64",
     "decontaminate_bloom": "4158443f5f4d",
     "decontaminate_ngrams": "f4c3b9888715",
@@ -303,13 +357,16 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "dedup_near_simhash": "0117fd3c1802",
     "dedup_pipeline_end_to_end": "4b809bfa609c",
     "dedup_spans_exact": "d61fcc2d29f0",
+    "dedup_spans_hashed": "526c5056ea98",
     "dedup_winnowing_pairs": "c6feba0a04ac",
     "doc_chunks": "ffd74a0e21d5",
     "doc_fingerprint": "677d0308cba2",
     "doc_length_buckets": "e333f9bf8417",
     "embedding_centroids": "2cf8aa98e9a1",
+    "embedding_pca_project": "c60679601e6e",
     "embedding_quantize_int8": "aaa8faade4fe",
     "events_anomaly_zscore": "8e8930f7feeb",
+    "events_ewma_value": "2d632d877302",
     "events_gapfill_hourly": "e8f7525be53f",
     "events_rollup_multi_grain": "33ff39ed700d",
     "filter_project": "a9a8bfadf49d",
@@ -317,6 +374,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "funnel_time_to_convert": "d647673746a7",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
+    "heavy_hitters_terms": "dbdb19adebd5",
     "histogram_totalprice": "8038b735944f",
     "hll_distinct_sketch": "822ed83be27d",
     "join_anti": "a42439ea4756",
@@ -326,6 +384,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "join_salted_skew": "484b58033f85",
     "join_semi": "1919b78cb1de",
     "json_funcs": "cf0dc27421a4",
+    "k_anonymity_check": "7eb2f2e5a5df",
     "lang_id_heuristic": "797a781a0e60",
     "map_funcs": "a88e8ae7eb7b",
     "math_funcs": "232331fb6315",
@@ -370,12 +429,17 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "sample_stratified_lang": "1cd168b40df0",
     "scd2_customer_history": "1f02960c1eb3",
     "session_window": "3e2119405138",
+    "sessionize_events": "b581a70b0c49",
     "set_ops": "eb45e5f01a18",
     "shuffle_shards": "2460ab3b27d7",
+    "similarity_ivf_build": "08f73a863baf",
+    "similarity_ivf_recall": "d7d0848ae2b2",
+    "similarity_lsh_recall_midsim": "d7d0848ae2b2",
     "similarity_topk": "3f981c9ca563",
-    "similarity_topk_ivf": "d7d0848ae2b2",
-    "similarity_topk_lsh": "d7d0848ae2b2",
+    "similarity_topk_ivf": "7e42064e22c8",
+    "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
+    "split_leakage_safe": "01b76d6a2694",
     "stats_corr_covar": "cefb09f24eae",
     "string_agg_nations": "76762812c549",
     "string_funcs": "c1625848b848",
@@ -401,6 +465,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "window_running": "803fcd3c4d77",
     "wordscore": "1d4f77f79e31",
     "wordscore_top10": "255b5f8f7d35",
+    "zorder_keys": "f3fed44f7913",
 }
 
 
@@ -420,10 +485,13 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "2a712e132a10",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "1b34992ba729",
+    "bpe_merge_rules": "f5ef27033b08",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
+    "corpus_drift_kl": "44620088a488",
     "corpus_report_by_source": "0196cfdbaf3e",
     "cube_segment_status": "c98c0943f295",
+    "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
     "decontaminate_bloom": "673706eb6572",
     "decontaminate_ngrams": "90fe1088a634",
@@ -437,13 +505,16 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "dedup_near_simhash": "457d79c236d8",
     "dedup_pipeline_end_to_end": "35c02a30548e",
     "dedup_spans_exact": "a957e26f13a1",
+    "dedup_spans_hashed": "5d5f9cb72b26",
     "dedup_winnowing_pairs": "109518bb11a6",
     "doc_chunks": "9f2ce895fa25",
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
     "embedding_centroids": "d75aac54926d",
+    "embedding_pca_project": "011f723d553e",
     "embedding_quantize_int8": "fa6270943dae",
     "events_anomaly_zscore": "e0cb144b4a8e",
+    "events_ewma_value": "ce6a323281b9",
     "events_gapfill_hourly": "12aebbd9de60",
     "events_rollup_multi_grain": "797d2f5d803a",
     "filter_project": "863807c295ee",
@@ -451,6 +522,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "funnel_time_to_convert": "2e74ff2fb77e",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
+    "heavy_hitters_terms": "454bd038a2e8",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
     "join_anti": "a4a842e6de82",
@@ -460,6 +532,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "join_salted_skew": "e1c7773854e5",
     "join_semi": "5721ec4bead0",
     "json_funcs": "6b6927a1de6a",
+    "k_anonymity_check": "299373231695",
     "lang_id_heuristic": "49313b1e46c8",
     "map_funcs": "6d74dd304ba6",
     "math_funcs": "da0c50726e64",
@@ -504,10 +577,17 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sample_stratified_lang": "a6671969bba0",
     "scd2_customer_history": "201308665b10",
     "session_window": "4fa8d68ec706",
+    "sessionize_events": "7b331078850e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
+    "similarity_ivf_build": "3985d9364293",
+    "similarity_ivf_recall": "4b8c66936cae",
+    "similarity_lsh_recall_midsim": "ccba805bfa3d",
     "similarity_topk": "6a75ee206ac9",
+    "similarity_topk_ivf": "fabb144b75a5",
+    "similarity_topk_lsh": "fde6c7440770",
     "sliding_window": "09b227c628d7",
+    "split_leakage_safe": "298301fd6db5",
     "stats_corr_covar": "c431b6922b48",
     "string_agg_nations": "9bb22fb9bbb9",
     "string_funcs": "129540067d07",
@@ -521,8 +601,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "token_counts": "6ec886bf31d3",
     "topk_per_group": "8f100becd6e6",
     "tumbling_window": "a610bcb1011e",
-    "udf_grouped_agg_wavg": "b79c81a05094",
-    "udf_grouped_zscore": "d72120b62e57",
+    "udf_grouped_agg_wavg": "7ecb495bf880",
+    "udf_grouped_zscore": "5f8087887c2c",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
     "vocab_stats": "83600c393f57",
@@ -533,6 +613,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "window_running": "9535d0e0767b",
     "wordscore": "6c7f240a32da",
     "wordscore_top10": "fd3e92b420ec",
+    "zorder_keys": "1f53916f3d99",
 }
 
 
@@ -542,13 +623,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
 # since its last driver touch. Listed names rank as never-verified until a
 # driver round re-proves them; tools/gen_evidence.py drops names that appear
 # green in the new CORRECTNESS file.
-_IMPL_DEMOTED: frozenset[str] = frozenset({
-    # r6: IVF probe path split build/probe + persisted partitioned index;
-    # LSH defaults retuned for the cos>0.8 near-dup regime. Both rewritten
-    # after their last (r4) driver verification.
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-})
+_IMPL_DEMOTED: frozenset[str] = frozenset({})
 
 
 def _latest_evidence_round(name: str) -> int:
@@ -566,6 +641,7 @@ def _latest_evidence_round(name: str) -> int:
     if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
         return 0
     for rnd, ledger in (
+        (6, _DRIVER_GREEN_R06),
         (5, _DRIVER_GREEN_R05),
         (4, _DRIVER_GREEN_R04),
         (3, _DRIVER_GREEN_R03),
@@ -580,7 +656,7 @@ def _latest_evidence_round(name: str) -> int:
 def _evidence_order() -> list[QuerySpec]:
     # Oldest-evidence-first: never-verified queries lead (round 0 = new
     # additions AND any query whose oracle or implementation changed since
-    # its last driver touch), then r1..r5 — so each round's count-budgeted driver
+    # its last driver touch), then r1..r6 — so each round's count-budgeted driver
     # pass refreshes the queries most likely to have drifted since their
     # last verification. Oracle-backed before rows-only within a tier
     # (a hash check is stronger evidence than a row count).
@@ -5650,7 +5726,7 @@ WITH e AS (
            unnest(embedding) AS x
     FROM embeddings
 )
-SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 6) AS cov
+SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 3) AS cov
 FROM e a JOIN e b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
@@ -5665,42 +5741,17 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Σxxᵀ) partials; everything after aggregates n_partitions rows of
     # (1 + d + d²) doubles — the oracle's unnest-self-join (corpus × d²
     # rows) is exactly the plan this operator exists to avoid.
-    from ..operators.linalg import covariance_partials
+    # Quantization is 3 dp (r6 driver red postmortem): Spark's partials and
+    # DuckDB's covar_pop accumulate in different fp orders, so their results
+    # differ by summation noise; at 6 dp one of 2080 values landing within
+    # that noise of a 0.5e-6 rounding boundary flipped the strict value
+    # hash. 3 dp keeps the full-matrix value comparison while putting the
+    # boundary ~1000x further from the noise floor (hash stability across
+    # partitionings is pinned in tests/test_operators.py).
+    from ..operators.linalg import covariance_upper_rounded
 
     em = _t(spark, sf_dir, "embeddings")
-    p = covariance_partials(em, "embedding", _EMB_D).localCheckpoint()
-    xy = (
-        p.select(F.posexplode("sxy").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.sum("v").alias("sxy"))
-    )
-    x = (
-        p.select(F.posexplode("sx").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("sx"))
-    )
-    n = p.agg(F.sum("n").alias("n"))
-    return (
-        xy.select(
-            (F.col("pos") / _EMB_D).cast("int").alias("i"),
-            (F.col("pos") % _EMB_D).cast("int").alias("j"),
-            "sxy",
-        )
-        .join(F.broadcast(x), "i")
-        .join(F.broadcast(x.select(F.col("i").alias("j"), F.col("sx").alias("sy"))), "j")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("i") <= F.col("j"))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("sxy") / F.col("n")
-                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
-                6,
-            ).alias("cov"),
-        )
-        .orderBy("i", "j")
-    )
+    return covariance_upper_rounded(em, "embedding", _EMB_D, decimals=3)
 
 
 @register(

@@ -1076,3 +1076,25 @@ def test_leakage_safe_split_no_pair_straddles(spark):
         (_hash_bucket(F.col("id_b")) < 10).alias("eb"),
     ).filter(F.col("ea") != F.col("eb"))
     assert naive.count() > 0
+
+
+def test_covariance_rounded_hash_stable_across_partitionings(spark):
+    # CORRECTNESS_r06 postmortem: the 6-dp rounded covariance flipped the
+    # driver's value hash when fp summation order shifted. The shipped 3-dp
+    # output must be bit-identical however the partials are grouped — 1, 7,
+    # and 32 input partitions produce different per-partition (n, Σx, Σxxᵀ)
+    # partials and different F.sum merge orders.
+    from hadoop_word_score_spark.operators.linalg import covariance_upper_rounded
+
+    em = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    outs = [
+        tuple(
+            (r.i, r.j, r.cov)
+            for r in covariance_upper_rounded(
+                em.repartition(k), "embedding", 64
+            ).collect()
+        )
+        for k in (1, 7, 32)
+    ]
+    assert len(outs[0]) == 64 * 65 // 2
+    assert outs[0] == outs[1] == outs[2]
