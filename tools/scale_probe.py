@@ -51,6 +51,7 @@ PROBES = [
     "embedding_covariance",
     "zorder_keys",
     "bpe_merge_rules",
+    "split_leakage_safe",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -545,6 +546,10 @@ def main() -> None:
         # 3 rounds x (scan + pair agg + 1-row collect); each round's merge
         # is a fold expression replayed scan-side, so cost = rounds x scans
         "bpe_merge_rules": "linear x n_rounds (per-round scan + vocab-sized pair agg)",
+        # r7: candidate generation moved from the exact Σdf² pair op (13.2x
+        # at 10x) to the bucketed LSH + verify path; rest is components +
+        # one bounded cluster-map join
+        "split_leakage_safe": "~linear (LSH candidates + components + cluster-map join)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
