@@ -328,3 +328,24 @@ def test_corpus_drift_reuses_one_token_aggregation(spark):
     plan = plan_of(spark, "corpus_drift_kl")
     assert "Generate explode" not in plan, plan
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_sql_adhoc_plans_match_dataframe_path(spark):
+    # The ad-hoc SQL entry point must compile to the same physical shapes
+    # the DataFrame API earns: the join's bounded nation dim broadcasts and
+    # its status filter reaches the scan; the window query prunes to the
+    # three referenced customer columns; the HOF query stays JVM-side (no
+    # Python evaluation anywhere in a lambda-HOF plan).
+    plan = executed_plan_of(spark, "sql_adhoc_join")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    f = formatted_plan(spark, "sql_adhoc_join")
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderstatus,F\)", f), f
+
+    f = formatted_plan(spark, "sql_adhoc_window")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", f)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "c_mktsegment", "c_custkey", "c_acctbal",
+    }, f
+
+    plan = plan_of(spark, "sql_adhoc_hof")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
