@@ -49,11 +49,19 @@ def _tokens(w: Column) -> Column:
     return F.filter(F.split(w, " "), lambda t: t != "")
 
 
-def merge_pair_expr(w: Column, pa: str, pb: str) -> Column:
+def merge_pair_expr(w: Column, pa: str, pb: str, joiner: str = JOINER) -> Column:
     """Canonical left-to-right BPE merge of adjacent (pa, pb) in the
-    space-joined token string ``w``; returns the re-joined string."""
+    space-joined token string ``w``; returns the re-joined string.
+
+    ``joiner`` sits between the merged halves: U+001F for word-level rules
+    (a merged phrase must stay distinguishable from a genuine token), ""
+    for character-level subword rules (classic BPE concatenates symbols
+    directly). Within-round non-overlap holds for any space-free joiner:
+    the merged symbol pa+joiner+pb contains no space, so the fold's
+    ``endswith(" " + pa)`` lookback can never fire on it.
+    """
     suffix = F.lit(" " + pa)
-    tail = F.lit(" " + pa + JOINER + pb)
+    tail = F.lit(" " + pa + joiner + pb)
     cut_len = len(pa) + 1
 
     def step(acc: Column, x: Column) -> Column:
@@ -91,6 +99,69 @@ def learn_merge_rules(docs: DataFrame, text_col: str, n_rules: int) -> list[tupl
             .select(F.explode(pairs).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        rules.append((step_no, top[0].pair, top[0].n))
+    return rules
+
+
+END_OF_WORD = "</w>"
+
+# One symbol per character + the end-of-word marker, space-joined:
+# "low" -> "l o w </w>". Built with substr (not split-on-empty) so the
+# DuckDB oracle can mirror it expression for expression.
+_SYMBOLIZE = (
+    "concat(array_join(transform(sequence(1, length(word)),"
+    " i -> substr(word, i, 1)), ' '), ' " + END_OF_WORD + "')"
+)
+
+
+def learn_subword_rules(
+    docs: DataFrame, text_col: str, n_rules: int
+) -> list[tuple]:
+    """Sennrich et al. (2016) character-level BPE: ``n_rules`` most frequent
+    adjacent SYMBOL pairs within words, weighted by corpus word frequency;
+    returns [(step, pair, n)].
+
+    The scale story improves on the word-level loop: the corpus is scanned
+    exactly ONCE (word-frequency aggregation — hash shuffle of words); all
+    rounds then run over the materialized vocab relation (distinct words x
+    freq — bounded by vocabulary, not corpus, ~1e5-1e7 rows at any corpus
+    size). Per round: k merge folds re-applied as pure JVM expressions +
+    one vocab-sized weighted pair aggregation + a 1-row argmax collect.
+    Merges concatenate symbols directly (joiner=""), and ``</w>`` marks the
+    word boundary so a learned rule can never merge across words.
+
+    ``docs[text_col]`` must be canonical single-space-joined tokens (same
+    contract as :func:`learn_merge_rules`).
+    """
+    vocab = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", F.expr(_SYMBOLIZE))
+        .localCheckpoint()  # vocab-sized; every round re-reads it
+    )
+    rules: list[tuple] = []
+    for step_no in range(1, n_rules + 1):
+        w = F.col("sym")
+        for _, pair, _ in rules:
+            pa, _, pb = pair.rpartition(" ")
+            w = merge_pair_expr(w, pa, pb, joiner="")
+        pairs = F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        )
+        top = (
+            vocab.select(_tokens(w).alias("_toks"), "freq")
+            .filter(F.size("_toks") >= 2)
+            .select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
             .collect()

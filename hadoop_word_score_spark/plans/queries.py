@@ -5800,6 +5800,87 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def _bpe_subword_oracle(n_rounds: int) -> str:
+    """Chained-CTE DuckDB mirror of the Sennrich subword loop: v0 = word
+    frequencies (same whitespace tokenizer as d0 above), s0 = per-char
+    symbolization + </w>, then per round a weighted argmax CTE and a
+    list_reduce fold identical to merge_pair_expr(joiner="")."""
+    count = (
+        "SELECT pair, n, string_split(pair, ' ')[1] AS pa,"
+        " string_split(pair, ' ')[2] AS pb\n"
+        "    FROM (\n"
+        "        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (\n"
+        "            SELECT unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i+1])) AS pair, freq\n"
+        "            FROM (SELECT list_filter(string_split(w, ' '),"
+        " x -> x <> '') AS t, freq FROM s{k})\n"
+        "            WHERE len(t) >= 2\n"
+        "        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1\n"
+        "    )"
+    )
+    fold = (
+        "SELECT ltrim(list_reduce(\n"
+        "        list_prepend('', list_filter(string_split(w, ' '), x -> x <> '')),\n"
+        "        (acc, x) -> CASE\n"
+        "            WHEN ends_with(acc, ' ' || pa) AND x = pb\n"
+        "            THEN left(acc, len(acc) - len(pa) - 1) || ' ' || pa || pb\n"
+        "            ELSE acc || ' ' || x END\n"
+        "    )) AS w, freq\n"
+        "    FROM s{k}, r{r}"
+    )
+    ctes = [
+        "v0 AS (\n"
+        "    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (\n"
+        "        SELECT unnest(list_filter("
+        "string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word\n"
+        "        FROM documents\n"
+        "    ) GROUP BY word\n"
+        ")",
+        "s0 AS (\n"
+        "    SELECT array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> substr(word, i, 1)), ' ') || ' </w>' AS w, freq\n"
+        "    FROM v0\n"
+        ")",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"r{r} AS (\n    " + count.format(k=r - 1) + "\n)")
+        if r < n_rounds:
+            ctes.append(f"s{r} AS (\n    " + fold.format(k=r - 1, r=r) + "\n)")
+    steps = "\n    UNION ALL ".join(
+        f"SELECT {r} AS step, pair, n FROM r{r}" if r == 1
+        else f"SELECT {r}, pair, n FROM r{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT step, pair, n FROM (\n    {steps}\n) ORDER BY step"
+    )
+
+
+_BPE_SUBWORD_SQL = _bpe_subword_oracle(3)
+
+
+@register("bpe_subword_rules", oracle=_BPE_SUBWORD_SQL, tags=("llm", "text", "iterative"))
+def q_bpe_subword_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-level BPE (Sennrich et al. 2016) — the variant an actual
+    # tokenizer-training pipeline runs: symbols start as characters + </w>,
+    # pairs weigh by corpus word frequency, merges concatenate. Unlike the
+    # word-level loop above, only the vocab aggregation touches the corpus;
+    # all three rounds run over the materialized (word, freq) relation
+    # (operators/bpe.py:learn_subword_rules).
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import learn_subword_rules
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    rules = learn_subword_rules(docs, "txt", n_rules=3)
+    return spark.createDataFrame(
+        rules, schema="step int, pair string, n long"
+    ).orderBy("step")
+
+
 _EMB_D = 64
 _COV_SQL = """
 WITH e AS (

@@ -1098,3 +1098,36 @@ def test_covariance_rounded_hash_stable_across_partitionings(spark):
     ]
     assert len(outs[0]) == 64 * 65 // 2
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_subword_bpe_reproduces_sennrich_example(spark):
+    # The textbook corpus from Sennrich et al. 2016 (§3.2): low x5,
+    # lower x2, newest x6, widest x3. First three merges are es -> est ->
+    # est</w>, each with weighted count 9 (ties at 9 break by pair text:
+    # "e s" < "s t" < "t </w>").
+    from hadoop_word_score_spark.operators.bpe import learn_subword_rules
+
+    docs = spark.createDataFrame(
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3,
+        schema="txt string",
+    )
+    assert learn_subword_rules(docs, "txt", 3) == [
+        (1, "e s", 9),
+        (2, "es t", 9),
+        (3, "est </w>", 9),
+    ]
+
+
+def test_subword_merges_stay_within_words_and_stop_when_dry(spark):
+    # "ab ab ab": rounds run over the vocab relation {ab: 3}, which has no
+    # cross-word adjacency — (b, a) across "ab|ab" can never be counted.
+    # Round 1 merges (a, b) x3 (tie with (b, </w>) breaks by pair text),
+    # round 2 absorbs </w>; round 3 finds single-symbol words only and the
+    # loop terminates early instead of fabricating a rule.
+    from hadoop_word_score_spark.operators.bpe import learn_subword_rules
+
+    docs = spark.createDataFrame([("ab ab ab",)], schema="txt string")
+    assert learn_subword_rules(docs, "txt", 3) == [
+        (1, "a b", 3),
+        (2, "ab </w>", 3),
+    ]

@@ -51,6 +51,7 @@ PROBES = [
     "embedding_covariance",
     "zorder_keys",
     "bpe_merge_rules",
+    "bpe_subword_rules",
     "split_leakage_safe",
 ]
 
@@ -546,6 +547,10 @@ def main() -> None:
         # 3 rounds x (scan + pair agg + 1-row collect); each round's merge
         # is a fold expression replayed scan-side, so cost = rounds x scans
         "bpe_merge_rules": "linear x n_rounds (per-round scan + vocab-sized pair agg)",
+        # ONE corpus scan builds the (word, freq) vocab; all rounds run over
+        # the checkpointed vocab relation — 10x corpus mostly deepens word
+        # counts, so expect well under 10x
+        "bpe_subword_rules": "one corpus scan + vocab-bounded rounds",
         # r7: candidate generation moved from the exact Σdf² pair op (13.2x
         # at 10x) to the bucketed LSH + verify path; rest is components +
         # one bounded cluster-map join
