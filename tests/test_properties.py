@@ -237,6 +237,9 @@ def test_misra_gries_summary_guarantee(tokens, capacity):
     got = dict(zip(summary["term"], summary["mg_count"]))
     true = Counter(tokens)
     n = len(tokens)
+    # the sentinel row (term None) must carry the partition's exact raw
+    # token total — it feeds the N/(capacity+1) exactness threshold
+    assert got.pop(None) == n
     err = n / (capacity + 1)
     for term, c in true.items():
         if c > err:

@@ -366,3 +366,23 @@ def test_foreach_batch_upsert_sink_crash_atomicity(spark, tmp_path, monkeypatch)
     sink(df1, 1)  # recovery replay of the SAME batch id now commits
     after = {r.k: r.v for r in S.read_table(spark, target).collect()}
     assert after == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_sink_rejects_object_store_schemes(spark, tmp_path):
+    # The pointer swap is driver-local POSIX (open/os.replace); on an
+    # object store the replay guard and atomicity silently vanish, so a
+    # non-file scheme must fail at sink construction, before any stream
+    # runs. file:// normalizes to the plain driver path and still works.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.sinks import read_table, upsert_sink
+
+    for bad in ("s3://bucket/t", "hdfs://nn:8020/t", "s3a://b/t", "abfss://c/t"):
+        with _pytest.raises(ValueError, match="local filesystem"):
+            upsert_sink(bad, "k")
+
+    target = str(tmp_path / "filescheme")
+    sink = upsert_sink("file://" + target, "k")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    sink(df, 0)
+    assert [tuple(r) for r in read_table(spark, target).collect()] == [(1, "a")]
