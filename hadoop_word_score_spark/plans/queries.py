@@ -5686,7 +5686,7 @@ ORDER BY zbucket
 """
 
 
-@register("zorder_keys", oracle=_ZORDER_SQL, tags=("layout", "scalar"))
+@register("zorder_keys", oracle=_ZORDER_SQL, tags=("layout", "scalar"), bench=True)
 def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Data-layout clustering key: Morton-interleave 8-bit buckets of
     # (l_orderkey, l_partkey) — pure bit expressions, whole-stage codegen,
@@ -5784,7 +5784,7 @@ SELECT step, pair, n FROM (
 """
 
 
-@register("bpe_merge_rules", oracle=_BPE_SQL, tags=("llm", "text", "iterative"))
+@register("bpe_merge_rules", oracle=_BPE_SQL, tags=("llm", "text", "iterative"), bench=True)
 def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The iterative-algorithm pattern (operators/bpe.py): three BPE rounds
     # at word level — count adjacent pairs, merge the winner corpus-wide,
@@ -5866,7 +5866,7 @@ def _bpe_subword_oracle(n_rounds: int) -> str:
 _BPE_SUBWORD_SQL = _bpe_subword_oracle(3)
 
 
-@register("bpe_subword_rules", oracle=_BPE_SUBWORD_SQL, tags=("llm", "text", "iterative"))
+@register("bpe_subword_rules", oracle=_BPE_SUBWORD_SQL, tags=("llm", "text", "iterative"), bench=True)
 def q_bpe_subword_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Character-level BPE (Sennrich et al. 2016) — the variant an actual
     # tokenizer-training pipeline runs: symbols start as characters + </w>,
@@ -5992,7 +5992,7 @@ ORDER BY user_id, session_no
 """
 
 
-@register("sessionize_events", oracle=_SESSIONIZE_SQL, tags=("events", "window", "time"))
+@register("sessionize_events", oracle=_SESSIONIZE_SQL, tags=("events", "window", "time"), bench=True)
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch sessionization, the lag + cumulative-sum idiom: a session break
     # is a gap > 30 min; running-sum the break flags to number sessions,
