@@ -28,6 +28,8 @@ __all__ = [
     "encode_ppm",
     "encode_pgm",
     "encode_bmp24",
+    "encode_wav_pcm16",
+    "decode_wav_pcm16",
 ]
 
 
@@ -181,3 +183,54 @@ def encode_bmp24(rgb: np.ndarray) -> bytes:
         + (0).to_bytes(4, "little") * 2
     )
     return header + pix
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16 (the classically trivial audio container, from the
+# public RIFF spec — same rationale as the raster codecs above: the L6
+# audio contract shouldn't depend on an optional wheel)
+# ---------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16LE RIFF/WAVE blob from an int16 sample array."""
+    import struct
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int, int] | None:
+    """(interleaved int16 samples, sample_rate, n_channels) for a RIFF/WAVE
+    blob; None when the payload isn't RIFF/WAVE at all (caller falls back);
+    ValueError for a recognized WAV this decoder doesn't support (non-PCM,
+    non-16-bit, missing chunks) — mirroring decode_rgb's contract."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+    usable = len(data) - (len(data) % (2 * n_ch))
+    return np.frombuffer(data[:usable], dtype="<i2"), rate, n_ch

@@ -270,3 +270,109 @@ def extract_image_metadata(docs_with_payload: DataFrame) -> DataFrame:
         docs_with_payload.select("doc_id", "payload")
         .mapInPandas(decode_image_batch, schema=DECODE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# audio (L6's second modality): opaque binary column -> typed audio metadata
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("byte_len", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def _fake_audio_meta(payload: bytes) -> tuple[int, int, float, float, int]:
+    """Deterministic md5-derived audio metadata for non-audio payloads —
+    same policy as _fake_decode: the pipeline stays reproducible on the
+    synthetic text corpus without pretending the bytes were decodable."""
+    d = hashlib.md5(payload).digest()
+    rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    n = 1000 + int.from_bytes(d[1:3], "big") % 64000
+    rms = _quant6(int.from_bytes(d[3:5], "big") / 65535.0)
+    zc = int.from_bytes(d[5:7], "big") % n
+    return rate, n, _quant6(n / rate), rms, zc
+
+
+def _decode_audio_one(payload: bytes) -> tuple[int, int, float, float, int]:
+    """(sample_rate, n_samples, duration_s, rms, zero_crossings).
+
+    Backend: the built-in pure-Python RIFF/WAVE PCM16 codec (always
+    present); payloads it doesn't recognize — or recognized WAV variants it
+    doesn't support — take the deterministic md5 fake, mirroring the image
+    decoder's tier policy. ``rms`` is over [-1, 1)-normalized samples;
+    ``zero_crossings`` counts strict sign changes between consecutive
+    samples (zeros break a run, they don't count as crossings).
+    """
+    import numpy as np
+
+    try:
+        decoded = _codecs.decode_wav_pcm16(payload)
+    except ValueError:
+        decoded = None
+    if decoded is None:
+        return _fake_audio_meta(payload)
+    samples, rate, n_ch = decoded
+    n = len(samples) // n_ch
+    if n == 0:
+        return rate, 0, 0.0, 0.0, 0
+    x = samples.astype(np.float64) / 32768.0
+    rms = _quant6(float(np.sqrt((x * x).mean())))
+    sign = np.sign(samples)
+    zc = int(np.count_nonzero(sign[:-1] * sign[1:] < 0))
+    return rate, n, _quant6(n / rate), rms, zc
+
+
+def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the audio decode stage (narrow, no shuffle)."""
+    for pdf in batches:
+        meta = [_decode_audio_one(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "sample_rate": [m[0] for m in meta],
+                "n_samples": [m[1] for m in meta],
+                "duration_s": [m[2] for m in meta],
+                "rms": [m[3] for m in meta],
+                "zero_crossings": [m[4] for m in meta],
+            }
+        )
+
+
+def extract_audio_metadata(docs_with_payload: DataFrame) -> DataFrame:
+    """binary audio column -> typed metadata via Arrow batches (narrow)."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        decode_audio_batch, schema=AUDIO_SCHEMA
+    )
+
+
+def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a REAL mono PCM16 WAV payload per doc: a ±A square wave whose
+    parameters derive from the id, so every decoded property has a CLOSED
+    FORM an SQL oracle can recompute — half-period H = 2 + id % 7 samples,
+    N = 800 + id % 50 samples at 8 kHz, amplitude A = 1000 + (id * 37) %
+    30000. Then byte_len = 44 + 2N, rms = A/32768 exactly (every sample is
+    ±A, and a 15-bit dyadic's square round-trips sqrt bit-exactly), and
+    zero crossings = floor((N-1)/H) (signs flip exactly at multiples of H).
+    Arrow-batched scalar UDF; narrow."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def render(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            half, n = 2 + i % 7, 800 + i % 50
+            amp = 1000 + (i * 37) % 30000
+            idx = np.arange(n) // half
+            samples = (np.where(idx % 2 == 0, amp, -amp)).astype(np.int16)
+            out.append(_codecs.encode_wav_pcm16(samples, 8000))
+        return pd.Series(out)
+
+    return docs.withColumn("payload", render(F.col(id_col)))

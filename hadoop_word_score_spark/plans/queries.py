@@ -3480,6 +3480,47 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_metadata(d)
 
 
+@register(
+    "multimodal_audio_real",
+    # THE REAL AUDIO CODEC PATH, hash-checked — the audio sibling of
+    # multimodal_decode_real: payloads are genuine RIFF/WAVE PCM16 blobs
+    # (a ±A square wave with id-derived half-period H, length N, amplitude
+    # A; operators/multimodal.py::with_wav_payload), decoded by the actual
+    # pure-Python WAV parser, not the md5 fallback. Every decoded property
+    # has a closed form this oracle recomputes: byte_len = 44-byte header +
+    # 2N PCM bytes; rms over [-1,1)-normalized samples = A/32768 EXACTLY
+    # (every sample is ±A; a 15-bit dyadic's square round-trips sqrt
+    # bit-exactly); sign flips land exactly at multiples of H so zero
+    # crossings = floor((N-1)/H); quantization mirrors _quant6's
+    # floor(x*1e6 + 0.5)/1e6 for bit-identical doubles.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               2 + doc_id % 7 AS half,
+               800 + doc_id % 50 AS n,
+               1000 + (doc_id * 37) % 30000 AS amp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * n AS BIGINT) AS byte_len,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           floor((n / 8000.0) * 1000000 + 0.5) / 1000000 AS duration_s,
+           floor((amp / 32768.0) * 1000000 + 0.5) / 1000000 AS rms,
+           CAST((n - 1) // half AS BIGINT) AS zero_crossings
+    FROM p
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Render (narrow pandas UDF) → decode (narrow mapInPandas): zero
+    # shuffles, like the image path.
+    from ..operators.multimodal import extract_audio_metadata, with_wav_payload
+
+    d = with_wav_payload(_t(spark, sf_dir, "documents"))
+    return extract_audio_metadata(d)
+
+
 # ---------------------------------------------------------------------------
 # EXT: deterministic sampling (training-data-pipeline staple). Random
 # Bernoulli/TABLESAMPLE is not oracle-checkable, so the engine's sampling

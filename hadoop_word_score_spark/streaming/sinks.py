@@ -68,18 +68,39 @@ def _bucket_paths(target: str, manifest: dict) -> list[str]:
     ]
 
 
-def read_table(spark: SparkSession, target: str) -> DataFrame | None:
-    """Current snapshot of the sink table, or None before the first commit.
+def read_table(
+    spark: SparkSession, target: str, version: int | None = None
+) -> DataFrame | None:
+    """Snapshot of the sink table, or None before the first commit.
 
     Reads either layout: bucketed (a ``_manifest.v<n>`` maps each key
-    bucket to its own snapshot version) or whole-table (``v=<n>``)."""
-    version, _ = _read_pointer(target)
+    bucket to its own snapshot version) or whole-table (``v=<n>``).
+    ``version`` time-travels to an earlier snapshot — valid until
+    :func:`vacuum` reclaims it (a vacuumed version raises on read, it does
+    not silently serve partial data)."""
+    current, _ = _read_pointer(target)
+    if version is None:
+        version = current
     if version == 0:
         return None
+    if not 0 < version <= current:
+        raise ValueError(
+            f"version {version} out of range for {target!r} (current {current})"
+        )
     manifest = _read_manifest(target, version)
     if manifest is not None:
-        return spark.read.parquet(*_bucket_paths(target, manifest))
-    return spark.read.parquet(os.path.join(target, f"v={version}"))
+        paths = _bucket_paths(target, manifest)
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"version {version} of {target!r} was vacuumed "
+                f"(missing {missing[0]!r})"
+            )
+        return spark.read.parquet(*paths)
+    path = os.path.join(target, f"v={version}")
+    if not os.path.isdir(path):
+        raise ValueError(f"version {version} of {target!r} was vacuumed")
+    return spark.read.parquet(path)
 
 
 def upsert_sink(target: str, key: str, n_buckets: int | None = None):

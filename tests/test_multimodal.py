@@ -235,3 +235,93 @@ def test_fake_decode_flag_reflects_environment():
     from hadoop_word_score_spark.operators import multimodal
 
     assert multimodal.FAKE_DECODE == (importlib.util.find_spec("PIL") is None)
+
+
+def test_wav_codec_roundtrips_and_matches_stdlib_wave():
+    # The pure-Python RIFF encoder must produce blobs the stdlib wave
+    # module reads identically, and the decoder must round-trip them.
+    import io
+    import wave
+
+    import numpy as np
+
+    from hadoop_word_score_spark.functions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = (np.arange(200) % 13 * 900 - 5000).astype(np.int16)
+    blob = encode_wav_pcm16(s, 16000)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()) \
+            == (1, 2, 16000, 200)
+        assert np.array_equal(np.frombuffer(w.readframes(200), dtype="<i2"), s)
+    samples, rate, n_ch = decode_wav_pcm16(blob)
+    assert np.array_equal(samples, s) and (rate, n_ch) == (16000, 1)
+
+
+def test_wav_decoder_contract_non_wav_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.functions.codecs import decode_wav_pcm16
+
+    assert decode_wav_pcm16(b"not audio at all") is None  # -> md5 fake tier
+    # recognized RIFF/WAVE but IEEE-float fmt (3): refuse, don't mis-decode
+    float_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_wav_pcm16(float_fmt)
+
+
+def test_audio_decode_handles_stereo_and_zero_data():
+    import numpy as np
+
+    from hadoop_word_score_spark.functions.codecs import decode_wav_pcm16
+    from hadoop_word_score_spark.operators.multimodal import _decode_audio_one
+
+    # stereo: interleaved samples survive; frames = len/2
+    import struct
+    pcm = np.array([100, -100, 200, -200, 300, -300], dtype="<i2").tobytes()
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    samples, rate, n_ch = decode_wav_pcm16(stereo)
+    assert (rate, n_ch, len(samples)) == (44100, 2, 6)
+    meta = _decode_audio_one(stereo)
+    assert meta[0] == 44100 and meta[1] == 3  # frames, not raw samples
+
+    empty = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert _decode_audio_one(empty) == (8000, 0, 0.0, 0.0, 0)
+
+
+def test_audio_query_real_path_not_fake(spark):
+    # The rendered WAV payloads must take the REAL decode path: their
+    # metadata matches the closed forms, which the md5 fake cannot produce.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_audio_metadata,
+        with_wav_payload,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(25)
+    rows = extract_audio_metadata(with_wav_payload(d)).collect()
+    assert len(rows) == 25
+    for r in rows:
+        half, n = 2 + r.doc_id % 7, 800 + r.doc_id % 50
+        assert r.byte_len == 44 + 2 * n
+        assert r.sample_rate == 8000 and r.n_samples == n
+        assert r.zero_crossings == (n - 1) // half

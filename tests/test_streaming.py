@@ -490,3 +490,31 @@ def test_bucketed_upsert_sink_vacuum_and_bucket_count_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         bad(spark.createDataFrame([(1, "x")], "k int, v string"), 99)
+
+
+def test_read_table_time_travel_and_vacuum_boundary(spark, tmp_path):
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "travel")
+    sink = S.upsert_sink(target, "k", n_buckets=4)
+    sink(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), 0)
+    sink(spark.createDataFrame([(2, "B2")], "k int, v string"), 1)
+    sink(spark.createDataFrame([(3, "c")], "k int, v string"), 2)
+
+    assert {r.k: r.v for r in S.read_table(spark, target).collect()} == {
+        1: "a", 2: "B2", 3: "c",
+    }
+    # time travel: version 1 is the post-batch-0 state
+    assert {r.k: r.v for r in S.read_table(spark, target, version=1).collect()} == {
+        1: "a", 2: "b",
+    }
+    with _pytest.raises(ValueError, match="out of range"):
+        S.read_table(spark, target, version=9)
+
+    S.vacuum(target)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        S.read_table(spark, target, version=1)
+    # current version still serves
+    assert len(S.read_table(spark, target).collect()) == 3
