@@ -120,6 +120,30 @@ _SYMBOLIZE = (
 )
 
 
+def subword_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, sym) — the corpus word-frequency relation with each
+    word symbolized for the subword loop. ONE corpus scan, materialized
+    (vocab-sized), shared by rule learning and encoding."""
+    return (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", F.expr(_SYMBOLIZE))
+        .localCheckpoint()
+    )
+
+
+def apply_merge_rules(w: Column, rules: list[tuple], joiner: str = "") -> Column:
+    """Re-apply learned merge rules (in learned order) to a space-joined
+    symbol string — the ENCODE direction of the fit/apply split. Each rule
+    is one pure JVM fold expression; k rules = k chained folds, no UDF, no
+    shuffle."""
+    for _, pair, _ in rules:
+        pa, _, pb = pair.rpartition(" ")
+        w = merge_pair_expr(w, pa, pb, joiner=joiner)
+    return w
+
+
 def learn_subword_rules(
     docs: DataFrame, text_col: str, n_rules: int
 ) -> list[tuple]:
@@ -139,19 +163,10 @@ def learn_subword_rules(
     ``docs[text_col]`` must be canonical single-space-joined tokens (same
     contract as :func:`learn_merge_rules`).
     """
-    vocab = (
-        docs.select(F.explode(_tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("sym", F.expr(_SYMBOLIZE))
-        .localCheckpoint()  # vocab-sized; every round re-reads it
-    )
+    vocab = subword_vocab(docs, text_col)  # vocab-sized; every round re-reads
     rules: list[tuple] = []
     for step_no in range(1, n_rules + 1):
-        w = F.col("sym")
-        for _, pair, _ in rules:
-            pa, _, pb = pair.rpartition(" ")
-            w = merge_pair_expr(w, pa, pb, joiner="")
+        w = apply_merge_rules(F.col("sym"), rules)
         pairs = F.expr(
             "transform(sequence(1, size(_toks) - 1),"
             " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"

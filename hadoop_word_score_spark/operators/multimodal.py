@@ -376,3 +376,125 @@ def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return pd.Series(out)
 
     return docs.withColumn("payload", render(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# video (L6's third modality): concatenated-PGM container, REAL demux path
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_offset", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+_PGM_HEADER_RE = None  # compiled lazily inside the worker
+
+
+def _iter_pgm_frames(payload: bytes):
+    """Yield (offset, frame_bytes) for each PGM in a concatenated-PGM
+    container — a REAL demux walk: parse each header, size the raster,
+    seek to the next frame. Stops at the first byte run that isn't a PGM
+    header (trailing garbage -> no frame, not a crash)."""
+    import re
+
+    global _PGM_HEADER_RE
+    if _PGM_HEADER_RE is None:
+        _PGM_HEADER_RE = re.compile(rb"P5\s+(\d+)\s+(\d+)\s+255\s")
+    pos = 0
+    while pos < len(payload):
+        m = _PGM_HEADER_RE.match(payload, pos)
+        if not m:
+            break
+        w, h = int(m.group(1)), int(m.group(2))
+        end = m.end() + w * h
+        if end > len(payload):
+            break  # truncated final frame: drop, don't mis-decode
+        yield pos, payload[pos:end]
+        pos = end
+
+
+def split_video_frames(docs_with_payload: DataFrame) -> DataFrame:
+    """REAL frame demux: one concatenated-PGM "video" binary -> one row per
+    frame, each frame itself a decodable PGM. Narrow 1->N fan-out inside
+    the Arrow batch; the fake byte-offset sampler (sample_frames) remains
+    for payloads with no demuxable container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []
+            }
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, (off, frame) in enumerate(_iter_pgm_frames(bytes(p))):
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+def extract_video_frame_metadata(docs_with_payload: DataFrame) -> DataFrame:
+    """Demux + per-frame REAL decode in one narrow stage: video binary ->
+    (doc_id, frame_idx, frame_offset, width, height, mean_luma)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [],
+                "width": [], "height": [], "mean_luma": [],
+            }
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, (off, frame) in enumerate(_iter_pgm_frames(bytes(p))):
+                    w, h, luma = _decode_one(frame)
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_luma"].append(luma)
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_META_SCHEMA
+    )
+
+
+def with_pgm_video_payload(
+    docs: DataFrame, text_col: str = "text", n_frames: int = 4, width: int = 16
+) -> DataFrame:
+    """Render a REAL concatenated-PGM "video" per doc: the text's bytes are
+    split into ``n_frames`` contiguous chunks (sizes L//n + 1 for the first
+    L%n chunks — the oracle-recomputable split), each chunk rendered as a
+    PGM frame exactly like with_pgm_payload renders whole docs. Every
+    frame boundary, dimension, and luma is then closed-form arithmetic
+    over the text. Arrow-batched scalar UDF; narrow."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def render(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")
+            base, rem = divmod(len(b), n_frames)
+            frames = []
+            pos = 0
+            for i in range(n_frames):
+                size = base + (1 if i < rem else 0)
+                chunk = b[pos : pos + size]
+                pos += size
+                h = max(1, -(-len(chunk) // width))
+                chunk = chunk.ljust(width * h, b" ")
+                arr = np.frombuffer(chunk, dtype=np.uint8).reshape(h, width)
+                frames.append(_codecs.encode_pgm(arr))
+            out.append(b"".join(frames))
+        return pd.Series(out)
+
+    return docs.withColumn("payload", render(F.col(text_col)))

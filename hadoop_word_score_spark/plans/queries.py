@@ -3521,6 +3521,62 @@ def q_multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_metadata(d)
 
 
+@register(
+    "multimodal_video_real",
+    # THE REAL VIDEO DEMUX PATH, hash-checked — completes the L6 modality
+    # trio: each payload is a concatenated-PGM "video" (the doc's bytes
+    # split into 4 contiguous chunks of size L//4 + 1 for the first L%4,
+    # each rendered as a real PGM frame), walked by an actual header-parse
+    # demuxer and per-frame decoded by the raster codec. Frame boundaries,
+    # offsets (a window sum of prior frame byte-lengths), dims, and luma
+    # are all closed-form arithmetic this oracle recomputes; quantization
+    # mirrors _quant6. ASCII precondition as multimodal_decode_real.
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, i,
+               octet_length(encode(text)) // 4
+                   + CASE WHEN i < octet_length(encode(text)) % 4
+                          THEN 1 ELSE 0 END AS olen,
+               i * (octet_length(encode(text)) // 4)
+                   + least(i, octet_length(encode(text)) % 4) AS start
+        FROM documents, (SELECT unnest(range(0, 4)) AS i)
+    ), g AS (
+        SELECT doc_id, i, olen,
+               greatest(1, (olen + 15) // 16) AS h,
+               coalesce(list_sum(list_transform(range(1, olen + 1),
+                                 k -> ord(text[CAST(start + k AS BIGINT)]))), 0) AS s
+        FROM f JOIN documents USING (doc_id)
+    ), sized AS (
+        SELECT doc_id, i, olen, h, s,
+               11 + length(CAST(h AS VARCHAR)) + 16 * h AS flen
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(coalesce(SUM(flen) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS frame_offset,
+           CAST(16 AS INT) AS width,
+           CAST(h AS INT) AS height,
+           floor((((s + 32.0 * (16 * h - olen)) / (16 * h)) / 255.0)
+                 * 1000000 + 0.5) / 1000000 AS mean_luma
+    FROM sized
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def q_multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Render (narrow pandas UDF) → demux + per-frame decode (one narrow
+    # mapInPandas): zero shuffles; 1→4 fan-out inside the Arrow batch.
+    from ..operators.multimodal import (
+        extract_video_frame_metadata,
+        with_pgm_video_payload,
+    )
+
+    d = with_pgm_video_payload(_t(spark, sf_dir, "documents"))
+    return extract_video_frame_metadata(d).orderBy("doc_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # EXT: deterministic sampling (training-data-pipeline staple). Random
 # Bernoulli/TABLESAMPLE is not oracle-checkable, so the engine's sampling
@@ -5847,11 +5903,15 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_subword_oracle(n_rounds: int) -> str:
+def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
     """Chained-CTE DuckDB mirror of the Sennrich subword loop: v0 = word
     frequencies (same whitespace tokenizer as d0 above), s0 = per-char
     symbolization + </w>, then per round a weighted argmax CTE and a
-    list_reduce fold identical to merge_pair_expr(joiner="")."""
+    list_reduce fold identical to merge_pair_expr(joiner="").
+
+    ``encode=True`` mirrors the APPLY direction instead: fold through all
+    ``n_rounds`` learned merges and emit the vocab's subword-length
+    distribution from the final state s{n}."""
     count = (
         "SELECT pair, n, string_split(pair, ' ')[1] AS pa,"
         " string_split(pair, ' ')[2] AS pb\n"
@@ -5891,8 +5951,20 @@ def _bpe_subword_oracle(n_rounds: int) -> str:
     ]
     for r in range(1, n_rounds + 1):
         ctes.append(f"r{r} AS (\n    " + count.format(k=r - 1) + "\n)")
-        if r < n_rounds:
+        if r < n_rounds or encode:
             ctes.append(f"s{r} AS (\n    " + fold.format(k=r - 1, r=r) + "\n)")
+    if encode:
+        return (
+            "WITH " + ",\n".join(ctes) + f"""
+SELECT n_subwords, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS total_freq
+FROM (
+    SELECT CAST(len(list_filter(string_split(w, ' '), x -> x <> ''))
+                AS BIGINT) AS n_subwords, freq
+    FROM s{n_rounds}
+)
+GROUP BY n_subwords ORDER BY n_subwords"""
+        )
     steps = "\n    UNION ALL ".join(
         f"SELECT {r} AS step, pair, n FROM r{r}" if r == 1
         else f"SELECT {r}, pair, n FROM r{r}"
@@ -5926,6 +5998,48 @@ def q_bpe_subword_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, schema="step int, pair string, n long"
     ).orderBy("step")
+
+
+@register(
+    "bpe_encode_lengths",
+    oracle=_bpe_subword_oracle(3, encode=True),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The APPLY half of tokenizer training (fit/apply symmetry, like
+    # PCA/IVF): learn 3 subword rules, then ENCODE the vocabulary by
+    # re-applying them as chained JVM fold expressions and report the
+    # subword-length distribution (how compressed the corpus tokenization
+    # is after the merges). Both phases run over the one materialized
+    # vocab relation; nothing corpus-sized moves after the vocab scan.
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        _tokens,
+        apply_merge_rules,
+        learn_subword_rules,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    rules = learn_subword_rules(docs, "txt", n_rules=3)
+    vocab = subword_vocab(docs, "txt")
+    encoded = vocab.select(
+        F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
+        .cast("long")
+        .alias("n_subwords"),
+        "freq",
+    )
+    return (
+        encoded.groupBy("n_subwords")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+        )
+        .orderBy("n_subwords")
+    )
 
 
 _EMB_D = 64

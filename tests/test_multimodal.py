@@ -325,3 +325,40 @@ def test_audio_query_real_path_not_fake(spark):
         assert r.byte_len == 44 + 2 * n
         assert r.sample_rate == 8000 and r.n_samples == n
         assert r.zero_crossings == (n - 1) // half
+
+
+def test_video_demux_and_decode_real_path(spark):
+    # Concatenated-PGM container: the demuxer must find every frame at its
+    # true offset and the per-frame decode must match decoding the frames
+    # individually. Trailing garbage ends the walk; it never mis-decodes.
+    import numpy as np
+
+    from hadoop_word_score_spark.functions.codecs import encode_pgm
+    from hadoop_word_score_spark.operators.multimodal import (
+        _decode_one,
+        _iter_pgm_frames,
+        extract_video_frame_metadata,
+        with_pgm_video_payload,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    f1 = encode_pgm(np.full((3, 16), 65, np.uint8))
+    f2 = encode_pgm((np.arange(32) % 256).reshape(2, 16).astype(np.uint8))
+    frames = list(_iter_pgm_frames(f1 + f2 + b"\x00trailing"))
+    assert [(o, b) for o, b in frames] == [(0, f1), (len(f1), f2)]
+    w, h, luma = _decode_one(f1)
+    assert (w, h) == (16, 3) and abs(luma - 65 / 255) < 1e-6
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(10)
+    rows = extract_video_frame_metadata(with_pgm_video_payload(d)).collect()
+    assert len(rows) == 40  # 4 frames per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for frs in by_doc.values():
+        frs.sort(key=lambda r: r.frame_idx)
+        assert frs[0].frame_offset == 0
+        # offsets are cumulative real frame byte-lengths: strictly increasing
+        assert all(a.frame_offset < b.frame_offset for a, b in zip(frs, frs[1:]))
+        assert all(r.width == 16 and r.height >= 1 for r in frs)
