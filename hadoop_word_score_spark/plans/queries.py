@@ -6042,6 +6042,75 @@ def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int, damping: float = 0.85) -> str:
+    """Unrolled-iteration DuckDB mirror of operators/graph.py::pagerank
+    over the part<->supplier supply graph (distinct lineitem pairs, both
+    directions). Scaled-by-N 4 dp output keeps the value hash far from fp
+    summation noise (see embedding_covariance's 3 dp rationale)."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""r{i} AS (
+    SELECT node,
+           (1 - {damping}) / n.n + {damping} * coalesce(c.s, 0) AS rank
+    FROM nodes CROSS JOIN n
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.deg) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) c USING (node)
+)""")
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem
+),
+edges AS (
+    SELECT p AS src, s AS dst FROM pairs
+    UNION ALL SELECT s, p FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+{",".join(rounds)}
+SELECT node, ROUND(rank * n.n, 4) AS rank_x_n
+FROM r{iterations} CROSS JOIN n
+ORDER BY node
+"""
+
+
+@register(
+    "pagerank_supply_graph",
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "iterative"),
+)
+def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative float-state graph analytics (operators/graph.py): 3 power-
+    # iteration rounds over the undirected part<->supplier supply graph
+    # (distinct lineitem pairs, both directions => no dangling nodes, rank
+    # mass conserved). Per round: one edge-vs-rank join + contribution sum
+    # + node left join — (node, rank) pairs shuffle, never the fact table.
+    # Output is rank scaled by node count at 4 dp: engines sum
+    # contributions in different fp orders, so the quantization boundary
+    # must sit orders of magnitude above the noise (covariance postmortem).
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    r = pagerank(edges, iterations=3)
+    n = r.count()
+    return r.select(
+        "node", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_x_n")
+    ).orderBy("node")
+
+
 _EMB_D = 64
 _COV_SQL = """
 WITH e AS (

@@ -1193,3 +1193,26 @@ def test_subword_merges_stay_within_words_and_stop_when_dry(spark):
         (1, "a b", 3),
         (2, "ab </w>", 3),
     ]
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    # Undirected star a-b, a-c, a-d: rank mass stays exactly 1.0 per round
+    # (no dangling nodes by construction) and the hub outranks the leaves,
+    # which tie. A 4-cycle (regular graph) must stay uniform.
+    from hadoop_word_score_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [("a", x) for x in "bcd"] + [(x, "a") for x in "bcd"],
+        "src string, dst string",
+    )
+    r = {x.node: x.rank for x in pagerank(star, iterations=5).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-12
+    assert r["a"] > r["b"] == r["c"] == r["d"]
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+         ("b", "a"), ("c", "b"), ("d", "c"), ("a", "d")],
+        "src string, dst string",
+    )
+    rc = [x.rank for x in pagerank(cycle, iterations=4).collect()]
+    assert all(abs(v - 0.25) < 1e-12 for v in rc)
