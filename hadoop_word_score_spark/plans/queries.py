@@ -6097,10 +6097,12 @@ def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
+    # materialized once: both union branches (and pagerank's own distinct)
+    # reread the deduped pair blocks instead of re-scanning lineitem twice
     pairs = li.select(
         F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )

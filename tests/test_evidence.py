@@ -163,3 +163,33 @@ def test_every_oracle_compiles_in_duckdb():
         except Exception as e:  # noqa: BLE001 — report every broken oracle
             failures.append(f"{name}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_closure_resolves_package_level_relative_imports():
+    # r6 ADVICE (medium): `from ..functions import codecs` used to resolve
+    # to a nonexistent functions.py and drop silently, leaving codecs.py
+    # out of every multimodal fingerprint. The closure must now contain
+    # the package __init__ AND the imported submodule.
+    from hadoop_word_score_spark.plans.queries import _engine_module_closure
+
+    closure = _engine_module_closure(("operators.multimodal",))
+    assert "functions.codecs" in closure
+    assert "functions.__init__" in closure
+
+
+def test_unresolvable_relative_import_fails_loudly():
+    import pytest
+
+    from hadoop_word_score_spark.plans.queries import _resolve_rel_imports
+
+    with pytest.raises(ImportError, match="cannot resolve"):
+        _resolve_rel_imports("from ..nosuchpkg import thing\n", ("plans",))
+
+
+def test_package_import_aliases_and_lists_resolve_submodules():
+    from hadoop_word_score_spark.plans.queries import _resolve_rel_imports
+
+    mods = _resolve_rel_imports(
+        "from ..functions import codecs as _c, text\n", ("operators",)
+    )
+    assert {"functions.__init__", "functions.codecs", "functions.text"} <= mods
