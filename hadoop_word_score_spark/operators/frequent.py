@@ -109,3 +109,69 @@ def heavy_hitters_topk(
         .select("term", "n", "exact")
         .orderBy(F.desc("n"), F.asc("term"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable frequency-ESTIMATE sketch (vs Misra-Gries'
+# candidate summary above). Deterministic seeded hashes make the whole
+# sketch — not just its error bound — reproducible and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(i, term, width: int):
+    """Row-i column for a term: first 8 md5 hex digits of "i:term" mod
+    width — byte-identical in Spark and DuckDB (same lowercase-hex md5 of
+    the same UTF-8 key), so an oracle can rebuild the exact sketch."""
+    key = F.concat(i.cast("string"), F.lit(":"), term)
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+        % width
+    )
+
+
+def cms_cells(
+    tokens: DataFrame, term_col: str = "term", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """The sketch itself as rows (i, b, c): token stream -> depth hash rows
+    -> bucket counts.
+
+    Scale shape: the explode emits depth rows per token, but the hash
+    aggregation's map-side combine collapses each partition to at most
+    depth x width cells before anything shuffles — the sketch is the
+    mergeable fixed-size state (elementwise sums), same family as the
+    covariance partials. The full sketch is depth x width rows (~KBs) no
+    matter the corpus."""
+    rows = tokens.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+        F.col(term_col).alias("term"),
+    )
+    return (
+        rows.select("i", _cms_bucket(F.col("i"), F.col("term"), width).alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimates(
+    tokens: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``terms``: (term, n_cms).
+
+    n_cms = min over the depth rows of the probed cell — ALWAYS >=
+    the true count (every occurrence landed in every probed cell; callers
+    assert the overestimate invariant). The sketch is bounded (depth x
+    width rows) so it broadcasts to the probe join."""
+    cells = cms_cells(tokens, term_col, depth, width)
+    probes = terms.select(
+        F.col(term_col).alias("term"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    ).withColumn("b", _cms_bucket(F.col("i"), F.col("term"), width))
+    return (
+        probes.join(F.broadcast(cells), ["i", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
+    )

@@ -5699,6 +5699,77 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_topk(tokens, "term", k=20, capacity=512)
 
 
+_CMS_SQL = """
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY term
+),
+top AS (
+    SELECT term, n_exact FROM counts ORDER BY n_exact DESC, term LIMIT 20
+),
+cells AS (
+    SELECT i,
+           CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || term),
+                                    1, 8)) AS BIGINT) % 1024 AS b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, (SELECT unnest(range(0, 4)) AS i)
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT t.term, t.n_exact, g.i,
+           CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' || t.term),
+                                    1, 8)) AS BIGINT) % 1024 AS b
+    FROM top t, (SELECT unnest(range(0, 4)) AS i) g
+)
+SELECT term, n_exact, CAST(MIN(coalesce(c.c, 0)) AS BIGINT) AS n_cms,
+       MIN(coalesce(c.c, 0)) >= n_exact AS overestimate_ok
+FROM probes LEFT JOIN cells c USING (i, b)
+GROUP BY term, n_exact
+ORDER BY n_exact DESC, term
+"""
+
+
+@register("cms_frequency_estimates", oracle=_CMS_SQL, tags=("llm", "text", "sketch"))
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min sketch (operators/frequent.py): the mergeable
+    # frequency-ESTIMATE sketch completing the family (Misra-Gries
+    # candidates, HLL distinct, Bloom membership, CMS frequency). Seeded
+    # md5 hashing makes the whole 4x1024 sketch deterministic, so the
+    # oracle rebuilds it cell for cell and the hash gate checks ESTIMATES,
+    # not just bounds. Estimates are point-checked for the exact top-20
+    # terms with the overestimate invariant (CMS never undercounts)
+    # surfaced as a column.
+    from ..functions.hashing import tokens_expr
+    from ..operators.frequent import cms_estimates
+
+    d = _t(spark, sf_dir, "documents")
+    # deliberately NOT materialized: the token stream is corpus-sized, so
+    # the exact-count pass and the sketch build each re-scan (two scans,
+    # the heavy-hitters cost shape) rather than pin a 100 TB relation
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    top = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_estimates(tokens, top.select("term"), depth=4, width=1024)
+    return (
+        top.join(est, "term")
+        .select(
+            "term",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") >= F.col("n_exact")).alias("overestimate_ok"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+    )
+
+
 _DRIFT_KL_SQL = """
 WITH toks AS (
     SELECT source,

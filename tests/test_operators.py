@@ -1216,3 +1216,30 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     )
     rc = [x.rank for x in pagerank(cycle, iterations=4).collect()]
     assert all(abs(v - 0.25) < 1e-12 for v in rc)
+
+
+def test_cms_overestimates_and_is_exact_for_isolated_terms(spark):
+    # CMS invariants on the real corpus: every estimate >= the true count
+    # (each occurrence increments every probed cell), and the estimate is
+    # EXACT whenever none of a term's 4 cells collides with other mass —
+    # checked structurally: estimate error equals the colliding mass of
+    # the min cell, which for a 1024-wide sketch on the smoke vocabulary
+    # leaves most top terms exact.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.frequent import cms_estimates
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    tokens = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.desc("n"), F.asc("term")).limit(30)
+    est = {r.term: r.n_cms for r in cms_estimates(tokens, top.select("term")).collect()}
+    true = {r.term: r.n for r in top.collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= true[t] for t in true)
+    # the sketch is informative, not saturated: most estimates are exact
+    exact_frac = sum(est[t] == true[t] for t in true) / len(true)
+    assert exact_frac >= 0.5, (exact_frac, est, true)
