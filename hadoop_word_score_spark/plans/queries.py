@@ -4110,6 +4110,44 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_chunk_text",
+    # Identical oracle text to doc_chunks — deliberately: the Python UDTF
+    # must produce byte-identical rows to the production HOF plan, so the
+    # two execution paths (row-at-a-time table function vs JVM
+    # sequence+explode+slice) are interchangeable. §2.11's third leg.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           s // 48                                    AS chunk_idx,
+           s                                          AS chunk_start,
+           CAST(len(toks[s + 1 : s + 64]) AS BIGINT)  AS chunk_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, len(toks) - 1, 48)) AS u(s)
+    """,
+    tags=("llm", "text", "udtf"),
+)
+def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # True Python UDTF (operators/udtf.py) called through SQL LATERAL —
+    # the API-surface demonstration; doc_chunks above is the vectorized
+    # production plan with the same semantics and oracle.
+    from ..operators.udtf import register_udtfs
+    from ..session import apply_engine_confs
+    from ..sources.registry import register_views
+
+    apply_engine_confs(spark)
+    register_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk_start, c.chunk_tokens, "
+        "c.chunk_text FROM documents, LATERAL chunk_text(text) c"
+    )
+
+
+@register(
     "pack_sequences",
     oracle="""
     WITH t AS (
