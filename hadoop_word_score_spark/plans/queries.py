@@ -4578,6 +4578,117 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORPUS_PREP_SQL = """
+WITH base AS (
+    SELECT doc_id, source, text,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket,
+           list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+train AS (SELECT * FROM base WHERE bucket >= 20 AND len(w) > 0),
+flags AS (
+    SELECT *,
+           (1.0 - len(list_distinct(w)) * 1.0 / len(w)) <= 0.6 AS pass_q
+    FROM train
+),
+surv AS (
+    SELECT *,
+           pass_q AND doc_id = MIN(CASE WHEN pass_q THEN doc_id END)
+                         OVER (PARTITION BY md5(text)) AS is_surv
+    FROM flags
+),
+evalsh AS (
+    SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+            list_transform(range(1, len(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4])
+            ELSE [] END)) AS shingle
+        FROM base WHERE bucket < 20
+    )
+),
+contam AS (
+    SELECT DISTINCT s.doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN
+            list_transform(range(1, len(w) - 3),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4])
+            ELSE [] END)) AS shingle
+        FROM surv WHERE is_surv
+    ) s JOIN evalsh USING (shingle)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE pass_q) AS BIGINT) AS n_quality,
+       CAST(COUNT(*) FILTER (WHERE is_surv) AS BIGINT) AS n_dedup,
+       CAST(COUNT(*) FILTER (WHERE is_surv AND doc_id NOT IN
+            (SELECT doc_id FROM contam)) AS BIGINT) AS n_clean
+FROM surv
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "corpus_prep_funnel",
+    oracle=_CORPUS_PREP_SQL,
+    tags=("llm", "pipeline", "quality", "dedup"),
+)
+def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The END-TO-END corpus-prep job, composed from the individually-proven
+    # stages: train-side selection -> Gopher repetition filter -> exact
+    # dedup survivors -> eval 5-gram decontamination, reported as a
+    # per-source funnel (docs surviving each stage). Plan shape: per-doc
+    # stage FLAGS in one relation (scan + one content-hash window shuffle),
+    # so the funnel is a single conditional aggregation, not four chained
+    # materializations; the contamination check re-derives survivor
+    # shingles scan-side (the heavy-hitters two-scan cost shape) and joins
+    # the bounded eval shingle set broadcast.
+    from pyspark.sql import Window
+
+    from ..functions.hashing import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = _hash_bucket("doc_id")
+    toks = F.array_remove(F.split("text", DELIM_CLASS), "")
+    base = d.select("doc_id", "source", "text", bucket.alias("bucket"))
+    train = base.filter((F.col("bucket") >= 20) & (F.size(toks) > 0))
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
+    flags = train.withColumn("pass_q", dup_ratio <= 0.6)
+    w_hash = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    min_q = F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(w_hash)
+    surv = flags.withColumn("is_surv", F.col("pass_q") & (F.col("doc_id") == min_q))
+    eval_sh = (
+        base.filter(F.col("bucket") < 20)
+        .select(F.explode(shingles("text", 5)).alias("shingle"))
+        .distinct()
+    )
+    contam = (
+        surv.filter("is_surv")
+        .select("doc_id", F.explode(shingles("text", 5)).alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        surv.join(contam, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.col("pass_q").cast("int")).cast("long").alias("n_quality"),
+            F.sum(F.col("is_surv").cast("int")).cast("long").alias("n_dedup"),
+            F.sum(
+                (F.col("is_surv") & ~F.coalesce(F.col("contaminated"), F.lit(False)))
+                .cast("int")
+            ).cast("long").alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
 _REPETITION_SQL = """
 WITH t AS (
     SELECT doc_id,
