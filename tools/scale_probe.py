@@ -53,6 +53,9 @@ PROBES = [
     "bpe_merge_rules",
     "bpe_subword_rules",
     "split_leakage_safe",
+    "pagerank_supply_graph",
+    "cms_frequency_estimates",
+    "corpus_prep_funnel",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -555,6 +558,16 @@ def main() -> None:
         # at 10x) to the bucketed LSH + verify path; rest is components +
         # one bounded cluster-map join
         "split_leakage_safe": "~linear (LSH candidates + components + cluster-map join)",
+        # 3 rounds x (edge-vs-rank join + contribution agg) over the
+        # checkpointed edge relation; graph grows with DISTINCT pairs,
+        # which saturate as replication repeats pairs
+        "pagerank_supply_graph": "linear in distinct edges x rounds",
+        # two token scans; sketch shuffle bounded at depth x width cells
+        # per partition, probe side constant
+        "cms_frequency_estimates": "linear (2 scans; bounded sketch shuffle)",
+        # one scan + content-hash window shuffle + survivor-shingle join
+        # against the (fixed-fraction) eval shingle set
+        "corpus_prep_funnel": "~linear (flags scan + hash window + shingle join)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
