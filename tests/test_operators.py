@@ -1243,3 +1243,26 @@ def test_cms_overestimates_and_is_exact_for_isolated_terms(spark):
     # the sketch is informative, not saturated: most estimates are exact
     exact_frac = sum(est[t] == true[t] for t in true) / len(true)
     assert exact_frac >= 0.5, (exact_frac, est, true)
+
+
+def test_cms_bucket_matches_pure_python_md5(spark):
+    # The seeded bucket hash is the oracle contract: Spark's
+    # conv(substr(md5("i:term"))) must equal pure-Python md5 of the same
+    # UTF-8 key for every row — including unicode, spaces, the seed
+    # separator itself, and long terms.
+    import hashlib
+
+    from hadoop_word_score_spark.operators.frequent import _cms_bucket
+
+    terms = ["the", "naïve", "a b", "x" * 100, "0", ":", "i:term"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    for i in (0, 3):
+        got = {
+            r.term: r.b
+            for r in df.select(
+                "term", _cms_bucket(F.lit(i), F.col("term"), 1024).alias("b")
+            ).collect()
+        }
+        for t in terms:
+            want = int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) % 1024
+            assert got[t] == want, (i, t, got[t], want)

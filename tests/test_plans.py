@@ -349,3 +349,32 @@ def test_sql_adhoc_plans_match_dataframe_path(spark):
 
     plan = plan_of(spark, "sql_adhoc_hof")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, scratch_dir):
+    # The 100 TB join pattern: a fact table partitioned on the join key and
+    # a selectively-filtered dim must produce a scan whose PartitionFilters
+    # carry a dynamicpruningexpression — the fact side reads only the
+    # partitions the dim's runtime result names, instead of all of them.
+    import os
+
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    p = os.path.join(scratch_dir, "orders_by_status")
+    if not os.path.exists(p):
+        load_table(spark, SF_ORACLE, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame([("F", 1)], "status string, flag int").filter(
+        F.col("flag") == 1
+    )
+    j = (
+        fact.join(dim, fact["o_orderstatus"] == dim["status"])
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    # and the pruned read must actually return only the filtered partition
+    assert [r.o_orderstatus for r in j.collect()] == ["F"]
