@@ -148,3 +148,34 @@ def test_ewma_and_sessionize_empty(spark):
         ).write.parquet(os.path.join(sf, "events.parquet"))
         assert REGISTRY["events_ewma_value"].fn(spark, sf).count() == 0
         assert REGISTRY["sessionize_events"].fn(spark, sf).count() == 0
+
+
+def test_round7_operators_empty(spark):
+    from hadoop_word_score_spark.operators.bpe import (
+        learn_subword_rules,
+        subword_vocab,
+    )
+    from hadoop_word_score_spark.operators.frequent import cms_cells, cms_estimates
+    from hadoop_word_score_spark.operators.graph import pagerank
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_audio_metadata,
+        extract_video_frame_metadata,
+    )
+
+    docs = spark.createDataFrame([], "txt string")
+    assert learn_subword_rules(docs, "txt", 3) == []
+    assert subword_vocab(docs, "txt").count() == 0
+
+    toks = spark.createDataFrame([], "term string")
+    assert cms_cells(toks).count() == 0
+    est = cms_estimates(toks, spark.createDataFrame([("x",)], "term string"))
+    # probing an empty sketch yields estimate 0, never a crash or a miss
+    assert [(r.term, r.n_cms) for r in est.collect()] == [("x", 0)]
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, iterations=2)
+    assert out.columns == ["node", "rank"] and out.count() == 0
+
+    payloads = spark.createDataFrame([], "doc_id long, payload binary")
+    assert extract_audio_metadata(payloads).count() == 0
+    assert extract_video_frame_metadata(payloads).count() == 0
