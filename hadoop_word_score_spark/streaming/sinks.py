@@ -263,3 +263,51 @@ def vacuum(target: str) -> list[str]:
         if os.path.isfile(path):
             os.remove(path)
     return removed
+
+
+def aggregating_sink(target: str, keys: list[str], sum_cols: list[str]):
+    """A ``foreachBatch`` function maintaining an ADDITIVE state table:
+    per micro-batch, rows group by ``keys`` and every ``sum_cols`` column
+    adds into the standing table — counters, running sums, and mergeable
+    sketch cells (count-min's (i, b, c) rows merge by exactly this
+    elementwise sum, so a stream-maintained sketch equals the batch-built
+    one bit for bit). Same exactly-once machinery as :func:`upsert_sink`:
+    batchId replay guard + fully-written snapshot before the atomic
+    pointer swap; same local-filesystem contract.
+    """
+    from pyspark.sql import functions as F
+
+    scheme, sep, rest = target.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"aggregating_sink target must be a local filesystem path; got "
+            f"scheme {scheme!r} in {target!r}"
+        )
+    if sep:
+        target = rest
+    if not keys or not sum_cols:
+        raise ValueError("aggregating_sink needs at least one key and one sum column")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version, last_batch = _read_pointer(target)
+        if batch_id <= last_batch:  # replayed batch: already committed
+            return
+        cols = [*keys, *sum_cols]
+        incoming = batch_df.select(*cols)
+        if version > 0:
+            current = spark.read.parquet(os.path.join(target, f"v={version}"))
+            incoming = incoming.unionByName(current.select(*cols))
+        merged = incoming.groupBy(*keys).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        new_version = version + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v={new_version}")
+        )
+        tmp = os.path.join(target, "_latest.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{new_version} {batch_id}")
+        os.replace(tmp, os.path.join(target, "_latest"))
+
+    return write_batch

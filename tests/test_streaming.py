@@ -518,3 +518,71 @@ def test_read_table_time_travel_and_vacuum_boundary(spark, tmp_path):
         S.read_table(spark, target, version=1)
     # current version still serves
     assert len(S.read_table(spark, target).collect()) == 3
+
+
+def test_aggregating_sink_additive_state_and_streamed_cms(spark, events_stream_dir, tmp_path):
+    # Additive exactly-once state: (1) per-event-type counters maintained
+    # across multiple micro-batches equal the batch aggregate; (2) a
+    # count-min sketch maintained by summing per-batch cells through the
+    # sink equals the sketch built in one batch pass — integer-exact, the
+    # mergeability property doing real work; (3) replaying a committed
+    # batch id is a no-op.
+    from hadoop_word_score_spark.operators.frequent import cms_cells
+    from hadoop_word_score_spark.sources.registry import TABLES
+    from hadoop_word_score_spark.streaming.sinks import aggregating_sink, read_table
+
+    stream = (
+        spark.readStream.schema(TABLES["events"])
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(events_stream_dir)
+        .select("event_type", "value", F.lit(1).alias("n"))
+    )
+    counters = str(tmp_path / "counters")
+    sketch = str(tmp_path / "sketch")
+    count_sink = aggregating_sink(counters, ["event_type"], ["value", "n"])
+    cell_sink = aggregating_sink(sketch, ["i", "b"], ["c"])
+
+    def fb(batch_df, batch_id):
+        count_sink(batch_df, batch_id)
+        cell_sink(
+            cms_cells(batch_df.select(F.col("event_type").alias("term"))), batch_id
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = spark.read.parquet(events_stream_dir)
+    want = {
+        r.event_type: (r.s, r.n)
+        for r in events.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_rows = read_table(spark, counters).collect()
+    got = {r.event_type: (r.value, r.n) for r in got_rows}
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][1] == want[t][1]  # counts integer-exact
+        assert abs(got[t][0] - want[t][0]) < 1e-6  # fp sums within noise
+
+    batch_cells = {
+        (r.i, r.b): r.c
+        for r in cms_cells(events.select(F.col("event_type").alias("term"))).collect()
+    }
+    streamed_cells = {(r.i, r.b): r.c for r in read_table(spark, sketch).collect()}
+    assert streamed_cells == batch_cells  # mergeable: bit-for-bit equal
+
+    # replay guard: the last committed batch id is a no-op
+    version_before = read_table(spark, counters).count()
+    last_batch = int(open(f"{counters}/_latest").read().split()[1])
+    count_sink(
+        spark.createDataFrame([("poison", 1e9, 1)], "event_type string, value double, n int"),
+        last_batch,
+    )
+    after = {r.event_type: (r.value, r.n) for r in read_table(spark, counters).collect()}
+    assert after == got and read_table(spark, counters).count() == version_before
