@@ -2607,6 +2607,32 @@ def q_sql_adhoc_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _ADHOC_HOF_SPARK_SQL)
 
 
+_ADHOC_CTE_SQL = """
+WITH big_orders AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_custkey
+),
+seg AS (
+    SELECT c_mktsegment, CAST(SUM(n_big) AS BIGINT) AS n_big_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN big_orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_big_orders, n_customers
+FROM seg
+ORDER BY n_big_orders DESC, c_mktsegment
+"""
+
+
+@register("sql_adhoc_cte", oracle=_ADHOC_CTE_SQL, tags=("sql", "join", "agg"))
+def q_sql_adhoc_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-CTE text through the ad-hoc path, same string both engines;
+    # Catalyst inlines the CTEs and pushes the totalprice filter to the
+    # orders scan like any hand-built plan. Integer outputs only.
+    return _sql(spark, sf_dir, _ADHOC_CTE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # EXT additional TPC-H-pattern queries (breadth over the star schema)
 # ---------------------------------------------------------------------------
