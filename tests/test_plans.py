@@ -378,3 +378,38 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, scratch_dir)
     assert "dynamicpruningexpression" in plan, plan
     # and the pruned read must actually return only the filtered partition
     assert [r.o_orderstatus for r in j.collect()] == ["F"]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # The automatic half of the skew story (join_salted_skew is the manual
+    # half): one key holding ~99% of a 200k-row side must make AQE's skew
+    # join split the oversized partition — SortMergeJoin prints skew=true
+    # in the FINALIZED plan. Thresholds are lowered test-scoped because the
+    # defaults (256MB) target real clusters; restored afterwards.
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string").cast("binary")).alias("pad"),
+        )
+        right = spark.range(2000).select(F.col("id").alias("k"), F.lit("r").alias("v"))
+        j = left.join(right, "k").select(F.length("pad").alias("l"))
+        j.collect()  # count() would plan a different query; collect THIS one
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
