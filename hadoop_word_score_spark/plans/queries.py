@@ -204,6 +204,28 @@ _DRIVER_GREEN_R06 = frozenset({
     "variant_funcs", "window_dist", "zorder_keys"
 })
 
+# Round-7 driver greens (CORRECTNESS_r07.json). embedding_covariance
+# (signed-zero hash mismatch, VERDICT r7 item 1) is EXCLUDED — a failed
+# check is not evidence.
+_DRIVER_GREEN_R07 = frozenset({
+    "bigram_counts", "bitwise_funcs", "bpe_encode_lengths",
+    "bpe_merge_rules", "bpe_subword_rules", "cms_frequency_estimates",
+    "corpus_prep_funnel", "dedup_near_embedding", "dedup_near_simhash",
+    "doc_fingerprint", "doc_length_buckets", "embedding_pca_project",
+    "events_ewma_value", "heavy_hitters_terms", "join_salted_skew",
+    "lang_id_heuristic", "multimodal_audio_real", "multimodal_decode",
+    "multimodal_decode_real", "multimodal_frames", "multimodal_meta",
+    "multimodal_resize", "multimodal_video_real", "pagerank_supply_graph",
+    "pivot_status_priority", "q10_returned_items",
+    "q13_customer_distribution", "q6_forecast_revenue", "sample_hash_mod",
+    "sample_stratified_lang", "sessionize_events", "split_leakage_safe",
+    "sql_adhoc_cte", "sql_adhoc_hof", "sql_adhoc_join", "sql_adhoc_window",
+    "stats_corr_covar", "subquery_correlated_scalar", "subquery_exists",
+    "subquery_in", "subquery_not_exists", "text_quality", "tfidf_top_terms",
+    "token_counts", "udtf_chunk_text", "unpivot_lineitem_metrics",
+    "vocab_stats", "window_range_frame", "zorder_keys"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -337,10 +359,14 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bigram_counts": "c9d0c7cc6237",
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
+    "bpe_encode_lengths": "b8dc811b87a9",
     "bpe_merge_rules": "337d9cdb287d",
+    "bpe_subword_rules": "01ab4987d307",
+    "cms_frequency_estimates": "2369d6ea31ee",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
     "corpus_drift_kl": "7016858964c1",
+    "corpus_prep_funnel": "c0476271351c",
     "corpus_report_by_source": "aa23b8986484",
     "cube_segment_status": "00da5551f9ed",
     "data_quality_report": "5c7bc04a92f9",
@@ -354,7 +380,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "dedup_near_embedding": "ae4e15d1b137",
     "dedup_near_jaccard": "1cdf1ec48dac",
     "dedup_near_minhash": "1cdf1ec48dac",
-    "dedup_near_simhash": "0117fd3c1802",
+    "dedup_near_simhash": "2affa7b75f66",
     "dedup_pipeline_end_to_end": "4b809bfa609c",
     "dedup_spans_exact": "d61fcc2d29f0",
     "dedup_spans_hashed": "526c5056ea98",
@@ -374,7 +400,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "funnel_time_to_convert": "d647673746a7",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
-    "heavy_hitters_terms": "dbdb19adebd5",
+    "heavy_hitters_terms": "eebdd3039a46",
     "histogram_totalprice": "8038b735944f",
     "hll_distinct_sketch": "822ed83be27d",
     "join_anti": "a42439ea4756",
@@ -390,13 +416,16 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "math_funcs": "232331fb6315",
     "merge_upsert_customers": "fbc09c1f1812",
     "mixture_sample_weighted": "189cecf6d5bd",
+    "multimodal_audio_real": "dcbc1c4e5ef3",
     "multimodal_decode": "7ede53011cbb",
     "multimodal_decode_real": "574e7a4c7f72",
     "multimodal_frames": "8533e90e9148",
     "multimodal_meta": "0f99c74fe197",
     "multimodal_resize": "da5dd6feffc2",
+    "multimodal_video_real": "a6ddc85b6827",
     "null_semantics": "14f06cc19e8d",
     "pack_sequences": "efcce867afee",
+    "pagerank_supply_graph": "0338ee585300",
     "percentile_exact": "9fa832056777",
     "pii_redact": "cfb6df9885a2",
     "pivot_status_priority": "388c5a142a77",
@@ -440,6 +469,10 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
     "split_leakage_safe": "01b76d6a2694",
+    "sql_adhoc_cte": "13df54b30bf4",
+    "sql_adhoc_hof": "f0dab7357d42",
+    "sql_adhoc_join": "15853af5434c",
+    "sql_adhoc_window": "071eb1c18078",
     "stats_corr_covar": "cefb09f24eae",
     "string_agg_nations": "76762812c549",
     "string_funcs": "c1625848b848",
@@ -455,6 +488,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "tumbling_window": "816cdfbf8e11",
     "udf_grouped_agg_wavg": "c0fe11dc17aa",
     "udf_grouped_zscore": "ac9c94dfbb03",
+    "udtf_chunk_text": "ffd74a0e21d5",
     "unpivot_lineitem_metrics": "ceac6a0e32cf",
     "variant_funcs": "1dfefd695b3d",
     "vocab_stats": "db379a6f6fbe",
@@ -485,10 +519,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "2a712e132a10",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "1b34992ba729",
-    "bpe_merge_rules": "f5ef27033b08",
+    "bpe_encode_lengths": "761840ee0363",
+    "bpe_merge_rules": "33e64f6793ba",
+    "bpe_subword_rules": "b291449ef43d",
+    "cms_frequency_estimates": "4de60ee2e6d5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
     "corpus_drift_kl": "44620088a488",
+    "corpus_prep_funnel": "66b6aae712c3",
     "corpus_report_by_source": "0196cfdbaf3e",
     "cube_segment_status": "c98c0943f295",
     "data_quality_report": "f32c321e4f3e",
@@ -502,7 +540,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "dedup_near_embedding": "fc61eda90ee1",
     "dedup_near_jaccard": "5ad0ec62fb80",
     "dedup_near_minhash": "f98d7d804027",
-    "dedup_near_simhash": "457d79c236d8",
+    "dedup_near_simhash": "c3458dcf74a7",
     "dedup_pipeline_end_to_end": "35c02a30548e",
     "dedup_spans_exact": "a957e26f13a1",
     "dedup_spans_hashed": "5d5f9cb72b26",
@@ -511,10 +549,10 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
     "embedding_centroids": "d75aac54926d",
-    "embedding_pca_project": "011f723d553e",
+    "embedding_pca_project": "10b1a89a05ac",
     "embedding_quantize_int8": "fa6270943dae",
     "events_anomaly_zscore": "e0cb144b4a8e",
-    "events_ewma_value": "ce6a323281b9",
+    "events_ewma_value": "729934d8f13a",
     "events_gapfill_hourly": "12aebbd9de60",
     "events_rollup_multi_grain": "797d2f5d803a",
     "filter_project": "863807c295ee",
@@ -522,7 +560,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "funnel_time_to_convert": "2e74ff2fb77e",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
-    "heavy_hitters_terms": "454bd038a2e8",
+    "heavy_hitters_terms": "186fdc98c9fd",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
     "join_anti": "a4a842e6de82",
@@ -538,13 +576,16 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "math_funcs": "da0c50726e64",
     "merge_upsert_customers": "77b48f09b4ae",
     "mixture_sample_weighted": "b3a95dcb125c",
-    "multimodal_decode": "63c1e9985c8d",
-    "multimodal_decode_real": "707243cc28a7",
-    "multimodal_frames": "1205282d393f",
-    "multimodal_meta": "06eebbd9ffe6",
-    "multimodal_resize": "991446dc9fae",
+    "multimodal_audio_real": "bcfcf1b6dae5",
+    "multimodal_decode": "7c63a511322a",
+    "multimodal_decode_real": "b79046f28475",
+    "multimodal_frames": "b37ec7df2b83",
+    "multimodal_meta": "049e5816ffa1",
+    "multimodal_resize": "9a3ca5dbefa7",
+    "multimodal_video_real": "d7b4b17a8ab9",
     "null_semantics": "c3e3e3c08e79",
     "pack_sequences": "ba1ba7d9a7b6",
+    "pagerank_supply_graph": "990801e6e0b4",
     "percentile_exact": "5d22604fc9c1",
     "pii_redact": "e02e943d9e58",
     "pivot_status_priority": "a5b05ef8c5e4",
@@ -577,7 +618,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sample_stratified_lang": "a6671969bba0",
     "scd2_customer_history": "201308665b10",
     "session_window": "4fa8d68ec706",
-    "sessionize_events": "7b331078850e",
+    "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
     "similarity_ivf_build": "3985d9364293",
@@ -587,7 +628,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "similarity_topk_ivf": "fabb144b75a5",
     "similarity_topk_lsh": "fde6c7440770",
     "sliding_window": "09b227c628d7",
-    "split_leakage_safe": "298301fd6db5",
+    "split_leakage_safe": "d682698202ee",
+    "sql_adhoc_cte": "e5c3bf9aa034",
+    "sql_adhoc_hof": "1d9a7ca4a5e8",
+    "sql_adhoc_join": "8bda5e4879a5",
+    "sql_adhoc_window": "ea1c3c6dfd17",
     "stats_corr_covar": "c431b6922b48",
     "string_agg_nations": "9bb22fb9bbb9",
     "string_funcs": "129540067d07",
@@ -603,6 +648,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "tumbling_window": "a610bcb1011e",
     "udf_grouped_agg_wavg": "7ecb495bf880",
     "udf_grouped_zscore": "5f8087887c2c",
+    "udtf_chunk_text": "8862924bd02e",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
     "vocab_stats": "83600c393f57",
@@ -613,7 +659,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "window_running": "9535d0e0767b",
     "wordscore": "6c7f240a32da",
     "wordscore_top10": "fd3e92b420ec",
-    "zorder_keys": "1f53916f3d99",
+    "zorder_keys": "9fb63837cb46",
 }
 
 
@@ -641,6 +687,7 @@ def _latest_evidence_round(name: str) -> int:
     if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
         return 0
     for rnd, ledger in (
+        (7, _DRIVER_GREEN_R07),
         (6, _DRIVER_GREEN_R06),
         (5, _DRIVER_GREEN_R05),
         (4, _DRIVER_GREEN_R04),
@@ -656,7 +703,7 @@ def _latest_evidence_round(name: str) -> int:
 def _evidence_order() -> list[QuerySpec]:
     # Oldest-evidence-first: never-verified queries lead (round 0 = new
     # additions AND any query whose oracle or implementation changed since
-    # its last driver touch), then r1..r6 — so each round's count-budgeted driver
+    # its last driver touch), then r1..r7 — so each round's count-budgeted driver
     # pass refreshes the queries most likely to have drifted since their
     # last verification. Oracle-backed before rows-only within a tier
     # (a hash check is stronger evidence than a row count).
