@@ -145,7 +145,7 @@ def apply_merge_rules(w: Column, rules: list[tuple], joiner: str = "") -> Column
 
 
 def learn_subword_rules(
-    docs: DataFrame, text_col: str, n_rules: int
+    docs: DataFrame, text_col: str, n_rules: int, vocab: DataFrame | None = None
 ) -> list[tuple]:
     """Sennrich et al. (2016) character-level BPE: ``n_rules`` most frequent
     adjacent SYMBOL pairs within words, weighted by corpus word frequency;
@@ -162,8 +162,13 @@ def learn_subword_rules(
 
     ``docs[text_col]`` must be canonical single-space-joined tokens (same
     contract as :func:`learn_merge_rules`).
+
+    ``vocab``: pass a prebuilt :func:`subword_vocab` relation to share the
+    single checkpointed corpus scan with the encode phase (fit/apply
+    callers were double-building it otherwise — r7 ADVICE).
     """
-    vocab = subword_vocab(docs, text_col)  # vocab-sized; every round re-reads
+    if vocab is None:
+        vocab = subword_vocab(docs, text_col)  # vocab-sized; rounds re-read
     rules: list[tuple] = []
     for step_no in range(1, n_rules + 1):
         w = apply_merge_rules(F.col("sym"), rules)

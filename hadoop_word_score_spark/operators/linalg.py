@@ -91,10 +91,17 @@ def covariance_upper_rounded(
         .select(
             "i",
             "j",
-            F.round(
-                F.col("sxy") / F.col("n")
-                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
-                decimals,
+            # +0.0 normalizes IEEE signed zero after rounding: a tiny
+            # negative covariance rounds to -0.0 under DuckDB's ROUND but
+            # +0.0 under F.round, and sign-strict hash comparisons (the
+            # driver's) treat them as different values (r7 postmortem).
+            (
+                F.round(
+                    F.col("sxy") / F.col("n")
+                    - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                    decimals,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .orderBy("i", "j")

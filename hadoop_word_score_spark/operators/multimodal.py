@@ -307,7 +307,8 @@ def _decode_audio_one(payload: bytes) -> tuple[int, int, float, float, int]:
     doesn't support — take the deterministic md5 fake, mirroring the image
     decoder's tier policy. ``rms`` is over [-1, 1)-normalized samples;
     ``zero_crossings`` counts strict sign changes between consecutive
-    samples (zeros break a run, they don't count as crossings).
+    FRAMES within each channel, summed across channels (zeros break a run,
+    they don't count as crossings).
     """
     import numpy as np
 
@@ -322,9 +323,15 @@ def _decode_audio_one(payload: bytes) -> tuple[int, int, float, float, int]:
     if n == 0:
         return rate, 0, 0.0, 0.0, 0
     x = samples.astype(np.float64) / 32768.0
-    rms = _quant6(float(np.sqrt((x * x).mean())))
-    sign = np.sign(samples)
-    zc = int(np.count_nonzero(sign[:-1] * sign[1:] < 0))
+    rms = _quant6(float(np.sqrt((x * x).mean())))  # order-independent: no
+    # deinterleave needed for rms (same sample set either way)
+    # zero_crossings IS order-sensitive: deinterleave to (frames, channels)
+    # and count sign changes down each channel, summed — counting across
+    # adjacent L/R samples of different channels is physically meaningless
+    # (r7 ADVICE).
+    frames = samples[: n * n_ch].reshape(n, n_ch)
+    sign = np.sign(frames)
+    zc = int(np.count_nonzero(sign[:-1, :] * sign[1:, :] < 0))
     return rate, n, _quant6(n / rate), rms, zc
 
 

@@ -46,7 +46,9 @@ def zscore_per_group(
                 group_col: pdf[group_col],
                 id_col: pdf[id_col],
                 value_col: v,
-                "zscore": z.round(6),
+                # + 0.0 normalizes IEEE -0.0 (pandas round keeps the sign;
+                # JVM F.round and sign-strict oracle hashes do not)
+                "zscore": z.round(6) + 0.0,
             }
         )
 

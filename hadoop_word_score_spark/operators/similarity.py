@@ -86,7 +86,9 @@ def brute_force_topk(
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(cmat @ qmat.T / (cnorm[:, None] * qnorm[None, :]), 6)
+                # + 0.0 normalizes IEEE -0.0 (np.round preserves the sign where
+                # JVM F.round does not; sign-strict oracle hashes care)
+                sims = np.round(cmat @ qmat.T / (cnorm[:, None] * qnorm[None, :]), 6) + 0.0
             nc, nq = sims.shape
             flat_q = np.tile(qids, nc)
             flat_c = np.repeat(cid, nq)
@@ -419,7 +421,8 @@ def ivf_probe_topk(
             vm = np.array(list(pdf[vec_col]), dtype=np.float64)
             vnorm = np.sqrt((vm * vm).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
-                s = np.round(vm @ qmat.T / (vnorm[:, None] * qnorm[None, :]), 6)
+                # + 0.0: normalize IEEE -0.0 after np.round (sign-strict hashes)
+                s = np.round(vm @ qmat.T / (vnorm[:, None] * qnorm[None, :]), 6) + 0.0
             allowed = np.vstack([cell_mask[int(c)] for c in cells])  # (nc, nq)
             nc, nq = s.shape
             flat_q = np.tile(qids, nc)

@@ -242,7 +242,14 @@ def _oracle_fp(oracle: str | None) -> str:
     return hashlib.md5(" ".join(oracle.split()).encode()).hexdigest()[:12]
 
 
-_REL_IMPORT_RE = re.compile(r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(.+)$", re.M)
+# The import-names group has two alternatives: a parenthesized list (which
+# may SPAN LINES — "[^)]*" matches newlines, so "from ..pkg import (\n a,\n
+# b)" captures every name; a to-end-of-line match captured just "(" and
+# silently dropped all submodules from the fingerprint, r7 ADVICE), or the
+# plain to-end-of-line form.
+_REL_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.+)([\w.]*)\s+import\s+(\([^)]*\)|[^\n]+)", re.M
+)
 _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -276,8 +283,19 @@ def _resolve_rel_imports(src: str, pkg_parts: tuple[str, ...]) -> set[str]:
             # `from ..pkg import a, b as c` — each name that is a submodule
             # file joins the fingerprint; pure-attribute names resolve via
             # the package __init__ hashed above.
-            for name in names.split("#", 1)[0].strip("()").split(","):
-                sub = name.strip().split(" as ")[0].strip()
+            name_list = [
+                n.strip().split(" as ")[0].strip()
+                for n in names.split("#", 1)[0].strip().strip("()").split(",")
+            ]
+            if not any(name_list):
+                # a package-directory import whose names failed to parse
+                # would silently narrow the fingerprint — the exact failure
+                # mode this closure exists to prevent
+                raise ImportError(
+                    f"fingerprint closure parsed no import names from "
+                    f"'from {dots}{rest} import {names.strip()[:60]}'"
+                )
+            for sub in name_list:
                 if sub and os.path.exists(os.path.join(pkg_dir, sub + ".py")):
                     mods.add(target + "." + sub)
         else:
@@ -1432,10 +1450,10 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)                                        AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 6)                AS first_elem,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) + 0.0          AS first_elem,
            ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm,
            len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))  AS n_positive,
-           ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6)  AS head_sum
+           ROUND(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) + 0.0 AS head_sum
     FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -1631,8 +1649,8 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_exact",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(quantile_cont(c_acctbal, 0.5), 4)  AS median_bal,
-           ROUND(quantile_cont(c_acctbal, 0.95), 4) AS p95_bal,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) + 0.0  AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.95), 4) + 0.0 AS p95_bal,
            COUNT(*) AS n
     FROM customer
     GROUP BY c_mktsegment
@@ -1952,7 +1970,7 @@ def q_dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
                  / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])))
                         * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))), 0),
-                 6) AS cosine_sim
+                 6) + 0.0 AS cosine_sim
         FROM q, c
         WHERE qid <> cid
     )
@@ -2286,8 +2304,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORR_SQL = """
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
-       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0      AS corr_qty_price,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qty_price,
        ROUND(stddev_samp(l_discount), 6)                AS sd_discount
 FROM lineitem
 GROUP BY l_returnflag
@@ -2382,7 +2400,7 @@ SELECT o_orderstatus, o_orderkey,
        o_totalprice,
        ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
              / NULLIF(STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderstatus), 0),
-             6) AS zscore
+             6) + 0.0 AS zscore
 FROM orders
 """
 
@@ -3412,13 +3430,13 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
              / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
                     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))), 0),
-             6) AS cosine_sim
+             6) + 0.0 AS cosine_sim
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE ROUND(
              list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
              / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
                     * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))), 0),
-             6) >= 0.4
+             6) + 0.0 >= 0.4
     """,
     tags=("llm", "dedup", "similarity"),
 )
@@ -3848,7 +3866,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     oracle="""
-    SELECT label, dim, ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS mean_val,
+    SELECT label, dim, ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) + 0.0 AS mean_val,
            COUNT(*) AS n_vecs
     FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)
     GROUP BY label, dim
@@ -5213,7 +5231,7 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_SQL = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+                 - 0.6 * p_retailprice * l_quantity), 2) + 0.0 AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -5394,7 +5412,7 @@ dt AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
 tf AS (SELECT term, COUNT(*) AS tc FROM tok GROUP BY term),
 tot AS (SELECT COUNT(*) AS n_total FROM tok)
 SELECT doc_id,
-       ROUND(SUM(cnt * ln(tc / n_total)) / SUM(cnt), 6) AS avg_logprob,
+       ROUND(SUM(cnt * ln(tc / n_total)) / SUM(cnt), 6) + 0.0 AS avg_logprob,
        CAST(SUM(cnt) AS BIGINT) AS n_tokens
 FROM dt JOIN tf USING (term) CROSS JOIN tot
 GROUP BY doc_id
@@ -5787,7 +5805,7 @@ scored AS (
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_type, bucket_hour, n, ROUND((n - mu) / sigma, 4) AS zscore
+SELECT event_type, bucket_hour, n, ROUND((n - mu) / sigma, 4) + 0.0 AS zscore
 FROM scored
 WHERE sigma > 0 AND ABS((n - mu) / sigma) > 2
 ORDER BY event_type, bucket_hour
@@ -6021,7 +6039,7 @@ WITH toks AS (
 )
 SELECT source,
        CAST(s_n AS BIGINT) AS n_tokens,
-       ROUND(SUM((c / s_n) * ln((c / s_n) / (g_c / g_n))), 6) AS kl_vs_corpus
+       ROUND(SUM((c / s_n) * ln((c / s_n) / (g_c / g_n))), 6) + 0.0 AS kl_vs_corpus
 FROM st JOIN s_tot USING (source) JOIN corp USING (term) CROSS JOIN g_tot
 GROUP BY source, s_n
 ORDER BY source
@@ -6329,8 +6347,11 @@ def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.select(
         F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
     )
-    rules = learn_subword_rules(docs, "txt", n_rules=3)
+    # ONE subword_vocab build shared by fit and apply (r7 ADVICE: passing
+    # no vocab made learn_subword_rules build and checkpoint its own,
+    # doubling the corpus scan this comment claims happens once).
     vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
     encoded = vocab.select(
         F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
         .cast("long")
@@ -6425,7 +6446,7 @@ WITH e AS (
            unnest(embedding) AS x
     FROM embeddings
 )
-SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 3) AS cov
+SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 3) + 0.0 AS cov
 FROM e a JOIN e b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
@@ -6447,6 +6468,11 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash. 3 dp keeps the full-matrix value comparison while putting the
     # boundary ~1000x further from the noise floor (hash stability across
     # partitionings is pinned in tests/test_operators.py).
+    # Both sides also add +0.0 after rounding (r7 driver red postmortem):
+    # DuckDB's ROUND keeps the IEEE sign when a tiny negative covariance
+    # rounds to zero (-0.0 for 549/2080 cells at sf0.01) while Spark's
+    # F.round yields +0.0; a sign-strict value hash sees them as different.
+    # IEEE -0.0 + 0.0 = +0.0 normalizes the sign on both engines.
     from ..operators.linalg import covariance_upper_rounded
 
     em = _t(spark, sf_dir, "embeddings")
@@ -6560,7 +6586,7 @@ _EWMA_ALPHA = 0.2
 _EWMA_SQL = f"""
 SELECT user_id,
        CAST(len(vals) AS BIGINT) AS n_events,
-       ROUND(list_reduce(vals, (acc, v) -> {_EWMA_ALPHA} * v + {1 - _EWMA_ALPHA} * acc), 6) AS ewma
+       ROUND(list_reduce(vals, (acc, v) -> {_EWMA_ALPHA} * v + {1 - _EWMA_ALPHA} * acc), 6) + 0.0 AS ewma
 FROM (
     SELECT user_id, list(value ORDER BY ts, event_id) AS vals
     FROM events GROUP BY user_id

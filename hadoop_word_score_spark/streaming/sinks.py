@@ -174,10 +174,20 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
         version, last_batch = _read_pointer(target)
         if batch_id <= last_batch:
             return
-        manifest = _read_manifest(target, version) or {
-            "n_buckets": n_buckets,
-            "buckets": {},
-        }
+        manifest = _read_manifest(target, version)
+        if manifest is None:
+            if version > 0:
+                # committed versions exist but none wrote a bucket manifest:
+                # this is a whole-table-layout target. Treating it as an
+                # empty bucketed table would commit a manifest referencing
+                # only this batch's buckets and silently drop every prior
+                # key on read — refuse loudly, like the n_buckets mismatch.
+                raise ValueError(
+                    f"table at {target!r} has committed version {version} "
+                    f"but no bucket manifest (whole-table layout); a "
+                    f"bucketed sink cannot adopt it — rewrite the table"
+                )
+            manifest = {"n_buckets": n_buckets, "buckets": {}}
         if manifest["n_buckets"] != n_buckets:
             # a bucket count change silently re-hashes every key into the
             # wrong partition — refuse, like the MinHash index meta check

@@ -193,3 +193,46 @@ def test_package_import_aliases_and_lists_resolve_submodules():
         "from ..functions import codecs as _c, text\n", ("operators",)
     )
     assert {"functions.__init__", "functions.codecs", "functions.text"} <= mods
+
+
+def _load_oracle_check():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools" / "oracle_check.py"
+    spec = importlib.util.spec_from_file_location("oracle_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_canon_is_sign_strict_on_negative_zero():
+    # The driver's canonicalizer distinguishes -0.0 from +0.0 ("%.9g"-style
+    # "-0" vs "0"); the local replica must reproduce that classification or
+    # it masks driver-only reds (r6/r7 embedding_covariance postmortem:
+    # DuckDB ROUND emits -0.0 where Spark F.round emits +0.0).
+    canon = _load_oracle_check().canon
+    assert canon(-0.0) != canon(0.0)
+    assert canon(0.0) == "0.0"
+    assert canon(-0.0) == "-0.0"
+    # integral-float type-strictness is unchanged
+    assert canon(2.0) == "2.0"
+    assert canon(-2.0) == "-2.0"
+    assert canon(float("nan")) == "NaN"
+
+
+def test_canon_distinguishes_negative_zero_inside_collections():
+    canon = _load_oracle_check().canon
+    assert canon([-0.0, 1.5]) != canon([0.0, 1.5])
+
+
+def test_multiline_parenthesized_relative_import_resolves_submodules():
+    # "from ..pkg import (\n a,\n b)" previously captured names="(" and
+    # silently dropped every submodule from the fingerprint (r7 ADVICE).
+    from hadoop_word_score_spark.plans.queries import _resolve_rel_imports
+
+    mods = _resolve_rel_imports(
+        "from ..functions import (\n    codecs,\n    text as _t,\n)\n",
+        ("operators",),
+    )
+    assert {"functions.__init__", "functions.codecs", "functions.text"} <= mods

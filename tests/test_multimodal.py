@@ -296,6 +296,10 @@ def test_audio_decode_handles_stereo_and_zero_data():
     assert (rate, n_ch, len(samples)) == (44100, 2, 6)
     meta = _decode_audio_one(stereo)
     assert meta[0] == 44100 and meta[1] == 3  # frames, not raw samples
+    # zero_crossings is per-channel (deinterleaved): ch0 = [100,200,300],
+    # ch1 = [-100,-200,-300] — zero crossings in neither channel. The raw
+    # interleaved array would count 5 meaningless L/R sign flips.
+    assert meta[4] == 0
 
     empty = (
         b"RIFF" + struct.pack("<I", 36) + b"WAVE"

@@ -474,13 +474,21 @@ def test_prepare_edges_releases_staging_checkpoint(spark):
     # at large edge sets). Net persisted-RDD growth across the call == 1.
     from hadoop_word_score_spark.operators.dedup import _prepare_edges
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def _persistent_ids():
+        # set of ids, not a count: in a shared session Spark's async
+        # ContextCleaner may unpersist an unrelated older RDD between the
+        # two reads, which breaks a size delta (r7 order-dependent flake)
+        # but cannot add an id to the after-minus-before set difference.
+        ks = spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        return {int(k) for k in ks.toArray()}
+
+    before = _persistent_ids()
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 100, 2)], "id_a long, id_b long"
     )
     edges, _ = _prepare_edges(pairs)
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after - before == 1, f"staging checkpoint still pinned ({before}->{after})"
+    new_ids = _persistent_ids() - before
+    assert len(new_ids) == 1, f"staging checkpoint still pinned (new={new_ids})"
     assert edges.count() == 100  # the surviving copy is the readable one
 
 

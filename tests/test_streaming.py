@@ -586,3 +586,23 @@ def test_aggregating_sink_additive_state_and_streamed_cms(spark, events_stream_d
     )
     after = {r.event_type: (r.value, r.n) for r in read_table(spark, counters).collect()}
     assert after == got and read_table(spark, counters).count() == version_before
+
+
+def test_bucketed_sink_refuses_whole_table_layout(spark, tmp_path):
+    # A whole-table-layout target (version > 0, no _manifest.v*) must not be
+    # adopted by a bucketed sink: treating it as empty would commit a
+    # manifest referencing only the new batch's buckets, silently dropping
+    # every previously committed key on read (r7 ADVICE, medium).
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "whole_then_bucketed")
+    whole = S.upsert_sink(target, "k")
+    whole(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k int, v string"), 0)
+
+    bucketed = S.upsert_sink(target, "k", n_buckets=4)
+    with _pytest.raises(ValueError, match="whole-table layout"):
+        bucketed(spark.createDataFrame([(1, "x")], "k int, v string"), 1)
+    # the refusal left the committed data intact
+    assert {r.k for r in S.read_table(spark, target).collect()} == set(range(10))

@@ -39,6 +39,13 @@ def canon(v) -> str:
         # vs DOUBLE, hash FAIL) — collapsing here would hide driver reds.
         if math.isnan(v):
             return "NaN"
+        # Sign-strict on negative zero: the driver's canonicalizer formats
+        # -0.0 and +0.0 differently ("%.9g"-style "-0" vs "0"), so the
+        # replica must too — collapsing them here masked the r6/r7
+        # embedding_covariance driver red for two rounds (DuckDB ROUND
+        # emits -0.0 where Spark F.round emits +0.0).
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         if v == int(v) and abs(v) < 1e15:
             return f"{int(v)}.0"
         return f"{v:.9g}"
