@@ -36,12 +36,12 @@ def test_evidence_rounds_monotone_in_order():
 
 
 def test_oracle_rewrite_resets_evidence(monkeypatch):
-    # pick any query with driver evidence and a recorded fingerprint
+    # pick any query with LIVE driver evidence (both oracle and impl
+    # fingerprints current — matching on the oracle fp alone picked queries
+    # an engine-module edit had already impl-demoted, a false red)
     name = next(
-        n for n in Q._DRIVER_GREEN_R04
-        if Q._VERIFIED_ORACLE_FP.get(n) == Q._oracle_fp(Q.REGISTRY[n].oracle)
+        n for n in Q._DRIVER_GREEN_R04 if Q._latest_evidence_round(n) >= 1
     )
-    assert Q._latest_evidence_round(name) >= 1
     patched = dict(Q._VERIFIED_ORACLE_FP)
     patched[name] = "stale_fp"
     monkeypatch.setattr(Q, "_VERIFIED_ORACLE_FP", patched)

@@ -56,6 +56,8 @@ PROBES = [
     "pagerank_supply_graph",
     "cms_frequency_estimates",
     "corpus_prep_funnel",
+    "multimodal_audio_real",
+    "multimodal_video_real",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -492,6 +494,30 @@ def similarity_regime_rows(spark) -> list[str]:
     return rows
 
 
+def udtf_vs_hof_rows(spark) -> list[str]:
+    """The UDTF tax, measured (r7 VERDICT item 8): udtf_chunk_text and
+    doc_chunks are oracle-identical chunkers — one is a per-row Python UDTF
+    (API-surface parity), the other the vectorized HOF/codegen plan the
+    docstring tells users to ship. Same corpus, min of 2 warm runs each."""
+    t_hof = time_query(spark, "doc_chunks", BASE)
+    t_udtf = time_query(spark, "udtf_chunk_text", BASE)
+    rows = [
+        "",
+        "## The UDTF tax: udtf_chunk_text vs doc_chunks (oracle-identical)",
+        "",
+        "| path | sf0.1 sec | vs HOF plan |",
+        "|---|---|---|",
+        f"| doc_chunks (JVM HOF + explode, whole-stage codegen) | {t_hof:.2f} | 1.0x |",
+        f"| udtf_chunk_text (Python UDTF via SQL LATERAL) | {t_udtf:.2f} | {t_udtf / t_hof:.1f}x |",
+        "",
+        "Same rows, same hash (both oracle-green). The UDTF exists for API",
+        "parity — prototype with it, ship the HOF plan (operators/udtf.py).",
+    ]
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     if "--rebuild" in sys.argv:
@@ -568,6 +594,10 @@ def main() -> None:
         # one scan + content-hash window shuffle + survivor-shingle join
         # against the (fixed-fraction) eval shingle set
         "corpus_prep_funnel": "~linear (flags scan + hash window + shingle join)",
+        # both are render -> decode mapInPandas chains (Arrow batches, no
+        # shuffle, no python-worker state); cost is per-payload work
+        "multimodal_audio_real": "linear (render+decode mapInPandas, narrow)",
+        "multimodal_video_real": "linear (demux + per-frame decode mapInPandas, narrow)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
@@ -576,6 +606,7 @@ def main() -> None:
             f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {models[name]} |"
         )
         print(lines[-1], flush=True)
+    lines.extend(udtf_vs_hof_rows(spark))
     lines.extend(span_hash_rows(spark))
     lines.extend(bloom_vs_broadcast_rows(spark))
     lines.extend(similarity_regime_rows(spark))
