@@ -10,7 +10,9 @@ through pickle, so the engine's PRODUCTION chunker stays the pure-HOF
 `doc_chunks` plan (sequence + explode + slice — JVM codegen end to end);
 this module exists for API-surface parity and is oracle-checked to produce
 byte-identical rows to that HOF plan, so a user can prototype with the
-UDTF and swap to the vectorized path without a semantic diff.
+UDTF and swap to the vectorized path without a semantic diff. Measured
+(SCALE_PROBE.md, sf0.1, min of 2 warm runs): the UDTF path costs 2.1x the
+HOF plan on the identical chunking job.
 """
 
 from __future__ import annotations
