@@ -6886,3 +6886,87 @@ def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import collect_table_stats
 
     return collect_table_stats(spark, sf_dir).orderBy("tbl", "col")
+
+
+@register(
+    "stats_join_key_skew",
+    # per-key frequency profile for the two hottest join keys the engine
+    # shuffles on: top-3 keys by row count (ties break on key value), each
+    # with its share of rows and its multiple of the mean key depth
+    oracle="""
+    WITH profiled AS (
+        SELECT 'l_suppkey' AS col, CAST(l_suppkey AS VARCHAR) AS key_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS key_val
+        FROM orders
+    ),
+    counts AS (
+        SELECT col, key_val, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM profiled GROUP BY col, key_val
+    ),
+    totals AS (
+        SELECT col, CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM counts GROUP BY col
+    ),
+    ranked AS (
+        SELECT c.col, c.key_val, c.cnt,
+               ROW_NUMBER() OVER (PARTITION BY c.col
+                                  ORDER BY c.cnt DESC, c.key_val) AS rnk,
+               t.total, t.n_keys
+        FROM counts c JOIN totals t USING (col)
+    )
+    SELECT col, CAST(rnk AS INT) AS rank, key_val, cnt,
+           ROUND(cnt * 100.0 / total, 4) AS share_pct,
+           ROUND(cnt * n_keys * 1.0 / total, 2) AS x_mean_depth
+    FROM ranked WHERE rnk <= 3
+    ORDER BY col, rank
+    """,
+    tags=("catalog", "stats", "skew"),
+)
+def q_stats_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The DETECTOR half of the skew story (the remedies — salting,
+    # AQE skew-split — are join_salted_skew / agg_salted_two_phase and the
+    # plan receipts in tests/test_plans.py): per-key depth profile of the
+    # join keys the engine shuffles on, reporting each hot key's share of
+    # rows and its multiple of the mean key depth. At 100 TB this is one
+    # map-side-combined (col, key) count — shuffle rows bounded by key
+    # cardinality, never corpus size — and its x_mean_depth output is the
+    # number that decides between a plain shuffle join (~1), AQE skew
+    # splitting (tens), or pre-salting (hundreds+, or when the downstream
+    # agg pins the join partitioning and AQE skew-split won't fire).
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("l_suppkey").alias("col"),
+        F.col("l_suppkey").cast("string").alias("key_val"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("o_custkey").alias("col"),
+        F.col("o_custkey").cast("string").alias("key_val"),
+    )
+    counts = (
+        li.unionByName(o)
+        .groupBy("col", "key_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("col")
+    wr = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("key_val"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(wt))
+        .withColumn("n_keys", F.count(F.lit(1)).over(wt))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "col",
+            "rank",
+            "key_val",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("total"), 4).alias("share_pct"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 2).alias(
+                "x_mean_depth"
+            ),
+        )
+        .orderBy("col", "rank")
+    )

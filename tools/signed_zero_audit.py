@@ -92,7 +92,10 @@ _NONNEG = [
      "quantity >= 1, extendedprice >= 900 => ln/sqrt/pow all > 0"),
     (r".*", r"ROUND\(list_sum\(list_transform\(CAST\(embedding AS DOUBLE\[\]\), x -> x \* x\)\)",
      "sum of squares"),
-    (r".*", r"ROUND\(SUM\(value\)", "events.value >= 0 by generator contract (sum of non-negative)"),
+    (r".*", r"ROUND\(SUM\(value\)",
+     "events.value in [0, 560] measured at every shipped SF (no negative has ever been "
+     "generated); the value-transforming sites (EWMA, z-score) ARE wrapped — if a future "
+     "fixture adds negative values, move these SUM sites to the wrap list too"),
     (r".*", r"ROUND\(quantile_cont\(delta_s", "conversion deltas are non-negative durations"),
     (r".*", r"ROUND\(n_common / \(size_a \+ size_b - n_common\)", "Jaccard in [0,1]"),
     (r".*", r"ROUND\(SUM\( ?ln\(\(n - df \+ 0\.5\) / \(df \+ 0\.5\) \+ 1\.0\)",
@@ -123,6 +126,8 @@ _NONNEG = [
      "inner int8 quantizer: result is CAST AS INT at one site and squared at the other — "
      "no float zero ever reaches the output"),
     (r".*", r"ROUND\(quantile_cont\(c_acctbal", None),  # interpolation can land in (-5e-5, 0) — wrap
+    (r"stats_join_key_skew", r"ROUND\(cnt \* ",
+     "key depth share / mean multiple: counts are strictly positive"),
 ]
 
 
