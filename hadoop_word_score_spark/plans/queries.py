@@ -6970,3 +6970,95 @@ def q_stats_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "rank")
     )
+
+
+_KMEANS_D = 64
+_KM_DIST = (
+    "list_reduce(list_transform(range(1, {d} + 1),"
+    " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])), (a, b) -> a + b)"
+).format(d=_KMEANS_D)
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS slot, vec_id AS cid, v AS c
+    FROM e ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+    SELECT e.vec_id, e.v, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn
+    FROM e CROSS JOIN c0 c
+),
+d1 AS (
+    SELECT slot, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM a1 WHERE rn = 1
+),
+c1 AS (
+    SELECT slot, ARRAY_AGG(mv ORDER BY dim) AS c
+    FROM (SELECT slot, dim, ROUND(AVG(val), 4) AS mv
+          FROM d1 GROUP BY slot, dim)
+    GROUP BY slot
+),
+a2 AS (
+    SELECT e.vec_id, e.v, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn
+    FROM e CROSS JOIN c1 c
+),
+d2 AS (
+    SELECT slot, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM a2 WHERE rn = 1
+),
+c2 AS (
+    SELECT slot, ARRAY_AGG(mv ORDER BY dim) AS c
+    FROM (SELECT slot, dim, ROUND(AVG(val), 4) AS mv
+          FROM d2 GROUP BY slot, dim)
+    GROUP BY slot
+),
+final AS (
+    SELECT e.vec_id, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn,
+           {_KM_DIST} AS dist
+    FROM e CROSS JOIN c2 c
+)
+SELECT c0.cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(f.dist), 4) AS mean_sqdist
+FROM final f JOIN c0 ON f.slot = c0.slot
+WHERE f.rn = 1
+GROUP BY c0.cid
+ORDER BY cluster
+"""
+
+
+@register("kmeans_embeddings", oracle=_KMEANS_SQL, tags=("llm", "clustering", "iterative"))
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd's k-means, k=8, 2 iterations (operators/clustering.py — the
+    # LEARNED-centroid complement to the IVF index and PCA). Per iteration:
+    # ONE corpus scan with the k x d centroid matrix inlined as a codegen
+    # literal (assignment never crossJoins or shuffles) + a (slot, dim)-
+    # keyed partial-agg shuffle bounded at k x d keys; driver state is the
+    # bounded k x d centroid collect (the BPE/PageRank pattern). Centroid
+    # coordinates quantize to 4 dp each round so both engines feed
+    # bit-identical centroids into the next assignment (summation-order
+    # noise ~1e-12 vs a 5e-5 boundary); distance folds are left-to-right
+    # from 0.0 on both engines; argmin ties break toward the lowest seed.
+    # The oracle unrolls the same two iterations as CTEs. Clusters are
+    # assumed non-empty at oracle SF (k=8 seeds among >=500 vectors);
+    # kmeans_fit itself keeps the previous centroid for an empty cluster.
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    em = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        em, "embedding", "vec_id", k=8, iterations=2, centroid_decimals=4
+    )
+    return (
+        kmeans_assign(em, "embedding", cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sqdist"), 4).alias("mean_sqdist"),
+        )
+        .orderBy("cluster")
+    )

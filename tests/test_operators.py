@@ -1274,3 +1274,61 @@ def test_cms_bucket_matches_pure_python_md5(spark):
         for t in terms:
             want = int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:8], 16) % 1024
             assert got[t] == want, (i, t, got[t], want)
+
+
+def test_kmeans_fit_separates_planted_clusters(spark):
+    from hadoop_word_score_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    # two well-separated planted blobs in 4-d; k=2 must recover them
+    rows = [(i, [10.0 + (i % 3) * 0.1, 10.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [-10.0, -10.0 - (i % 3) * 0.1, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = kmeans_fit(df, "vec", "id", k=2, iterations=3)
+    assigned = kmeans_assign(df, "vec", cents).collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    groups = sorted(by_cluster.values(), key=len)
+    assert [len(g) for g in groups] == [20, 20]
+    assert {i for i in range(20)} in groups
+    # mean sqdist within a recovered blob is tiny (spread 0.1)
+    for r in assigned:
+        assert r.sqdist < 0.05
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from hadoop_word_score_spark.operators.clustering import kmeans_fit
+
+    # 3 seeds over 3 identical far points + nothing near seed 2 after the
+    # first update: duplicate points collapse onto one centroid and the
+    # starved slots keep their previous (seed) centroid instead of NaN-ing
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [100.0, 100.0]),
+            (3, [100.0, 100.0]), (4, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = kmeans_fit(df, "vec", "id", k=3, iterations=2)
+    assert len(cents) == 3
+    for _, vec in cents:
+        assert all(v == v for v in vec)  # no NaN anywhere
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    # the 100 TB contract: assignment is a literal-centroid codegen pass —
+    # no Exchange, no join in the assigned relation's plan
+    from hadoop_word_score_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(em, "embedding", "vec_id", k=4, iterations=1)
+    plan = (
+        kmeans_assign(em, "embedding", cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

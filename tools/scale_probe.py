@@ -58,6 +58,7 @@ PROBES = [
     "corpus_prep_funnel",
     "multimodal_audio_real",
     "multimodal_video_real",
+    "kmeans_embeddings",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -598,6 +599,9 @@ def main() -> None:
         # shuffle, no python-worker state); cost is per-payload work
         "multimodal_audio_real": "linear (render+decode mapInPandas, narrow)",
         "multimodal_video_real": "linear (demux + per-frame decode mapInPandas, narrow)",
+        # per iteration: one literal-centroid codegen scan + a k x d
+        # partial-agg shuffle; driver state bounded at k x d
+        "kmeans_embeddings": "linear x n_iters (narrow assignment scan; k x d agg)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)

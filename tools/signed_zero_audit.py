@@ -128,6 +128,9 @@ _NONNEG = [
     (r".*", r"ROUND\(quantile_cont\(c_acctbal", None),  # interpolation can land in (-5e-5, 0) — wrap
     (r"stats_join_key_skew", r"ROUND\(cnt \* ",
      "key depth share / mean multiple: counts are strictly positive"),
+    (r"kmeans_embeddings", r"ROUND\(AVG\((val|f\.dist)\)",
+     "centroid coords feed arithmetic only (sign of zero is inert there); mean SQUARED "
+     "distance is non-negative"),
 ]
 
 
