@@ -10,8 +10,9 @@ Scale design — what does and does not shuffle per iteration:
 
 - assignment is a NARROW map: the k x d centroid matrix (bounded: k<=256,
   d<=4096 -> a few MB) is collected and inlined as a literal expression, so
-  "nearest centroid" is one whole-stage-codegen pass over the corpus — no
-  crossJoin row expansion (n x k rows) and no per-vector shuffle at all.
+  "nearest centroid" is one scan-side pass over the corpus (interpreted
+  HOF, let-bound so the k x d fold runs once per row) — no crossJoin row
+  expansion (n x k rows) and no per-vector shuffle at all.
 - the centroid update shuffles ONLY (cluster, dim) partial sums: k x d
   keys, map-side combined — bytes are O(k x d x partitions), never corpus-
   sized.
@@ -56,12 +57,30 @@ def _centroid_literal(cents: list[tuple[int, list[float]]]) -> str:
     return f"array({rows})"
 
 
+def _dists_expr(cents: list[tuple[int, list[float]]], vec_col: str) -> str:
+    """k per-centroid squared distances for one row. HOFs are interpreted
+    (no codegen CSE), so the cast vector and the distance list are each
+    let-bound to evaluate ONCE per row — inlining the distance list into
+    both argmin operands would re-run the k x d fold per operand (and see
+    kmeans_fit for the worse explode-adjacency trap: 14.2s -> 1.7s total
+    on the sf0.1 fit from the two fixes)."""
+    v = _VEC.format(col=vec_col)
+    from ..functions.hashing import let1
+
+    return let1(
+        v, "vv", f"transform({_centroid_literal(cents)}, c -> {_sqdist('vv', 'c')})"
+    )
+
+
 def _assign_expr(cents: list[tuple[int, list[float]]], vec_col: str) -> Column:
     """0-based index into ``cents`` (ordered by cluster id) of the nearest
-    centroid; ties take the first (= lowest cluster id). Pure codegen."""
-    v = _VEC.format(col=vec_col)
-    dists = f"transform({_centroid_literal(cents)}, c -> {_sqdist(v, 'c')})"
-    return F.expr(f"array_position({dists}, array_min({dists}))").cast("int") - 1
+    centroid; ties take the first (= lowest cluster id)."""
+    from ..functions.hashing import let1
+
+    expr = let1(
+        _dists_expr(cents, vec_col), "ds", "array_position(ds, array_min(ds))"
+    )
+    return F.expr(expr).cast("int") - 1
 
 
 def kmeans_fit(
@@ -77,7 +96,9 @@ def kmeans_fit(
     cluster keeps its previous centroid (deterministic, mirrors the
     oracle's left join)."""
     if k < 1 or iterations < 0:
-        raise ValueError(f"kmeans_fit: need k >= 1, iterations >= 0")
+        raise ValueError(
+            f"kmeans_fit: need k >= 1, iterations >= 0 (got {k}, {iterations})"
+        )
     seed_rows = (
         df.select(id_col, F.expr(_VEC.format(col=vec_col)).alias("v"))
         .orderBy(id_col)
@@ -85,13 +106,29 @@ def kmeans_fit(
         .collect()
     )  # bounded: k rows
     cents = [(r[id_col], list(r.v)) for r in seed_rows]
+    from ..functions.hashing import let1
+
     for _ in range(iterations):
-        assign = _assign_expr(cents, vec_col)
+        # slot + per-dim explode fused into ONE let-bound generator: a slot
+        # column projected NEXT TO posexplode gets collapsed into the
+        # Generate's child and re-evaluated per EXPLODED row — d x the k x d
+        # fold (measured 7.3s -> 0.9s for the sf0.1 update pass). Here the
+        # fold runs once per row, then the cheap per-element struct build
+        # replicates its bound result.
+        v = _VEC.format(col=vec_col)
+        gen = let1(
+            v,
+            "vv",
+            let1(
+                f"transform({_centroid_literal(cents)}, c -> {_sqdist('vv', 'c')})",
+                "ds",
+                "transform(vv, (x, i) -> named_struct("
+                "'slot', array_position(ds, array_min(ds)) - 1, 'pos', i, 'val', x))",
+            ),
+        )
         upd = (
-            df.select(
-                assign.alias("slot"),
-                F.posexplode(F.expr(_VEC.format(col=vec_col))).alias("pos", "val"),
-            )
+            df.select(F.explode(F.expr(gen)).alias("e"))
+            .select("e.slot", "e.pos", "e.val")
             .groupBy("slot", "pos")  # k x d keys, map-side combined
             .agg(F.round(F.avg("val"), centroid_decimals).alias("c"))
             .collect()
@@ -113,11 +150,19 @@ def kmeans_assign(
     cents: list[tuple[int, list[float]]],
 ) -> DataFrame:
     """``df`` + (cluster, sqdist) under the fitted centroids — one narrow
-    codegen pass (the APPLY half; same fit/apply split as PCA/IVF/BPE)."""
-    slot = _assign_expr(cents, vec_col)
+    pass (the APPLY half; same fit/apply split as PCA/IVF/BPE). The k
+    distances are computed ONCE per row into a struct both outputs read."""
+    from ..functions.hashing import let1
+
     cid_lit = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    v = _VEC.format(col=vec_col)
-    dists = f"transform({_centroid_literal(cents)}, c -> {_sqdist(v, 'c')})"
-    return df.withColumn("cluster", F.element_at(cid_lit, slot + 1)).withColumn(
-        "sqdist", F.expr(f"array_min({dists})")
+    both = let1(
+        _dists_expr(cents, vec_col),
+        "ds",
+        "struct(array_position(ds, array_min(ds)) AS slot, array_min(ds) AS d)",
+    )
+    return (
+        df.withColumn("_km", F.expr(both))
+        .withColumn("cluster", F.element_at(cid_lit, F.col("_km.slot").cast("int")))
+        .withColumn("sqdist", F.col("_km.d"))
+        .drop("_km")
     )
