@@ -1,10 +1,11 @@
 """Distributed k-means (Lloyd's) over an embedding column.
 
-The missing piece between the similarity family's persisted IVF index
-(hash/projection cells) and PCA: LEARNED centroids. The reference engine
-has no clustering at all; this is EXT surface for the training-data
-pipeline (corpus clustering for dedup/mixture decisions, IVF cell
-learning, semantic sharding).
+The general-purpose clustering surface next to PCA and the IVF index
+(similarity.py's coarse quantizer is an internal spherical k-means tuned
+for cosine cells; this one is user-facing Euclidean k-means with a full
+fit/apply API and a value-hash oracle). The reference engine has no
+clustering at all; this is EXT surface for the training-data pipeline
+(corpus clustering for dedup/mixture decisions, semantic sharding).
 
 Scale design — what does and does not shuffle per iteration:
 
