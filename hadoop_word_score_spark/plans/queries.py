@@ -7035,7 +7035,8 @@ ORDER BY cluster
 @register("kmeans_embeddings", oracle=_KMEANS_SQL, tags=("llm", "clustering", "iterative"))
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd's k-means, k=8, 2 iterations (operators/clustering.py — the
-    # LEARNED-centroid complement to the IVF index and PCA). Per iteration:
+    # user-facing Euclidean clustering surface next to PCA and the IVF
+    # index's internal spherical quantizer). Per iteration:
     # ONE corpus scan with the k x d centroid matrix inlined as a codegen
     # literal (assignment never crossJoins or shuffles) + a (slot, dim)-
     # keyed partial-agg shuffle bounded at k x d keys; driver state is the
