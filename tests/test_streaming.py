@@ -606,3 +606,41 @@ def test_bucketed_sink_refuses_whole_table_layout(spark, tmp_path):
         bucketed(spark.createDataFrame([(1, "x")], "k int, v string"), 1)
     # the refusal left the committed data intact
     assert {r.k for r in S.read_table(spark, target).collect()} == set(range(10))
+
+
+def test_kmeans_assign_streams_unchanged(spark, scratch_dir):
+    # kmeans_assign is a stateless narrow map (literal centroids, no
+    # shuffle), so the SAME operator runs under Structured Streaming with
+    # no code changes — fit on the batch table, apply on the stream, and
+    # the drained assignments equal the batch assignments row for row.
+    import os as _os
+
+    from hadoop_word_score_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from hadoop_word_score_spark.sources.registry import TABLES, load_table
+    from hadoop_word_score_spark.streaming.windows import run_available_now
+    from tests.conftest import SF_SMOKE
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(em, "embedding", "vec_id", k=4, iterations=1)
+
+    src = _os.path.join(scratch_dir, "emb_stream_src")
+    em.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(TABLES["embeddings"]).parquet(src)
+    got = run_available_now(
+        kmeans_assign(stream, "embedding", cents).select(
+            "vec_id", "cluster", "sqdist"
+        ),
+        _os.path.join(scratch_dir, "ckpt_kmeans"),
+        "kmeans_stream_out",
+    )
+    batch = {
+        r.vec_id: (r.cluster, r.sqdist)
+        for r in kmeans_assign(em, "embedding", cents)
+        .select("vec_id", "cluster", "sqdist")
+        .collect()
+    }
+    streamed = {r.vec_id: (r.cluster, r.sqdist) for r in got.collect()}
+    assert streamed == batch and len(batch) > 0
