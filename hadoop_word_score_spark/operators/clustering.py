@@ -106,6 +106,8 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )  # bounded: k rows
+    if not seed_rows:
+        raise ValueError("kmeans_fit: empty corpus (fail fast beats NaNs)")
     cents = [(r[id_col], list(r.v)) for r in seed_rows]
     from ..functions.hashing import let1
 

@@ -52,7 +52,13 @@ def _profile_one(df: DataFrame, table: str, approx: bool) -> DataFrame:
     aggs: list = [F.count(F.lit(1)).alias("_n")]
     for f in cols:
         c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        # coalesce: SUM over zero rows is NULL, but an empty relation has
+        # zero nulls, not unknown nulls
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"_nulls_{c}"
+            )
+        )
         if approx:
             aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
         else:

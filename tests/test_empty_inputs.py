@@ -179,3 +179,37 @@ def test_round7_operators_empty(spark):
     payloads = spark.createDataFrame([], "doc_id long, payload binary")
     assert extract_audio_metadata(payloads).count() == 0
     assert extract_video_frame_metadata(payloads).count() == 0
+
+
+def test_round8_operators_empty(spark):
+    import pytest
+
+    from hadoop_word_score_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from hadoop_word_score_spark.sources.catalog import collect_table_stats
+
+    # kmeans: fitting an empty corpus fails fast (covariance_matrix
+    # convention); assigning an EMPTY relation under fitted centroids is
+    # fine (zero rows out, schema intact)
+    vecs = _empty_vecs(spark)
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_fit(vecs, "embedding", "vec_id", k=2, iterations=1)
+    cents = [(0, [0.0] * 4), (1, [1.0] * 4)]
+    small = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kmeans_assign(small, "embedding", cents)
+    assert out.count() == 0
+    assert {"cluster", "sqdist"} <= set(out.columns)
+
+    # table profile of an empty relation: one row per column with n_rows=0,
+    # ndv=0, NULL min/max (profile the empty relation directly)
+    from hadoop_word_score_spark.sources.catalog import _profile_one
+
+    prof = _profile_one(
+        spark.createDataFrame([], "a long, b string"), "t", approx=False
+    ).collect()
+    assert {r.col: (r.n_rows, r.n_nulls, r.ndv, r.min_val, r.max_val) for r in prof} == {
+        "a": (0, 0, 0, None, None),
+        "b": (0, 0, 0, None, None),
+    }
