@@ -7032,7 +7032,7 @@ ORDER BY cluster
 """
 
 
-@register("kmeans_embeddings", oracle=_KMEANS_SQL, tags=("llm", "clustering", "iterative"))
+@register("kmeans_embeddings", oracle=_KMEANS_SQL, tags=("llm", "clustering", "iterative"), bench=True)
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd's k-means, k=8, 2 iterations (operators/clustering.py — the
     # user-facing Euclidean clustering surface next to PCA and the IVF

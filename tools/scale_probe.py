@@ -59,6 +59,7 @@ PROBES = [
     "multimodal_audio_real",
     "multimodal_video_real",
     "kmeans_embeddings",
+    "stats_join_key_skew",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -602,6 +603,9 @@ def main() -> None:
         # per iteration: one literal-centroid codegen scan + a k x d
         # partial-agg shuffle; driver state bounded at k x d
         "kmeans_embeddings": "linear x n_iters (narrow assignment scan; k x d agg)",
+        # map-side-combined (col, key) counts; the ranking window runs over
+        # key-cardinality rows, never corpus rows
+        "stats_join_key_skew": "linear scan; shuffles bounded by key cardinality",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
