@@ -1332,3 +1332,23 @@ def test_kmeans_assignment_is_narrow(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_kmeans_fit_invariant_under_partitioning(spark):
+    # The determinism contract behind the oracle: per-round 4-dp centroid
+    # quantization swallows summation-order noise, so the SAME corpus in a
+    # different physical layout (partition count, row order) fits
+    # BIT-IDENTICAL centroids — the property that makes k-means
+    # hash-checkable across engines at all.
+    from hadoop_word_score_spark.operators.clustering import kmeans_fit
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    a = kmeans_fit(em, "embedding", "vec_id", k=4, iterations=2)
+    b = kmeans_fit(em.repartition(17), "embedding", "vec_id", k=4, iterations=2)
+    c = kmeans_fit(
+        em.orderBy(F.desc("vec_id")).coalesce(1),
+        "embedding", "vec_id", k=4, iterations=2,
+    )
+    assert a == b == c
