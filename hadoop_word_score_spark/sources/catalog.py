@@ -60,7 +60,10 @@ def _profile_one(df: DataFrame, table: str, approx: bool) -> DataFrame:
             )
         )
         if approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
+            # rsd=0.02: the default 5% sketch misestimates a CBO join-size
+            # input by enough to matter; 2% costs ~6x the sketch memory
+            # (still KBs/column) and stays a single partial-agg pass
+            aggs.append(F.approx_count_distinct(c, rsd=0.02).alias(f"_ndv_{c}"))
         else:
             aggs.append(F.count_distinct(F.col(c)).alias(f"_ndv_{c}"))
         if isinstance(f.dataType, _MINMAX_TYPES):

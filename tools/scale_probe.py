@@ -496,6 +496,47 @@ def similarity_regime_rows(spark) -> list[str]:
     return rows
 
 
+def profile_mode_rows(spark) -> list[str]:
+    """Catalog profile: exact count-distinct vs HLL sketch (approx=True).
+
+    Exact multi-column NDV plans an Expand (one duplicated input row per
+    profiled column); the HLL mode stays a single partial/final aggregate
+    pass. Same orders table at 1x and 10x — the ratio gap is the Expand's
+    row multiplication becoming the dominant cost."""
+    from hadoop_word_score_spark.sources.catalog import collect_table_stats
+
+    def t(sf_dir, approx):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            collect_table_stats(spark, sf_dir, tables=["orders"], approx=approx) \
+                .write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    e1, e10 = t(BASE, False), t(SCALED, False)
+    a1, a10 = t(BASE, True), t(SCALED, True)
+    rows = [
+        "",
+        "## Catalog profile: exact NDV (Expand) vs HLL sketch (single pass)",
+        "",
+        "| mode | 1x sec | 10x sec | ratio | plan shape |",
+        "|---|---|---|---|---|",
+        f"| exact count_distinct | {e1:.2f} | {e10:.2f} | {e10 / e1:.1f}x | "
+        "Expand: k duplicated rows per input row |",
+        f"| approx (HLL rsd=0.02) | {a1:.2f} | {a10:.2f} | {a10 / a1:.1f}x | "
+        "one partial/final HashAggregate pass |",
+        "",
+        "Exact is the oracle-comparable mode the driver verifies; approx is",
+        "what a 100 TB ANALYZE runs (NDV within 2%, receipts in",
+        "tests/test_plans.py).",
+    ]
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def udtf_vs_hof_rows(spark) -> list[str]:
     """The UDTF tax, measured (r7 VERDICT item 8): udtf_chunk_text and
     doc_chunks are oracle-identical chunkers — one is a per-row Python UDTF
@@ -614,6 +655,7 @@ def main() -> None:
             f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {models[name]} |"
         )
         print(lines[-1], flush=True)
+    lines.extend(profile_mode_rows(spark))
     lines.extend(udtf_vs_hof_rows(spark))
     lines.extend(span_hash_rows(spark))
     lines.extend(bloom_vs_broadcast_rows(spark))
