@@ -33,7 +33,7 @@ mirror unrolls the same iterations as CTEs (plans/queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _VEC = "transform({col}, x -> cast(x AS double))"
@@ -73,17 +73,6 @@ def _dists_expr(cents: list[tuple[int, list[float]]], vec_col: str) -> str:
     )
 
 
-def _assign_expr(cents: list[tuple[int, list[float]]], vec_col: str) -> Column:
-    """0-based index into ``cents`` (ordered by cluster id) of the nearest
-    centroid; ties take the first (= lowest cluster id)."""
-    from ..functions.hashing import let1
-
-    expr = let1(
-        _dists_expr(cents, vec_col), "ds", "array_position(ds, array_min(ds))"
-    )
-    return F.expr(expr).cast("int") - 1
-
-
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -93,9 +82,10 @@ def kmeans_fit(
     centroid_decimals: int = 4,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations; returns [(cluster_id, centroid)] ordered by
-    cluster_id (cluster ids are the k initial seed row ids). An empty
-    cluster keeps its previous centroid (deterministic, mirrors the
-    oracle's left join)."""
+    cluster_id (cluster ids are the k initial seed row ids). A corpus with
+    fewer than ``k`` rows fits min(k, n) clusters — the same truncation an
+    unrolled oracle's ``LIMIT k`` seed CTE performs, so both sides agree.
+    An empty cluster keeps its previous centroid (deterministic)."""
     if k < 1 or iterations < 0:
         raise ValueError(
             f"kmeans_fit: need k >= 1, iterations >= 0 (got {k}, {iterations})"

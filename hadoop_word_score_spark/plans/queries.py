@@ -283,9 +283,14 @@ def _resolve_rel_imports(src: str, pkg_parts: tuple[str, ...]) -> set[str]:
             # `from ..pkg import a, b as c` — each name that is a submodule
             # file joins the fingerprint; pure-attribute names resolve via
             # the package __init__ hashed above.
+            # strip comments PER LINE: a trailing '# ...' inside a
+            # multiline parenthesized list must not swallow the names on
+            # the following lines (review r8 — the silent-narrowing bug
+            # again, one layer down)
+            cleaned = re.sub(r"#[^\n]*", "", names)
             name_list = [
                 n.strip().split(" as ")[0].strip()
-                for n in names.split("#", 1)[0].strip().strip("()").split(",")
+                for n in cleaned.strip().strip("()").split(",")
             ]
             if not any(name_list):
                 # a package-directory import whose names failed to parse

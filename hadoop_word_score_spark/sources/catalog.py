@@ -101,6 +101,8 @@ def collect_table_stats(
         t for t, sch in TABLES.items()
         if not any(isinstance(f.dataType, T.ArrayType) for f in sch.fields)
     ]
+    if not names:
+        raise ValueError("collect_table_stats: no tables to profile")
     parts = [
         _profile_one(load_table(spark, sf_dir, t), t, approx) for t in names
     ]
@@ -133,8 +135,16 @@ def analyze_tables(
         # catalog entry (LOCATION_ALREADY_EXISTS on the next saveAsTable) —
         # drop both the entry and any orphaned directory first
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # the managed location is database-relative: default lives at the
+        # warehouse root, every other database under <db>.db/ — cleaning
+        # the wrong one would rmtree an UNRELATED live table's directory
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{t}_analyzed", ignore_errors=True)
+        loc = (
+            f"{wh}/{t}_analyzed"
+            if database == "default"
+            else f"{wh}/{database}.db/{t}_analyzed"
+        )
+        shutil.rmtree(loc, ignore_errors=True)
         load_table(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
         # read back what the CATALOG recorded ("X bytes, Y rows") — the

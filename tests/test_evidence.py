@@ -236,3 +236,27 @@ def test_multiline_parenthesized_relative_import_resolves_submodules():
         ("operators",),
     )
     assert {"functions.__init__", "functions.codecs", "functions.text"} <= mods
+
+
+def test_inline_comment_in_multiline_import_keeps_following_names():
+    # review r8: a trailing '# ...' on one line of a parenthesized import
+    # must not swallow the names on the following lines
+    from hadoop_word_score_spark.plans.queries import _resolve_rel_imports
+
+    mods = _resolve_rel_imports(
+        "from ..functions import (\n    codecs,  # helper\n    text,\n)\n",
+        ("operators",),
+    )
+    assert {"functions.__init__", "functions.codecs", "functions.text"} <= mods
+
+
+def test_audit_wrap_detector_rejects_value_changing_epsilon():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools" / "signed_zero_audit.py"
+    spec = importlib.util.spec_from_file_location("signed_zero_audit2", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.round_sites("SELECT ROUND(x, 6) + 0.0 AS a") == [("ROUND(x, 6)", True)]
+    assert mod.round_sites("SELECT ROUND(x, 6) + 0.01 AS a") == [("ROUND(x, 6)", False)]

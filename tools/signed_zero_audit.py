@@ -59,7 +59,10 @@ def round_sites(sql: str) -> list[tuple[str, bool]]:
             j += 1
         text = re.sub(r"\s+", " ", sql[start:j]).strip()
         tail = re.sub(r"\s+", "", sql[j:j + 12])
-        out.append((text, tail.startswith("+0.0")))
+        # the token must END after 0.0 — "+ 0.01" is a value-changing
+        # epsilon, not the signed-zero normalizing wrap (review r8)
+        wrapped = tail.startswith("+0.0") and not tail[4:5].isdigit()
+        out.append((text, wrapped))
         i = j
     return out
 
