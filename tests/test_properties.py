@@ -347,3 +347,40 @@ def test_numpy_pandas_round_sites_normalize_negative_zero():
     assert math.copysign(1.0, float(np.round(-1e-9, 6) + 0.0)) > 0  # the fix
     z = pd.Series([-1e-9]).round(6) + 0.0
     assert math.copysign(1.0, float(z.iloc[0])) > 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, allow_infinity=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=12, unique_by=tuple,
+    )
+)
+def test_kmeans_assignment_matches_numpy_argmin(spark, vectors):
+    # The JVM assignment expression (let-bound interpreted HOF fold) must
+    # agree with a numpy reference argmin on arbitrary float32-ish inputs —
+    # including ties, where both take the lowest slot (np.argmin returns
+    # the first minimum; the expr uses array_position of array_min).
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.clustering import kmeans_assign
+
+    cents_list = vectors[: min(4, len(vectors))]
+    cents = [(i * 10, [float(x) for x in v]) for i, v in enumerate(cents_list)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "id long, vec array<double>",
+    )
+    got = {
+        r.id: (r.cluster, r.sqdist)
+        for r in kmeans_assign(df, "vec", cents).collect()
+    }
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    for i, v in enumerate(vectors):
+        d = ((np.array(v, dtype=np.float64)[None, :] - C) ** 2).sum(axis=1)
+        slot = int(np.argmin(d))
+        assert got[i][0] == cents[slot][0], (i, v, got[i], d.tolist())
+        assert abs(got[i][1] - float(d[slot])) <= 1e-9 * max(1.0, float(d[slot]))
