@@ -260,3 +260,39 @@ def test_audit_wrap_detector_rejects_value_changing_epsilon():
     spec.loader.exec_module(mod)
     assert mod.round_sites("SELECT ROUND(x, 6) + 0.0 AS a") == [("ROUND(x, 6)", True)]
     assert mod.round_sites("SELECT ROUND(x, 6) + 0.01 AS a") == [("ROUND(x, 6)", False)]
+
+
+def test_local_gate_reproduces_prefix_covariance_red(spark):
+    # End-to-end replay of the r6/r7 driver red (VERDICT r7 item 2): the
+    # PRE-fix covariance oracle (no "+ 0.0") emits -0.0 cells that the
+    # sign-strict replica hash must now distinguish from the engine's +0.0
+    # — i.e. the local gate FAILS the old oracle and PASSES the shipped
+    # one against the same Spark output.
+    import duckdb
+
+    from hadoop_word_score_spark.operators.linalg import covariance_upper_rounded
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    canon_mod = _load_oracle_check()
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    sdf = covariance_upper_rounded(em, "embedding", 64, decimals=3)
+    srows = [tuple(r) for r in sdf.collect()]
+    sh = canon_mod.value_hash([c.lower() for c in sdf.columns], srows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    base = """
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS x FROM embeddings)
+    SELECT a.i AS i, b.i AS j, ROUND(covar_pop(a.x, b.x), 3){fix} AS cov
+    FROM e a JOIN e b USING (vec_id) WHERE a.i <= b.i
+    GROUP BY a.i, b.i ORDER BY i, j
+    """
+    for fix, should_match in ((" + 0.0", True), ("", False)):
+        rel = con.sql(base.format(fix=fix))
+        oh = canon_mod.value_hash([c.lower() for c in rel.columns], rel.fetchall())
+        assert (sh == oh) is should_match, (fix, sh, oh)
