@@ -517,3 +517,38 @@ def test_table_profile_is_single_scan_per_table(spark):
         exact_ndv = e[r.col].ndv
         if exact_ndv:
             assert abs(r.ndv - exact_ndv) / exact_ndv < 0.05, (r.col, r.ndv, exact_ndv)
+
+
+def test_analyze_tables_non_default_database(spark):
+    # review r8: the orphan-location cleanup must target the DATABASE-
+    # relative managed path (<wh>/<db>.db/<t>_analyzed) — and never touch
+    # the default database's same-named directory.
+    import os as _os
+    from urllib.parse import urlparse
+
+    from hadoop_word_score_spark.sources.catalog import analyze_tables
+    from tests.conftest import SF_ORACLE
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    sentinel = _os.path.join(wh, "nation_analyzed")  # default-db location
+    _os.makedirs(sentinel, exist_ok=True)
+    open(_os.path.join(sentinel, "keep.txt"), "w").write("live")
+    try:
+        spark.sql("CREATE DATABASE IF NOT EXISTS tmp_stats_db")
+        stats = analyze_tables(
+            spark, SF_ORACLE, ["nation"], database="tmp_stats_db"
+        )
+        assert stats["nation"]["rowCount"] == 25
+        # run twice: the crash-recovery path must handle the existing
+        # tmp_stats_db location without touching the default-db sentinel
+        stats2 = analyze_tables(
+            spark, SF_ORACLE, ["nation"], database="tmp_stats_db"
+        )
+        assert stats2["nation"]["rowCount"] == 25
+        assert _os.path.exists(_os.path.join(sentinel, "keep.txt"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tmp_stats_db.nation_analyzed")
+        spark.sql("DROP DATABASE IF EXISTS tmp_stats_db")
+        import shutil as _shutil
+
+        _shutil.rmtree(sentinel, ignore_errors=True)
