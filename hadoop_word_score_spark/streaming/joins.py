@@ -51,13 +51,14 @@ def interval_join_streams(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
         F.col("event_id").alias("l_event_id"),
-        F.col("event_type").alias("l_type"),
+        # project ONLY joined/emitted columns: both sides of a stream-stream
+        # join buffer every row in checkpointed state until watermark
+        # eviction, so each extra column is paid per buffered row (r8 review)
     )
     r = right.withWatermark("ts", watermark).select(
         F.col(key).alias("r_key"),
         F.col("ts").alias("r_ts"),
         F.col("event_id").alias("r_event_id"),
-        F.col("event_type").alias("r_type"),
     )
     cond = (
         (F.col("l_key") == F.col("r_key"))

@@ -68,6 +68,31 @@ def _bucket_paths(target: str, manifest: dict) -> list[str]:
     ]
 
 
+def _validate_local_target(target: str, what: str) -> str:
+    """Reject non-local URI schemes at sink CONSTRUCTION (the replay guard
+    and pointer swap use POSIX open/os.replace — their atomicity silently
+    breaks on object stores); normalizes ``file://`` to a plain path."""
+    scheme, sep, rest = target.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"{what} target must be a local filesystem path "
+            f"(driver-side POSIX pointer swap); got scheme {scheme!r} in "
+            f"{target!r}. Use a transactional table format for object-store "
+            f"targets."
+        )
+    return rest if sep else target
+
+
+def _commit(target: str, new_version: int, batch_id: int) -> None:
+    # makedirs: an empty FIRST batch commits a replay-guard pointer before
+    # any Spark write has created the target directory (r8 review)
+    os.makedirs(target, exist_ok=True)
+    tmp = os.path.join(target, "_latest.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"{new_version} {batch_id}")
+    os.replace(tmp, os.path.join(target, "_latest"))
+
+
 def read_table(
     spark: SparkSession, target: str, version: int | None = None
 ) -> DataFrame | None:
@@ -80,9 +105,12 @@ def read_table(
     not silently serve partial data)."""
     current, _ = _read_pointer(target)
     if version is None:
+        if current == 0:
+            return None  # no commit yet
         version = current
-    if version == 0:
-        return None
+    # an EXPLICIT version=0 falls through to the range check below: it is
+    # an out-of-range request (versions start at 1), and silently answering
+    # None would be indistinguishable from "table empty" (r8 review)
     if not 0 < version <= current:
         raise ValueError(
             f"version {version} out of range for {target!r} (current {current})"
@@ -132,32 +160,38 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
 
         stream.writeStream.foreachBatch(upsert_sink(path, "user_id")) ...
     """
-    scheme, sep, rest = target.partition("://")
-    if sep and scheme not in ("file",):
-        raise ValueError(
-            f"upsert_sink target must be a local filesystem path "
-            f"(driver-side POSIX pointer swap); got scheme {scheme!r} in "
-            f"{target!r}. Use a transactional table format for object-store "
-            f"targets."
-        )
-    if sep:
-        target = rest  # normalize file:// to a plain driver path
+    target = _validate_local_target(target, "upsert_sink")
     if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
     from ..operators.merge import merge_upsert
 
     def commit(new_version: int, batch_id: int) -> None:
-        tmp = os.path.join(target, "_latest.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(f"{new_version} {batch_id}")
-        os.replace(tmp, os.path.join(target, "_latest"))
+        _commit(target, new_version, batch_id)
 
     def write_batch_whole(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         version, last_batch = _read_pointer(target)
         if batch_id <= last_batch:  # replayed batch: already committed
             return
+        if version > 0 and _read_manifest(target, version) is not None:
+            # mirror of the bucketed sink's layout guard: a whole-table
+            # sink cannot adopt a bucketed-layout target — target/v=<n>
+            # does not exist there, and mixing layouts in one directory
+            # corrupts both (r8 review)
+            raise ValueError(
+                f"table at {target!r} is bucketed (version {version} has a "
+                f"manifest); a whole-table sink cannot adopt it — use "
+                f"n_buckets or rewrite the table"
+            )
+        if not batch_df.filter(F.col(key).isNull()).isEmpty():
+            # merge_upsert's equi-match never matches NULL keys: the row
+            # would surface as an all-NULL zombie that accumulates every
+            # batch — reject at the boundary instead (r8 review)
+            raise ValueError(
+                f"upsert_sink: micro-batch {batch_id} contains NULL "
+                f"{key!r} keys; filter or default them upstream"
+            )
         if version == 0:
             merged = batch_df
         else:
@@ -197,13 +231,28 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
                 f"{n_buckets}; rewrite the table or match the bucket count"
             )
         bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
-        src = batch_df.withColumn("_b", bucket)
+        # persist: the batch feeds two actions (touched-bucket discovery,
+        # then the merge/write) — without it the whole micro-batch source
+        # recomputes per action (r8 review)
+        src = batch_df.withColumn("_b", bucket).persist()
+        if not src.filter(F.col(key).isNull()).isEmpty():
+            # NOTE: xxhash64(NULL) is NON-null (the seed hash), so a NULL
+            # key lands in a regular bucket and cannot be caught from the
+            # touched set — check the key column itself. merge_upsert's
+            # equi-match never matches NULL, so the row would become an
+            # accumulating all-NULL zombie (r8 review).
+            src.unpersist()
+            raise ValueError(
+                f"upsert_sink: micro-batch {batch_id} contains NULL "
+                f"{key!r} keys; filter or default them upstream"
+            )
         touched = sorted(
             r._b for r in src.select("_b").distinct().collect()
         )  # <= n_buckets rows, bounded by construction
         if not touched:
             # empty batch: advance the replay guard on the SAME version —
             # no new snapshot, no new manifest, reads stay consistent
+            src.unpersist()
             commit(version, batch_id)
             return
         cur_paths = [
@@ -229,6 +278,7 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
             os.replace(os.path.join(stage, f"_b={b}"), dest)
             new_buckets[str(b)] = new_version
         shutil.rmtree(stage, ignore_errors=True)
+        src.unpersist()
         with open(_manifest_path(target, new_version), "w", encoding="utf-8") as f:
             json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
         commit(new_version, batch_id)
@@ -238,10 +288,15 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
 
 def vacuum(target: str) -> list[str]:
     """Delete snapshot data not referenced by the CURRENT version; returns
-    the removed paths. Safe at any time under the single-writer contract:
-    the pointer and manifest are read first, so only superseded bucket
-    versions, whole-table versions, stale manifests, and orphaned staging
-    directories are removed — never anything the live table references."""
+    the removed paths (superseded bucket/whole-table versions, stale
+    manifests, orphaned staging dirs — never anything the live table
+    references).
+
+    Run only with the writer QUIESCED (no in-flight micro-batch): a batch
+    that has fully written v=N+1 but not yet committed the pointer looks
+    exactly like an orphan to this scan, and removing it would wedge the
+    table the moment the writer commits. The single-writer contract covers
+    writer-vs-writer, not writer-vs-vacuum."""
     version, _ = _read_pointer(target)
     removed: list[str] = []
     if version == 0:
@@ -285,16 +340,7 @@ def aggregating_sink(target: str, keys: list[str], sum_cols: list[str]):
     batchId replay guard + fully-written snapshot before the atomic
     pointer swap; same local-filesystem contract.
     """
-    from pyspark.sql import functions as F
-
-    scheme, sep, rest = target.partition("://")
-    if sep and scheme not in ("file",):
-        raise ValueError(
-            f"aggregating_sink target must be a local filesystem path; got "
-            f"scheme {scheme!r} in {target!r}"
-        )
-    if sep:
-        target = rest
+    target = _validate_local_target(target, "aggregating_sink")
     if not keys or not sum_cols:
         raise ValueError("aggregating_sink needs at least one key and one sum column")
 
@@ -315,9 +361,6 @@ def aggregating_sink(target: str, keys: list[str], sum_cols: list[str]):
         merged.write.mode("overwrite").parquet(
             os.path.join(target, f"v={new_version}")
         )
-        tmp = os.path.join(target, "_latest.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(f"{new_version} {batch_id}")
-        os.replace(tmp, os.path.join(target, "_latest"))
+        _commit(target, new_version, batch_id)
 
     return write_batch

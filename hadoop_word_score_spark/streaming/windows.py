@@ -121,5 +121,12 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, table_name: str
 
 
 def _has_agg(df: DataFrame) -> bool:
+    # match the Aggregate NODE at the start of a plan line, not the
+    # substring anywhere — a column or relation named "AggregateScore"
+    # inside a Project's output list must not flip the output mode
+    import re
+
+    # markers before a node name: tree branches (+- :-), codegen stars,
+    # the streaming tilde (~Aggregate), and unresolved quotes ('Aggregate)
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
+    return re.search(r"(?m)^[\s+:*~'-]*Aggregate ", plan) is not None

@@ -644,3 +644,76 @@ def test_kmeans_assign_streams_unchanged(spark, scratch_dir):
     }
     streamed = {r.vec_id: (r.cluster, r.sqdist) for r in got.collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_sink_empty_first_batch_creates_target(spark, tmp_path):
+    # r8 review: an empty FIRST micro-batch commits the replay-guard
+    # pointer before any Spark write has created the directory
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    empty = spark.createDataFrame([], "k int, v string")
+    for name, sink in (
+        ("bucketed", S.upsert_sink(str(tmp_path / "eb"), "k", n_buckets=4)),
+        ("whole", S.upsert_sink(str(tmp_path / "ew"), "k")),
+    ):
+        sink(empty, 0)  # must not raise FileNotFoundError
+    # and the replay guard advanced (batch 0 is now committed)
+    assert S._read_pointer(str(tmp_path / "eb"))[1] == 0
+
+
+def test_sink_rejects_null_keys(spark, tmp_path):
+    # r8 review: merge_upsert's equi-match never matches NULL keys — the
+    # row would become an accumulating all-NULL zombie (whole) or be
+    # silently deleted with the stage dir (bucketed). Reject loudly.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    bad = spark.createDataFrame([(None, "x"), (1, "y")], "k int, v string")
+    with _pytest.raises(ValueError, match="NULL"):
+        S.upsert_sink(str(tmp_path / "nw"), "k")(bad, 0)
+    with _pytest.raises(ValueError, match="NULL"):
+        S.upsert_sink(str(tmp_path / "nb"), "k", n_buckets=4)(bad, 0)
+
+
+def test_whole_table_sink_refuses_bucketed_layout(spark, tmp_path):
+    # the mirror of test_bucketed_sink_refuses_whole_table_layout
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "bucketed_then_whole")
+    S.upsert_sink(target, "k", n_buckets=4)(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k int, v string"), 0
+    )
+    with _pytest.raises(ValueError, match="bucketed"):
+        S.upsert_sink(target, "k")(
+            spark.createDataFrame([(1, "x")], "k int, v string"), 1
+        )
+    assert {r.k for r in S.read_table(spark, target).collect()} == set(range(10))
+
+
+def test_read_table_explicit_version_zero_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming import sinks as S
+
+    target = str(tmp_path / "v0")
+    assert S.read_table(spark, target) is None  # empty table: None
+    S.upsert_sink(target, "k")(
+        spark.createDataFrame([(1, "x")], "k int, v string"), 0
+    )
+    with _pytest.raises(ValueError, match="out of range"):
+        S.read_table(spark, target, version=0)  # versions start at 1
+
+
+def test_has_agg_ignores_aggregate_in_column_names(spark):
+    # r8 review: a column NAMED "AggregateScore" must not flip the memory
+    # sink into complete mode (substring match on the plan string did)
+    from hadoop_word_score_spark.streaming.windows import _has_agg
+
+    df = spark.createDataFrame([(1.0,)], "AggregateScore double").select(
+        F.col("AggregateScore")
+    )
+    assert _has_agg(df) is False
+    assert _has_agg(df.groupBy().count()) is True
