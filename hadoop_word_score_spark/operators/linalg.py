@@ -87,6 +87,11 @@ def covariance_upper_rounded(
         .join(F.broadcast(x), "i")
         .join(F.broadcast(x.select(F.col("i").alias("j"), F.col("sx").alias("sy"))), "j")
         .crossJoin(F.broadcast(n))
+        # n == 0 (empty corpus): non-ANSI division yields NULL covariances
+        # for every (i, j) — emit ZERO rows instead, matching both the SQL
+        # oracle (GROUP BY over nothing) and covariance_matrix's fail-fast
+        # spirit (r8 review)
+        .filter(F.col("n") > 0)
         .filter(F.col("i") <= F.col("j"))
         .select(
             "i",
@@ -141,11 +146,14 @@ def pca_project(
     comp = np.asarray(components, dtype=np.float64)
     mu = np.asarray(mean, dtype=np.float64)
     out_cols = [c for c in df.columns if c != vec_col]
-    out_schema = ", ".join(
+    # join-then-append breaks when vec_col is the ONLY column (a natural
+    # trim before projecting): ", proj ..." is invalid DDL (r8 review)
+    parts = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
         if f.name != vec_col
-    ) + ", proj array<double>"
+    ] + ["proj array<double>"]
+    out_schema = ", ".join(parts)
 
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -63,17 +63,22 @@ def brute_force_topk(
             f"max_queries explicitly, or use lsh_bucketed_topk/ivf_topk for "
             f"distributed bulk search."
         )
-    qids = np.fromiter((r[0] for r in qrows), dtype=np.int64, count=len(qrows))
+    # derive the id dtype/schema from the input (ivf_probe_topk parity):
+    # a string or int32 id column must survive unchanged — hardcoded int64
+    # made the exact oracle path unusable on id schemas the approximate
+    # paths support (r8 review)
+    qids = np.array([r[0] for r in qrows])
     if qrows:
         qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     else:
         qmat = np.zeros((0, 1), dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
-    out_schema = "query_id long, cand_id long, cosine_sim double"
+    id_schema = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_schema}, cand_id {id_schema}, cosine_sim double"
 
     empty = pd.DataFrame(
-        {"query_id": pd.Series(dtype="int64"), "cand_id": pd.Series(dtype="int64"),
+        {"query_id": pd.Series(dtype=qids.dtype), "cand_id": pd.Series(dtype=qids.dtype),
          "cosine_sim": pd.Series(dtype="float64")}
     )
 
@@ -82,7 +87,7 @@ def brute_force_topk(
             if len(pdf) == 0 or qids.size == 0:
                 yield empty
                 continue
-            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            cid = pdf[id_col].to_numpy()
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -237,7 +242,30 @@ def build_ivf_index(
     index = assign_with(refined_rows).select(
         F.col("vid").alias(id_col), F.col("v").alias(vec_col), "cell"
     )
-    return refined, index
+    # the centroid rows were JUST collected (bounded ~sqrt(N)): return a
+    # driver-local relation, not the lazy refinement lineage — broadcasting
+    # or writing `refined` re-ran the full corpus assignment pass plus the
+    # elementwise-mean shuffle a second time (r8 review)
+    centroids = candidates.sparkSession.createDataFrame(
+        refined_rows, "cell int, centroid array<double>"
+    )
+    return centroids, index
+
+
+def _guard_broadcast_queries(queries: DataFrame, max_queries: int, what: str) -> None:
+    """Fail fast when a path that BROADCASTS the query side (vectors ride
+    every executor, multiplied by posexploded tables/probes) is handed a
+    bulk query set — these are the 'scale paths' brute_force_topk's guard
+    points at, and an unbounded broadcast OOMs precisely at the bulk scale
+    they are mandated for (r8 review). One bounded limit+count job."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{what} broadcasts the query side; got >{max_queries} query "
+            f"vectors. Shard the query set, raise max_broadcast_queries "
+            f"explicitly, or use embedding_cosine_pairs / the dedup LSH "
+            f"pipeline for bulk all-pairs similarity."
+        )
 
 
 def ivf_topk(
@@ -248,6 +276,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 8192,
 ) -> DataFrame:
     """Approximate top-k: IVF-flat — probe the ``n_probe`` nearest coarse
     cells, exact cosine within them. Same output schema as brute_force_topk.
@@ -255,7 +284,10 @@ def ivf_topk(
     Work per query drops to ~n_probe/n_cells of the corpus; recall against
     the exact path is asserted in tests. At scale the index is built once and
     persisted partitioned by cell; probing reads only matching partitions.
+    The probe relation (query vectors x n_probe) broadcasts — bounded by
+    ``max_broadcast_queries`` (fail-fast, see _guard_broadcast_queries).
     """
+    _guard_broadcast_queries(queries, max_broadcast_queries, "ivf_topk")
     centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
     cos_pair = _cosine_pairs_udf()
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
@@ -326,15 +358,24 @@ _CENTROIDS_CACHE: dict[tuple[str, float], list] = {}
 _INDEX_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
-def _index_key(spark: SparkSession, subdir: str) -> tuple[str, str, float]:
+def _index_key(spark: SparkSession, subdir: str) -> tuple[str, str, float] | None:
+    """Cache key, or None when the freshness marker is not driver-visible
+    (an HDFS/S3 path the driver cannot stat): a constant key there would
+    serve STALE centroids forever after a rebuild — bypass the cache and
+    re-read instead (r8 review)."""
     marker = os.path.join(subdir, "_SUCCESS")
-    mtime = os.path.getmtime(marker) if os.path.exists(marker) else -1.0
+    if not os.path.exists(marker):
+        return None
+    mtime = os.path.getmtime(marker)
     return (spark.sparkContext.applicationId, os.path.realpath(subdir), mtime)
 
 
 def _load_centroids(spark: SparkSession, path: str) -> list:
     cdir = os.path.join(path, "centroids")
-    key = _index_key(spark, cdir)[1:]
+    full = _index_key(spark, cdir)
+    if full is None:
+        return spark.read.parquet(cdir).collect()
+    key = full[1:]
     if key not in _CENTROIDS_CACHE:
         _CENTROIDS_CACHE[key] = spark.read.parquet(cdir).collect()
     return _CENTROIDS_CACHE[key]
@@ -343,6 +384,8 @@ def _load_centroids(spark: SparkSession, path: str) -> list:
 def _load_index(spark: SparkSession, path: str) -> DataFrame:
     idir = os.path.join(path, "index")
     key = _index_key(spark, idir)
+    if key is None:  # non-driver-visible store: no freshness signal, no cache
+        return spark.read.parquet(idir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = spark.read.parquet(idir)
     return _INDEX_CACHE[key]
@@ -397,7 +440,12 @@ def ivf_probe_topk(
     qn = np.where(qnorm == 0, 1.0, qnorm)
 
     sims = (qmat / qn[:, None]) @ (cmat / cnorm[:, None]).T  # (nq, n_cells)
-    order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cell_ids))]
+    # lexsort (last key primary): order by -sim, ties by LOWEST cell id —
+    # plain argsort resolved ties by the index parquet's arbitrary collect
+    # order, diverging from ivf_topk's F.asc("cell") tie-break (r8 review)
+    order = np.lexsort(
+        (np.broadcast_to(cell_ids, sims.shape), -sims), axis=1
+    )[:, : min(n_probe, len(cell_ids))]
     probed = cell_ids[order]  # (nq, n_probe) cell ids per query
     all_cells = sorted({int(c) for row in probed for c in row})
     # (cell -> which queries probed it) closure mask; cells are dense small
@@ -496,6 +544,7 @@ def lsh_bucketed_topk(
     n_planes: int = 10,
     n_tables: int = 16,
     dim: int = 64,
+    max_broadcast_queries: int = 8192,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (sign) LSH prefilter, then exact
     cosine within buckets.
@@ -517,6 +566,7 @@ def lsh_bucketed_topk(
     similarity floor sign-LSH cannot be both selective and high-recall, and
     the exact path usually wins (documented crossover in SCALE_PROBE.md).
     """
+    _guard_broadcast_queries(queries, max_broadcast_queries, "lsh_bucketed_topk")
     sketch = _sign_sketch_udf(n_planes, n_tables, dim)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
