@@ -85,8 +85,13 @@ def _decode_netpbm(payload: bytes) -> np.ndarray | None:
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray | None:
-    if payload[:2] != b"BM" or len(payload) < 54:
+    if payload[:2] != b"BM":
         return None
+    if len(payload) < 54:
+        # recognized magic but the fixed 54-byte header is cut short: same
+        # corruption class as "truncated BMP raster" — distinguishable from
+        # not-an-image (r8 review)
+        raise ValueError("truncated BMP header")
     pix_off = int.from_bytes(payload[10:14], "little")
     dib = int.from_bytes(payload[14:18], "little")
     if dib < 40:  # BITMAPCOREHEADER etc. — out of scope
@@ -221,6 +226,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + sz > len(payload):
+            # a declared chunk size overrunning the payload is the same
+            # corruption class as a truncated raster — raise, don't clip
+            # to partial audio silently (r8 review)
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt = body
@@ -230,7 +240,9 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int, int] | None:
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_fmt != 1 or bits != 16 or n_ch < 1:
-        raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate < 1:
+        raise ValueError(
+            f"unsupported WAV variant: fmt={audio_fmt} bits={bits} rate={rate}"
+        )
     usable = len(data) - (len(data) % (2 * n_ch))
     return np.frombuffer(data[:usable], dtype="<i2"), rate, n_ch

@@ -44,6 +44,14 @@ from pyspark.sql import functions as F
 
 JOINER = "\x1f"
 
+# adjacent symbol pairs of a tokenized column named _toks — shared verbatim
+# by the word-level and subword loops so their pair construction can never
+# silently diverge (r8 review)
+_ADJ_PAIRS_EXPR = (
+    "transform(sequence(1, size(_toks) - 1),"
+    " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+)
+
 
 def _tokens(w: Column) -> Column:
     return F.filter(F.split(w, " "), lambda t: t != "")
@@ -89,10 +97,7 @@ def learn_merge_rules(docs: DataFrame, text_col: str, n_rules: int) -> list[tupl
         for _, pair, _ in rules:
             pa, _, pb = pair.rpartition(" ")
             w = merge_pair_expr(w, pa, pb)
-        pairs = F.expr(
-            "transform(sequence(1, size(_toks) - 1),"
-            " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
-        )
+        pairs = F.expr(_ADJ_PAIRS_EXPR)
         top = (
             docs.select(_tokens(w).alias("_toks"))
             .filter(F.size("_toks") >= 2)
@@ -172,10 +177,7 @@ def learn_subword_rules(
     rules: list[tuple] = []
     for step_no in range(1, n_rules + 1):
         w = apply_merge_rules(F.col("sym"), rules)
-        pairs = F.expr(
-            "transform(sequence(1, size(_toks) - 1),"
-            " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
-        )
+        pairs = F.expr(_ADJ_PAIRS_EXPR)
         top = (
             vocab.select(_tokens(w).alias("_toks"), "freq")
             .filter(F.size("_toks") >= 2)

@@ -23,8 +23,10 @@ from __future__ import annotations
 import hashlib
 import io
 import math
+import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,6 +56,14 @@ DECODE_SCHEMA = T.StructType([
 # no backend recognizes (e.g. the synthetic text corpus) fall back to the
 # deterministic md5 fake.
 FAKE_DECODE = _PILImage is None
+
+
+def _nz(payload) -> bytes:
+    """NULL payload -> b'' so every stage takes the deterministic fallback
+    tier instead of crashing the job on one null row (r8 review: NULL text
+    makes with_binary_payload emit a NULL payload; _decode_one(None) was a
+    TypeError)."""
+    return payload if payload is not None else b""
 
 
 def _quant6(x: float) -> float:
@@ -116,11 +126,11 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     (amortized library init, vectorized output assembly, bounded memory).
     """
     for pdf in batches:
-        meta = [_decode_one(p) for p in pdf["payload"]]
+        meta = [_decode_one(_nz(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "byte_len": pdf["payload"].map(lambda p: len(_nz(p))).astype("int64"),
                 "width": [m[0] for m in meta],
                 "height": [m[1] for m in meta],
                 "mean_luma": [m[2] for m in meta],
@@ -157,12 +167,11 @@ def resize_images(
     """
 
     def resize_one(p: bytes, size: int) -> bytes:
-        if _PILImage is not None:
-            try:
-                with _PILImage.open(io.BytesIO(p)) as im:
-                    return im.convert("L").resize((target_w, target_h)).tobytes()
-            except Exception:
-                pass
+        # builtin codecs FIRST (r8 review): thumb bytes must not depend on
+        # whether Pillow is importable in the worker — for the formats the
+        # builtin codecs decode (PGM/PPM/BMP, the hash-checked ones), the
+        # nearest-neighbour resample is the cross-environment-deterministic
+        # path. PIL covers only the formats the builtins cannot read.
         try:
             rgb = _codecs.decode_rgb(p)
         except ValueError:
@@ -170,6 +179,12 @@ def resize_images(
         if rgb is not None:
             gray = _codecs.to_gray(rgb)
             return _codecs.resize_nearest(gray, target_w, target_h).tobytes()
+        if _PILImage is not None:
+            try:
+                with _PILImage.open(io.BytesIO(p)) as im:
+                    return im.convert("L").resize((target_w, target_h)).tobytes()
+            except Exception:
+                pass
         seed = hashlib.md5(p).digest()
         reps = size // len(seed) + 1
         return (seed * reps)[:size]
@@ -177,7 +192,7 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = target_w * target_h
         for pdf in it:
-            thumbs = [resize_one(bytes(p), size) for p in pdf["payload"]]
+            thumbs = [resize_one(bytes(_nz(p)), size) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -206,7 +221,7 @@ def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
             rows: dict[str, list] = {
                 "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []
             }
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+            for did, p in zip(pdf["doc_id"], pdf["payload"].map(_nz)):
                 # Real keyframe extraction needs a container/codec demuxer
                 # (PyAV/ffmpeg) — not importable here; the evenly-spaced
                 # byte-offset fake below keeps the 1→N fan-out, offsets, and
@@ -242,8 +257,6 @@ def with_pgm_payload(
     property (dims, byte length, mean luma) stays pure arithmetic over the
     text, i.e. oracle-checkable in SQL. Arrow-batched scalar UDF; narrow.
     """
-    import numpy as np
-
     @F.pandas_udf(T.BinaryType())
     def render(texts: pd.Series) -> pd.Series:
         out = []
@@ -310,8 +323,6 @@ def _decode_audio_one(payload: bytes) -> tuple[int, int, float, float, int]:
     FRAMES within each channel, summed across channels (zeros break a run,
     they don't count as crossings).
     """
-    import numpy as np
-
     try:
         decoded = _codecs.decode_wav_pcm16(payload)
     except ValueError:
@@ -338,11 +349,11 @@ def _decode_audio_one(payload: bytes) -> tuple[int, int, float, float, int]:
 def decode_audio_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker for the audio decode stage (narrow, no shuffle)."""
     for pdf in batches:
-        meta = [_decode_audio_one(p) for p in pdf["payload"]]
+        meta = [_decode_audio_one(_nz(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "byte_len": pdf["payload"].map(lambda p: len(_nz(p))).astype("int64"),
                 "sample_rate": [m[0] for m in meta],
                 "n_samples": [m[1] for m in meta],
                 "duration_s": [m[2] for m in meta],
@@ -368,8 +379,6 @@ def with_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ±A, and a 15-bit dyadic's square round-trips sqrt bit-exactly), and
     zero crossings = floor((N-1)/H) (signs flip exactly at multiples of H).
     Arrow-batched scalar UDF; narrow."""
-    import numpy as np
-
     @F.pandas_udf(T.BinaryType())
     def render(ids: pd.Series) -> pd.Series:
         out = []
@@ -398,7 +407,10 @@ VIDEO_FRAME_META_SCHEMA = T.StructType([
     T.StructField("mean_luma", T.DoubleType()),
 ])
 
-_PGM_HEADER_RE = None  # compiled lazily inside the worker
+# dims are [1-9]\d*: a "P5 0 0 255" header would demux into a frame whose
+# decode fails into the md5 fake while being labeled a real demuxed frame
+# (r8 review) — zero-dim headers are not frames.
+_PGM_HEADER_RE = re.compile(rb"P5\s+([1-9]\d*)\s+([1-9]\d*)\s+255\s")
 
 
 def _iter_pgm_frames(payload: bytes):
@@ -406,11 +418,6 @@ def _iter_pgm_frames(payload: bytes):
     container — a REAL demux walk: parse each header, size the raster,
     seek to the next frame. Stops at the first byte run that isn't a PGM
     header (trailing garbage -> no frame, not a crash)."""
-    import re
-
-    global _PGM_HEADER_RE
-    if _PGM_HEADER_RE is None:
-        _PGM_HEADER_RE = re.compile(rb"P5\s+(\d+)\s+(\d+)\s+255\s")
     pos = 0
     while pos < len(payload):
         m = _PGM_HEADER_RE.match(payload, pos)
@@ -435,7 +442,7 @@ def split_video_frames(docs_with_payload: DataFrame) -> DataFrame:
             rows: dict[str, list] = {
                 "doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []
             }
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+            for did, p in zip(pdf["doc_id"], pdf["payload"].map(_nz)):
                 for i, (off, frame) in enumerate(_iter_pgm_frames(bytes(p))):
                     rows["doc_id"].append(int(did))
                     rows["frame_idx"].append(i)
@@ -458,7 +465,7 @@ def extract_video_frame_metadata(docs_with_payload: DataFrame) -> DataFrame:
                 "doc_id": [], "frame_idx": [], "frame_offset": [],
                 "width": [], "height": [], "mean_luma": [],
             }
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+            for did, p in zip(pdf["doc_id"], pdf["payload"].map(_nz)):
                 for i, (off, frame) in enumerate(_iter_pgm_frames(bytes(p))):
                     w, h, luma = _decode_one(frame)
                     rows["doc_id"].append(int(did))
@@ -483,8 +490,6 @@ def with_pgm_video_payload(
     PGM frame exactly like with_pgm_payload renders whole docs. Every
     frame boundary, dimension, and luma is then closed-form arithmetic
     over the text. Arrow-batched scalar UDF; narrow."""
-    import numpy as np
-
     @F.pandas_udf(T.BinaryType())
     def render(texts: pd.Series) -> pd.Series:
         out = []

@@ -16,6 +16,7 @@ built-ins for algebraic aggregates at 100 TB.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,9 +47,13 @@ def zscore_per_group(
                 group_col: pdf[group_col],
                 id_col: pdf[id_col],
                 value_col: v,
-                # + 0.0 normalizes IEEE -0.0 (pandas round keeps the sign;
-                # JVM F.round and sign-strict oracle hashes do not)
-                "zscore": z.round(6) + 0.0,
+                # quant6 doctrine (operators/multimodal.py): floor over
+                # IDENTICAL double ops is bit-identical in any engine,
+                # while pandas .round is half-EVEN and SQL ROUND half-away
+                # — they disagree on exact dyadic 6-dp ties (e.g.
+                # 0.1015625 -> 0.101562 vs 0.101563, r8 review). + 0.0
+                # keeps the IEEE sign normalization.
+                "zscore": np.floor(z * 1e6 + 0.5) / 1e6 + 0.0,
             }
         )
 

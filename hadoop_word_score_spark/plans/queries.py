@@ -2403,9 +2403,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZSCORE_SQL = """
 SELECT o_orderstatus, o_orderkey,
        o_totalprice,
-       ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
-             / NULLIF(STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderstatus), 0),
-             6) + 0.0 AS zscore
+       FLOOR((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+             / NULLIF(STDDEV_POP(o_totalprice) OVER (PARTITION BY o_orderstatus), 0)
+             * 1e6 + 0.5) / 1e6 + 0.0 AS zscore
 FROM orders
 """
 

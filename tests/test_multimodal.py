@@ -366,3 +366,72 @@ def test_video_demux_and_decode_real_path(spark):
         # offsets are cumulative real frame byte-lengths: strictly increasing
         assert all(a.frame_offset < b.frame_offset for a, b in zip(frs, frs[1:]))
         assert all(r.width == 16 and r.height >= 1 for r in frs)
+
+
+def test_null_payload_takes_fallback_tier(spark):
+    # r8 review: NULL text -> NULL payload crashed every decode stage with
+    # TypeError; a null payload must take the deterministic fallback (b"")
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.multimodal import (
+        extract_audio_metadata,
+        extract_image_metadata,
+        resize_images,
+        with_binary_payload,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "real text"), (2, None)], "doc_id long, text string"
+    )
+    p = with_binary_payload(d)
+    assert p.filter(F.col("payload").isNull()).count() == 1
+    meta = {r.doc_id: r for r in extract_image_metadata(p).collect()}
+    assert meta[2].byte_len == 0 and meta[2].width > 0  # md5 fake of b""
+    thumbs = {r.doc_id: r.thumb for r in resize_images(p).collect()}
+    assert len(thumbs[2]) == 32 * 32
+    audio = {r.doc_id: r for r in extract_audio_metadata(p).collect()}
+    assert audio[2].byte_len == 0
+
+
+def test_wav_corruption_raises_not_truncates():
+    import struct
+
+    import pytest
+
+    from hadoop_word_score_spark.functions.codecs import decode_wav_pcm16
+
+    def wav(rate, data_sz, data):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", data_sz) + data
+        )
+
+    # declared data size overruns the payload: corruption, not partial audio
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav_pcm16(wav(8000, 1600, b"\x00\x01\x02\x03"))
+    # rate=0 is an unsupported variant, not a ZeroDivisionError downstream
+    with pytest.raises(ValueError, match="rate"):
+        decode_wav_pcm16(wav(0, 4, b"\x00\x01\x02\x03"))
+    # and the fallback tier engages cleanly in the pipeline wrapper
+    from hadoop_word_score_spark.operators.multimodal import _decode_audio_one
+
+    meta = _decode_audio_one(wav(0, 4, b"\x00\x01\x02\x03"))
+    assert len(meta) == 5  # md5 fake, no crash
+
+
+def test_truncated_bmp_header_is_corruption_not_unknown():
+    import pytest
+
+    from hadoop_word_score_spark.functions.codecs import decode_rgb
+
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_rgb(b"BM" + b"\x00" * 40)
+    assert decode_rgb(b"XX" + b"\x00" * 40) is None  # genuinely not an image
+
+
+def test_zero_dim_pgm_header_is_not_a_frame():
+    from hadoop_word_score_spark.operators.multimodal import _iter_pgm_frames
+
+    assert list(_iter_pgm_frames(b"P5 0 0 255\n")) == []
+    assert len(list(_iter_pgm_frames(b"P5 2 2 255\n" + b"\x01" * 4))) == 1
