@@ -7068,3 +7068,256 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "pmi_collocations",
+    # Pointwise mutual information over adjacent word pairs — the
+    # collocation statistic behind phrase detection / multi-word tokenizer
+    # entries (Mikolov-style phrase merging). All counts are exact
+    # integers; the single float op is one ln of a double ratio with a
+    # fixed multiplication order, so both engines feed ROUND the same
+    # double. "+ 0.0": PMI can round to zero from below (signed-zero
+    # audit).
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), tok AS (SELECT unnest(w) AS tok FROM toks),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM uni),
+    bgall AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+    ),
+    bgc AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM bgall GROUP BY bigram
+    ),
+    btot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bigrams FROM bgc),
+    cand AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, n_xy
+        FROM bgc WHERE n_xy >= 10
+    )
+    SELECT w1, w2, n_xy,
+           ROUND(ln(((CAST(n_xy AS DOUBLE) * n_tokens) * n_tokens)
+                    / ((CAST(n_bigrams AS DOUBLE) * u1.n_tok) * u2.n_tok)),
+                 6) + 0.0 AS pmi
+    FROM cand
+    JOIN uni u1 ON cand.w1 = u1.tok
+    JOIN uni u2 ON cand.w2 = u2.tok
+    CROSS JOIN tot CROSS JOIN btot
+    """,
+    tags=("llm", "text"),
+    bench=True,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB shape: tokenize/pair-expand are narrow map work inside the
+    # scan stage; the only corpus-sized shuffles are the two vocab-keyed
+    # count aggregations (map-side combine). Everything downstream is
+    # vocab-sized: the min-count filter prunes the pair relation BEFORE
+    # the two unigram joins (token-keyed shuffle joins — the unigram
+    # relation is vocab-sized, not corpus-sized, so no broadcast is
+    # assumed), and the two 1-row totals broadcast for free.
+    from ..functions.hashing import let1, tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr(tokens_expr("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    tot = uni.agg(F.sum("n_tok").alias("n_tokens"))
+    bigrams = F.expr(let1(
+        tokens_expr("text"), "w",
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END",
+    ))
+    bgc = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    btot = bgc.agg(F.sum("n_xy").alias("n_bigrams"))
+    cand = bgc.filter(F.col("n_xy") >= 10).select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+        "n_xy",
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2"))
+    joined = (
+        cand.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    pmi = (
+        (F.col("n_xy").cast("double") * F.col("n_tokens")) * F.col("n_tokens")
+    ) / (
+        (F.col("n_bigrams").cast("double") * F.col("n_w1")) * F.col("n_w2")
+    )
+    return joined.select(
+        "w1", "w2", "n_xy",
+        (F.round(F.log(pmi), 6) + F.lit(0.0)).alias("pmi"),
+    )
+
+
+@register(
+    "inverted_index_terms",
+    # Inverted-index build: per-term document frequency, collection
+    # frequency, and the head of the posting list (top-5 docs by tf,
+    # doc_id tiebreak) — the retrieval-side artifact behind BM25 serving
+    # and n-gram decontamination lookups. The bounded top-5 head keeps the
+    # output oracle-hashable; the full posting list at 100 TB is the same
+    # relation written term-bucketed + sorted via write_batch_bucketed
+    # (sources/sinks.py) instead of aggregated to arrays.
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                        x -> x <> '')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ), w AS (
+        SELECT doc_id, term, tf,
+               CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+               CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rn
+        FROM tf
+    )
+    SELECT term, df, total_tf,
+           ARRAY_AGG(doc_id ORDER BY rn) AS top_docs
+    FROM w
+    WHERE df >= 10 AND rn <= 5
+    GROUP BY term, df, total_tf
+    """,
+    tags=("llm", "text"),
+)
+def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One corpus-sized (doc, term)-keyed pre-aggregation with map-side
+    # combine, then everything is term-keyed and vocab-bounded: a single
+    # sort-based window pass (spillable) computes df / total_tf / rank in
+    # one shuffle, the rank filter bounds every posting head at 5 before
+    # the final vocab-sized aggregation. No collect_list ever sees an
+    # unbounded group.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_all = Window.partitionBy("term")
+    w_ord = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.select(
+        "doc_id", "term", "tf",
+        F.count(F.lit(1)).over(w_all).alias("df"),
+        F.sum("tf").over(w_all).alias("total_tf"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("df") >= 10) & (F.col("rn") <= 5))
+        .groupBy("term", "df", "total_tf")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, doc_id))),"
+                " x -> x.doc_id)"
+            ).alias("top_docs")
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    # Asymmetric near-dup: shingle-set CONTAINMENT max(|A∩B|/|A|,
+    # |A∩B|/|B|) = inter/least(|A|,|B|) — catches a document embedded
+    # inside a larger one, which symmetric Jaccard dilutes below any
+    # usable threshold. Contract: profiles are 60-bit md5 shingle hashes
+    # (identical on both engines, so a collision changes both outputs
+    # identically), and shingles with document frequency > 50 are dropped
+    # from BOTH the numerator and the denominators — boilerplate shingles
+    # carry no dedup signal, and the cap is what bounds the join fan-out.
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> CAST(concat('0x', substr(md5(w[i] || ' ' || w[i + 1]
+                               || ' ' || w[i + 2]), 1, 15)) AS BIGINT)))) AS h
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    ), dfreq AS (
+        SELECT h, COUNT(*) AS df FROM sh GROUP BY h
+    ), surv AS (
+        SELECT sh.doc_id, sh.h FROM sh JOIN dfreq USING (h) WHERE dfreq.df <= 50
+    ), nper AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM surv GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM surv a JOIN surv b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT doc_a, doc_b, inter, na.n AS n_a, nb.n AS n_b,
+           ROUND(CAST(inter AS DOUBLE) / LEAST(na.n, nb.n), 6) + 0.0
+               AS containment
+    FROM pairs
+    JOIN nper na ON pairs.doc_a = na.doc_id
+    JOIN nper nb ON pairs.doc_b = nb.doc_id
+    WHERE CAST(inter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB shape: the corpus is touched once (narrow shingle+hash
+    # expansion); every later relation carries 8-byte hashed keys. The df
+    # cap bounds the self-join at <= df^2 pair rows per shingle (<= 2500
+    # here) — the unbounded-hot-shingle blowup that makes naive shingle
+    # self-joins impossible at scale is pruned BEFORE the join, not after.
+    # The per-doc size join is doc-keyed; nothing in the plan is ever
+    # all-pairs over the corpus.
+    from ..functions.hashing import let1, shingles_expr
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = let1(
+        shingles_expr("text", 3), "sv",
+        "array_distinct(transform(sv,"
+        " x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)))",
+    )
+    sh = d.select("doc_id", F.explode(F.expr(hashed)).alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    surv = sh.join(dfreq.filter(F.col("df") <= 50), "h").select("doc_id", "h")
+    nper = surv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = surv.alias("a"), surv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    na = nper.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = nper.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    c = F.col("inter").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(na, "doc_a").join(nb, "doc_b")
+        .filter(c >= 0.5)
+        .select(
+            "doc_a", "doc_b", "inter", "n_a", "n_b",
+            (F.round(c, 6) + F.lit(0.0)).alias("containment"),
+        )
+    )

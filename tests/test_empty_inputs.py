@@ -213,3 +213,21 @@ def test_round8_operators_empty(spark):
         "a": (0, 0, 0, None, None),
         "b": (0, 0, 0, None, None),
     }
+
+
+def test_round8_text_index_dedup_empty(spark):
+    # the three r8 text/index/dedup queries must survive a zero-row
+    # documents table (registry fns take an sf_dir, so stage one)
+    import os
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = os.path.join(d, "sf")
+        os.makedirs(sf)
+        spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(sf, "documents.parquet"))
+        for name in ("pmi_collocations", "inverted_index_terms", "dedup_containment"):
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name

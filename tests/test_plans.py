@@ -552,3 +552,25 @@ def test_analyze_tables_non_default_database(spark):
         import shutil as _shutil
 
         _shutil.rmtree(sentinel, ignore_errors=True)
+
+
+def test_round8_text_index_dedup_plan_shapes(spark):
+    # pmi: the only non-equi joins are the two 1-row totals (broadcast
+    # nested-loop over a single row is free); pair/unigram joins stay
+    # hash-based. No cartesian anywhere.
+    plan = plan_of(spark, "pmi_collocations")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+    # inverted index: the rn <= 5 rank filter is pushed INTO the window as
+    # a group-limit, so the per-term sort never materializes unbounded
+    # posting lists before truncation.
+    plan = plan_of(spark, "inverted_index_terms")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+    # containment: the shingle self-join is an equi-join on the 8-byte
+    # hashed key — never a nested loop or cartesian over documents.
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
