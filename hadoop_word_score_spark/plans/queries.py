@@ -7298,7 +7298,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = d.select("doc_id", F.explode(F.expr(hashed)).alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    surv = sh.join(dfreq.filter(F.col("df") <= 50), "h").select("doc_id", "h")
+    # Materialize the PRUNED postings once (two longs per row, far smaller
+    # than the corpus): three consumers (sizes, both self-join sides) would
+    # otherwise each replay the corpus-wide shingle explode — the same
+    # lineage-truncation move as the dedup pipeline's label propagation.
+    surv = (
+        sh.join(dfreq.filter(F.col("df") <= 50), "h")
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
     nper = surv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = surv.alias("a"), surv.alias("b")
     pairs = (

@@ -60,6 +60,9 @@ PROBES = [
     "multimodal_video_real",
     "kmeans_embeddings",
     "stats_join_key_skew",
+    "pmi_collocations",
+    "inverted_index_terms",
+    "dedup_containment",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -647,6 +650,15 @@ def main() -> None:
         # map-side-combined (col, key) counts; the ranking window runs over
         # key-cardinality rows, never corpus rows
         "stats_join_key_skew": "linear scan; shuffles bounded by key cardinality",
+        # corpus-sized work is two vocab-keyed count shuffles; the pair
+        # relation is min-count-pruned before the unigram joins
+        "pmi_collocations": "linear (2 vocab-keyed count shuffles; joins on pruned pairs)",
+        # one (doc,term) pre-agg + one term-keyed WindowGroupLimit sort pass
+        "inverted_index_terms": "linear (term-keyed sort; rank filter bounds postings at 5)",
+        # per-shingle pair fan-out hard-capped at df<=50 (<=1225 pairs per
+        # shingle); the 10x replication drives shared shingles OVER the cap,
+        # so the duplicate-heavy corpus prunes HARDER, not slower
+        "dedup_containment": "sublinear here (df cap evicts replicated shingles); worst case Σ min(df,50)² pairs",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
