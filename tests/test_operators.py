@@ -1352,3 +1352,53 @@ def test_kmeans_fit_invariant_under_partitioning(spark):
         "embedding", "vec_id", k=4, iterations=2,
     )
     assert a == b == c
+
+
+def _docs_sf(spark, tmpdir, rows):
+    # stage a minimal documents.parquet so registry fns (which take an
+    # sf_dir) can run over a constructed corpus
+    import os
+
+    sf = os.path.join(tmpdir, "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_containment_detects_embedded_document(spark, tmp_path):
+    # the asymmetric contract: A's text embedded verbatim inside a larger B
+    # gives containment 1.0 even though symmetric Jaccard is diluted — the
+    # case this operator exists for
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    a_text = " ".join(f"tok{i}" for i in range(20))
+    b_text = a_text + " " + " ".join(f"extra{i}" for i in range(20))
+    c_text = " ".join(f"other{i}" for i in range(25))
+    sf = _docs_sf(spark, str(tmp_path), [a_text, b_text, c_text])
+    rows = REGISTRY["dedup_containment"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    # every shingle of A appears in B: inter == |A| == min(|A|, |B|)
+    assert r.inter == r.n_a == 18
+    assert r.containment == 1.0
+    # while Jaccard over the same profiles is diluted well below the 0.5 bar
+    assert r.inter / (r.n_a + r.n_b - r.inter) < 0.5
+
+
+def test_pmi_positive_for_glued_pair_and_no_phantom_pairs(spark, tmp_path):
+    # a pair that always co-occurs adjacently scores positive PMI; pairs
+    # that never occur adjacently produce no row at all
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    glued = "aa bb " * 10          # "aa bb" x10, "bb aa" x9
+    filler = "xx yy zz " * 10      # independent background tokens
+    sf = _docs_sf(spark, str(tmp_path), [glued.strip(), filler.strip()])
+    got = {(r.w1, r.w2): r for r in REGISTRY["pmi_collocations"].fn(spark, sf).collect()}
+    assert ("aa", "bb") in got
+    assert got[("aa", "bb")].n_xy == 10
+    assert got[("aa", "bb")].pmi > 0.0
+    assert ("aa", "xx") not in got  # never adjacent -> no row, not PMI=-inf

@@ -177,3 +177,39 @@ def test_schema_evolution_merge_and_projection(spark, tmp_path):
     assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
         "doc_id", "text",
     }, plan
+
+
+def test_inverted_index_full_postings_bucketed_serving(spark, scratch_dir):
+    # the inverted_index_terms docstring claims the FULL posting list at
+    # scale is "the same relation written term-bucketed" — make that
+    # concrete: write (term, doc_id, tf) bucketed+sorted on term, then show
+    # term-keyed serving reads (per-term aggregation) plan with NO Exchange
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        docs = load_table(spark, SF_SMOKE, "documents")
+        postings = (
+            docs.select("doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        sinks.write_bucketed(postings, "postings_b", "term", 8, sort_col="term")
+        served = spark.table("postings_b").groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+        )
+        served.count()
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # the write paid the term shuffle once; serving aggregations reuse
+        # the bucket clustering shuffle-free
+        assert "Exchange" not in plan, plan
+        # and the numbers match the unbucketed plan
+        expect = {
+            r.term: (r.df, r.total_tf)
+            for r in postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+            .collect()
+        }
+        assert {r.term: (r.df, r.total_tf) for r in served.collect()} == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_b")
