@@ -7119,17 +7119,25 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB shape: tokenize/pair-expand are narrow map work inside the
-    # scan stage; the only corpus-sized shuffles are the two vocab-keyed
-    # count aggregations (map-side combine). Everything downstream is
-    # vocab-sized: the min-count filter prunes the pair relation BEFORE
-    # the two unigram joins (token-keyed shuffle joins — the unigram
-    # relation is vocab-sized, not corpus-sized, so no broadcast is
-    # assumed), and the two 1-row totals broadcast for free.
+    # scan stage, and the corpus is touched EXACTLY twice — once per
+    # vocab-keyed count aggregation (map-side combine). Both vocab-sized
+    # aggregates are checkpointed because each feeds two consumers (counts
+    # + its own total / the pruned pair relation); without that, Spark
+    # replans the corpus-wide explode per consumer (the subtrees
+    # canonicalize differently, so exchange reuse can't dedupe them).
+    # Everything downstream is vocab-sized: the min-count filter prunes
+    # the pair relation BEFORE the two unigram joins (token-keyed shuffle
+    # joins — the unigram relation is vocab-sized, not corpus-sized, so no
+    # broadcast is assumed), and the two 1-row totals broadcast for free.
     from ..functions.hashing import let1, tokens_expr
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.expr(tokens_expr("text"))).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint()
+    )
     tot = uni.agg(F.sum("n_tok").alias("n_tokens"))
     bigrams = F.expr(let1(
         tokens_expr("text"), "w",
@@ -7142,6 +7150,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint()
     )
     btot = bgc.agg(F.sum("n_xy").alias("n_bigrams"))
     cand = bgc.filter(F.col("n_xy") >= 10).select(
@@ -7174,8 +7183,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id tiebreak) — the retrieval-side artifact behind BM25 serving
     # and n-gram decontamination lookups. The bounded top-5 head keeps the
     # output oracle-hashable; the full posting list at 100 TB is the same
-    # relation written term-bucketed + sorted via write_batch_bucketed
-    # (sources/sinks.py) instead of aggregated to arrays.
+    # relation written term-bucketed + sorted via write_bucketed
+    # (sources/sinks.py; serving receipt in tests/test_sinks.py) instead
+    # of aggregated to arrays.
     oracle=r"""
     WITH tf AS (
         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

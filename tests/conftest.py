@@ -26,3 +26,25 @@ def scratch_dir():
     os.makedirs(SCRATCH, exist_ok=True)
     yield SCRATCH
     shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def stage_documents_sf(spark, base_dir, rows):
+    """Stage a documents.parquet under base_dir/sf so registry fns (which
+    take an sf_dir) can run over a constructed or empty corpus. ``rows`` is
+    a list of text strings (doc_id/lang/source/n_chars derived). Schema
+    comes from the registry so staged tables can't drift from the real one.
+    """
+    from pyspark.sql import Row
+
+    from hadoop_word_score_spark.sources.registry import TABLES
+
+    sf = os.path.join(base_dir, "sf")
+    os.makedirs(sf, exist_ok=True)
+    data = [
+        Row(doc_id=i, text=t, lang="en", source="test", n_chars=len(t))
+        for i, t in enumerate(rows)
+    ]
+    spark.createDataFrame(data, TABLES["documents"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "documents.parquet"))
+    return sf

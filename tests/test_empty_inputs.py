@@ -223,11 +223,9 @@ def test_round8_text_index_dedup_empty(spark):
 
     from hadoop_word_score_spark.plans.queries import REGISTRY
 
+    from tests.conftest import stage_documents_sf
+
     with tempfile.TemporaryDirectory(dir=".") as d:
-        sf = os.path.join(d, "sf")
-        os.makedirs(sf)
-        spark.createDataFrame(
-            [], "doc_id long, text string, lang string, source string, n_chars long"
-        ).write.parquet(os.path.join(sf, "documents.parquet"))
+        sf = stage_documents_sf(spark, d, [])
         for name in ("pmi_collocations", "inverted_index_terms", "dedup_containment"):
             assert REGISTRY[name].fn(spark, sf).count() == 0, name

@@ -1355,17 +1355,9 @@ def test_kmeans_fit_invariant_under_partitioning(spark):
 
 
 def _docs_sf(spark, tmpdir, rows):
-    # stage a minimal documents.parquet so registry fns (which take an
-    # sf_dir) can run over a constructed corpus
-    import os
+    from tests.conftest import stage_documents_sf
 
-    sf = os.path.join(tmpdir, "sf")
-    os.makedirs(sf, exist_ok=True)
-    spark.createDataFrame(
-        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
-    return sf
+    return stage_documents_sf(spark, tmpdir, rows)
 
 
 def test_containment_detects_embedded_document(spark, tmp_path):

@@ -656,9 +656,12 @@ def main() -> None:
         # one (doc,term) pre-agg + one term-keyed WindowGroupLimit sort pass
         "inverted_index_terms": "linear (term-keyed sort; rank filter bounds postings at 5)",
         # per-shingle pair fan-out hard-capped at df<=50 (<=1225 pairs per
-        # shingle); the 10x replication drives shared shingles OVER the cap,
-        # so the duplicate-heavy corpus prunes HARDER, not slower
-        "dedup_containment": "sublinear here (df cap evicts replicated shingles); worst case Σ min(df,50)² pairs",
+        # shingle). On THIS corpus the small word pool gives typical base
+        # shingle df near the cap already, so x10 replication pushes most
+        # shingles over it and the pair stage shrinks (measured 1.3x); a
+        # unique-shingle corpus would instead grow toward the worst-case
+        # bound below before saturating
+        "dedup_containment": "corpus-dependent, bounded by Σ min(df,50)² pairs (measured sublinear: cap evicts replicated shingles)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
