@@ -574,3 +574,43 @@ def test_round8_text_index_dedup_plan_shapes(spark):
     plan = plan_of(spark, "dedup_containment")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
+    # Spark's InjectRuntimeFilter builds a bloom filter from the SELECTIVE
+    # dim side and applies might_contain() on the fact side BEFORE its
+    # shuffle — at 100 TB this drops most fact rows pre-Exchange. It only
+    # arms when the fact scan exceeds applicationSideScanSizeThreshold
+    # (default 10 GB — i.e. it is ON by default exactly at the scale we
+    # target); test data is far smaller, so lower the threshold to pin the
+    # injection itself.
+    from hadoop_word_score_spark.sources.registry import load_table
+    from tests.conftest import SF_ORACLE
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        orders = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        # the bloom probe must sit on the FACT side: every might_contain
+        # line filters on the fact join key, not the dim key
+        probe_lines = [l for l in plan.splitlines() if "might_contain" in l]
+        assert probe_lines and all("l_orderkey" in l for l in probe_lines), plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
