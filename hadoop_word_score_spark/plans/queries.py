@@ -7339,3 +7339,99 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(c, 6) + F.lit(0.0)).alias("containment"),
         )
     )
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS slot, vec_id AS cid, v AS c
+    FROM e ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+    SELECT e.vec_id, e.v, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn
+    FROM e CROSS JOIN c0 c
+),
+d1 AS (
+    SELECT slot, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM a1 WHERE rn = 1
+),
+c1 AS (
+    SELECT slot, ARRAY_AGG(mv ORDER BY dim) AS c
+    FROM (SELECT slot, dim, ROUND(AVG(val), 4) AS mv
+          FROM d1 GROUP BY slot, dim)
+    GROUP BY slot
+),
+a2 AS (
+    SELECT e.vec_id, e.v, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn
+    FROM e CROSS JOIN c1 c
+),
+d2 AS (
+    SELECT slot, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+    FROM a2 WHERE rn = 1
+),
+c2 AS (
+    SELECT slot, ARRAY_AGG(mv ORDER BY dim) AS c
+    FROM (SELECT slot, dim, ROUND(AVG(val), 4) AS mv
+          FROM d2 GROUP BY slot, dim)
+    GROUP BY slot
+),
+asg AS (
+    SELECT e.vec_id, e.v, c.slot,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.slot) AS rn
+    FROM e CROSS JOIN c2 c
+),
+member AS (SELECT vec_id, v, slot FROM asg WHERE rn = 1),
+pairs AS (
+    SELECT a.slot, a.vec_id AS id_a, b.vec_id AS id_b
+    FROM member a JOIN member b ON a.slot = b.slot AND a.vec_id < b.vec_id
+    WHERE ROUND(
+        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+               * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))), 0),
+        6) + 0.0 >= 0.4
+),
+drops AS (
+    SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
+    FROM pairs GROUP BY slot
+),
+sizes AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_vectors
+          FROM member GROUP BY slot)
+SELECT c0.cid AS cluster, s.n_vectors,
+       CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(s.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM sizes s JOIN c0 ON s.slot = c0.slot
+LEFT JOIN drops d ON d.slot = s.slot
+ORDER BY cluster
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=_SEMDEDUP_SQL,
+    tags=("llm", "dedup", "clustering", "similarity"),
+    bench=True,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (operators/semdedup.py): deterministic k-means clusters the
+    # corpus, then near-dups are pruned WITHIN clusters only — the pair
+    # space drops from N² (dedup_near_embedding, the exact yardstick) to
+    # Σ cluster_size², and at 100 TB the prune runs partition-local over a
+    # partitionBy(cluster) layout while assignment stays one narrow
+    # codegen scan. Same k/iterations/quantization as kmeans_embeddings,
+    # same rounded-cosine threshold contract as dedup_near_embedding
+    # (threshold 0.4: the synthetic embeddings top out at cos ≈ 0.51); the
+    # oracle unrolls the identical two Lloyd's iterations as CTEs, then
+    # joins members within each cluster slot.
+    from ..operators.semdedup import semantic_dedup_summary
+
+    return semantic_dedup_summary(
+        _t(spark, sf_dir, "embeddings"),
+        k=8, iterations=2, threshold=0.4,
+    )
