@@ -226,6 +226,27 @@ _DRIVER_GREEN_R07 = frozenset({
     "vocab_stats", "window_range_frame", "zorder_keys"
 })
 
+_DRIVER_GREEN_R08 = frozenset({
+    "array_funcs", "bpe_encode_lengths", "bpe_merge_rules",
+    "bpe_subword_rules", "cohort_retention_weekly", "corpus_drift_kl",
+    "decontaminate_ngrams", "dedup_apply_survivors", "dedup_containment",
+    "dedup_near_embedding", "dedup_semantic", "doc_chunks",
+    "embedding_centroids", "embedding_covariance", "embedding_pca_project",
+    "events_anomaly_zscore", "events_ewma_value",
+    "funnel_signup_click_purchase", "hll_distinct_sketch",
+    "kmeans_embeddings", "merge_upsert_customers",
+    "mixture_sample_weighted", "multimodal_audio_real", "multimodal_decode",
+    "multimodal_decode_real", "multimodal_frames", "multimodal_meta",
+    "multimodal_resize", "multimodal_video_real", "pack_sequences",
+    "percentile_exact", "pmi_collocations", "q14_promo_effect",
+    "q18_large_volume", "q9_product_profit", "quality_unigram_logprob",
+    "shuffle_shards", "similarity_ivf_build", "similarity_ivf_recall",
+    "similarity_lsh_recall_midsim", "similarity_topk",
+    "similarity_topk_ivf", "similarity_topk_lsh", "stats_corr_covar",
+    "stats_join_key_skew", "stats_table_profile", "udf_grouped_agg_wavg",
+    "udf_grouped_zscore", "udtf_chunk_text"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -376,7 +397,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "agg_salted_two_phase": "d7953ce1674b",
     "agg_stats": "bee545d79fae",
     "approx_aggs": "6eedf763cf35",
-    "array_funcs": "b1e393232f18",
+    "array_funcs": "a59eb283fa53",
     "asof_join_events": "e968e8a9b2fd",
     "asof_join_events_forward": "36d0838b0e93",
     "bigram_counts": "c9d0c7cc6237",
@@ -388,7 +409,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "cms_frequency_estimates": "2369d6ea31ee",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
-    "corpus_drift_kl": "7016858964c1",
+    "corpus_drift_kl": "cf6014cf1380",
     "corpus_prep_funnel": "c0476271351c",
     "corpus_report_by_source": "aa23b8986484",
     "cube_segment_status": "00da5551f9ed",
@@ -398,24 +419,27 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "decontaminate_ngrams": "f4c3b9888715",
     "dedup_apply_survivors": "007b73d0476e",
     "dedup_clusters": "b8ba5e975a80",
+    "dedup_containment": "50e75544f264",
     "dedup_exact": "b5919931923e",
     "dedup_incremental": "b10560da39e5",
-    "dedup_near_embedding": "ae4e15d1b137",
+    "dedup_near_embedding": "385ed2cfbff8",
     "dedup_near_jaccard": "1cdf1ec48dac",
     "dedup_near_minhash": "1cdf1ec48dac",
     "dedup_near_simhash": "2affa7b75f66",
     "dedup_pipeline_end_to_end": "4b809bfa609c",
+    "dedup_semantic": "a8273a9026f9",
     "dedup_spans_exact": "d61fcc2d29f0",
     "dedup_spans_hashed": "526c5056ea98",
     "dedup_winnowing_pairs": "c6feba0a04ac",
     "doc_chunks": "ffd74a0e21d5",
     "doc_fingerprint": "677d0308cba2",
     "doc_length_buckets": "e333f9bf8417",
-    "embedding_centroids": "2cf8aa98e9a1",
+    "embedding_centroids": "7b840d20f2a5",
+    "embedding_covariance": "cd82459eeef8",
     "embedding_pca_project": "c60679601e6e",
     "embedding_quantize_int8": "aaa8faade4fe",
-    "events_anomaly_zscore": "8e8930f7feeb",
-    "events_ewma_value": "2d632d877302",
+    "events_anomaly_zscore": "2e7e9aea7cc3",
+    "events_ewma_value": "230c343224d7",
     "events_gapfill_hourly": "e8f7525be53f",
     "events_rollup_multi_grain": "33ff39ed700d",
     "filter_project": "a9a8bfadf49d",
@@ -434,6 +458,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "join_semi": "1919b78cb1de",
     "json_funcs": "cf0dc27421a4",
     "k_anonymity_check": "7eb2f2e5a5df",
+    "kmeans_embeddings": "1a95cf162e51",
     "lang_id_heuristic": "797a781a0e60",
     "map_funcs": "a88e8ae7eb7b",
     "math_funcs": "232331fb6315",
@@ -449,9 +474,10 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "null_semantics": "14f06cc19e8d",
     "pack_sequences": "efcce867afee",
     "pagerank_supply_graph": "0338ee585300",
-    "percentile_exact": "9fa832056777",
+    "percentile_exact": "60fe0eda4e92",
     "pii_redact": "cfb6df9885a2",
     "pivot_status_priority": "388c5a142a77",
+    "pmi_collocations": "2dad5584c4a4",
     "q10_returned_items": "c42fd16d245e",
     "q11_important_parts": "4b65a2f61ef9",
     "q12_priority_shipping": "0069aee7a7d8",
@@ -473,9 +499,9 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "q6_forecast_revenue": "2964f042473e",
     "q7_nation_volume": "9c6e6d9c487b",
     "q8_market_share": "dcac2cc8b7e0",
-    "q9_product_profit": "be46a54fd1bf",
+    "q9_product_profit": "71e0a8f5f468",
     "quality_repetition_filter": "55636dd83470",
-    "quality_unigram_logprob": "806b0c6c302d",
+    "quality_unigram_logprob": "edad530fe1e7",
     "rollup_status_priority": "fd02b19f270d",
     "sample_hash_mod": "4e92ad8c6a40",
     "sample_stratified_lang": "1cd168b40df0",
@@ -487,7 +513,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_ivf_build": "08f73a863baf",
     "similarity_ivf_recall": "d7d0848ae2b2",
     "similarity_lsh_recall_midsim": "d7d0848ae2b2",
-    "similarity_topk": "3f981c9ca563",
+    "similarity_topk": "22b1057025c9",
     "similarity_topk_ivf": "7e42064e22c8",
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
@@ -496,7 +522,9 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "sql_adhoc_hof": "f0dab7357d42",
     "sql_adhoc_join": "15853af5434c",
     "sql_adhoc_window": "071eb1c18078",
-    "stats_corr_covar": "cefb09f24eae",
+    "stats_corr_covar": "12685873c1b8",
+    "stats_join_key_skew": "73f8853b834b",
+    "stats_table_profile": "a57e95218548",
     "string_agg_nations": "76762812c549",
     "string_funcs": "c1625848b848",
     "subquery_correlated_scalar": "53ceaaae9a11",
@@ -510,7 +538,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "topk_per_group": "b36244fa0146",
     "tumbling_window": "816cdfbf8e11",
     "udf_grouped_agg_wavg": "c0fe11dc17aa",
-    "udf_grouped_zscore": "ac9c94dfbb03",
+    "udf_grouped_zscore": "f389874aeab4",
     "udtf_chunk_text": "ffd74a0e21d5",
     "unpivot_lineitem_metrics": "ceac6a0e32cf",
     "variant_funcs": "1dfefd695b3d",
@@ -536,15 +564,15 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "agg_salted_two_phase": "09780e710bf7",
     "agg_stats": "064b5a09c05c",
     "approx_aggs": "df8430b30d90",
-    "array_funcs": "2b08e62eb4a0",
+    "array_funcs": "db23bbf43341",
     "asof_join_events": "5f8b528493ce",
     "asof_join_events_forward": "68aeb5b92d28",
     "bigram_counts": "2a712e132a10",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "1b34992ba729",
-    "bpe_encode_lengths": "761840ee0363",
-    "bpe_merge_rules": "33e64f6793ba",
-    "bpe_subword_rules": "b291449ef43d",
+    "bpe_encode_lengths": "15cb10aa6c37",
+    "bpe_merge_rules": "7f5f18e389c8",
+    "bpe_subword_rules": "d08f4abbdd3e",
     "cms_frequency_estimates": "4de60ee2e6d5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -558,21 +586,24 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "decontaminate_ngrams": "90fe1088a634",
     "dedup_apply_survivors": "9c7674b231df",
     "dedup_clusters": "f7e8609f2a3f",
+    "dedup_containment": "0be4d12c8eeb",
     "dedup_exact": "bb72a441c841",
     "dedup_incremental": "5a0d87b0d269",
-    "dedup_near_embedding": "fc61eda90ee1",
+    "dedup_near_embedding": "3ee51f581b2c",
     "dedup_near_jaccard": "5ad0ec62fb80",
     "dedup_near_minhash": "f98d7d804027",
     "dedup_near_simhash": "c3458dcf74a7",
     "dedup_pipeline_end_to_end": "35c02a30548e",
+    "dedup_semantic": "d55ffca56244",
     "dedup_spans_exact": "a957e26f13a1",
     "dedup_spans_hashed": "5d5f9cb72b26",
     "dedup_winnowing_pairs": "109518bb11a6",
     "doc_chunks": "9f2ce895fa25",
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
-    "embedding_centroids": "d75aac54926d",
-    "embedding_pca_project": "10b1a89a05ac",
+    "embedding_centroids": "f1ad07f169fc",
+    "embedding_covariance": "c913795b865c",
+    "embedding_pca_project": "e8de53a859c9",
     "embedding_quantize_int8": "fa6270943dae",
     "events_anomaly_zscore": "e0cb144b4a8e",
     "events_ewma_value": "729934d8f13a",
@@ -594,24 +625,26 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "join_semi": "5721ec4bead0",
     "json_funcs": "6b6927a1de6a",
     "k_anonymity_check": "299373231695",
+    "kmeans_embeddings": "15ae56efc3c9",
     "lang_id_heuristic": "49313b1e46c8",
     "map_funcs": "6d74dd304ba6",
     "math_funcs": "da0c50726e64",
     "merge_upsert_customers": "77b48f09b4ae",
     "mixture_sample_weighted": "b3a95dcb125c",
-    "multimodal_audio_real": "bcfcf1b6dae5",
-    "multimodal_decode": "7c63a511322a",
-    "multimodal_decode_real": "b79046f28475",
-    "multimodal_frames": "b37ec7df2b83",
-    "multimodal_meta": "049e5816ffa1",
-    "multimodal_resize": "9a3ca5dbefa7",
-    "multimodal_video_real": "d7b4b17a8ab9",
+    "multimodal_audio_real": "d843c68997fe",
+    "multimodal_decode": "85859a85c613",
+    "multimodal_decode_real": "9f7eb713901d",
+    "multimodal_frames": "bdf42b525041",
+    "multimodal_meta": "9849b31049b3",
+    "multimodal_resize": "f035ca630ce8",
+    "multimodal_video_real": "adaf9e8b95af",
     "null_semantics": "c3e3e3c08e79",
     "pack_sequences": "ba1ba7d9a7b6",
     "pagerank_supply_graph": "990801e6e0b4",
-    "percentile_exact": "5d22604fc9c1",
+    "percentile_exact": "8541fa4a8708",
     "pii_redact": "e02e943d9e58",
     "pivot_status_priority": "a5b05ef8c5e4",
+    "pmi_collocations": "a5da23cfdd1d",
     "q10_returned_items": "2061a3ee2a84",
     "q11_important_parts": "c38e860a0fd4",
     "q12_priority_shipping": "dd2ef8a2e7ad",
@@ -644,12 +677,12 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_ivf_build": "3985d9364293",
-    "similarity_ivf_recall": "4b8c66936cae",
-    "similarity_lsh_recall_midsim": "ccba805bfa3d",
-    "similarity_topk": "6a75ee206ac9",
-    "similarity_topk_ivf": "fabb144b75a5",
-    "similarity_topk_lsh": "fde6c7440770",
+    "similarity_ivf_build": "cae87bb0688f",
+    "similarity_ivf_recall": "6c8ce6ef79dd",
+    "similarity_lsh_recall_midsim": "819b701e6f34",
+    "similarity_topk": "4c4a970b89fb",
+    "similarity_topk_ivf": "06f6718205cd",
+    "similarity_topk_lsh": "c56935ff6205",
     "sliding_window": "09b227c628d7",
     "split_leakage_safe": "d682698202ee",
     "sql_adhoc_cte": "e5c3bf9aa034",
@@ -657,6 +690,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sql_adhoc_join": "8bda5e4879a5",
     "sql_adhoc_window": "ea1c3c6dfd17",
     "stats_corr_covar": "c431b6922b48",
+    "stats_join_key_skew": "75d0ba129c50",
+    "stats_table_profile": "6c2c3464b475",
     "string_agg_nations": "9bb22fb9bbb9",
     "string_funcs": "129540067d07",
     "subquery_correlated_scalar": "e6cedd2d2b14",
@@ -669,9 +704,9 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "token_counts": "6ec886bf31d3",
     "topk_per_group": "8f100becd6e6",
     "tumbling_window": "a610bcb1011e",
-    "udf_grouped_agg_wavg": "7ecb495bf880",
-    "udf_grouped_zscore": "5f8087887c2c",
-    "udtf_chunk_text": "8862924bd02e",
+    "udf_grouped_agg_wavg": "0a944be64ea7",
+    "udf_grouped_zscore": "142419cb710e",
+    "udtf_chunk_text": "314fc991755e",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
     "vocab_stats": "83600c393f57",
@@ -710,6 +745,7 @@ def _latest_evidence_round(name: str) -> int:
     if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
         return 0
     for rnd, ledger in (
+        (8, _DRIVER_GREEN_R08),
         (7, _DRIVER_GREEN_R07),
         (6, _DRIVER_GREEN_R06),
         (5, _DRIVER_GREEN_R05),
@@ -7203,7 +7239,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tf
     )
     SELECT term, df, total_tf,
-           ARRAY_AGG(doc_id ORDER BY rn) AS top_docs
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs
     FROM w
     WHERE df >= 10 AND rn <= 5
     GROUP BY term, df, total_tf
@@ -7216,7 +7252,10 @@ def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort-based window pass (spillable) computes df / total_tf / rank in
     # one shuffle, the rank filter bounds every posting head at 5 before
     # the final vocab-sized aggregation. No collect_list ever sees an
-    # unbounded group.
+    # unbounded group. The posting head is emitted as a comma-delimited
+    # string, not an array: the registry output contract is flat scalar
+    # columns only (tests/test_evidence.py), because the driver's pandas
+    # canonicalizer cannot hash array cells (r8 red).
     from ..functions.hashing import tokens_expr
 
     d = _t(spark, sf_dir, "documents")
@@ -7238,8 +7277,8 @@ def q_inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "df", "total_tf")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(rn, doc_id))),"
-                " x -> x.doc_id)"
+                "array_join(transform(array_sort(collect_list(struct(rn,"
+                " doc_id))), x -> CAST(x.doc_id AS STRING)), ',')"
             ).alias("top_docs")
         )
     )

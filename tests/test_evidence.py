@@ -296,3 +296,29 @@ def test_local_gate_reproduces_prefix_covariance_red(spark):
         rel = con.sql(base.format(fix=fix))
         oh = canon_mod.value_hash([c.lower() for c in rel.columns], rel.fetchall())
         assert (sh == oh) is should_match, (fix, sh, oh)
+
+
+def test_registry_outputs_are_flat_scalar_columns(spark):
+    # Output-format contract: the driver's pandas canonicalizer sorts and
+    # factorizes every output column, which requires hashable scalar cells
+    # — an Array/Map/Struct column crashes it before any comparison runs
+    # (r8 red: inverted_index_terms, "unhashable type: numpy.ndarray").
+    # This is the second round burned by output FORMAT rather than data
+    # (r6/r7: signed zero), so the contract is now structural: every
+    # registered query's result schema must be flat scalars. Queries that
+    # genuinely produce collections must reduce them (delimited string,
+    # exploded rows, or per-element columns) before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name, spec in Q.REGISTRY.items():
+        df = spec.fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "non-flat output columns (driver canonicalizer cannot hash them):\n"
+        + "\n".join(offenders)
+    )

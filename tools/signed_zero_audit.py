@@ -134,6 +134,10 @@ _NONNEG = [
     (r"kmeans_embeddings", r"ROUND\(AVG\((val|f\.dist)\)",
      "centroid coords feed arithmetic only (sign of zero is inert there); mean SQUARED "
      "distance is non-negative"),
+    (r"dedup_semantic", r"ROUND\(AVG\(val\)",
+     "same proof as kmeans_embeddings: the rounded value is an internal centroid "
+     "coordinate consumed only by distance/cosine arithmetic, where -0.0 == +0.0 — "
+     "it never reaches an output column"),
 ]
 
 
