@@ -31,9 +31,10 @@ mandate (near-dup dedup over ``embeddings.parquet``).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vectors import cosine_similarity
 from .clustering import kmeans_assign, kmeans_fit
 
 
@@ -54,8 +55,8 @@ def _assigned_and_pairs(
         vecs, vec_col, id_col, k=k, iterations=iterations,
         centroid_decimals=centroid_decimals,
     )
-    # Narrow assignment pass; checkpointed because up to three consumers
-    # read it (both self-join sides + the summary's sizes agg) — each would
+    # Narrow assignment pass; checkpointed because two consumers read it
+    # (the per-cluster pair pass + the summary's sizes agg) — each would
     # otherwise replay the scan + k×d distance fold. At 100 TB the
     # equivalent move is one write partitionBy(cluster), after which the
     # per-cluster prune is partition-local (see module docstring).
@@ -64,22 +65,78 @@ def _assigned_and_pairs(
         .select(F.col(id_col).alias("vid"), "cluster", F.col(vec_col).alias("v"))
         .localCheckpoint()
     )
-    a = asg.select(
-        F.col("vid").alias("id_a"), "cluster", F.col("v").alias("va")
+    return asg, _within_cluster_pairs(asg, threshold)
+
+
+def _within_cluster_pairs(asg: DataFrame, threshold: float) -> DataFrame:
+    """(cluster, id_a, id_b, cosine_sim) for every same-cluster pair with
+    round(cos, 6) >= threshold and id_a < id_b.
+
+    One Arrow batch per cluster, scored as a single BLAS gram matrix
+    (norms computed once per vector, not twice per pair) — the
+    brute_force_topk pattern (operators/similarity.py). The r8 per-pair
+    interpreted-HOF cosine evaluated three 64-element folds × every pair
+    (16.6 s at sf0.1, 27% of the whole bench); the matmul is one
+    vectorized kernel per cluster. Memory is O(sᵢ²) per group, which is
+    exactly the quantity SemDeDup's k ≈ N/target_size rule bounds — the
+    operator's scale contract already requires cluster sizes that fit a
+    worker (module docstring), so the gram matrix does too.
+
+    Determinism: groups are sorted by id so the upper triangle enumerates
+    id_a < id_b; np.round(·, 6) + 0.0 matches the DuckDB oracle at 6 dp for
+    the same reason the driver-green brute_force_topk path does (cosine
+    never lands within summation noise of a half-ulp at 6 dp); zero-norm
+    rows yield non-finite cosines and are dropped, mirroring the old
+    null-propagating nullif contract.
+    """
+    id_dtype = asg.schema["vid"].dataType.simpleString()
+    cl_dtype = asg.schema["cluster"].dataType.simpleString()
+    out_schema = (
+        f"cluster {cl_dtype}, id_a {id_dtype}, id_b {id_dtype},"
+        " cosine_sim double"
     )
-    b = asg.select(
-        F.col("vid").alias("id_b"), F.col("cluster").alias("cl_b"),
-        F.col("v").alias("vb"),
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        empty = pd.DataFrame({
+            "cluster": pd.Series(dtype=pdf["cluster"].dtype),
+            "id_a": pd.Series(dtype=ids.dtype),
+            "id_b": pd.Series(dtype=ids.dtype),
+            "cosine_sim": pd.Series(dtype="float64"),
+        })
+        n = len(ids)
+        if n < 2:
+            return empty
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # + 0.0 normalizes IEEE -0.0 (np.round preserves the sign
+            # where JVM F.round does not; sign-strict oracle hashes care)
+            sims = np.round(
+                (mat @ mat.T) / (norms[:, None] * norms[None, :]), 6
+            ) + 0.0
+        ia, ib = np.triu_indices(n, k=1)
+        s = sims[ia, ib]
+        keep = np.isfinite(s) & (s >= threshold)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "cluster": np.repeat(pdf["cluster"].iloc[0], int(keep.sum())),
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine_sim": s[keep],
+        })
+
+    from ..session import default_parallelism
+
+    # explicit-numPartitions repartition: exempt from AQE coalescing, which
+    # sizes grouped-Python stages by bytes while their cost is per-group
+    return (
+        asg.repartition(default_parallelism(), "cluster")
+        .groupBy("cluster")
+        .applyInPandas(score, out_schema)
     )
-    # One cluster-keyed shuffle per side; the id inequality rides along as
-    # a join filter. Pairs generated inside each cluster only.
-    pairs = (
-        a.join(b, (F.col("cluster") == F.col("cl_b"))
-               & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine_sim", F.round(cosine_similarity("va", "vb"), 6))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
-    return asg, pairs
 
 
 def semantic_dup_pairs(

@@ -1394,3 +1394,103 @@ def test_pmi_positive_for_glued_pair_and_no_phantom_pairs(spark, tmp_path):
     assert got[("aa", "bb")].n_xy == 10
     assert got[("aa", "bb")].pmi > 0.0
     assert ("aa", "xx") not in got  # never adjacent -> no row, not PMI=-inf
+
+
+def test_semantic_dup_pairs_match_numpy_within_cluster_reference(spark):
+    # The Arrow gram-matrix pair pass (operators/semdedup.py) must agree
+    # with a direct numpy all-pairs cosine computed within the SAME fitted
+    # clusters: same pair set (id_a < id_b), same 6-dp cosines, and no
+    # cross-cluster pair ever emitted.
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from hadoop_word_score_spark.operators.semdedup import semantic_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base_a = rng.rand(6) + 0.5
+    base_b = -(rng.rand(6) + 0.5)
+    rows = []
+    for i in range(8):  # blob A: tiny perturbations => high mutual cosine
+        rows.append((i, (base_a + rng.rand(6) * 0.01).tolist()))
+    for i in range(8):  # blob B: same shape, opposite orthant
+        rows.append((100 + i, (base_b + rng.rand(6) * 0.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.cluster, r.id_a, r.id_b): r.cosine_sim
+        for r in semantic_dup_pairs(df, k=2, iterations=2, threshold=0.9).collect()
+    }
+
+    cents = kmeans_fit(df, "embedding", "vec_id", k=2, iterations=2)
+    asg = {r.vec_id: r.cluster
+           for r in kmeans_assign(df, "embedding", cents).collect()}
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    want = {}
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if asg[a] != asg[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = float(np.round(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)), 6
+            ) + 0.0)
+            if cos >= 0.9:
+                want[(asg[a], a, b)] = cos
+    assert got == want
+    assert want, "fixture must actually produce in-cluster dup pairs"
+    # both blobs are internally near-parallel: every in-cluster pair dups
+    assert len(want) == 2 * (8 * 7 // 2)
+
+
+def test_semantic_dup_pairs_drop_zero_norm_and_order_ids(spark):
+    # a zero-norm vector has no defined cosine: the old nullif contract
+    # dropped it via null propagation, the gram-matrix pass via isfinite —
+    # either way it must never appear in a pair; and id_a < id_b always.
+    from hadoop_word_score_spark.operators.semdedup import semantic_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 0.0]),
+        (4, [0.999, 0.002]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dup_pairs(df, k=1, iterations=1, threshold=0.5).collect()
+    assert pairs, "near-parallel non-zero vectors must pair"
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 3 not in (r.id_a, r.id_b)
+        assert 0.5 <= r.cosine_sim <= 1.0
+
+
+def test_semantic_dedup_summary_counts_are_consistent(spark):
+    # n_dropped counts DISTINCT id_b (a vector pruned once, however many
+    # lower-id neighbours clear the threshold), n_kept the complement, and
+    # zero-pair clusters still get a row with zero counts.
+    from hadoop_word_score_spark.operators.semdedup import (
+        semantic_dedup_summary,
+        semantic_dup_pairs,
+    )
+
+    rows = [(i, [1.0 + 0.001 * i, 2.0]) for i in range(6)]
+    rows += [(100 + i, [float(i + 1) * (1 if i % 2 else -1), 0.5]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    summ = {r.cluster: r for r in
+            semantic_dedup_summary(df, k=3, iterations=2, threshold=0.999).collect()}
+    pairs = semantic_dup_pairs(df, k=3, iterations=2, threshold=0.999).collect()
+    dropped_by_cluster = {}
+    npairs_by_cluster = {}
+    for r in pairs:
+        dropped_by_cluster.setdefault(r.cluster, set()).add(r.id_b)
+        npairs_by_cluster[r.cluster] = npairs_by_cluster.get(r.cluster, 0) + 1
+    assert len(summ) == 3  # every fitted cluster reports, pairs or not
+    total_vectors = 0
+    for cl, row in summ.items():
+        total_vectors += row.n_vectors
+        assert row.n_dup_pairs == npairs_by_cluster.get(cl, 0)
+        assert row.n_dropped == len(dropped_by_cluster.get(cl, set()))
+        assert row.n_kept == row.n_vectors - row.n_dropped
+    assert total_vectors == len(rows)
