@@ -435,3 +435,35 @@ def test_zero_dim_pgm_header_is_not_a_frame():
 
     assert list(_iter_pgm_frames(b"P5 0 0 255\n")) == []
     assert len(list(_iter_pgm_frames(b"P5 2 2 255\n" + b"\x01" * 4))) == 1
+
+
+def test_audio_stereo_crossings_are_per_channel_summed():
+    # Channels with DIFFERENT nonzero crossing counts: the contract
+    # (multimodal.py::_decode_audio_one docstring) is sign changes counted
+    # down each deinterleaved channel, then SUMMED — not interleaved-order
+    # flips, and not a per-channel max/mean. ch0 alternates every frame
+    # (3 crossings over 4 frames), ch1 flips once (1 crossing): total 4.
+    # rms is order-independent, so it must equal the all-samples rms
+    # whether or not the decoder deinterleaves first.
+    import struct
+
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.multimodal import _decode_audio_one
+
+    ch0 = [1000, -1000, 1000, -1000]   # 3 sign changes
+    ch1 = [2000, 2000, -2000, -2000]   # 1 sign change
+    interleaved = []
+    for a, b in zip(ch0, ch1):
+        interleaved += [a, b]
+    pcm = np.array(interleaved, dtype="<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, n_frames, duration, rms, zc = _decode_audio_one(wav)
+    assert (rate, n_frames) == (8000, 4)
+    assert zc == 3 + 1
+    x = np.array(interleaved, dtype=np.float64) / 32768.0
+    assert rms == round(float(np.sqrt((x * x).mean())), 6)
