@@ -7474,3 +7474,83 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"),
         k=8, iterations=2, threshold=0.4,
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    # Quality-ranked survivor selection: every other dedup entry keeps the
+    # MIN-id member per duplicate cluster, which is the cheap default but
+    # throws away signal — the canonical corpus-prep move is to keep the
+    # highest-quality member (here: distinct-token count, a cheap richness
+    # proxy; ties to the lowest id so selection is total). Composes the
+    # oracle-of-record exact pair set with the connected-components stage
+    # and a per-cluster argmax window.
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTES},
+    near AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION
+        SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+    scored AS (
+        SELECT c.cluster, c.id,
+               CAST(len(list_distinct(list_filter(
+                   string_split_regex(d.text, '[ \t\n\r\f]+'),
+                   x -> x <> ''))) AS BIGINT) AS n_types
+        FROM clusters c JOIN documents d ON c.id = d.doc_id
+    )
+    SELECT cluster,
+           id AS canon_id,
+           n_types AS canon_types,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                               ORDER BY n_types DESC, id) = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: the components relation only holds docs that appear in
+    # >= 1 near-dup pair (orders of magnitude smaller than the corpus), so
+    # the quality score is computed AFTER the membership join prunes the
+    # corpus down — never as a corpus-wide pass. The per-cluster argmax is
+    # one window over cluster-membership-sized input; clusters are shallow
+    # (near-dup components), so no group is ever large.
+    from ..functions.hashing import tokens_expr
+    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+    scored = clusters.join(
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.array_distinct(F.expr(tokens_expr("text"))))
+            .cast("long").alias("n_types"),
+        ),
+        "id",
+    )
+    w_all = Window.partitionBy("cluster")
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.col("n_types").desc(), "id"
+    )
+    ranked = scored.select(
+        "cluster", "id", "n_types",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("id").alias("canon_id"),
+        F.col("n_types").alias("canon_types"),
+        "n_members",
+    )

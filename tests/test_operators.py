@@ -1494,3 +1494,29 @@ def test_semantic_dedup_summary_counts_are_consistent(spark):
         assert row.n_dropped == len(dropped_by_cluster.get(cl, set()))
         assert row.n_kept == row.n_vectors - row.n_dropped
     assert total_vectors == len(rows)
+
+
+def test_cluster_canonical_keeps_richest_member_not_min_id(spark, tmp_path):
+    # Survivor selection must pick the member with the most distinct tokens,
+    # NOT the min-id default every other dedup entry uses — and tie-break to
+    # the lowest id. doc0/doc1/doc2 are mutual near-dups (Jaccard >= 0.5 on
+    # 3-gram shingles); doc2 carries extra unique vocabulary, so it is the
+    # canonical pick despite having the highest id. doc3 is unrelated and
+    # must not appear at all (no singleton clusters).
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rich = base + " rare1 rare2 rare3"
+    other = " ".join(f"zzz{i}" for i in range(25))
+    sf = _docs_sf(spark, str(tmp_path), [base, base, rich, other])
+    rows = REGISTRY["dedup_cluster_canonical"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cluster == 0          # component label = min member id
+    assert r.canon_id == 2         # richest member wins, not min id
+    assert r.canon_types == 33     # 30 shared + 3 rare tokens
+    assert r.n_members == 3
+    # tie case: identical texts — lowest id wins deterministically
+    sf2 = _docs_sf(spark, str(tmp_path / "t2"), [base, base])
+    rows2 = REGISTRY["dedup_cluster_canonical"].fn(spark, sf2).collect()
+    assert [(r.cluster, r.canon_id, r.n_members) for r in rows2] == [(0, 0, 2)]
