@@ -97,36 +97,54 @@ def _within_cluster_pairs(asg: DataFrame, threshold: float) -> DataFrame:
     )
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vid")
-        ids = pdf["vid"].to_numpy()
         empty = pd.DataFrame({
             "cluster": pd.Series(dtype=pdf["cluster"].dtype),
-            "id_a": pd.Series(dtype=ids.dtype),
-            "id_b": pd.Series(dtype=ids.dtype),
+            "id_a": pd.Series(dtype=pdf["vid"].dtype),
+            "id_b": pd.Series(dtype=pdf["vid"].dtype),
             "cosine_sim": pd.Series(dtype="float64"),
         })
-        n = len(ids)
-        if n < 2:
+        # NULL vectors, and pairs of MISMATCHED lengths, produced a null
+        # cosine under the old HOF path (zip_with pads with null, the fold
+        # propagates it) and were silently excluded from pairs — the matrix
+        # path must degrade identically instead of crashing np.array on a
+        # ragged/None column (review r9, confirmed repro). Null ELEMENTS
+        # arrive as NaN via Arrow and already fall to the isfinite filter.
+        pdf = pdf[pdf["v"].notna()]
+        frames = []
+        for _, grp in pdf.groupby(pdf["v"].map(len), sort=False):
+            grp = grp.sort_values("vid")
+            ids = grp["vid"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                continue
+            mat = np.array(list(grp["v"]), dtype=np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # + 0.0 normalizes IEEE -0.0 (np.round preserves the sign
+                # where JVM F.round does not; sign-strict oracle hashes
+                # care). np.round is half-to-even where F.round/DuckDB are
+                # half-away — a flip needs the unrounded cosine to be an
+                # exact decimal half at 6 dp (constructible from power-of-2
+                # coordinates, never observed in a driver corpus; the
+                # driver-green brute_force_topk path makes the same bet —
+                # if a red ever points here, change BOTH sites together).
+                sims = np.round(
+                    (mat @ mat.T) / (norms[:, None] * norms[None, :]), 6
+                ) + 0.0
+            ia, ib = np.triu_indices(n, k=1)
+            s = sims[ia, ib]
+            keep = np.isfinite(s) & (s >= threshold)
+            if not keep.any():
+                continue
+            frames.append(pd.DataFrame({
+                "cluster": np.repeat(grp["cluster"].iloc[0], int(keep.sum())),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine_sim": s[keep],
+            }))
+        if not frames:
             return empty
-        mat = np.array(list(pdf["v"]), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            # + 0.0 normalizes IEEE -0.0 (np.round preserves the sign
-            # where JVM F.round does not; sign-strict oracle hashes care)
-            sims = np.round(
-                (mat @ mat.T) / (norms[:, None] * norms[None, :]), 6
-            ) + 0.0
-        ia, ib = np.triu_indices(n, k=1)
-        s = sims[ia, ib]
-        keep = np.isfinite(s) & (s >= threshold)
-        if not keep.any():
-            return empty
-        return pd.DataFrame({
-            "cluster": np.repeat(pdf["cluster"].iloc[0], int(keep.sum())),
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-            "cosine_sim": s[keep],
-        })
+        return pd.concat(frames, ignore_index=True)
 
     from ..session import default_parallelism
 

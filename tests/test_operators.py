@@ -1520,3 +1520,22 @@ def test_cluster_canonical_keeps_richest_member_not_min_id(spark, tmp_path):
     sf2 = _docs_sf(spark, str(tmp_path / "t2"), [base, base])
     rows2 = REGISTRY["dedup_cluster_canonical"].fn(spark, sf2).collect()
     assert [(r.cluster, r.canon_id, r.n_members) for r in rows2] == [(0, 0, 2)]
+
+
+def test_semantic_dup_pairs_null_and_ragged_vectors_degrade_not_crash(spark):
+    # Pre-r9 the HOF cosine null-propagated NULL vectors and mismatched
+    # lengths out of the pair set; the gram-matrix pass must degrade the
+    # same way (drop them), not crash np.array on a ragged column
+    # (r9 review, confirmed repro). Same-length vectors still pair — across
+    # lengths never.
+    from hadoop_word_score_spark.operators.semdedup import semantic_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.001]),      # 2-d near-parallel pair
+        (3, None), (4, None),                     # null vectors
+        (5, [1.0, 0.0, 0.0]), (6, [1.0, 0.001, 0.0]),  # 3-d pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dup_pairs(df, k=1, iterations=0, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(1, 2), (5, 6)}

@@ -630,18 +630,25 @@ def adversarial_skew_rows(spark) -> list[str]:
             e = base_em.withColumn(
                 "vec_id", F.col("vec_id") + F.lit(c * 1_000_000)
             )
-            # 10% of every copy collapses onto one tight blob (per-row 1e-5
-            # jitter keeps members distinct but mutually near-parallel):
-            # one k-means cell swallows the blob, and every blob pair
-            # clears any cosine threshold — the worst case for the
-            # within-cluster gram pass
+            # 10% of every copy collapses onto one tight blob — NEAR-dups,
+            # not byte-dups, so every blob member must be distinct: dim 0
+            # carries a jitter injective over hot vec_ids (the per-copy
+            # 0.01 step exceeds the 0.002 intra-copy spread, and the 1e-5
+            # intra-copy step exceeds float32 resolution at 0.5; a modular
+            # jitter here was pigeonhole-identical across members, r9
+            # review). Jitter tops out at ~0.09 on a 0.5-coordinate
+            # 64-dim vector, so the blob stays mutually near-parallel and
+            # one k-means cell swallows it — the worst case for the
+            # within-cluster gram pass.
             e = e.withColumn(
                 "embedding",
                 F.when(
                     F.col("vec_id") % 10 == 0,
                     F.expr(
-                        f"transform({blob_lit},"
-                        " x -> cast(x + (vec_id % 89) * 1e-5 as float))"
+                        f"transform({blob_lit}, (x, i) -> cast(x + CASE"
+                        " WHEN i = 0 THEN (vec_id % 1000000) * 1e-6"
+                        " + floor(vec_id / 1000000) * 0.01"
+                        " ELSE 0.0 END as float))"
                     ),
                 ).otherwise(F.col("embedding")),
             )
@@ -653,6 +660,15 @@ def adversarial_skew_rows(spark) -> list[str]:
         os.makedirs(path, exist_ok=True)
         out.write.mode("overwrite").parquet(
             os.path.join(path, "embeddings.parquet")
+        )
+        staged = load_table(spark, path, "embeddings").filter(
+            F.col("vec_id") % 10 == 0
+        )
+        n_hot = staged.count()
+        n_distinct = staged.select("embedding").distinct().count()
+        assert n_distinct == n_hot, (
+            f"blob must be near-dups, not byte-dups: {n_hot} hot vectors, "
+            f"only {n_distinct} distinct after float32 quantization"
         )
         return path
 
@@ -767,15 +783,19 @@ def adversarial_skew_rows(spark) -> list[str]:
 
 
 def isolation_receipt_rows() -> list[str]:
-    """Static receipt (measured r9): the r8 bench carry-over regression,
-    re-measured per-query in FRESH single-query sessions (bench-faithful
-    warmup, min-of-3 warm, two independent session runs)."""
+    """Static HISTORICAL receipt (measured once, r9 / 2026-08-14): the r8
+    bench carry-over regression, re-measured per-query in FRESH
+    single-query sessions (bench-faithful warmup, min-of-3 warm, two
+    independent session runs). Deliberately frozen — these numbers date a
+    specific investigation, they are not refreshed per regeneration.
+    Delete this section once a later BENCH confirms or refutes it."""
     return [
         "",
-        "## r8 carry-over bench regression: isolation receipt (r9)",
+        "## r8 carry-over bench regression: isolation receipt",
         "",
-        "r8's full-session bench showed untouched queries 1.14x-1.6x slower",
-        "than r7. Re-measured in isolated fresh sessions (r9, two runs):",
+        "Historical record, measured once in r9 (2026-08-14); not refreshed",
+        "on regeneration. r8's full-session bench showed untouched queries",
+        "1.14x-1.6x slower than r7. Isolated fresh-session reruns (two runs):",
         "",
         "| query | r7 bench | r8 bench | r9 isolated | verdict |",
         "|---|---|---|---|---|",
