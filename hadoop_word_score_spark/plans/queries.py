@@ -7554,3 +7554,87 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_types").alias("canon_types"),
         "n_members",
     )
+
+
+@register(
+    "stats_column_entropy",
+    # Catalog-surface complement to stats_table_profile: per-column Shannon
+    # entropy in bits over the low-cardinality profile columns — the
+    # statistic that ranks candidate partition/bucket keys (high entropy =
+    # even spread) and flags near-constant columns (entropy ~ 0) that
+    # should be dictionary-encoded or dropped from keys entirely.
+    oracle="""
+    WITH vals AS (
+        SELECT 'lineitem' AS tbl, 'l_returnflag' AS col, l_returnflag AS v FROM lineitem
+        UNION ALL SELECT 'lineitem', 'l_linestatus', l_linestatus FROM lineitem
+        UNION ALL SELECT 'orders', 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL SELECT 'orders', 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL SELECT 'customer', 'c_mktsegment', c_mktsegment FROM customer
+        UNION ALL SELECT 'part', 'p_brand', p_brand FROM part
+        UNION ALL SELECT 'part', 'p_type', p_type FROM part
+        UNION ALL SELECT 'documents', 'lang', lang FROM documents
+        UNION ALL SELECT 'documents', 'source', source FROM documents
+    ), freq AS (
+        SELECT tbl, col, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY tbl, col, v
+    ), tot AS (
+        SELECT tbl, col, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM freq GROUP BY tbl, col
+    )
+    SELECT f.tbl, f.col, t.n_distinct,
+           ROUND(SUM(-(CAST(cnt AS DOUBLE) / t.n)
+                     * log2(CAST(cnt AS DOUBLE) / t.n)), 6) + 0.0
+               AS entropy_bits
+    FROM freq f JOIN tot t ON f.tbl = t.tbl AND f.col = t.col
+    GROUP BY f.tbl, f.col, t.n_distinct
+    """,
+    tags=("catalog", "stats"),
+)
+def q_stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan PER TABLE regardless of how many of its columns are
+    # profiled: the (col, value) pairs are exploded from a single struct
+    # array, then the whole computation runs on the map-side-combined
+    # (tbl, col, value) counts — a relation bounded by distinct values,
+    # never corpus rows. The entropy fold and the distinct count both read
+    # that bounded relation; at 6 dp the cross-engine summation-order noise
+    # (tens of terms, ~1e-14) is seven orders below the quantum.
+    profile = {
+        "lineitem": ["l_returnflag", "l_linestatus"],
+        "orders": ["o_orderstatus", "o_orderpriority"],
+        "customer": ["c_mktsegment"],
+        "part": ["p_brand", "p_type"],
+        "documents": ["lang", "source"],
+    }
+    parts = []
+    for tbl, cols in profile.items():
+        pairs = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ])
+        ).alias("e")
+        parts.append(
+            _t(spark, sf_dir, tbl)
+            .select(pairs)
+            .select(F.lit(tbl).alias("tbl"), F.col("e.col"), F.col("e.v"))
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionByName(p)
+    freq = vals.groupBy("tbl", "col", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("tbl", "col")
+    scored = freq.select(
+        "tbl", "col", "cnt",
+        F.sum("cnt").over(w).alias("n"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    return scored.groupBy("tbl", "col", "n_distinct").agg(
+        (F.round(F.sum(-p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy_bits")
+    )
