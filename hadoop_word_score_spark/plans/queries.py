@@ -7531,13 +7531,21 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     clusters = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
-    scored = clusters.join(
-        d.select(
-            F.col("doc_id").alias("id"),
+    # Score AFTER the membership join: a projection on the documents side
+    # would sit below the join and tokenize the WHOLE corpus, while the
+    # post-join column only ever evaluates on cluster members. Join
+    # strategy is left to AQE: on a mostly-clean corpus the components
+    # relation is small enough to broadcast at runtime; on a dirty one it
+    # is a legitimate id-keyed shuffle join — either way the expensive
+    # expression runs on members only.
+    scored = (
+        d.select(F.col("doc_id").alias("id"), "text")
+        .join(clusters, "id")
+        .withColumn(
+            "n_types",
             F.size(F.array_distinct(F.expr(tokens_expr("text"))))
-            .cast("long").alias("n_types"),
-        ),
-        "id",
+            .cast("long"),
+        )
     )
     w_all = Window.partitionBy("cluster")
     w_rank = Window.partitionBy("cluster").orderBy(

@@ -614,3 +614,30 @@ def test_runtime_bloom_filter_prunes_fact_side_of_shuffle_join(spark):
             "10GB",
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_cluster_canonical_scores_above_the_membership_join(spark):
+    # The tokenize+distinct quality score must evaluate AFTER the
+    # components join prunes the corpus to cluster members — a projection
+    # on the documents side would sit below the join and tokenize every
+    # document (the shape the r9 fix removed). In the plan tree, parents
+    # print before children: the single array_distinct projection must
+    # appear above (before) the join node, never on a scan branch.
+    plan = plan_of(spark, "dedup_cluster_canonical")
+    assert plan.count("array_distinct") == 1
+    assert "Join" in plan
+    assert plan.index("array_distinct") < plan.index("Join")
+
+
+def test_semdedup_pair_pass_is_pinned_grouped_python(spark):
+    # The per-cluster gram pass must be a FlatMapGroupsInPandas stage fed
+    # by an EXPLICIT numPartitions repartition (REPARTITION_BY_NUM) — an
+    # ENSURE_REQUIREMENTS exchange there would be eligible for AQE's
+    # bytes-based coalescing, which under-parallelizes grouped-Python
+    # stages (cost is per-group, not per-byte; measured 3.2s -> 0.8s on
+    # the ewma fold, same class).
+    plan = plan_of(spark, "dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    tail = plan[plan.index("FlatMapGroupsInPandas"):]
+    first_exchange = tail[tail.index("Exchange"):].split("\n")[0]
+    assert "REPARTITION_BY_NUM" in first_exchange, first_exchange
