@@ -7646,3 +7646,70 @@ def q_stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("tbl", "col", "n_distinct").agg(
         (F.round(F.sum(-p * F.log2(p)), 6) + F.lit(0.0)).alias("entropy_bits")
     )
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    # Corpus-governance report: which SOURCES contribute the duplicate
+    # mass. Drives the source-level decisions mixture_sample_weighted then
+    # executes (down-weight or drop a crawl dump that is mostly redundant).
+    # A doc is a "dup member" if it sits in any near-dup cluster, and a
+    # "dropped" dup if it is not its cluster's min-id survivor.
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTES},
+    near AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION
+        SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    clusters AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(c.id) AS BIGINT) AS n_dup_members,
+           CAST(SUM(CASE WHEN c.id IS NOT NULL AND c.id <> c.cluster
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           ROUND(COUNT(c.id) * 1.0 / COUNT(*), 6) + 0.0 AS dup_member_rate
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    GROUP BY d.source
+    """,
+    tags=("llm", "dedup", "stats"),
+)
+def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One left join of the corpus against the (much smaller) components
+    # relation, then a source-keyed aggregation — counts only, no text
+    # moves through the join. At 100 TB the join is doc_id-keyed with the
+    # components side broadcast when small; the output is source-cardinality
+    # rows either way.
+    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+    joined = d.select("doc_id", "source").join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster").alias("n_dup_members"),
+        F.sum(
+            F.when(
+                F.col("cluster").isNotNull()
+                & (F.col("doc_id") != F.col("cluster")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dropped"),
+        (
+            F.round(
+                F.count("cluster").cast("double") / F.count(F.lit(1)), 6
+            )
+            + F.lit(0.0)
+        ).alias("dup_member_rate"),
+    )
