@@ -1539,3 +1539,21 @@ def test_semantic_dup_pairs_null_and_ragged_vectors_degrade_not_crash(spark):
     pairs = semantic_dup_pairs(df, k=1, iterations=0, threshold=0.5).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(1, 2), (5, 6)}
+
+
+def test_dedup_rate_by_source_counts_members_and_dropped(spark, tmp_path):
+    # doc0/doc1 near-dup (one cluster, doc1 dropped); doc2/doc3 unique.
+    # stage_documents_sf assigns source="test" to all rows, so assert the
+    # single-source rollup: 4 docs, 2 dup members, 1 dropped, rate 0.5.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [base, base + " tail1", " ".join(f"aaa{i}" for i in range(25)),
+            " ".join(f"bbb{i}" for i in range(25))]
+    sf = _docs_sf(spark, str(tmp_path), rows)
+    got = {r.source: r for r in
+           REGISTRY["corpus_dedup_rate_by_source"].fn(spark, sf).collect()}
+    assert set(got) == {"test"}
+    r = got["test"]
+    assert (r.n_docs, r.n_dup_members, r.n_dropped) == (4, 2, 1)
+    assert r.dup_member_rate == 0.5
