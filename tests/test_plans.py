@@ -641,3 +641,21 @@ def test_semdedup_pair_pass_is_pinned_grouped_python(spark):
     tail = plan[plan.index("FlatMapGroupsInPandas"):]
     first_exchange = tail[tail.index("Exchange"):].split("\n")[0]
     assert "REPARTITION_BY_NUM" in first_exchange, first_exchange
+
+
+def test_entropy_profile_scans_each_table_exactly_once(spark):
+    # The one-scan-per-table contract: profiling N columns of one table
+    # explodes (col, value) pairs from a single struct array instead of
+    # issuing a scan per column — 5 profiled tables, exactly 5 scans.
+    plan = plan_of(spark, "stats_column_entropy")
+    assert plan.count("FileScan parquet") == 5
+
+
+def test_inverted_index_rank_filter_limits_inside_the_window(spark):
+    # Spark's rank-limit pushdown (WindowGroupLimit) must absorb the
+    # rn <= 5 filter: each term's posting head is truncated during the
+    # window sort itself, so no full posting list ever reaches the filter
+    # operator — the property that bounds the final aggregation's input
+    # at 5 rows per term regardless of document frequency.
+    plan = plan_of(spark, "inverted_index_terms")
+    assert "WindowGroupLimit" in plan
