@@ -7713,3 +7713,87 @@ def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("dup_member_rate"),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    # Per-document novelty: the fraction of a document's DISTINCT 3-gram
+    # shingles that appear in NO other document. The complement of the
+    # dedup family's signal — dedup asks "who shares mass with whom",
+    # novelty asks "how much of this document exists nowhere else" — and a
+    # standard curation score for mixture weighting (upweight novel
+    # documents, downweight boilerplate-heavy ones) next to
+    # corpus_dedup_rate_by_source's cluster-membership rates.
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS shingles
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+              FROM documents)
+    ),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+    ),
+    novel AS (
+        SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+        FROM (SELECT shingle, MIN(doc_id) AS doc_id
+              FROM ex GROUP BY shingle HAVING COUNT(*) = 1)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(n.n_novel, 0) * 1.0 / len(s.shingles), 6) + 0.0 AS novelty_rate
+    FROM sh s LEFT JOIN novel n USING (doc_id)
+    WHERE len(s.shingles) > 0
+    """,
+    tags=("llm", "text", "stats"),
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: the corpus is scanned twice, both times NARROW (doc_id +
+    # a per-row shingle array; no doc-keyed shuffle of shingle rows ever
+    # happens for the totals — n_shingles is size(sv) computed inside the
+    # scan). The only corpus-proportional shuffle is the shingle-keyed df
+    # aggregation, map-side combined down to distinct shingles; since each
+    # doc's shingles are already distinct, COUNT(*) per shingle IS the
+    # document frequency, and a df=1 group's MIN(doc_id) IS its unique
+    # owner, so novelty falls out of that single aggregation with no join
+    # back to the exploded relation. The final join is doc_id-keyed between
+    # two doc-cardinality relations (AQE broadcasts the smaller side at
+    # test SF). At 100 TB the shuffle key becomes xxhash64(shingle) — the
+    # 8-byte-key swap receipted by dedup_spans_hashed — and everything else
+    # is unchanged.
+    from ..functions.hashing import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", shingles("text", 3).alias("sv")).filter(
+        F.size("sv") > 0
+    )
+    totals = base.select(
+        "doc_id", F.size("sv").cast("long").alias("n_shingles")
+    )
+    novel = (
+        base.select("doc_id", F.explode("sv").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("novelty_rate"),
+    )

@@ -1557,3 +1557,24 @@ def test_dedup_rate_by_source_counts_members_and_dropped(spark, tmp_path):
     r = got["test"]
     assert (r.n_docs, r.n_dup_members, r.n_dropped) == (4, 2, 1)
     assert r.dup_member_rate == 0.5
+
+
+def test_ngram_novelty_on_constructed_corpus(spark, tmp_path):
+    # Hand-checkable corpus: doc 0 and doc 1 are identical (every shingle
+    # shared -> novelty 0); doc 2 is disjoint vocabulary (novelty 1); doc 3
+    # shares its first 3-gram with doc 2 but nothing else.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    dup = "a b c d e"                   # shingles: "a b c","b c d","c d e"
+    uniq = "p q r s"                    # "p q r","q r s"
+    half = "p q r zz ww vv"            # shares "p q r" with uniq, owns 3 more
+    sf = _docs_sf(spark, str(tmp_path), [dup, dup, uniq, half])
+    got = {r.doc_id: r for r in REGISTRY["corpus_ngram_novelty"].fn(spark, sf).collect()}
+    assert got[0].n_shingles == 3 and got[0].n_novel == 0
+    assert got[0].novelty_rate == 0.0
+    assert got[1].n_novel == 0
+    assert got[2].n_shingles == 2
+    # "p q r" also appears in doc 3 -> only "q r s" is novel to doc 2
+    assert got[2].n_novel == 1 and got[2].novelty_rate == 0.5
+    assert got[3].n_shingles == 4 and got[3].n_novel == 3
+    assert got[3].novelty_rate == 0.75
