@@ -7752,6 +7752,7 @@ def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE len(s.shingles) > 0
     """,
     tags=("llm", "text", "stats"),
+    bench=True,
 )
 def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale shape: the corpus is scanned twice, both times NARROW (doc_id +

@@ -659,3 +659,15 @@ def test_inverted_index_rank_filter_limits_inside_the_window(spark):
     # at 5 rows per term regardless of document frequency.
     plan = plan_of(spark, "inverted_index_terms")
     assert "WindowGroupLimit" in plan
+
+
+def test_ngram_novelty_single_explode_and_map_side_combine(spark):
+    # The totals side computes n_shingles as size(sv) INSIDE the narrow
+    # scan — only the df-count side explodes, so exactly one Generate in
+    # the whole plan. Both aggregations (shingle df, per-doc novel count)
+    # carry paired partial/final HashAggregates: the corpus-proportional
+    # shuffle moves combined (shingle, count) rows, never raw shingle rows.
+    plan = plan_of(spark, "corpus_ngram_novelty")
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan

@@ -64,6 +64,10 @@ PROBES = [
     "inverted_index_terms",
     "dedup_containment",
     "dedup_semantic",
+    "dedup_cluster_canonical",
+    "corpus_dedup_rate_by_source",
+    "stats_column_entropy",
+    "corpus_ngram_novelty",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -918,6 +922,21 @@ def main() -> None:
         # which this registry row deliberately does not do — see the
         # skewed-cluster section below for the k-growth receipt.
         "dedup_semantic": "linear assignment + Σ sᵢ² gram pairs (k fixed here ⇒ superlinear pair term; k-growth is the scale lever)",
+        # the score projection evaluates only on cluster members (the
+        # docs-side join prunes first, plan-asserted); components rounds
+        # bounded by cluster diameter
+        "dedup_cluster_canonical": "~linear (LSH pairs + components; scoring on members only)",
+        # same pipeline as dedup_clusters plus one source-keyed rollup over
+        # doc-cardinality rows
+        "corpus_dedup_rate_by_source": "~linear (cluster membership + source-keyed rollup)",
+        # per-table: one (col, value) map-side-combined count shuffle; the
+        # entropy fold runs over distinct-value rows, never corpus rows
+        "stats_column_entropy": "linear scan; shuffles bounded by per-column NDV",
+        # the 10x corpus appends a per-copy suffix token: every interior
+        # 3-gram replicates across copies (df 10x, novel only at copy
+        # seams), so the df aggregation's combine absorbs the depth — the
+        # shuffle carries ~distinct shingles, which grow sublinearly here
+        "corpus_ngram_novelty": "linear scan; one shingle-keyed combined count shuffle (distinct-shingle bounded)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
