@@ -7526,11 +7526,17 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus down — never as a corpus-wide pass. The per-cluster argmax is
     # one window over cluster-membership-sized input; clusters are shallow
     # (near-dup components), so no group is ever large.
+    # Pair generation is the LSH candidate path, not the exact all-pairs
+    # join: the oracle's Σ df² pairing is the yardstick, not the plan (the
+    # 10× probe measured the exact path at 9× growth vs ~2× for LSH).
+    # The exact pair set stays a valid oracle for the same reason as
+    # dedup_pipeline_end_to_end: precision is exact (verify join) and a
+    # banded miss needs all 16 bands to disagree on a jaccard≥0.9 pair.
     from ..functions.hashing import tokens_expr
-    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    clusters = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+    clusters = dedup_components(minhash_lsh_pairs(d, threshold=0.5))
     # Score AFTER the membership join: a projection on the documents side
     # would sit below the join and tokenize the WHOLE corpus, while the
     # post-join column only ever evaluates on cluster members. Join
@@ -7689,10 +7695,13 @@ def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     # moves through the join. At 100 TB the join is doc_id-keyed with the
     # components side broadcast when small; the output is source-cardinality
     # rows either way.
-    from ..operators.dedup import dedup_components, ngram_jaccard_pairs
+    # LSH candidates, not the exact all-pairs join — same oracle-validity
+    # argument as dedup_pipeline_end_to_end (and the same 10×-probe receipt
+    # as dedup_cluster_canonical: exact pairs grew ~10×, LSH ~2×).
+    from ..operators.dedup import dedup_components, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    clusters = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+    clusters = dedup_components(minhash_lsh_pairs(d, threshold=0.5))
     joined = d.select("doc_id", "source").join(
         clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     )

@@ -80,12 +80,14 @@ OFFSETS = {
 }
 
 
-def build(spark) -> None:
+def build(spark) -> bool:
+    built_any = False
     os.makedirs(SCALED, exist_ok=True)
     for name in TABLES:
         out = os.path.join(SCALED, f"{name}.parquet")
         if os.path.exists(out):
             continue
+        built_any = True
         df = load_table(spark, BASE, name)
         if name in OFFSETS:
             n = df.count()
@@ -105,6 +107,7 @@ def build(spark) -> None:
                 df = df.unionByName(c)
         df.write.mode("overwrite").parquet(out)
     print(f"built {SCALED}")
+    return built_any
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
@@ -822,7 +825,13 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(SCALED, ignore_errors=True)
-    build(spark)
+    if build(spark):
+        # A same-session 10x rebuild poisons every later measurement (r9:
+        # heavy Python rows measured 14-32x growth after an in-session
+        # build; 1.0-1.1x re-measured in a fresh session). Timing gets a
+        # clean JVM.
+        spark.stop()
+        spark = get_spark("scale-probe")
     # warm JVM + python pool (scalar pandas UDF AND grouped applyInPandas —
     # each spins its own worker path)
     time_query(spark, "dedup_near_minhash", BASE)
