@@ -1,0 +1,174 @@
+"""Dedup-on-ingest: a foreachBatch sink growing a near-dup-quarantined corpus.
+
+The batch dedup family (operators/dedup.py) answers "clean this corpus";
+rolling crawls need the other direction — "is this NEW document a near-dup
+of anything we already hold?" — decided at arrival time, without ever
+re-signing the accumulated corpus. This sink is that ingestion path.
+
+Semantics — greedy first-arrival: a document is QUARANTINED iff it near-dup
+matches (banded MinHash candidates + exact-Jaccard verify, the
+``minhash_lsh_pairs`` contract) ANY document that arrived before it — in a
+prior micro-batch, or with a lower id inside its own batch. Quarantined
+documents are still INDEXED, so a later doc matching only a quarantined one
+is itself quarantined. The rule "matches any earlier arrival" is pairwise
+and order-deterministic; it intentionally differs from the batch pipeline's
+global min-id connected components on LATE-BRIDGED clusters (a bridge doc
+arriving after two mutually-dissimilar members merges them retroactively in
+the batch view only — ingest-time dedup cannot revisit past decisions).
+``tests/test_streaming.py`` pins both the chain-free equivalence and the
+bridge divergence.
+
+The 100 TB property: each batch signs ONLY its own documents. Prior
+arrivals participate through the PERSISTED band index
+(``incremental_lsh_pairs``' ``base_index`` path — one equi-join on
+(band_idx, band_hash), new batch is the small side), and corpus text
+re-enters only for the candidate ids in the verify join. A batch commit
+appends one ``docs/batch=<id>`` and one ``index/batch=<id>`` directory;
+nothing already written is read back for re-signing or rewritten.
+
+Exactly-once: same discipline as ``sinks.upsert_sink`` — a re-delivered
+``batch_id <= last_batch_id`` is a no-op; batch directories are written
+(mode=overwrite, so a crashed half-write is self-healing on redelivery)
+BEFORE the ``_latest`` pointer swap publishes them.
+
+Reference scope: hopper19/hadoop-word-score has no streaming or dedup
+operators (ComputeWordScore.java:1-224); this is part of the mandated
+LLM-training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    incremental_lsh_pairs,
+    minhash_band_index,
+    minhash_lsh_pairs,
+)
+from .sinks import _commit, _read_pointer, _validate_local_target
+
+_DOCS = "docs"
+_INDEX = "index"
+
+
+def _batch_dir(target: str, sub: str, batch_id: int) -> str:
+    return os.path.join(target, sub, f"batch={batch_id}")
+
+
+def _committed_dirs(target: str, sub: str, last_batch: int) -> list[str]:
+    """Only batch dirs the pointer has published: a crash between the batch
+    write and the pointer swap leaves an UNCOMMITTED ``batch=<n>`` dir on
+    disk, and a naive directory-wide read would feed the redelivered batch
+    its own half-written docs as "corpus" (every doc then self-matches and
+    is wrongly quarantined on replay)."""
+    root = os.path.join(target, sub)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("batch=") and int(name.split("=", 1)[1]) <= last_batch:
+            out.append(os.path.join(root, name))
+    return sorted(out)
+
+
+def read_ingested(spark: SparkSession, target: str) -> DataFrame | None:
+    """All committed arrivals: (doc_id, text, quarantined, matched_id).
+
+    ``matched_id`` is the lowest-id earlier arrival the doc matched (NULL
+    for kept docs). None before the first commit.
+    """
+    version, last_batch = _read_pointer(target)
+    if version == 0:
+        return None
+    return spark.read.parquet(*_committed_dirs(target, _DOCS, last_batch)).select(
+        "doc_id", "text", "quarantined", "matched_id"
+    )
+
+
+def dedup_ingest_sink(
+    target: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """A ``foreachBatch`` function quarantining near-dup arrivals.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(dedup_ingest_sink(path))
+              .option("checkpointLocation", ckpt).trigger(availableNow=True)
+    """
+    target = _validate_local_target(target, "dedup_ingest_sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version, last_batch = _read_pointer(target)
+        if batch_id <= last_batch:
+            return  # replayed batch — already committed
+        # One stable materialization: the batch relation feeds the
+        # within-batch pair pass, the incremental probe, the docs write and
+        # the index write — foreachBatch re-evaluating the source per
+        # consumer is both wasteful and (for non-replayable sources) unsafe.
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .localCheckpoint()
+        )
+
+        # Earlier arrivals within the batch: pairs come back id_a < id_b,
+        # so id_b is the later arrival and id_a its match.
+        matches = minhash_lsh_pairs(
+            batch, "doc_id", "text", n, num_hashes, bands, threshold
+        ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("match_id"))
+
+        if version > 0:
+            base_docs = spark.read.parquet(
+                *_committed_dirs(target, _DOCS, last_batch)
+            )
+            base_index = spark.read.parquet(
+                *_committed_dirs(target, _INDEX, last_batch)
+            )
+            vs_corpus = incremental_lsh_pairs(
+                base_docs,
+                batch,
+                "doc_id",
+                "text",
+                n,
+                num_hashes,
+                bands,
+                threshold,
+                base_index=base_index,
+            ).select(
+                F.col("new_id").alias("doc_id"),
+                F.col("base_id").alias("match_id"),
+            )
+            matches = matches.unionByName(vs_corpus)
+
+        quarantined = matches.groupBy("doc_id").agg(
+            F.min("match_id").alias("matched_id")
+        )
+        annotated = batch.join(quarantined, "doc_id", "left").select(
+            "doc_id",
+            "text",
+            F.col("matched_id").isNotNull().alias("quarantined"),
+            "matched_id",
+        )
+        annotated.write.mode("overwrite").parquet(
+            _batch_dir(target, _DOCS, batch_id)
+        )
+        # Quarantined docs are indexed too (see module docstring); the index
+        # carries mh_meta so a later probe with different parameters
+        # fail-fasts instead of silently degrading recall.
+        minhash_band_index(
+            batch, "doc_id", "text", n, num_hashes, bands
+        ).write.mode("overwrite").parquet(_batch_dir(target, _INDEX, batch_id))
+        _commit(target, version + 1, batch_id)
+
+    return write_batch

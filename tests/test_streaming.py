@@ -717,3 +717,189 @@ def test_has_agg_ignores_aggregate_in_column_names(spark):
     )
     assert _has_agg(df) is False
     assert _has_agg(df.groupBy().count()) is True
+
+
+# ---------------------------------------------------------------------------
+# Dedup-on-ingest: greedy near-dup quarantine at arrival (streaming/ingest.py)
+# ---------------------------------------------------------------------------
+
+_ING_SCHEMA = "doc_id long, text string"
+
+
+def _write_stream_file(spark, stream_dir, rows, name, mtime):
+    import shutil
+    import glob
+
+    tmp = os.path.join(stream_dir, "_tmp_" + name)
+    spark.createDataFrame(rows, _ING_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dest = os.path.join(stream_dir, name)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+    os.utime(dest, (mtime, mtime))
+    return dest
+
+
+def _tok_block(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_dedup_ingest_greedy_quarantine_multi_batch(spark, tmp_path):
+    # Two availableNow drains over a growing file source (same checkpoint →
+    # file 2 arrives as batch 1). Quarantine decisions: B matches earlier A
+    # (prior doc, same batch), D matches BOTH A and B from the previous
+    # batch (matched_id = min = 0), F matches same-batch earlier E. Between
+    # the drains we snapshot batch 0's persisted index files — batch 1 must
+    # not touch them (the corpus-never-re-signed receipt: prior arrivals
+    # participate through the persisted band index only).
+    from hadoop_word_score_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        read_ingested,
+    )
+
+    base = _tok_block("tok", 30)
+    uniq1 = _tok_block("aaa", 25)
+    uniq2 = _tok_block("bbb", 25)
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    _write_stream_file(
+        spark, stream_dir,
+        [(0, base), (1, base + " tail1"), (2, uniq1)],
+        "b0.parquet", 1_000_000,
+    )
+
+    def drain():
+        q = (
+            spark.readStream.schema(_ING_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(dedup_ingest_sink(target))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    idx0 = os.path.join(target, "index", "batch=0")
+    before = {
+        f: os.path.getmtime(os.path.join(idx0, f))
+        for f in os.listdir(idx0)
+        if f.endswith(".parquet")
+    }
+    assert before, "batch 0 must persist its band index"
+
+    _write_stream_file(
+        spark, stream_dir,
+        [(3, base + " tail2"), (4, uniq2), (5, uniq2 + " tail3")],
+        "b1.parquet", 1_000_010,
+    )
+    drain()
+
+    got = {
+        r.doc_id: r for r in read_ingested(spark, target).collect()
+    }
+    assert len(got) == 6
+    assert not got[0].quarantined and got[0].matched_id is None
+    assert got[1].quarantined and got[1].matched_id == 0
+    assert not got[2].quarantined
+    assert got[3].quarantined and got[3].matched_id == 0  # min(A=0, B=1)
+    assert not got[4].quarantined
+    assert got[5].quarantined and got[5].matched_id == 4  # same-batch earlier
+    after = {
+        f: os.path.getmtime(os.path.join(idx0, f))
+        for f in os.listdir(idx0)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "batch 1 re-signed/rewrote batch 0's index"
+
+
+def test_dedup_ingest_replay_noop_and_crash_self_heal(spark, tmp_path):
+    # Exactly-once half: (1) redelivering a committed batch_id is a no-op;
+    # (2) a crash AFTER the batch dirs are written but BEFORE the pointer
+    # swap leaves uncommitted dirs that must not leak into the corpus read
+    # on redelivery (else every redelivered doc would self-match and be
+    # wrongly quarantined) — redelivery overwrites them and commits.
+    from hadoop_word_score_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        read_ingested,
+    )
+
+    target = str(tmp_path / "corpus")
+    sink = dedup_ingest_sink(target)
+    b0 = spark.createDataFrame(
+        [(0, _tok_block("tok", 30)), (1, _tok_block("aaa", 25))], _ING_SCHEMA
+    )
+    sink(b0, 0)
+    snap = read_ingested(spark, target).collect()
+    sink(b0, 0)  # replay: must be a no-op
+    assert sorted(map(tuple, read_ingested(spark, target).collect())) == sorted(
+        map(tuple, snap)
+    )
+
+    # Simulate the crash: batch 1's dirs exist on disk, pointer still at 0.
+    b1 = spark.createDataFrame(
+        [(2, _tok_block("ccc", 25)), (3, _tok_block("ddd", 25))], _ING_SCHEMA
+    )
+    b1.write.mode("overwrite").parquet(
+        os.path.join(target, "docs", "batch=1")
+    )
+    sink(b1, 1)  # redelivery after the crash
+    got = {r.doc_id: r for r in read_ingested(spark, target).collect()}
+    assert len(got) == 4
+    # the half-written docs/batch=1 did NOT serve as corpus: 2 and 3 are
+    # unique, so neither self-matched
+    assert not got[2].quarantined and not got[3].quarantined
+
+
+def test_dedup_ingest_greedy_vs_batch_components(spark, tmp_path):
+    # Chain-free corpora: ingest-time quarantine equals the batch pipeline's
+    # drop set. Late-bridged clusters: the two DOCUMENTED semantics diverge
+    # — the bridge doc merges two dissimilar members retroactively in the
+    # global components view only; greedy ingest cannot revisit past keeps.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        read_ingested,
+    )
+    from tests.conftest import stage_documents_sf
+
+    base = _tok_block("tok", 30)
+    x, y, z = _tok_block("x", 10), _tok_block("y", 12), _tok_block("z", 10)
+    cases = {
+        # chain-free: doc1 dups doc0 (cross-batch), doc3 dups doc2 (in-batch)
+        "chainfree": (
+            [(0, base), (1, base + " t1")],
+            [(2, _tok_block("aaa", 25)), (3, _tok_block("aaa", 25) + " t2")],
+        ),
+        # bridge: A=x+y and D=y+z are below threshold (J≈0.37) but the late
+        # bridge E=x+y+z matches both (J≈0.69)
+        "bridge": ([(0, f"{x} {y}"), (1, f"{y} {z}")], [(2, f"{x} {y} {z}")]),
+    }
+    for name, (b0_rows, b1_rows) in cases.items():
+        target = str(tmp_path / name)
+        sink = dedup_ingest_sink(target)
+        sink(spark.createDataFrame(b0_rows, _ING_SCHEMA), 0)
+        sink(spark.createDataFrame(b1_rows, _ING_SCHEMA), 1)
+        greedy_kept = {
+            r.doc_id
+            for r in read_ingested(spark, target).collect()
+            if not r.quarantined
+        }
+        sf = stage_documents_sf(
+            spark, str(tmp_path / (name + "_sf")),
+            [t for _, t in b0_rows + b1_rows],
+        )
+        batch_kept = {
+            r.doc_id
+            for r in REGISTRY["dedup_pipeline_end_to_end"].fn(spark, sf).collect()
+        }
+        if name == "chainfree":
+            assert greedy_kept == batch_kept == {0, 2}
+        else:
+            assert greedy_kept == {0, 1}   # D kept: no match at arrival
+            assert batch_kept == {0}       # bridge merges the component
