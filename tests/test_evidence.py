@@ -69,12 +69,13 @@ def test_ledger_names_are_registered():
 def test_impl_demotion_resets_evidence(monkeypatch):
     # r5 advice: an execution-path rewrite with an unchanged oracle must not
     # ride old driver evidence — _IMPL_DEMOTED listings rank as round 0
+    # pick by ACTUAL latest round, not ledger membership — later-round
+    # ledgers legitimately re-verify R05 names (the rotation working as
+    # intended), so "in _DRIVER_GREEN_R05" does not imply latest == 5
     name = next(
         n for n in Q._DRIVER_GREEN_R05
-        if Q._VERIFIED_ORACLE_FP.get(n) == Q._oracle_fp(Q.REGISTRY[n].oracle)
-        and n not in Q._IMPL_DEMOTED
+        if Q._latest_evidence_round(n) == 5 and n not in Q._IMPL_DEMOTED
     )
-    assert Q._latest_evidence_round(name) == 5
     monkeypatch.setattr(Q, "_IMPL_DEMOTED", frozenset({name}))
     assert Q._latest_evidence_round(name) == 0
     assert name in _tier0_prefix()
