@@ -1,0 +1,118 @@
+"""Market-basket association rules (A-priori pairwise pass).
+
+The frequent-itemset shape every curation / recommendation pipeline needs
+at the pair level: support, confidence and lift for item pairs that clear
+a relative min-support threshold. A-priori's monotonicity (an infrequent
+ITEM cannot be in a frequent PAIR — Agrawal & Srikant, VLDB'94, public)
+is the scale lever: infrequent items are dropped BEFORE the basket
+self-join, so the pair space never inherits the item long tail.
+
+Scale story at 100 TB:
+  - the corpus is touched twice, both narrow: one distinct
+    (basket, item) projection, then the basket-keyed self-join whose
+    fan-out is C(items_per_basket, 2) — bounded by basket width, not
+    corpus size;
+  - item counts are a map-side-combined aggregate bounded by vocabulary
+    size; the frequent-item set is tiny by construction and applied as a
+    broadcast semi-join inside the scan stage;
+  - everything downstream of the pair count (rule expansion, the two
+    item-count joins, the metrics) is vocabulary-sized.
+
+Reference scope: hadoop-word-score (ComputeWordScore.java) has no
+co-occurrence surface; this is EXT coverage for the LLM-data-pipeline
+mandate (mixture analysis over corpus metadata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_support_frac: float = 0.005,
+) -> DataFrame:
+    """Directed pairwise rules over (basket, item) rows.
+
+    Returns (antecedent, consequent, n_pair, support, confidence, lift),
+    both directions per surviving pair, ordered by (antecedent,
+    consequent). The min-support threshold is RELATIVE
+    (``ceil(min_support_frac * n_baskets)``) and binds as an exact
+    integer compare on both item and pair counts, so results are
+    SF-meaningful and engine-deterministic; the three ratio metrics are
+    single divisions with a fixed operand order, rounded at 6 dp
+    (house float contract — see plans/queries.py module docstring).
+    """
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()  # consumed 3x: basket total, item counts, pairs
+    )
+    n_baskets_df = items.agg(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # vocabulary-sized; the threshold needs the 1-row total -> free cross
+    freq = (
+        counts.crossJoin(n_baskets_df)
+        .where(F.col("n_item") >= F.ceil(F.lit(min_support_frac) * F.col("n_baskets")))
+        .select("item", "n_item")
+        .localCheckpoint()  # consumed 3x: semi-join + both metric joins
+    )
+    fitems = items.join(F.broadcast(freq.select("item")), "item", "semi")
+    i1 = fitems.select("basket", F.col("item").alias("item_a"))
+    i2 = fitems.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        i1.join(i2, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .crossJoin(n_baskets_df)
+        .where(F.col("n_pair") >= F.ceil(F.lit(min_support_frac) * F.col("n_baskets")))
+    )
+    rules = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_pair",
+        "n_baskets",
+    ).union(
+        pairs.select(
+            F.col("item_b"), F.col("item_a"), F.col("n_pair"), F.col("n_baskets")
+        )
+    )
+    fa = freq.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    fc = freq.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            (
+                F.round(F.col("n_pair").cast("double") / F.col("n_baskets"), 6)
+                + F.lit(0.0)
+            ).alias("support"),
+            (
+                F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6)
+                + F.lit(0.0)
+            ).alias("confidence"),
+            (
+                F.round(
+                    (F.col("n_pair").cast("double") * F.col("n_baskets"))
+                    / (F.col("n_a").cast("double") * F.col("n_c")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -7807,3 +7807,177 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("novelty_rate"),
     )
+
+
+@register(
+    "graph_triangle_counts",
+    # Oracle enumerates the identical triangle set with the simple
+    # id-canonical form (edges a < b; e1.b = e2.a wedge + closing edge) —
+    # same triangles regardless of orientation strategy, so the Spark
+    # side is free to use the degree-ordered plan. Counts are exact
+    # integers; no float anywhere.
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM members GROUP BY node ORDER BY node
+    """,
+    tags=("graph",),
+)
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle counting (operators/graph.py::triangle_counts) over the
+    # part co-purchase graph: parts are adjacent iff they appear in the
+    # same order. Edge derivation is one orderkey-keyed self-join whose
+    # per-basket fan-out is C(items_per_order, 2) — bounded by order size,
+    # not corpus size. The count itself uses degree-ordered orientation so
+    # wedge fan-out is O(m^1.5) even when a staple part is in every other
+    # basket (exactly the hub this co-occurrence graph produces); see the
+    # operator docstring for the 100 TB story.
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
+@register(
+    "basket_association_rules",
+    # Directed pairwise association rules over order baskets with brand
+    # items (A-priori shape, Agrawal & Srikant VLDB'94 — public). The
+    # min-support threshold is RELATIVE (0.5% of baskets) so the rule set
+    # stays meaningful across SFs; it binds as an integer CEIL compare on
+    # exact counts. confidence/lift are single-division doubles with a
+    # fixed operand order, rounded at 6 dp ("+ 0.0": a lift cannot round
+    # negative, but keep the house signed-zero convention for ratios).
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+           FROM items),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM items GROUP BY item),
+    freq AS (
+        SELECT item, n_item FROM ic CROSS JOIN nb
+        WHERE n_item >= CEIL(0.005 * n_baskets)
+    ),
+    fitems AS (
+        SELECT i.basket, i.item FROM items i
+        WHERE i.item IN (SELECT item FROM freq)
+    ),
+    pairs AS (
+        SELECT i1.item AS item_a, i2.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM fitems i1
+        JOIN fitems i2
+          ON i1.basket = i2.basket AND i1.item < i2.item
+        GROUP BY i1.item, i2.item
+    ),
+    fpairs AS (
+        SELECT item_a, item_b, n_pair FROM pairs CROSS JOIN nb
+        WHERE n_pair >= CEIL(0.005 * n_baskets)
+    ),
+    rules AS (
+        SELECT item_a AS antecedent, item_b AS consequent, n_pair
+        FROM fpairs
+        UNION ALL
+        SELECT item_b, item_a, n_pair FROM fpairs
+    )
+    SELECT r.antecedent, r.consequent, r.n_pair,
+           ROUND(CAST(r.n_pair AS DOUBLE) / nb.n_baskets, 6) + 0.0
+               AS support,
+           ROUND(CAST(r.n_pair AS DOUBLE) / fa.n_item, 6) + 0.0
+               AS confidence,
+           ROUND((CAST(r.n_pair AS DOUBLE) * nb.n_baskets)
+                 / (CAST(fa.n_item AS DOUBLE) * fc.n_item), 6) + 0.0 AS lift
+    FROM rules r
+    JOIN freq fa ON r.antecedent = fa.item
+    JOIN freq fc ON r.consequent = fc.item
+    CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+    tags=("llm", "stats"),
+)
+def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB shape: the corpus-sized work is ONE distinct (basket, item)
+    # projection and ONE basket-keyed self-join whose fan-out is
+    # C(distinct items per basket, 2) — bounded by basket width. The
+    # A-priori prune (drop infrequent ITEMS before pair generation) is
+    # what keeps the pair space from inheriting the long tail: item counts
+    # are a map-side-combined aggregate bounded by vocabulary size, and
+    # the frequent-item filter is a broadcast semi-join (the frequent set
+    # is tiny by construction). Everything after the pair count is
+    # vocabulary-sized. part is a bounded dim -> broadcast into the scan.
+    from ..operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pt["p_partkey"],
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    return association_rules(baskets, min_support_frac=0.005)
+
+
+@register(
+    "linkage_fuzzy_customers",
+    # Record linkage: blocked fuzzy self-match on customer names within
+    # (nation, mktsegment) blocks, Levenshtein <= 1. Both engines use the
+    # classic unit-cost edit distance (Spark `levenshtein` == DuckDB
+    # `levenshtein`); the threshold binds on exact integers.
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "text"),
+)
+def q_linkage_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity-resolution candidate generation (operators/linkage.py): the
+    # blocking key turns the O(N^2) all-pairs edit-distance scan into
+    # sum(block_size^2) — the operator's scale contract — and the
+    # in-block compare uses Spark's THRESHOLDED levenshtein (early-exit
+    # banded DP, JVM codegen) so a non-match costs O(name_len), not
+    # O(len^2). Blocks here are (nation, mktsegment): bounded-cardinality
+    # natural keys. A prefix multi-pass would catch cross-block true
+    # matches (documented miss-rate of blocking, as in any linkage
+    # system).
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(
+        c,
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=("c_nationkey", "c_mktsegment"),
+        max_distance=1,
+    )

@@ -1578,3 +1578,178 @@ def test_ngram_novelty_on_constructed_corpus(spark, tmp_path):
     assert got[2].n_novel == 1 and got[2].novelty_rate == 0.5
     assert got[3].n_shingles == 4 and got[3].n_novel == 3
     assert got[3].novelty_rate == 0.75
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangle_counts_k4_and_dedup_of_input_edges(spark):
+    from hadoop_word_score_spark.operators.graph import triangle_counts
+
+    # K4 given with duplicates, reversed directions and a self-loop: the
+    # canonicalizer must reduce all of that to 6 undirected edges. K4 has
+    # 4 triangles; every node sits in exactly 3 of them.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]
+        + [(0, 1), (2, 2)],
+        "src int, dst int",
+    )
+    out = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_hub_star_has_none_and_closure_needed(spark):
+    from hadoop_word_score_spark.operators.graph import triangle_counts
+
+    # A star (hub 0 to 1..5) has wedges at every leaf pair but NO closing
+    # edge -> zero triangles, and zero-triangle nodes are omitted. Adding
+    # one rim edge (1,2) closes exactly one triangle.
+    star = [(0, i) for i in range(1, 6)]
+    none = triangle_counts(
+        spark.createDataFrame(star, "src int, dst int")
+    ).collect()
+    assert none == []
+    one = {
+        r.node: r.triangles
+        for r in triangle_counts(
+            spark.createDataFrame(star + [(1, 2)], "src int, dst int")
+        ).collect()
+    }
+    assert one == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    from hadoop_word_score_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(9)
+    nodes = list(range(30))
+    edges = sorted(
+        {e for e in itertools.combinations(nodes, 2) if rnd.random() < 0.3}
+    )
+    eset = set(edges)
+    expected: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for n in (x, y, z):
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r.node: r.triangles
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src int, dst int")
+        ).collect()
+    }
+    assert got == expected
+
+
+# --- association rules ------------------------------------------------------
+
+
+def test_association_rules_counts_confidence_lift(spark):
+    from hadoop_word_score_spark.operators.basket import association_rules
+
+    # 4 baskets; {a,b} co-occur in 2, a alone in 1 more, c rides along
+    # once. With min_support_frac=0.5 -> threshold ceil(2)=2: pair (a,b)
+    # survives, anything involving c is pruned at the ITEM stage.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"),
+        (4, "b"),
+    ]
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            spark.createDataFrame(rows, "basket int, item string"),
+            min_support_frac=0.5,
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab = out[("a", "b")]
+    assert ab.n_pair == 2
+    assert ab.support == 0.5               # 2/4
+    assert ab.confidence == round(2 / 3, 6)  # n(a)=3, 6-dp contract
+    assert ab.lift == round(2 * 4 / (3 * 3), 6)
+    ba = out[("b", "a")]
+    assert ba.confidence == round(2 / 3, 6)  # n(b)=3
+    assert ba.lift == ab.lift         # lift is symmetric
+
+
+def test_association_rules_item_prune_blocks_pair(spark):
+    from hadoop_word_score_spark.operators.basket import association_rules
+
+    # x and y co-occur in both their baskets, but each item appears in
+    # only 2 of 10 baskets: with min_support_frac=0.3 (threshold 3) the
+    # A-priori ITEM prune removes them before any pair is generated.
+    rows = [(i, "filler%d" % i) for i in range(10)] + [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+    ]
+    out = association_rules(
+        spark.createDataFrame(rows, "basket int, item string"),
+        min_support_frac=0.3,
+    ).collect()
+    assert out == []
+
+
+def test_association_rules_basket_multiplicity_ignored(spark):
+    from hadoop_word_score_spark.operators.basket import association_rules
+
+    # the same item twice in one basket is ONE occurrence (distinct
+    # basket-item), so support counts baskets, not rows
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    out = association_rules(
+        spark.createDataFrame(rows, "basket int, item string"),
+        min_support_frac=0.5,
+    ).collect()
+    pair = {(r.antecedent, r.consequent): r.n_pair for r in out}
+    assert pair == {("a", "b"): 2, ("b", "a"): 2}
+
+
+# --- blocked fuzzy linkage ---------------------------------------------------
+
+
+def test_blocked_fuzzy_pairs_distance_and_blocking(spark):
+    from hadoop_word_score_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "smith", "US", "A"),
+        (2, "smyth", "US", "A"),   # distance 1 from smith, same block
+        (3, "smith", "EU", "A"),   # identical text but different block
+        (4, "smithy", "US", "A"),  # distance 1 from smith (insert)
+        (5, "jones", "US", "A"),   # distance > 1 from everything
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, ctry string, seg string")
+    out = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ("ctry", "seg"), max_distance=1
+        ).collect()
+    }
+    # (1,2) sub, (1,4) insert; (2,4) is distance 2; 3 is block-isolated
+    assert out == {(1, 2): 1, (1, 4): 1}
+
+
+def test_blocked_fuzzy_pairs_null_block_never_pairs(spark):
+    from hadoop_word_score_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [(1, "aaa", None), (2, "aaa", None), (3, "aaa", "B"), (4, "aab", "B")]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    out = [
+        (r.id_a, r.id_b, r.distance)
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", ("blk",), max_distance=2
+        ).collect()
+    ]
+    # NULL blocks drop out under join semantics; exact dup (3,4) pair at d=1
+    assert out == [(3, 4, 1)]
+
+
+def test_blocked_fuzzy_pairs_includes_exact_duplicates_at_zero(spark):
+    from hadoop_word_score_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [(1, "same", "B"), (2, "same", "B")]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    out = blocked_fuzzy_pairs(df, "id", "name", ("blk",), max_distance=1).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 0)]
