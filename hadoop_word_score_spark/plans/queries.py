@@ -7981,3 +7981,83 @@ def q_linkage_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("c_nationkey", "c_mktsegment"),
         max_distance=1,
     )
+
+
+@register(
+    "linkage_sorted_neighbourhood",
+    # Oracle mirrors the neighbourhood enumeration with one ROW_NUMBER
+    # over the identical total order (name, id) and a rank-offset join;
+    # same candidate set as the distributed rank + explode + equality
+    # join, so results match exactly. Distance is exact-integer.
+    oracle="""
+    WITH g AS (
+        SELECT s_suppkey AS rid, s_name AS rname,
+               ROW_NUMBER() OVER (ORDER BY s_name, s_suppkey) AS grank
+        FROM supplier
+    ),
+    cand AS (
+        SELECT a.rid AS ia, b.rid AS ib, a.rname AS na, b.rname AS nb
+        FROM g a JOIN g b ON b.grank - a.grank BETWEEN 1 AND 2
+    )
+    SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+           CASE WHEN ia < ib THEN na ELSE nb END AS name_a,
+           CASE WHEN ia < ib THEN nb ELSE na END AS name_b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS distance
+    FROM cand
+    WHERE levenshtein(na, nb) <= 1
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "text"),
+)
+def q_linkage_sorted_neighbourhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The second linkage pass (operators/linkage.py): sorted-neighbourhood
+    # candidates over supplier names, window 2, levenshtein <= 1.
+    # Candidate count is exactly window * (N - 1) — LINEAR, vs blocking's
+    # quadratic-within-block — at the cost of missing matches that sort
+    # far apart (production unions both passes). The global sort is the
+    # distributed rank primitive (operators/rank.py): range exchange +
+    # bounded per-partition offset collect; never a one-partition window.
+    from ..operators.linkage import sorted_neighbourhood_pairs
+
+    s = _t(spark, sf_dir, "supplier")
+    return sorted_neighbourhood_pairs(
+        s,
+        id_col="s_suppkey",
+        text_col="s_name",
+        sort_key="s_name",
+        window=2,
+        max_distance=1,
+    )
+
+
+@register(
+    "stats_histogram_equi_depth",
+    # ANSI NTILE over the identical total order (value, id) is the oracle
+    # for the closed-form bucket assignment; per-bucket min/max are raw
+    # stored doubles (no arithmetic), so values hash exactly.
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice AS val,
+               CAST(NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS INTEGER) AS bucket
+        FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(val) AS lo, MAX(val) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("stats", "catalog"),
+)
+def q_stats_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-depth histogram for the catalog surface (sources/catalog.py):
+    # exact mode = distributed global rank (operators/rank.py) + NTILE
+    # closed form + one bucket agg; the approx mode (one KLL-sketch
+    # percentile pass, boundaries inlined as literals) is the 100 TB path
+    # and is receipted in tests — this registry row verifies the exact
+    # mode against ANSI NTILE.
+    from ..sources.catalog import equi_depth_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return equi_depth_histogram(
+        o, value_col="o_totalprice", id_col="o_orderkey", k=16, exact=True
+    )

@@ -161,3 +161,71 @@ def analyze_tables(
             "rowCount": int(m.group(2)) if m and m.group(2) else None,
         }
     return out
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 16,
+    exact: bool = True,
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram of ``value_col``: k buckets of
+    ~equal ROW COUNT with per-bucket (n_rows, lo, hi) — the histogram shape
+    CBOs actually want (equi-width buckets collapse under skew; equi-depth
+    puts the resolution where the data is). Returns
+    (bucket, n_rows, lo, hi) ordered by bucket, 1-based buckets.
+
+    ``exact=True`` (oracle mode): bucket assignment follows ANSI NTILE
+    semantics over the total order (value, id) — the first ``n mod k``
+    buckets get one extra row — computed in closed form from a DISTRIBUTED
+    global rank (operators/rank.py; never a one-partition window), then
+    one bucket-keyed agg. Two scans total (rank offsets + agg).
+
+    ``exact=False`` (scale mode): bucket boundaries come from ONE
+    approx_percentile pass (mergeable KLL-style sketch partials, no
+    Expand, no sort) and rows bucket by comparing against the k-1
+    boundary literals inside the scan — the production path at 100 TB,
+    where exact depth is neither needed nor worth a global sort. Bucket
+    populations are then approximately-equal rather than exactly NTILE.
+    """
+    from ..operators.rank import global_rank
+
+    v = df.select(
+        F.col(value_col).alias("val"), F.col(id_col).alias("vid")
+    ).where(F.col("val").isNotNull())
+    if not exact:
+        cuts = v.agg(
+            F.percentile_approx(
+                "val", [i / k for i in range(1, k)], 100_000
+            ).alias("c")
+        ).collect()[0].c
+        bucket = F.lit(1)
+        for c in cuts:
+            bucket = bucket + F.when(F.col("val") > F.lit(c), 1).otherwise(0)
+        assigned = v.select(bucket.cast("int").alias("bucket"), "val")
+    else:
+        n = v.count()
+        q, r = divmod(n, k)
+        ranked = global_rank(v, ["val", "vid"], rank_col="grank")
+        # ANSI NTILE closed form: buckets 1..r hold q+1 rows, the rest q.
+        # q==0 (fewer rows than buckets) only reaches the first branch.
+        head = (q + 1) * r
+        bucket = F.when(
+            F.col("grank") <= F.lit(head),
+            ((F.col("grank") - 1) / F.lit(q + 1)).cast("long") + 1,
+        ).otherwise(
+            ((F.col("grank") - F.lit(head) - 1) / F.lit(max(q, 1))).cast("long")
+            + F.lit(r)
+            + 1
+        )
+        assigned = ranked.select(bucket.cast("int").alias("bucket"), "val")
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

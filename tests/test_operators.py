@@ -1753,3 +1753,118 @@ def test_blocked_fuzzy_pairs_includes_exact_duplicates_at_zero(spark):
     df = spark.createDataFrame(rows, "id int, name string, blk string")
     out = blocked_fuzzy_pairs(df, "id", "name", ("blk",), max_distance=1).collect()
     assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 0)]
+
+
+# --- distributed global rank -------------------------------------------------
+
+
+def test_global_rank_is_dense_and_order_correct(spark):
+    from hadoop_word_score_spark.operators.rank import global_rank
+
+    rows = [(i, (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(7)
+    out = global_rank(df, ["v", "id"]).collect()
+    assert sorted(r.grank for r in out) == list(range(1, 301))
+    by_rank = sorted(out, key=lambda r: r.grank)
+    assert [(r.v, r.id) for r in by_rank] == sorted((r.v, r.id) for r in out)
+
+
+def test_global_rank_invariant_under_partitioning(spark):
+    from hadoop_word_score_spark.operators.rank import global_rank
+
+    rows = [(i, str(i % 13)) for i in range(200)]
+    base = spark.createDataFrame(rows, "id int, s string")
+    a = {r.id: r.grank for r in global_rank(base.coalesce(1), ["s", "id"]).collect()}
+    b = {r.id: r.grank for r in global_rank(base.repartition(16), ["s", "id"]).collect()}
+    assert a == b
+
+
+# --- sorted-neighbourhood linkage --------------------------------------------
+
+
+def test_sorted_neighbourhood_window_and_miss_profile(spark):
+    from hadoop_word_score_spark.operators.linkage import (
+        sorted_neighbourhood_pairs,
+    )
+
+    # sort order: aaa1(1), aaa2(2), aaa3(3), zzz1(4), zzz2(5).
+    # window=1 compares only adjacent ranks: (aaa1,aaa2), (aaa2,aaa3)
+    # match at distance 1; (aaa1,aaa3) is rank distance 2 -> MISSED at
+    # w=1 (the documented miss profile), found at w=2.
+    rows = [
+        (10, "aaa1"), (11, "aaa2"), (12, "aaa3"), (20, "zzz1"), (21, "zzz2"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    w1 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighbourhood_pairs(
+            df, "id", "name", "name", window=1, max_distance=1
+        ).collect()
+    }
+    assert w1 == {(10, 11), (11, 12), (20, 21)}
+    w2 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighbourhood_pairs(
+            df, "id", "name", "name", window=2, max_distance=1
+        ).collect()
+    }
+    assert w2 == {(10, 11), (11, 12), (10, 12), (20, 21)}
+
+
+def test_sorted_neighbourhood_output_is_id_normalized(spark):
+    from hadoop_word_score_spark.operators.linkage import (
+        sorted_neighbourhood_pairs,
+    )
+
+    # id order disagrees with sort order: "abc" (id 9) sorts before
+    # "abd" (id 3); output must still be id_a < id_b with names aligned
+    df = spark.createDataFrame([(9, "abc"), (3, "abd")], "id int, name string")
+    out = sorted_neighbourhood_pairs(
+        df, "id", "name", "name", window=1, max_distance=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.name_a, r.name_b, r.distance) == (
+        3, 9, "abd", "abc", 1,
+    )
+
+
+# --- equi-depth histogram ----------------------------------------------------
+
+
+def test_equi_depth_histogram_ntile_split_and_coverage(spark):
+    from hadoop_word_score_spark.sources.catalog import equi_depth_histogram
+
+    # 10 rows, k=4 -> NTILE sizes 3,3,2,2; values 0..9 shuffled
+    rows = [((i * 7) % 10, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "v int, id int")
+    out = equi_depth_histogram(df, "v", "id", k=4, exact=True).collect()
+    assert [r.bucket for r in out] == [1, 2, 3, 4]
+    assert [r.n_rows for r in out] == [3, 3, 2, 2]
+    assert [(r.lo, r.hi) for r in out] == [(0, 2), (3, 5), (6, 7), (8, 9)]
+
+
+def test_equi_depth_histogram_approx_mode_covers_all_rows(spark):
+    from hadoop_word_score_spark.sources.catalog import equi_depth_histogram
+
+    rows = [(float(i % 97), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v double, id int")
+    out = equi_depth_histogram(df, "v", "id", k=8, exact=False).collect()
+    assert sum(r.n_rows for r in out) == 1000
+    # buckets are ordered, contiguous in value space, roughly equi-depth
+    his = [r.hi for r in out]
+    assert his == sorted(his)
+    assert max(r.n_rows for r in out) <= 3 * (1000 // 8)
+
+
+def test_equi_depth_histogram_nulls_excluded_fewer_rows_than_buckets(spark):
+    from hadoop_word_score_spark.sources.catalog import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 2), (5, 3)], "v int, id int"
+    )
+    out = equi_depth_histogram(df, "v", "id", k=4, exact=True).collect()
+    # nulls dropped; 2 rows into 4 buckets -> one row each in buckets 1, 2
+    assert [(r.bucket, r.n_rows, r.lo, r.hi) for r in out] == [
+        (1, 1, 1, 1), (2, 1, 5, 5),
+    ]

@@ -68,6 +68,7 @@ PROBES = [
     "corpus_dedup_rate_by_source",
     "stats_column_entropy",
     "corpus_ngram_novelty",
+    "basket_association_rules",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -850,6 +851,104 @@ def adversarial_skew_rows(spark) -> list[str]:
     return rows
 
 
+def triangle_and_blocking_rows(spark) -> list[str]:
+    """Receipts for the two r9 candidate-space claims.
+
+    (1) Triangle counting's degree-ordered orientation: on a hub graph the
+    wedge space (the algorithm's dominant intermediate) must collapse —
+    the hub's edges orient INTO it, so it generates ~no wedges. Measured
+    against the naive id-orientation wedge count on the same graph. The
+    uniform 10x corpus can't be used here: lineitem replication keeps the
+    part vocabulary fixed, so the co-purchase graph densifies toward
+    complete and wedge growth reflects densification, not the operator.
+
+    (2) Blocked fuzzy linkage: candidate pairs = sum(block^2), vs N^2
+    all-pairs — measured on the sf0.1 customer table with the registry's
+    (nation, mktsegment) key.
+    """
+    import itertools
+    import random
+
+    from hadoop_word_score_spark.operators.graph import triangle_counts
+
+    lines = [
+        "",
+        "## Triangle orientation: hub wedge collapse + blocking selectivity",
+        "",
+    ]
+    # hub graph: 5k-node background (avg deg ~8) + one hub wired to 2000
+    rnd = random.Random(17)
+    n = 5000
+    bg = {(rnd.randrange(n), rnd.randrange(n)) for _ in range(20000)}
+    edges = [(a, b) for a, b in bg if a != b] + [(n, i) for i in range(2000)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    canon = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # naive id-orientation wedge count: sum C(outdeg_id, 2)
+    wedges_id = (
+        canon.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0].w
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lo = F.when(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+        F.col("a"),
+    ).otherwise(F.col("b"))
+    wedges_deg = (
+        canon.join(da, "a").join(db, "b").select(lo.alias("lo"))
+        .groupBy("lo").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0].w
+    )
+    t0 = time.perf_counter()
+    triangle_counts(e).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    lines += [
+        "| orientation | wedge candidates |",
+        "|---|---|",
+        f"| id-order (naive) | {int(wedges_id):,} |",
+        f"| degree-order (operator) | {int(wedges_deg):,} |",
+        "",
+        f"Hub graph (5k background nodes, one degree-2000 hub): degree",
+        f"orientation cuts the wedge space {wedges_id / max(wedges_deg, 1):.0f}x"
+        f" — the hub's edges all point INTO it, so it generates no wedges;"
+        f" full per-node count ran in {dt:.2f}s.",
+        "",
+    ]
+    # blocking selectivity on the real registry input
+    cust = load_table(spark, BASE, "customer")
+    nrows = cust.count()
+    cand = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("p"))
+        .collect()[0].p
+    )
+    allp = nrows * (nrows - 1) // 2
+    lines += [
+        f"Blocked fuzzy linkage at sf0.1: {nrows:,} customers, all-pairs"
+        f" {allp:,} vs blocked candidates {int(cand):,}"
+        f" ({allp / max(cand, 1):.0f}x fewer levenshtein evaluations;"
+        " blocks are (nation, mktsegment)).",
+    ]
+    return lines
+
+
 def isolation_receipt_rows() -> list[str]:
     """Static HISTORICAL receipt (measured once, r9 / 2026-08-14): the r8
     bench carry-over regression, re-measured per-query in FRESH
@@ -1007,6 +1106,10 @@ def main() -> None:
         # seams), so the df aggregation's combine absorbs the depth — the
         # shuffle carries ~distinct shingles, which grow sublinearly here
         "corpus_ngram_novelty": "linear scan; one shingle-keyed combined count shuffle (distinct-shingle bounded)",
+        # 10x lineitem keeps the 25-brand vocabulary: the (basket, item)
+        # projection and basket-keyed pair join grow linearly (fan-out per
+        # basket is fixed); everything after the pair count is vocab-sized
+        "basket_association_rules": "linear (basket-keyed pair join; post-count work vocab-bounded)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
@@ -1022,6 +1125,7 @@ def main() -> None:
     lines.extend(similarity_regime_rows(spark))
     lines.extend(similarity_crossover_rows(spark))
     lines.extend(adversarial_skew_rows(spark))
+    lines.extend(triangle_and_blocking_rows(spark))
     lines.extend(ingest_vs_corpus_rows(spark))
     lines.extend(isolation_receipt_rows())
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
