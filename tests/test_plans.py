@@ -671,3 +671,67 @@ def test_ngram_novelty_single_explode_and_map_side_combine(spark):
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("HashAggregate") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_round9_linkage_basket_triangle_plan_shapes(spark):
+    # basket_association_rules: the A-priori frequent-item filter applies
+    # as a broadcast join (LEFT SEMI via BroadcastHashJoin) so the basket
+    # relation never shuffles to meet the tiny frequent set, and no
+    # cartesian product appears anywhere
+    plan = plan_of(spark, "basket_association_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    # linkage_fuzzy_customers: one block-keyed self-join; the thresholded
+    # levenshtein stays a codegen expression (no python/Arrow stage) —
+    # BatchEvalPython/ArrowEvalPython would mean the distance fell off
+    # the JVM path
+    plan = plan_of(spark, "linkage_fuzzy_customers")
+    assert "levenshtein" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    # graph_triangle_counts: degree orientation + wedge close are plain
+    # equi-joins — a cartesian/nested-loop product would mean the
+    # orientation produced a non-equi join shape
+    plan = plan_of(spark, "graph_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equi_depth_histogram_approx_mode_is_one_agg_pass(spark):
+    # the 100 TB path: boundaries come from ONE approx_percentile
+    # aggregation; bucket assignment is literal comparisons inside the
+    # scan — no Window, no sort, no range exchange in the final plan
+    from hadoop_word_score_spark.sources.catalog import equi_depth_histogram
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    df = equi_depth_histogram(o, "o_totalprice", "o_orderkey", k=8, exact=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only sort is the final ORDER BY over the k-row result — no
+    # range exchange on the VALUE column (that would mean a global sort
+    # of the data sneaked back in)
+    import re as _re
+
+    for m in _re.findall(r"rangepartitioning\(([^)]*)\)", plan):
+        assert "bucket" in m and "val" not in m, plan
+
+
+def test_sorted_neighbourhood_rank_join_is_equi_shuffle(spark):
+    # the rank-probe join must be an equi hash/sort-merge join on the
+    # integer rank (skew-free unique keys), never a nested loop; and the
+    # global rank must NOT be a one-partition global window (the plan's
+    # window is partitioned by the range-partition id)
+    from hadoop_word_score_spark.operators.linkage import (
+        sorted_neighbourhood_pairs,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    s = load_table(spark, SF_ORACLE, "supplier")
+    df = sorted_neighbourhood_pairs(
+        s, "s_suppkey", "s_name", "s_name", window=2, max_distance=1
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "_rank_pid" in plan, plan  # window runs partition-local
