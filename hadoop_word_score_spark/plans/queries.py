@@ -7919,6 +7919,7 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY antecedent, consequent
     """,
     tags=("llm", "stats"),
+    bench=True,
 )
 def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB shape: the corpus-sized work is ONE distinct (basket, item)
@@ -8061,3 +8062,162 @@ def q_stats_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(
         o, value_col="o_totalprice", id_col="o_orderkey", k=16, exact=True
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    # Two deterministic snapshots fabricated from orders (the testdata is
+    # immutable, so mutation is simulated): OLD = orders before 1997-07-01;
+    # NEW = orders before 1998-01-01, minus every 97th key ("deleted"),
+    # with URGENT orders repriced *1.1 at 2 dp ("changed"). ROUND(x*1.1, 2)
+    # is half-away-from-zero on both engines and the comparison runs
+    # WITHIN each engine, so change_type is engine-stable.
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderdate < DATE '1997-07-01'
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN ROUND(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 97 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'deleted'
+               WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               THEN 'changed' END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    tags=("merge", "cdc"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyed snapshot diff (operators/merge.py::snapshot_diff): the
+    # CDC/audit primitive next to merge_upsert — ONE full-outer join on
+    # the key, per-column null-safe comparison as a codegen conjunction.
+    # At 100 TB: both snapshots shuffle once; bucketed snapshot layouts
+    # remove even that (tests/test_sinks.py's zero-Exchange receipt).
+    from ..operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < F.lit("1997-07-01").cast("date")).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.where(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(old, new, key_cols=["o_orderkey"])
+
+
+@register(
+    "events_concurrency_hourly",
+    # Sweep-line concurrency over the SAME 30-min-gap sessions the
+    # sessionize/funnel family uses; sessions are end-exclusive
+    # [min_ts, max_ts + 1s) so single-event sessions still count. The
+    # oracle mirrors the two-level prefix-sum decomposition bucket for
+    # bucket; within a (ts, delta) tie the prefix MAX is order-invariant
+    # (equal deltas), so both engines agree without a third tiebreaker.
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ), sess AS (
+        SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1 AS end_s
+        FROM s GROUP BY user_id, session_no
+    ), deltas AS (
+        SELECT start_s AS ts, 1 AS delta FROM sess
+        UNION ALL
+        SELECT end_s, -1 FROM sess
+    ), bkt AS (
+        SELECT ts, delta, ts - ts % 3600 AS bucket,
+               SUM(delta) OVER (PARTITION BY ts - ts % 3600
+                                ORDER BY ts, delta
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM deltas
+    ), pb AS (
+        SELECT bucket, SUM(delta) AS tot, MAX(run) AS mx_rel,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts,
+               SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_ends
+        FROM bkt GROUP BY bucket
+    ), carried AS (
+        SELECT *, COALESCE(SUM(tot) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS carry_in
+        FROM pb
+    )
+    SELECT bucket AS bucket_start_s,
+           CAST(n_starts AS BIGINT) AS n_starts,
+           CAST(n_ends AS BIGINT) AS n_ends,
+           CAST(GREATEST(carry_in, carry_in + mx_rel) AS BIGINT)
+               AS max_concurrency
+    FROM carried
+    ORDER BY bucket_start_s
+    """,
+    tags=("events", "time", "window"),
+)
+def q_events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed sweep line (operators/intervals.py): the within-bucket
+    # running sum is bucket-partitioned (parallel), and the only ordered
+    # pass is the carry-in cumulative over the TIME-BOUNDED bucket
+    # relation — never a global sort of boundary events. Capacity
+    # planning's "peak concurrent sessions per hour" over the events
+    # surface.
+    from ..operators.intervals import concurrency_profile
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            F.when(gap <= 1800, 0).otherwise(1).alias("is_start"),
+            "event_id",
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("is_start")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("start_s"),
+            (F.max(F.col("ts").cast("long")) + 1).alias("end_s"),
+        )
+    )
+    return concurrency_profile(sess, "start_s", "end_s", bucket_seconds=3600)

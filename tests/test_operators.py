@@ -1868,3 +1868,116 @@ def test_equi_depth_histogram_nulls_excluded_fewer_rows_than_buckets(spark):
     assert [(r.bucket, r.n_rows, r.lo, r.hi) for r in out] == [
         (1, 1, 1, 1), (2, 1, 5, 5),
     ]
+
+
+# --- snapshot diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from hadoop_word_score_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 value-changed, 3 NULL->value changed, 4 deleted,
+        # 5 added
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {2: "changed", 3: "changed", 4: "deleted", 5: "added"}
+
+
+def test_snapshot_diff_null_equals_null_is_unchanged(spark):
+    from hadoop_word_score_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, None)], "k int, v string")
+    assert snapshot_diff(old, new, ["k"]).collect() == []
+
+
+def test_snapshot_diff_respects_compare_cols_subset(spark):
+    from hadoop_word_score_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "x", 2.0)], "k int, s string, v double")
+    # v differs but is excluded from comparison -> no diff row
+    assert snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect() == []
+    assert [
+        r.change_type
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    ] == ["changed"]
+
+
+# --- sweep-line concurrency --------------------------------------------------
+
+
+def test_concurrency_profile_overlap_and_end_exclusive(spark):
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    # bucket size 10. intervals: [0,5), [3,8) overlap -> max 2 in bucket 0;
+    # [8,12) starts exactly when [3,8) ends -> END-EXCLUSIVE, no overlap
+    # at t=8 (bucket-0 max stays 2); in bucket 10, [8,12) is alone and has
+    # ended before [15,16) starts -> max 1.
+    iv = spark.createDataFrame(
+        [(0, 5), (3, 8), (8, 12), (15, 16)], "start_s int, end_s int"
+    )
+    out = {
+        r.bucket_start_s: (r.n_starts, r.n_ends, r.max_concurrency)
+        for r in concurrency_profile(iv, bucket_seconds=10).collect()
+    }
+    assert out == {0: (3, 2, 2), 10: (1, 2, 1)}
+
+
+def test_concurrency_profile_carry_in_only_bucket_boundary(spark):
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    # one long interval [2, 25) plus a pure-end bucket: bucket 20 contains
+    # only the -1 boundary, so its max must come from the CARRY-IN level
+    # (1), not from the within-bucket running sum (which ends at 0)
+    iv = spark.createDataFrame([(2, 25)], "start_s int, end_s int")
+    out = {
+        r.bucket_start_s: r.max_concurrency
+        for r in concurrency_profile(iv, bucket_seconds=10).collect()
+    }
+    assert out == {0: 1, 20: 1}
+
+
+def test_concurrency_profile_matches_serial_sweep_on_random_intervals(spark):
+    import random
+
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    rnd = random.Random(5)
+    iv = []
+    for _ in range(200):
+        s = rnd.randrange(0, 500)
+        iv.append((s, s + rnd.randrange(1, 60)))
+    # serial reference sweep
+    events = sorted(
+        [(s, 1) for s, e in iv] + [(e, -1) for s, e in iv],
+        key=lambda x: (x[0], x[1]),
+    )
+    level = 0
+    expected: dict[int, int] = {}
+    for ts, d in events:
+        b = ts - ts % 50
+        expected.setdefault(b, level)  # level BEFORE first delta = carry_in
+        level += d
+        expected[b] = max(expected[b], level)
+    got = {
+        r.bucket_start_s: r.max_concurrency
+        for r in concurrency_profile(
+            spark.createDataFrame(iv, "start_s int, end_s int"),
+            bucket_seconds=50,
+        ).collect()
+    }
+    assert got == expected

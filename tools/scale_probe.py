@@ -876,11 +876,16 @@ def triangle_and_blocking_rows(spark) -> list[str]:
         "## Triangle orientation: hub wedge collapse + blocking selectivity",
         "",
     ]
-    # hub graph: 5k-node background (avg deg ~8) + one hub wired to 2000
+    # hub graph: 5k-node background (avg deg ~8, ids 1..5000) + one hub at
+    # id 0 wired to 2000 nodes. The hub MUST take the lowest id: naive
+    # id-ordering then orients all 2000 hub edges OUT of it (C(2000,2)
+    # wedges from the hub alone) — the adversarial placement degree
+    # ordering exists to neutralize. (The first version of this probe put
+    # the hub at the HIGHEST id, which let id-ordering accidentally win.)
     rnd = random.Random(17)
     n = 5000
-    bg = {(rnd.randrange(n), rnd.randrange(n)) for _ in range(20000)}
-    edges = [(a, b) for a, b in bg if a != b] + [(n, i) for i in range(2000)]
+    bg = {(1 + rnd.randrange(n), 1 + rnd.randrange(n)) for _ in range(20000)}
+    edges = [(a, b) for a, b in bg if a != b] + [(0, 1 + i) for i in range(2000)]
     e = spark.createDataFrame(edges, "src int, dst int")
     canon = (
         e.where(F.col("src") != F.col("dst"))
@@ -924,8 +929,9 @@ def triangle_and_blocking_rows(spark) -> list[str]:
         f"| id-order (naive) | {int(wedges_id):,} |",
         f"| degree-order (operator) | {int(wedges_deg):,} |",
         "",
-        f"Hub graph (5k background nodes, one degree-2000 hub): degree",
-        f"orientation cuts the wedge space {wedges_id / max(wedges_deg, 1):.0f}x"
+        f"Hub graph (5k background nodes, one degree-2000 hub at the",
+        f"adversarial LOWEST id): degree orientation cuts the wedge space"
+        f" {wedges_id / max(wedges_deg, 1):.1f}x"
         f" — the hub's edges all point INTO it, so it generates no wedges;"
         f" full per-node count ran in {dt:.2f}s.",
         "",

@@ -134,6 +134,10 @@ _NONNEG = [
     (r"kmeans_embeddings", r"ROUND\(AVG\((val|f\.dist)\)",
      "centroid coords feed arithmetic only (sign of zero is inert there); mean SQUARED "
      "distance is non-negative"),
+    (r"snapshot_diff_orders", r"ROUND\(o_totalprice \* 1\.1, 2\)",
+     "internal snapshot fabrication: the rounded price is only equality-compared "
+     "WITHIN the engine to derive change_type and never reaches an output column; "
+     "prices are positive besides"),
     (r"dedup_semantic", r"ROUND\(AVG\(val\)",
      "same proof as kmeans_embeddings: the rounded value is an internal centroid "
      "coordinate consumed only by distance/cosine arithmetic, where -0.0 == +0.0 — "
