@@ -57,8 +57,12 @@ def global_rank(
     for pid, n in sizes:
         offsets.extend((F.lit(pid), F.lit(acc)))
         acc += n
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    # empty input: no partitions observed -> argless create_map() would be
+    # map<void,void> and fail analysis; the offset is irrelevant on zero rows
+    offset_expr = (
+        F.create_map(*offsets)[F.col("_rank_pid")] if offsets else F.lit(0)
+    )
     rn = F.row_number().over(Window.partitionBy("_rank_pid").orderBy(*cols))
     return ranged.withColumn(
-        rank_col, (rn + off_map[F.col("_rank_pid")]).cast("long")
+        rank_col, (rn + offset_expr).cast("long")
     ).drop("_rank_pid")

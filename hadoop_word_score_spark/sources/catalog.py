@@ -200,6 +200,7 @@ def equi_depth_histogram(
                 "val", [i / k for i in range(1, k)], 100_000
             ).alias("c")
         ).collect()[0].c
+        cuts = cuts or []  # empty/all-null input: percentile sketch is NULL
         bucket = F.lit(1)
         for c in cuts:
             bucket = bucket + F.when(F.col("val") > F.lit(c), 1).otherwise(0)

@@ -229,3 +229,62 @@ def test_round8_text_index_dedup_empty(spark):
         sf = stage_documents_sf(spark, d, [])
         for name in ("pmi_collocations", "inverted_index_terms", "dedup_containment"):
             assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+
+def test_round9_operators_empty(spark):
+    from hadoop_word_score_spark.operators.basket import association_rules
+    from hadoop_word_score_spark.operators.graph import triangle_counts
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+    from hadoop_word_score_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        sorted_neighbourhood_pairs,
+    )
+    from hadoop_word_score_spark.operators.merge import snapshot_diff
+    from hadoop_word_score_spark.operators.rank import global_rank
+
+    empty_edges = spark.createDataFrame([], "src int, dst int")
+    out = triangle_counts(empty_edges)
+    assert out.columns == ["node", "triangles"] and out.count() == 0
+
+    empty_baskets = spark.createDataFrame([], "basket long, item string")
+    out = association_rules(empty_baskets)
+    assert out.columns == [
+        "antecedent", "consequent", "n_pair", "support", "confidence", "lift",
+    ]
+    assert out.count() == 0
+
+    empty_named = spark.createDataFrame([], "id long, name string, blk string")
+    out = blocked_fuzzy_pairs(empty_named, "id", "name", ("blk",))
+    assert out.columns == ["id_a", "id_b", "name_a", "name_b", "distance"]
+    assert out.count() == 0
+    out = sorted_neighbourhood_pairs(empty_named, "id", "name", "name")
+    assert out.columns == ["id_a", "id_b", "name_a", "name_b", "distance"]
+    assert out.count() == 0
+
+    out = global_rank(spark.createDataFrame([], "id long, v long"), ["v", "id"])
+    assert "grank" in out.columns and out.count() == 0
+
+    empty_snap = spark.createDataFrame([], "k long, v string")
+    out = snapshot_diff(empty_snap, empty_snap, ["k"])
+    assert out.columns == ["k", "change_type"] and out.count() == 0
+
+    empty_iv = spark.createDataFrame([], "start_s long, end_s long")
+    out = concurrency_profile(empty_iv)
+    assert out.columns == [
+        "bucket_start_s", "n_starts", "n_ends", "max_concurrency",
+    ]
+    assert out.count() == 0
+
+
+def test_equi_depth_histogram_empty_and_all_null(spark):
+    from hadoop_word_score_spark.sources.catalog import equi_depth_histogram
+
+    empty = spark.createDataFrame([], "v double, id long")
+    for exact in (True, False):
+        out = equi_depth_histogram(empty, "v", "id", k=4, exact=exact)
+        assert out.columns == ["bucket", "n_rows", "lo", "hi"]
+        assert out.count() == 0
+    nulls = spark.createDataFrame([(None, 1), (None, 2)], "v double, id long")
+    assert equi_depth_histogram(nulls, "v", "id", k=4, exact=True).count() == 0
