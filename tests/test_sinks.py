@@ -213,3 +213,44 @@ def test_inverted_index_full_postings_bucketed_serving(spark, scratch_dir):
         assert {r.term: (r.df, r.total_tf) for r in served.collect()} == expect
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_b")
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from hadoop_word_score_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "shattered")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = spark.read.parquet(path)
+    rows_before = before.count()
+    receipt = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert receipt["files_before"] == 64
+    assert receipt["files_after"] == 1  # everything fits one target file
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before
+    assert {r.id for r in after.collect()} == set(range(10_000))
+
+
+def test_compact_small_files_partitioned_keeps_directory_pruning(spark, tmp_path):
+    from hadoop_word_score_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "bydate")
+    df = spark.range(5_000).withColumn("p", (F.col("id") % 3).cast("int"))
+    df.repartition(27).write.partitionBy("p").parquet(path)  # 27 files/partition
+    receipt = compact_small_files(
+        spark, path, target_file_bytes=1 << 30, partition_cols=["p"]
+    )
+    assert receipt["files_before"] > receipt["files_after"]
+    after = spark.read.parquet(path)
+    assert after.count() == 5_000
+    # hive layout intact: partition dirs survive and pruning still applies
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("p=")
+    ) == ["p=0", "p=1", "p=2"]
+    plan = (
+        after.where(F.col("p") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(p" in plan, plan
