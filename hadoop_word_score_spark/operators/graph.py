@@ -115,7 +115,7 @@ def triangle_counts(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()  # three consumers: degrees + both orient sides
+        .localCheckpoint()  # consumers: degree agg, orientation join, closing probe
     )
     deg = (
         canon.select(F.col("a").alias("node"))
@@ -138,14 +138,14 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.lo", "e.hi")
-        .localCheckpoint()  # consumed twice: wedge gen + wedge close
+        .localCheckpoint()  # consumed twice: both wedge sides (w1/w2)
     )
     w1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("v"))
     w2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("w"))
-    # wedges at the low-rank apex; (v, w) ordered by id so each unordered
-    # wedge appears once and the closing edge is probed in ONE direction
-    # per rank-orientation of (v, w) — we match against oriented edges in
-    # both (v,w) and (w,v) id-orders via least/greatest normalization
+    # wedges at the low-rank apex, endpoints normalized to id order so each
+    # unordered wedge appears once; the closing probe is simply `canon` —
+    # the id-ordered undirected edge set (re-orienting it by rank and
+    # normalizing back would reproduce canon row for row)
     wedges = (
         w1.join(w2, "apex")
         .where(F.col("v") < F.col("w"))
@@ -155,9 +155,7 @@ def triangle_counts(
             F.col("w").alias("q"),
         )
     )
-    closing = oriented.select(
-        F.least("lo", "hi").alias("p"), F.greatest("lo", "hi").alias("q")
-    )
+    closing = canon.select(F.col("a").alias("p"), F.col("b").alias("q"))
     tri = wedges.join(closing, ["p", "q"])  # (apex, p, q) = one triangle each
     members = (
         tri.select(F.col("apex").alias("node"))

@@ -56,9 +56,13 @@ def concurrency_profile(
             F.col(end_col).cast("long").alias("ts"), F.lit(-1).alias("delta")
         )
     )
+    # floor-division bucketing: ts - ts % b is NOT a floor for negative
+    # timestamps (Spark % keeps the dividend sign, so pre-1970 boundaries
+    # would land one bucket late); floor(ts / b) * b is correct on both
+    # sides of zero and exact for |ts| < 2^53
     b = F.lit(bucket_seconds)
     deltas = deltas.withColumn(
-        "bucket", (F.col("ts") - (F.col("ts") % b)).cast("long")
+        "bucket", (F.floor(F.col("ts") / b) * b).cast("long")
     )
     fine = Window.partitionBy("bucket").orderBy("ts", "delta").rowsBetween(
         Window.unboundedPreceding, 0

@@ -106,9 +106,10 @@ def sorted_neighbourhood_pairs(
       3. each record explodes into ``window`` (rank + i) probes and
          equality-joins the rank relation — unique integer keys, so the
          shuffle join is skew-free by construction.
-    Candidate count is EXACTLY ``window * (N - 1)`` — linear in N, the
-    strongest candidate bound of any linkage pass (blocking is quadratic
-    within a block). Sort ties break by id so the neighbourhood
+    Candidate count is exactly ``window*N - window*(window+1)/2`` (each
+    rank probes ``window`` successors; the last ``window`` ranks probe
+    past the end) — linear in N by construction, the strongest candidate
+    bound of any linkage pass (blocking is quadratic within a block). Sort ties break by id so the neighbourhood
     enumeration is engine-deterministic.
     """
     from .rank import global_rank

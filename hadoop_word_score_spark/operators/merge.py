@@ -48,7 +48,15 @@ def merge_upsert(
         for c in target.columns
     ]
     if delete_when is not None:
-        keep = ~(matched & F.col(f"t.{key}").isNotNull() & delete_when)
+        # SQL MERGE semantics: a NULL delete condition means the DELETE arm
+        # does NOT fire (the row is updated, not dropped). Without the
+        # coalesce, keep evaluates to NULL for such rows and filter() drops
+        # them — a silent delete (review r9, confirmed against ANSI MERGE).
+        keep = ~(
+            matched
+            & F.col(f"t.{key}").isNotNull()
+            & F.coalesce(delete_when, F.lit(False))
+        )
         joined = joined.filter(keep)
     return joined.select(*out_cols)
 

@@ -8013,7 +8013,8 @@ def q_linkage_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_linkage_sorted_neighbourhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The second linkage pass (operators/linkage.py): sorted-neighbourhood
     # candidates over supplier names, window 2, levenshtein <= 1.
-    # Candidate count is exactly window * (N - 1) — LINEAR, vs blocking's
+    # Candidate count is exactly window*N - window*(window+1)/2 — LINEAR,
+    # vs blocking's
     # quadratic-within-block — at the cost of missing matches that sort
     # far apart (production unions both passes). The global sort is the
     # distributed rank primitive (operators/rank.py): range exchange +
@@ -8162,8 +8163,9 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT end_s, -1 FROM sess
     ), bkt AS (
-        SELECT ts, delta, ts - ts % 3600 AS bucket,
-               SUM(delta) OVER (PARTITION BY ts - ts % 3600
+        SELECT ts, delta,
+               CAST(FLOOR(ts / 3600.0) AS BIGINT) * 3600 AS bucket,
+               SUM(delta) OVER (PARTITION BY CAST(FLOOR(ts / 3600.0) AS BIGINT)
                                 ORDER BY ts, delta
                                 ROWS UNBOUNDED PRECEDING) AS run
         FROM deltas

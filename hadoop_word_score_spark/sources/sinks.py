@@ -190,17 +190,25 @@ def compact_small_files(
     overhead dominates scan time and whose per-file metadata bloats
     planning. Mechanics: size the dataset from the files Spark already
     lists, pick ``ceil(bytes / target)`` output files, and rewrite with a
-    repartition — either globally or per partition directory when
-    ``partition_cols`` is given (each Hive partition compacts
-    independently; the repartition keys on the partition columns so a
-    partition's rows land together and the writer emits one file per
-    directory per task wave).
+    repartition. With ``partition_cols``, the repartition keys on the
+    partition columns (each directory's rows coalesce without mixing) and
+    the target size is enforced through the writer's ``maxRecordsPerFile``
+    (records-per-target estimated from the measured bytes/row) — keying
+    alone would collapse each Hive partition into ONE file regardless of
+    its size, recreating the giant-file problem in reverse on a skewed
+    partition (review r9).
+
+    Swap is rename-aside, recoverable at every crash point: the rewrite
+    lands in a temp dir, the old dir moves to ``<path>._compact_old``,
+    the temp renames into place, and only then is the old copy removed —
+    the dataset always exists at ``path`` or a well-known sibling (the
+    plain-parquet approximation of Delta OPTIMIZE / Iceberg
+    rewrite_data_files' transactional swap; review r9 — the first cut
+    rmtree'd the live path before renaming, a data-loss crash window).
 
     At 100 TB: compaction is per-partition-directory and embarrassingly
     parallel — no global shuffle is ever needed beyond the rewrite's own
-    round-robin; table formats (Delta OPTIMIZE, Iceberg rewrite_data_files)
-    add transactional swap on top, which plain parquet approximates with
-    an atomic temp-dir rename (used here).
+    repartition.
     """
     import math
     import os
@@ -220,19 +228,28 @@ def compact_small_files(
     files_before, bytes_total = _files_and_bytes(path)
     n_out = max(1, math.ceil(bytes_total / target_file_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
     if partition_cols:
-        # partition-local compaction: shuffle keyed on the partition
-        # columns only, so each directory's rows coalesce without mixing
+        # partition-local compaction; maxRecordsPerFile splits a hot
+        # partition back up toward the target (bytes/row measured over
+        # the whole dataset — close enough for file sizing)
+        n_rows = df.count()
+        rows_per_file = max(
+            1, int(n_rows * target_file_bytes / max(bytes_total, 1))
+        )
         (
             df.repartition(n_out, *partition_cols)
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
             .partitionBy(*partition_cols)
             .parquet(tmp)
         )
     else:
         df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     files_after, _ = _files_and_bytes(path)
     return {
         "files_before": files_before,

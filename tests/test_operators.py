@@ -1981,3 +1981,39 @@ def test_concurrency_profile_matches_serial_sweep_on_random_intervals(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_merge_upsert_null_delete_condition_updates_not_deletes(spark):
+    # ANSI MERGE: WHEN MATCHED AND <cond> THEN DELETE does not fire on a
+    # NULL condition — the row takes the UPDATE arm instead of vanishing
+    from hadoop_word_score_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old", "open"), (2, "old", "open")], "k int, v string, status string"
+    )
+    source = spark.createDataFrame(
+        [(1, "new", None), (2, "new", "closed")], "k int, v string, status string"
+    )
+    out = {
+        r.k: (r.v, r.status)
+        for r in merge_upsert(
+            target, source, "k", delete_when=F.col("s.status") == "closed"
+        ).collect()
+    }
+    # k=2 deleted (condition true); k=1 UPDATED despite NULL condition
+    assert out == {1: ("new", None)}
+
+
+def test_concurrency_profile_negative_timestamps_floor_bucket(spark):
+    # pre-1970 boundary: ts=-1 belongs to bucket -10 (floor), not bucket 0
+    # (the ts - ts % b form would misplace it — review r9)
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    iv = spark.createDataFrame([(-5, -1), (2, 4)], "start_s int, end_s int")
+    out = {
+        r.bucket_start_s: r.max_concurrency
+        for r in concurrency_profile(iv, bucket_seconds=10).collect()
+    }
+    assert out == {-10: 1, 0: 1}

@@ -254,3 +254,33 @@ def test_compact_small_files_partitioned_keeps_directory_pruning(spark, tmp_path
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(p" in plan, plan
+
+
+def test_compact_small_files_splits_hot_partition_to_target(spark, tmp_path):
+    # a skewed partition must NOT collapse into one giant file: with a
+    # small target, the hot partition's rewrite splits via maxRecordsPerFile
+    from hadoop_word_score_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "skewed")
+    df = spark.range(20_000).withColumn(
+        "p", F.when(F.col("id") % 100 == 0, 1).otherwise(0).cast("int")
+    )  # partition 0 holds 99% of rows
+    df.repartition(32).write.partitionBy("p").parquet(path)
+    import os
+
+    _, bytes_total = 0, sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    receipt = compact_small_files(
+        spark, path, target_file_bytes=bytes_total // 4, partition_cols=["p"]
+    )
+    hot_files = [
+        f for f in os.listdir(os.path.join(path, "p=0")) if f.endswith(".parquet")
+    ]
+    assert len(hot_files) >= 2, hot_files  # split, not one monolith
+    assert receipt["files_after"] < receipt["files_before"]
+    assert spark.read.parquet(path).count() == 20_000
+    # rename-aside swap cleaned up both siblings
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
