@@ -200,18 +200,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash, verified with exact Jaccard.
 
     bands=16 × rows=2 → P(candidate) ≈ 1-(1-j²)¹⁶: >99.9% at j=0.5 — recall
     against the exact operator is asserted in tests. Output schema matches
     ngram_jaccard_pairs so the two are interchangeable.
+
+    ``index``: optionally pass ``docs``' own band index (the
+    :func:`minhash_band_index` output, typically checkpointed) when the
+    caller also needs it for other consumers — the ingest sink shares ONE
+    signing pass across within-batch pairing, the corpus probe and the
+    index write this way, instead of re-signing the batch per consumer.
+    Must be built from the same docs with the same (n, num_hashes, bands).
     """
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
     # arrays. Buckets pair internally after one shuffle (no self-join, no
     # duplicated scan subtree); document bodies re-enter only for the final
     # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
-    banded = minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
+    banded = (
+        index
+        if index is not None
+        else minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
+    )
     candidates = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
@@ -266,9 +278,14 @@ def incremental_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     base_index: DataFrame | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an EXISTING corpus — the
     incremental-ingest shape every rolling crawl needs.
+
+    ``new_index``: optionally pass the new batch's own band index to share
+    one signing pass with other consumers (see
+    :func:`minhash_lsh_pairs`'s ``index`` parameter).
 
     The corpus is probed through its band index (pass ``base_index`` — e.g.
     the persisted output of :func:`minhash_band_index` read back from
@@ -296,7 +313,8 @@ def incremental_lsh_pairs(
                 f"base_index was built with {found[0]!r} but this probe uses "
                 f"{expected!r}; rebuild the index or match the parameters"
             )
-    new_index = minhash_band_index(new, id_col, text_col, n, num_hashes, bands)
+    if new_index is None:
+        new_index = minhash_band_index(new, id_col, text_col, n, num_hashes, bands)
     candidates = (
         new_index.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
         .join(

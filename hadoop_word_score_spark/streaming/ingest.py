@@ -122,10 +122,20 @@ def dedup_ingest_sink(
             .localCheckpoint()
         )
 
+        # Sign the batch EXACTLY ONCE (the module contract): one checkpointed
+        # band index feeds all three consumers — the within-batch pair pass,
+        # the incremental corpus probe, and the index/batch=<id> write.
+        # (review r9: the first cut re-signed the batch inside each consumer,
+        # 3x the dominant Arrow-UDF cost per commit.)
+        batch_index = minhash_band_index(
+            batch, "doc_id", "text", n, num_hashes, bands
+        ).localCheckpoint()
+
         # Earlier arrivals within the batch: pairs come back id_a < id_b,
         # so id_b is the later arrival and id_a its match.
         matches = minhash_lsh_pairs(
-            batch, "doc_id", "text", n, num_hashes, bands, threshold
+            batch, "doc_id", "text", n, num_hashes, bands, threshold,
+            index=batch_index,
         ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("match_id"))
 
         if version > 0:
@@ -145,6 +155,7 @@ def dedup_ingest_sink(
                 bands,
                 threshold,
                 base_index=base_index,
+                new_index=batch_index,
             ).select(
                 F.col("new_id").alias("doc_id"),
                 F.col("base_id").alias("match_id"),
@@ -166,9 +177,9 @@ def dedup_ingest_sink(
         # Quarantined docs are indexed too (see module docstring); the index
         # carries mh_meta so a later probe with different parameters
         # fail-fasts instead of silently degrading recall.
-        minhash_band_index(
-            batch, "doc_id", "text", n, num_hashes, bands
-        ).write.mode("overwrite").parquet(_batch_dir(target, _INDEX, batch_id))
+        batch_index.write.mode("overwrite").parquet(
+            _batch_dir(target, _INDEX, batch_id)
+        )
         _commit(target, version + 1, batch_id)
 
     return write_batch
