@@ -25,40 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-def brute_force_topk(
+def _scored_pairs(
     queries: DataFrame,
     candidates: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_queries: int = 4096,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+    caller: str,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector.
-
-    The query side is collected to the driver and closed over by an Arrow
-    pandas UDF (top-k search has few queries by construction — the same
-    assumption a broadcast join would make, but the matmul replaces a
-    nq×N row explosion: one BLAS call per candidate batch instead of
-    nq·N·dim interpreted-HOF lambda evals). Candidates stream with no join
-    and no shuffle until the final per-query rank, which carries only
-    (query, cand, sim) triples. Ties on rounded similarity break by
-    candidate id → fully deterministic. Summation order inside the dot
-    product differs from the SQL oracle's strict left-to-right list_sum,
-    but both round to 6 dp — a boundary flip needs ~1e-9 luck per value
-    (oracle-checked green at test SF).
-
-    ``max_queries`` guards the collect: the "few queries" assumption is
-    load-bearing (the query matrix is closed over by every executor task),
-    so a large query side fails fast at plan time with a clear error instead
-    of OOMing the driver. For bulk all-pairs workloads use the LSH/IVF paths
-    (or embedding_cosine_pairs), which keep both sides distributed.
+    """(query_id, cand_id, cosine_sim) for every (query, candidate) pair —
+    the shared Arrow-matmul scoring pass behind :func:`brute_force_topk`
+    and :func:`hard_negative_topk` (see brute_force_topk's docstring for
+    the determinism and max_queries contracts).
     """
     # guard fused into the collect (limit max_queries+1, then len check):
     # one Spark job instead of a count job followed by a collect job
     qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
-            f"brute_force_topk collects the query side to the driver; got "
+            f"{caller} collects the query side to the driver; got "
             f">{max_queries} query vectors. Pass a smaller query set, raise "
             f"max_queries explicitly, or use lsh_bucketed_topk/ivf_topk for "
             f"distributed bulk search."
@@ -107,15 +92,85 @@ def brute_force_topk(
                 }
             )
 
-    scored = candidates.select(
+    return candidates.select(
         F.col(id_col), F.col(vec_col)
     ).mapInPandas(score, out_schema)
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    The query side is collected to the driver and closed over by an Arrow
+    pandas UDF (top-k search has few queries by construction — the same
+    assumption a broadcast join would make, but the matmul replaces a
+    nq×N row explosion: one BLAS call per candidate batch instead of
+    nq·N·dim interpreted-HOF lambda evals). Candidates stream with no join
+    and no shuffle until the final per-query rank, which carries only
+    (query, cand, sim) triples. Ties on rounded similarity break by
+    candidate id → fully deterministic. Summation order inside the dot
+    product differs from the SQL oracle's strict left-to-right list_sum,
+    but both round to 6 dp — a boundary flip needs ~1e-9 luck per value
+    (oracle-checked green at test SF).
+
+    ``max_queries`` guards the collect: the "few queries" assumption is
+    load-bearing (the query matrix is closed over by every executor task),
+    so a large query side fails fast at plan time with a clear error instead
+    of OOMing the driver. For bulk all-pairs workloads use the LSH/IVF paths
+    (or embedding_cosine_pairs), which keep both sides distributed.
+    """
+    scored = _scored_pairs(
+        queries, candidates, id_col, vec_col, max_queries, "brute_force_topk"
+    )
+    return _ranked_topk(scored, k)
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    lo: float = 0.15,
+    hi: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Top-k HARD NEGATIVES per query: the most-similar candidates whose
+    cosine falls in the band [lo, hi) — similar enough to be informative
+    for contrastive training, below the near-duplicate threshold so they
+    are genuinely negative (the standard hard-negative mining recipe for
+    embedding/retrieval training; band bounds follow the corpus's dup
+    threshold, e.g. dedup_near_embedding's 0.4).
+
+    Same machinery and contracts as :func:`brute_force_topk` (exact Arrow
+    matmul, streamed candidates, deterministic (sim DESC, id) ties); the
+    band filter applies BEFORE the rank, so rank k is the k-th best WITHIN
+    the band. At bulk-query scale the candidates come from the mid-sim
+    sign-LSH regime (3 planes) instead of a full scan — this exact path is
+    the recall yardstick, mirroring the topk/LSH split.
+    """
+    scored = _scored_pairs(
+        queries, candidates, id_col, vec_col, max_queries, "hard_negative_topk"
+    )
+    banded = scored.filter(
+        (F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi)
+    )
+    return _ranked_topk(banded, k)
 
 
 def _cosine_pairs_udf():

@@ -8223,3 +8223,47 @@ def q_events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return concurrency_profile(sess, "start_s", "end_s", bucket_seconds=3600)
+
+
+@register(
+    "similarity_hard_negatives",
+    # Exact all-pairs mirror of the banded top-k: score, keep cosines in
+    # [0.15, 0.4), rank (sim DESC, cand_id) within the band. Band bounds
+    # match dedup_near_embedding's dup threshold (0.4) from above.
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+    scored AS (
+        SELECT qid AS query_id, cid AS cand_id,
+               ROUND(
+                 list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+                 / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])))
+                        * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))), 0),
+                 6) + 0.0 AS cosine_sim
+        FROM q, c
+        WHERE qid <> cid
+    )
+    SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM scored
+        WHERE cosine_sim >= 0.15 AND cosine_sim < 0.4
+    ) WHERE rank <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive-training data mining (operators/similarity.py): per query,
+    # the 3 most-similar candidates BELOW the near-dup threshold — hard
+    # negatives. Exact Arrow-matmul path (streamed candidates, no join, no
+    # shuffle until the (query, cand, sim)-triple rank); the bulk path at
+    # 100 TB generates candidates from the mid-sim sign-LSH regime first,
+    # exactly as similarity_topk splits against similarity_topk_lsh.
+    from ..operators.similarity import hard_negative_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        em.filter(F.col("vec_id") < 10), em, k=3, lo=0.15, hi=0.4
+    )

@@ -2017,3 +2017,32 @@ def test_concurrency_profile_negative_timestamps_floor_bucket(spark):
         for r in concurrency_profile(iv, bucket_seconds=10).collect()
     }
     assert out == {-10: 1, 0: 1}
+
+
+def test_hard_negative_topk_band_and_rank(spark):
+    from hadoop_word_score_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    # query [1,0]; candidates at cosine 1.0 (dup — above band), ~0.9
+    # (above band), ~0.31, ~0.20, ~0.10 (below band): band [0.15, 0.4)
+    # keeps exactly the 0.31 and 0.20 candidates, ranked by sim desc
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [
+        (0, vec(0.0)),              # the query itself (qid != cid filter)
+        (1, vec(0.0)),              # cos 1.0 — duplicate, excluded
+        (2, vec(0.45)),             # cos ~0.90 — too similar, excluded
+        (3, vec(math.acos(0.31))),  # in band
+        (4, vec(math.acos(0.20))),  # in band
+        (5, vec(math.acos(0.10))),  # below band, excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = hard_negative_topk(
+        df.where(F.col("vec_id") == 0), df, k=3, lo=0.15, hi=0.4
+    ).collect()
+    assert [(r.cand_id, r.rank) for r in out] == [(3, 1), (4, 2)]
+    assert all(0.15 <= r.cosine_sim < 0.4 for r in out)
