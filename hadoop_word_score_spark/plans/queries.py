@@ -8267,3 +8267,175 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(
         em.filter(F.col("vec_id") < 10), em, k=3, lo=0.15, hi=0.4
     )
+
+
+@register(
+    "events_psi_drift",
+    # Population-stability index per event_type between the first and
+    # second half of the observation window (the drift score risk systems
+    # use alongside KL — symmetric and bounded-bucket). Fixed equi-width
+    # value buckets (10 x 50 wide, top-clamped), densified so both phases
+    # cover all 10 buckets; Laplace smoothing (+0.5 per bucket, +5 per
+    # total) keeps empty buckets finite on BOTH engines identically. The
+    # 10-term sum is 9+ orders above fp summation noise at 6 dp
+    # (corpus_drift_kl's bet).
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base'
+                    ELSE 'cur' END AS phase,
+               LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (
+        SELECT event_type, phase, bucket, COUNT(*) AS c
+        FROM e GROUP BY event_type, phase, bucket
+    ),
+    axis AS (SELECT DISTINCT event_type FROM e),
+    buckets AS (SELECT UNNEST(range(0, 10)) AS bucket),
+    dense AS (
+        SELECT a.event_type, b.bucket,
+               COALESCE(pb.c, 0) AS c_base, COALESCE(pc.c, 0) AS c_cur
+        FROM axis a CROSS JOIN buckets b
+        LEFT JOIN cnt pb ON pb.event_type = a.event_type
+                        AND pb.bucket = b.bucket AND pb.phase = 'base'
+        LEFT JOIN cnt pc ON pc.event_type = a.event_type
+                        AND pc.bucket = b.bucket AND pc.phase = 'cur'
+    ),
+    tot AS (
+        SELECT event_type, SUM(c_base) AS n_base, SUM(c_cur) AS n_cur
+        FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(t.n_base AS BIGINT) AS n_base,
+           CAST(t.n_cur AS BIGINT) AS n_cur,
+           ROUND(SUM(
+               ((d.c_cur + 0.5) / (t.n_cur + 5.0)
+                - (d.c_base + 0.5) / (t.n_base + 5.0))
+               * ln(((d.c_cur + 0.5) / (t.n_cur + 5.0))
+                    / ((d.c_base + 0.5) / (t.n_base + 5.0)))
+           ), 6) + 0.0 AS psi
+    FROM dense d JOIN tot t USING (event_type)
+    GROUP BY d.event_type, t.n_base, t.n_cur
+    ORDER BY event_type
+    """,
+    tags=("events", "stats", "agg"),
+)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One corpus scan -> (type, phase, bucket) map-side-combined counts;
+    # everything after runs on the bounded (types x 2 x 10) relation — the
+    # densify cross join, totals, and the PSI fold are all tiny. At 100 TB
+    # only the first aggregation touches data volume.
+    e = _t(spark, sf_dir, "events")
+    binned = e.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "base")
+        .otherwise("cur")
+        .alias("phase"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+    )
+    cnt = binned.groupBy("event_type", "phase", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint()  # bounded relation, reused by axis + both phases
+    axis = cnt.select("event_type").distinct()
+    buckets = spark.range(10).select(F.col("id").alias("bucket"))
+    base = cnt.where(F.col("phase") == "base").select(
+        "event_type", "bucket", F.col("c").alias("c_base")
+    )
+    cur = cnt.where(F.col("phase") == "cur").select(
+        "event_type", "bucket", F.col("c").alias("c_cur")
+    )
+    dense = (
+        axis.crossJoin(buckets)
+        .join(base, ["event_type", "bucket"], "left")
+        .join(cur, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["c_base", "c_cur"])
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_cur") + 0.5) / (F.col("n_cur") + 5.0)
+    q = (F.col("c_base") + 0.5) / (F.col("n_base") + 5.0)
+    return (
+        dense.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_base", "n_cur")
+        .agg((F.round(F.sum((p - q) * F.log(p / q)), 6) + F.lit(0.0)).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_mad_outliers",
+    # Robust (median/MAD) outlier report per event_type — the complement
+    # of events_anomaly_zscore's mean/std: immune to the outliers it is
+    # hunting. Both engines use linearly-interpolated exact percentiles
+    # (Spark `percentile` == DuckDB `quantile_cont`; parity proven by the
+    # driver-green percentile_exact row). The outlier test compares
+    # ROUND(adev - 3 * mad, 6) > 0 on both sides so a boundary point needs
+    # sub-1e-6 luck to flip (the cosine-rounding bet).
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) + 0.0 AS median_value,
+           ROUND(MAX(m.mad), 4) + 0.0 AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ROUND(d.adev - 3 * m.mad, 6) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "stats"),
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two grouped EXACT percentile passes (the oracle yardstick — exact
+    # percentile buffers per group, so at 100 TB the production path swaps
+    # in approx_percentile sketches, the same exact/approx quarantine as
+    # stats_table_profile's NDV) + one counting pass over the deviation
+    # relation. Medians broadcast back; nothing but the events scan is
+    # corpus-sized.
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    ).localCheckpoint()  # feeds the MAD percentile AND the outlier count
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.max("med"), 4) + F.lit(0.0)).alias("median_value"),
+            (F.round(F.max("mad"), 4) + F.lit(0.0)).alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.round(F.col("adev") - 3 * F.col("mad"), 6) > 0, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

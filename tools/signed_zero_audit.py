@@ -134,6 +134,9 @@ _NONNEG = [
     (r"kmeans_embeddings", r"ROUND\(AVG\((val|f\.dist)\)",
      "centroid coords feed arithmetic only (sign of zero is inert there); mean SQUARED "
      "distance is non-negative"),
+    (r"events_mad_outliers", r"ROUND\(d\.adev - 3 \* m\.mad, 6\)",
+     "internal comparison operand: the rounded value feeds only a > 0 test "
+     "(where -0.0 > 0 and +0.0 > 0 agree) and never reaches an output column"),
     (r"snapshot_diff_orders", r"ROUND\(o_totalprice \* 1\.1, 2\)",
      "internal snapshot fabrication: the rounded price is only equality-compared "
      "WITHIN the engine to derive change_type and never reaches an output column; "
