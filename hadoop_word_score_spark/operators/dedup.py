@@ -142,6 +142,22 @@ def _mh_meta(n: int, num_hashes: int, bands: int) -> str:
     return f"{_MH_FAMILY}:n={n},h={num_hashes},b={bands}"
 
 
+def _check_mh_meta(index: DataFrame, n: int, num_hashes: int, bands: int, arg: str) -> None:
+    """Fail fast on a band index built with other parameters (or an older
+    hash family): the (band_idx, band_hash) join would still run and recall
+    would collapse SILENTLY — the exact-Jaccard verify then reads as "no
+    near-dups found". One-row probe, not a full scan."""
+    if "mh_meta" not in index.columns:
+        return
+    expected = _mh_meta(n, num_hashes, bands)
+    found = index.select("mh_meta").first()
+    if found is not None and found[0] != expected:
+        raise ValueError(
+            f"{arg} was built with {found[0]!r} but this probe uses "
+            f"{expected!r}; rebuild the index or match the parameters"
+        )
+
+
 def minhash_band_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -219,11 +235,11 @@ def minhash_lsh_pairs(
     # arrays. Buckets pair internally after one shuffle (no self-join, no
     # duplicated scan subtree); document bodies re-enter only for the final
     # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
-    banded = (
-        index
-        if index is not None
-        else minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
-    )
+    if index is not None:
+        _check_mh_meta(index, n, num_hashes, bands, "index")
+        banded = index
+    else:
+        banded = minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
     candidates = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
@@ -302,19 +318,12 @@ def incremental_lsh_pairs(
     """
     if base_index is None:
         base_index = minhash_band_index(base, id_col, text_col, n, num_hashes, bands)
-    elif "mh_meta" in base_index.columns:
-        # A persisted index built with different n/num_hashes/bands (or an
-        # older hash family) joins fine and degrades recall silently — check
-        # the build tag the index carries. One-row probe, not a full scan.
-        expected = _mh_meta(n, num_hashes, bands)
-        found = base_index.select("mh_meta").first()
-        if found is not None and found[0] != expected:
-            raise ValueError(
-                f"base_index was built with {found[0]!r} but this probe uses "
-                f"{expected!r}; rebuild the index or match the parameters"
-            )
+    else:
+        _check_mh_meta(base_index, n, num_hashes, bands, "base_index")
     if new_index is None:
         new_index = minhash_band_index(new, id_col, text_col, n, num_hashes, bands)
+    else:
+        _check_mh_meta(new_index, n, num_hashes, bands, "new_index")
     candidates = (
         new_index.select(F.col("id").alias("new_id"), "band_idx", "band_hash")
         .join(

@@ -2046,3 +2046,27 @@ def test_hard_negative_topk_band_and_rank(spark):
     ).collect()
     assert [(r.cand_id, r.rank) for r in out] == [(3, 1), (4, 2)]
     assert all(0.15 <= r.cosine_sim < 0.4 for r in out)
+
+
+def test_lsh_pair_fns_reject_mismatched_precomputed_index(spark):
+    # the mh_meta guard must be symmetric across ALL index-accepting params
+    # (review r9: only base_index was validated; a mismatched index/new_index
+    # silently collapsed recall)
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    wrong = minhash_band_index(docs, bands=8)  # built with bands=8
+    with _pytest.raises(ValueError, match="index was built with"):
+        minhash_lsh_pairs(docs, bands=16, index=wrong).count()
+    with _pytest.raises(ValueError, match="new_index was built with"):
+        incremental_lsh_pairs(docs, docs, bands=16, new_index=wrong).count()
+    with _pytest.raises(ValueError, match="base_index was built with"):
+        incremental_lsh_pairs(docs, docs, bands=16, base_index=wrong).count()
