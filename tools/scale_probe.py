@@ -69,6 +69,8 @@ PROBES = [
     "stats_column_entropy",
     "corpus_ngram_novelty",
     "basket_association_rules",
+    "events_psi_drift",
+    "events_mad_outliers",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1116,6 +1118,13 @@ def main() -> None:
         # projection and basket-keyed pair join grow linearly (fan-out per
         # basket is fixed); everything after the pair count is vocab-sized
         "basket_association_rules": "linear (basket-keyed pair join; post-count work vocab-bounded)",
+        # one map-side-combined (type, phase, bucket) count; the PSI fold
+        # runs on the densified bounded bucket relation
+        "events_psi_drift": "linear scan; shuffles bounded at types x 2 x 10 buckets",
+        # EXACT grouped percentiles buffer per group (events-per-type grows
+        # 10x with fixed types) — the documented oracle-yardstick trade;
+        # the production path swaps in approx_percentile sketches
+        "events_mad_outliers": "linear scan, but exact-percentile group buffers grow with rows/type (approx sketch is the scale path)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
