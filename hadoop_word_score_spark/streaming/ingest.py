@@ -183,3 +183,32 @@ def dedup_ingest_sink(
         _commit(target, version + 1, batch_id)
 
     return write_batch
+
+
+def vacuum_ingest(target: str) -> list[str]:
+    """Delete UNCOMMITTED ``batch=<n>`` directories (n > the published
+    last_batch_id) from both the docs and index trees; returns the removed
+    paths. Committed batches are never touched.
+
+    A crash between a batch write and the ``_commit`` pointer swap leaves
+    a fully- or half-written batch directory that reads never see
+    (``_committed_dirs`` filters on the pointer) but that occupies storage
+    forever; redelivery overwrites it only if the SAME batch id is
+    retried. Same quiesced-writer contract as ``sinks.vacuum``: run with
+    no in-flight micro-batch, or an about-to-commit batch dir will be
+    swept out from under its commit.
+    """
+    import shutil
+
+    _, last_batch = _read_pointer(target)
+    removed: list[str] = []
+    for sub in (_DOCS, _INDEX):
+        root = os.path.join(target, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            if name.startswith("batch=") and int(name.split("=", 1)[1]) > last_batch:
+                path = os.path.join(root, name)
+                shutil.rmtree(path)
+                removed.append(path)
+    return removed

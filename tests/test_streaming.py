@@ -903,3 +903,34 @@ def test_dedup_ingest_greedy_vs_batch_components(spark, tmp_path):
         else:
             assert greedy_kept == {0, 1}   # D kept: no match at arrival
             assert batch_kept == {0}       # bridge merges the component
+
+
+def test_vacuum_ingest_sweeps_uncommitted_batches_only(spark, tmp_path):
+    import os
+
+    from hadoop_word_score_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        read_ingested,
+        vacuum_ingest,
+    )
+
+    target = str(tmp_path / "ingest")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sink = dedup_ingest_sink(target)
+    sink(docs, 0)  # committed batch
+    # simulate a crash: a batch dir written but never published
+    orphan = spark.createDataFrame([(9, "iota kappa")], "doc_id long, text string")
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(target, "docs", "batch=7")
+    )
+    removed = vacuum_ingest(target)
+    assert removed == [os.path.join(target, "docs", "batch=7")]
+    assert not os.path.exists(os.path.join(target, "docs", "batch=7"))
+    # committed data intact and readable
+    out = read_ingested(spark, target)
+    assert out is not None and out.count() == 2
+    # idempotent: a second vacuum finds nothing
+    assert vacuum_ingest(target) == []
