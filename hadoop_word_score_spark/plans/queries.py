@@ -8439,3 +8439,106 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "quality_bigram_logprob",
+    # Interpolated bigram LM quality score — the step up from
+    # quality_unigram_logprob a real quality filter takes (word-order
+    # sensitivity: shuffled-token gibberish keeps its unigram score but
+    # collapses under a bigram LM). Fixed interpolation
+    # 0.7 * P(w2|w1) + 0.3 * P(w2) over the corpus' OWN counts, so no
+    # zeros and no OOV machinery; both engines compute the identical
+    # expression tree and round the per-doc weighted mean at 6 dp
+    # (corpus_drift_kl's summation-noise bet). Docs with < 2 tokens have
+    # no bigrams and are absent on both sides.
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+    ),
+    db AS (
+        SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ),
+    bc AS (SELECT bigram, CAST(SUM(cnt) AS BIGINT) AS c12 FROM db GROUP BY bigram),
+    lc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM bc GROUP BY string_split(bigram, ' ')[1]
+    ),
+    tok AS (SELECT unnest(w) AS term FROM toks),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tc FROM tok GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+    SELECT db.doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(db.cnt * ln(0.7 * (bc.c12 / lc.c1)
+                                 + 0.3 * (tf.tc / tot.n_total)))
+                 / SUM(db.cnt), 6) + 0.0 AS avg_bigram_logprob
+    FROM db
+    JOIN bc USING (bigram)
+    JOIN lc ON string_split(db.bigram, ' ')[1] = lc.w1
+    JOIN tf ON string_split(db.bigram, ' ')[2] = tf.term
+    CROSS JOIN tot
+    GROUP BY db.doc_id
+    ORDER BY avg_bigram_logprob, doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB shape, same discipline as pmi_collocations: the corpus is
+    # touched exactly twice, once per vocab-keyed count shuffle (per-doc
+    # bigram counts; unigram counts) — both map-side combined. The LM
+    # relations (bigram counts, left-context totals, unigram counts) are
+    # all vocabulary-sized and join back onto the (doc, bigram, cnt)
+    # partials by token keys; the 1-row total broadcasts. The per-doc
+    # score is one weighted-mean aggregation over those partials — raw
+    # token streams never shuffle twice.
+    from ..functions.hashing import let1, tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    bigrams = F.expr(let1(
+        tokens_expr("text"), "w",
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END",
+    ))
+    db = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # feeds bigram counts AND the final per-doc agg
+    )
+    bc = db.groupBy("bigram").agg(F.sum("cnt").alias("c12")).localCheckpoint()
+    lc = bc.groupBy(
+        F.split("bigram", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    tok = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    tot = tf.agg(F.sum("tc").alias("n_total"))
+    score = F.log(
+        F.lit(0.7) * (F.col("c12") / F.col("c1"))
+        + F.lit(0.3) * (F.col("tc") / F.col("n_total"))
+    )
+    return (
+        db.join(bc, "bigram")
+        .join(lc, F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"))
+        .join(tf, F.split(F.col("bigram"), " ").getItem(1) == F.col("term"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (
+                F.round(F.sum(F.col("cnt") * score) / F.sum("cnt"), 6)
+                + F.lit(0.0)
+            ).alias("avg_bigram_logprob"),
+        )
+        .orderBy("avg_bigram_logprob", "doc_id")
+    )
