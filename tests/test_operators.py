@@ -2070,3 +2070,30 @@ def test_lsh_pair_fns_reject_mismatched_precomputed_index(spark):
         incremental_lsh_pairs(docs, docs, bands=16, new_index=wrong).count()
     with _pytest.raises(ValueError, match="base_index was built with"):
         incremental_lsh_pairs(docs, docs, bands=16, base_index=wrong).count()
+
+
+def test_bigram_logprob_penalizes_word_order_scrambling(spark, tmp_path):
+    # the reason this query exists next to the unigram score: identical
+    # token MULTISET, different order. 20 docs share the coherent phrase;
+    # 1 doc scrambles it -> same unigram distribution, rare bigrams, so
+    # the scrambled doc must score strictly lower under the bigram LM.
+    import os
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    docs.append((99, "fox the dog quick lazy brown over jumps the"))
+    path = str(tmp_path / "sf")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    ).withColumn("lang", F.lit("en")).write.parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    out = {
+        r.doc_id: r.avg_bigram_logprob
+        for r in REGISTRY["quality_bigram_logprob"].fn(spark, path).collect()
+    }
+    coherent = out[0]
+    scrambled = out[99]
+    assert scrambled < coherent, (scrambled, coherent)
