@@ -41,6 +41,22 @@ def tokens_expr(text_col: str) -> str:
     return f"array_remove(split({text_col}, '{DELIM_CLASS_SQL}'), '')"
 
 
+def bigrams_expr(text_col: str) -> str:
+    """SQL expr: adjacent-token bigrams as 'w1 w2' strings (multiplicity
+    kept, empty for docs under 2 tokens). Single source of truth for the
+    three bigram consumers (bigram_counts, pmi_collocations,
+    quality_bigram_logprob) — the token array is let-bound so the
+    tokenizer runs once per document, and a tokenizer change here stays in
+    lockstep with the shared DuckDB oracle tokenization."""
+    return let1(
+        tokens_expr(text_col), "w",
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END",
+    )
+
+
 def shingles_expr(text_col: str, n: int = 3) -> str:
     """SQL expr: distinct word n-gram shingles of ``text_col``.
 

@@ -150,11 +150,17 @@ def _check_mh_meta(index: DataFrame, n: int, num_hashes: int, bands: int, arg: s
     if "mh_meta" not in index.columns:
         return
     expected = _mh_meta(n, num_hashes, bands)
-    found = index.select("mh_meta").first()
-    if found is not None and found[0] != expected:
+    # probe for ANY mismatched row, not an arbitrary first row: a
+    # multi-batch index can MIX build parameters (sink restarted with new
+    # params), and first() would pass or fail with partition order. The
+    # filter prunes whole files in the all-match case — mh_meta is a
+    # per-file constant, so parquet min==max stats answer != without a scan.
+    found = index.filter(F.col("mh_meta") != F.lit(expected)).first()
+    if found is not None:
         raise ValueError(
-            f"{arg} was built with {found[0]!r} but this probe uses "
-            f"{expected!r}; rebuild the index or match the parameters"
+            f"{arg} contains rows built with {found['mh_meta']!r} but this "
+            f"probe uses {expected!r}; rebuild the index or match the "
+            f"parameters"
         )
 
 

@@ -3179,16 +3179,10 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage); the single shuffle carries (bigram, partial counts) with
     # map-side combine — the same plan family as wordscore. The min-count
     # HAVING prunes the long tail BEFORE any driver-side consumption.
-    from ..functions.hashing import let1, tokens_expr
+    from ..functions.hashing import bigrams_expr
 
     d = _t(spark, sf_dir, "documents")
-    bigrams = F.expr(let1(
-        tokens_expr("text"), "w",
-        "CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END",
-    ))
+    bigrams = F.expr(bigrams_expr("text"))
     return (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -7165,7 +7159,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair relation BEFORE the two unigram joins (token-keyed shuffle
     # joins — the unigram relation is vocab-sized, not corpus-sized, so no
     # broadcast is assumed), and the two 1-row totals broadcast for free.
-    from ..functions.hashing import let1, tokens_expr
+    from ..functions.hashing import bigrams_expr, tokens_expr
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.expr(tokens_expr("text"))).alias("tok"))
@@ -7175,13 +7169,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     tot = uni.agg(F.sum("n_tok").alias("n_tokens"))
-    bigrams = F.expr(let1(
-        tokens_expr("text"), "w",
-        "CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END",
-    ))
+    bigrams = F.expr(bigrams_expr("text"))
     bgc = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -8500,16 +8488,10 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partials by token keys; the 1-row total broadcasts. The per-doc
     # score is one weighted-mean aggregation over those partials — raw
     # token streams never shuffle twice.
-    from ..functions.hashing import let1, tokens_expr
+    from ..functions.hashing import bigrams_expr, tokens_expr
 
     d = _t(spark, sf_dir, "documents")
-    bigrams = F.expr(let1(
-        tokens_expr("text"), "w",
-        "CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END",
-    ))
+    bigrams = F.expr(bigrams_expr("text"))
     db = (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
@@ -8521,7 +8503,14 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("bigram", " ").getItem(0).alias("w1")
     ).agg(F.sum("c12").alias("c1"))
     tok = d.select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    # checkpointed: tf feeds the per-bigram join AND tot — without it Spark
+    # replans the corpus-wide tokenize+explode per consumer (a third full
+    # corpus scan at 100 TB; the pmi_collocations lesson, review r9)
+    tf = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint()
+    )
     tot = tf.agg(F.sum("tc").alias("n_total"))
     score = F.log(
         F.lit(0.7) * (F.col("c12") / F.col("c1"))

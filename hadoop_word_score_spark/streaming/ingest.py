@@ -200,8 +200,14 @@ def vacuum_ingest(target: str) -> list[str]:
     """
     import shutil
 
-    _, last_batch = _read_pointer(target)
+    target = _validate_local_target(target, "vacuum_ingest")
+    version, last_batch = _read_pointer(target)
     removed: list[str] = []
+    if version == 0:
+        # never committed OR the pointer file is lost — indistinguishable
+        # here, and sweeping on a lost pointer would rmtree every committed
+        # batch (sinks.vacuum refuses at version 0 for the same reason)
+        return removed
     for sub in (_DOCS, _INDEX):
         root = os.path.join(target, sub)
         if not os.path.isdir(root):

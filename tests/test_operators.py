@@ -2064,11 +2064,11 @@ def test_lsh_pair_fns_reject_mismatched_precomputed_index(spark):
         [(1, "a b c d e"), (2, "a b c d e f")], "doc_id long, text string"
     )
     wrong = minhash_band_index(docs, bands=8)  # built with bands=8
-    with _pytest.raises(ValueError, match="index was built with"):
+    with _pytest.raises(ValueError, match="index contains rows built with"):
         minhash_lsh_pairs(docs, bands=16, index=wrong).count()
-    with _pytest.raises(ValueError, match="new_index was built with"):
+    with _pytest.raises(ValueError, match="new_index contains rows built with"):
         incremental_lsh_pairs(docs, docs, bands=16, new_index=wrong).count()
-    with _pytest.raises(ValueError, match="base_index was built with"):
+    with _pytest.raises(ValueError, match="base_index contains rows built with"):
         incremental_lsh_pairs(docs, docs, bands=16, base_index=wrong).count()
 
 

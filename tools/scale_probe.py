@@ -71,6 +71,7 @@ PROBES = [
     "basket_association_rules",
     "events_psi_drift",
     "events_mad_outliers",
+    "quality_bigram_logprob",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1125,6 +1126,9 @@ def main() -> None:
         # 10x with fixed types) — the documented oracle-yardstick trade;
         # the production path swaps in approx_percentile sketches
         "events_mad_outliers": "linear scan, but exact-percentile group buffers grow with rows/type (approx sketch is the scale path)",
+        # same shape as pmi_collocations: two vocab-keyed count shuffles;
+        # LM joins run on vocabulary-sized relations
+        "quality_bigram_logprob": "linear (2 vocab-keyed count shuffles; LM joins vocab-sized)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
