@@ -384,3 +384,61 @@ def test_kmeans_assignment_matches_numpy_argmin(spark, vectors):
         slot = int(np.argmin(d))
         assert got[i][0] == cents[slot][0], (i, v, got[i], d.tolist())
         assert abs(got[i][1] - float(d[slot])) <= 1e-9 * max(1.0, float(d[slot]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 20),  # heavy ties in the sort key — the id tiebreak
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_global_rank_matches_python_sort_with_ties(spark, keys):
+    from hadoop_word_score_spark.operators.rank import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id int, k int") if rows else (
+        spark.createDataFrame([], "id int, k int")
+    )
+    out = global_rank(df.repartition(5), ["k", "id"]).collect()
+    got = [(r.k, r.id) for r in sorted(out, key=lambda r: r.grank)]
+    assert got == sorted((k, i) for i, k in enumerate(keys))
+    assert sorted(r.grank for r in out) == list(range(1, len(keys) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 80)),  # (start, length)
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_concurrency_profile_matches_serial_sweep(spark, spans):
+    from hadoop_word_score_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    iv = [(s, s + d) for s, d in spans]
+    events = sorted(
+        [(s, 1) for s, e in iv] + [(e, -1) for s, e in iv],
+        key=lambda x: (x[0], x[1]),
+    )
+    level = 0
+    expected: dict[int, int] = {}
+    for ts, dlt in events:
+        b = ts - ts % 60
+        expected.setdefault(b, level)
+        level += dlt
+        expected[b] = max(expected[b], level)
+    df = (
+        spark.createDataFrame(iv, "start_s int, end_s int")
+        if iv
+        else spark.createDataFrame([], "start_s int, end_s int")
+    )
+    got = {
+        r.bucket_start_s: r.max_concurrency
+        for r in concurrency_profile(df, bucket_seconds=60).collect()
+    }
+    assert got == expected
