@@ -8531,3 +8531,92 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("avg_bigram_logprob", "doc_id")
     )
+
+
+@register(
+    "pit_join_events_customer_history",
+    # Point-in-time (PIT) join — the feature-store leakage-safety
+    # primitive: each event is enriched with the dimension VERSION that was
+    # valid at the event's own timestamp, never a later one. The SCD2
+    # history is fabricated deterministically (same recipe as
+    # scd2_customer_history, revision date moved inside the events window
+    # so both versions actually serve traffic). The oracle expresses PIT
+    # as the equivalent half-open range join over LEAD-derived validity
+    # windows; the engine uses the as-of join (backward, latest
+    # valid_from <= ts), identical on non-overlapping version timelines.
+    # sum(acctbal) is a sum of cent-quantized values rounded at 2 dp —
+    # the true total sits 0.005 from any rounding boundary, 500x the
+    # worst-case fp reordering noise at this cardinality.
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey AS user_key, ROUND(c_acctbal, 2) AS acctbal,
+               'v1' AS version,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, ROUND(c_acctbal + 100.0, 2), 'v2',
+               TIMESTAMP '2024-01-15 00:00:00'
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    h2 AS (
+        SELECT *, LEAD(valid_from) OVER (PARTITION BY user_key
+                                         ORDER BY valid_from) AS valid_to
+        FROM hist
+    )
+    SELECT e.event_type, h.version AS asof_version,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(h.acctbal), 2) + 0.0 AS sum_acctbal
+    FROM events e
+    JOIN h2 h
+      ON e.user_id = h.user_key
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY e.event_type, h.version
+    ORDER BY event_type, asof_version
+    """,
+    tags=("join", "time", "warehouse"),
+)
+def q_pit_join_events_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Engine side: PIT = as-of join (operators/asof.py) of the fact stream
+    # against the dimension's version timeline — ONE union + ONE
+    # key-partitioned window pass, no range join and no per-version
+    # self-join. At 100 TB this is the plan a feature platform wants: the
+    # fact side never fans out (each event matches exactly one version),
+    # and the version timeline is dimension-sized. Training pipelines use
+    # exactly this shape to avoid feature leakage (a label computed at t
+    # must only see attribute versions <= t).
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("user_key"), "ts", "event_type"
+    )
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("user_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("v1").alias("version"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("user_key"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.lit("v2").alias("version"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    joined = asof_join(
+        e,
+        v1.unionByName(v2),
+        on="user_key",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["acctbal", "version"],
+        how="inner",
+    )
+    return (
+        joined.groupBy("event_type", F.col("asof_version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("asof_acctbal"), 2) + F.lit(0.0)).alias("sum_acctbal"),
+        )
+        .orderBy("event_type", "asof_version")
+    )
