@@ -8620,3 +8620,49 @@ def q_pit_join_events_customer_history(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("event_type", "asof_version")
     )
+
+
+@register(
+    "events_ohlc_hourly",
+    # OHLC resampling — the time-series bar aggregation every metrics/
+    # market pipeline runs — and the registry's coverage of the argmax
+    # aggregate family (Spark min_by/max_by == DuckDB arg_min/arg_max).
+    # Open/close pick the value at the min/max of a composite order key
+    # (epoch-seconds * 1e6 + event_id), so ties at equal timestamps break
+    # on the unique id and both engines select the identical row; values
+    # are raw stored doubles (no arithmetic), hashing exactly.
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_hour,
+           arg_min(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+                          + event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+                          + event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, bucket_hour
+    """,
+    tags=("events", "time", "agg"),
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One map-side-combined aggregation: min_by/max_by partials carry a
+    # single (key, value) pair each, so the shuffle is bounded by group
+    # count — the argmax family never needs the sort-within-group window
+    # pass a naive first/last-over-window plan would pay. At 100 TB this
+    # is the difference between a hash aggregate and a per-key sort.
+    e = _t(spark, sf_dir, "events")
+    key = F.col("ts").cast("long") * F.lit(1_000_000) + F.col("event_id")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket_hour")
+    )
