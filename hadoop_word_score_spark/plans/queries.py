@@ -8666,3 +8666,50 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_hour")
     )
+
+
+@register(
+    "try_error_safe_funcs",
+    # §2.8 error-safe family: Spark 4 runs ANSI mode by default, where a
+    # bad cast / division by zero / overflow THROWS — the try_* variants
+    # are the NULL-yielding escape hatch every ingestion pipeline needs.
+    # DuckDB mirrors: TRY_CAST natively; try_divide as an explicit
+    # zero-denominator CASE (DuckDB's x/0.0 is inf, not NULL); list
+    # indexing out of range is natively NULL in DuckDB while Spark needs
+    # try_element_at (plain element_at throws under ANSI).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS good_cast,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / (l_linenumber - 1), 4)
+           END AS safe_ratio,
+           string_split(l_shipdate::VARCHAR, '-')[10] AS oob_element,
+           string_split(l_shipdate::VARCHAR, '-')[1] AS ok_element
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("functions", "scalar"),
+)
+def q_try_error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All scan-side codegen expressions; the try_* forms compile to the
+    # same operators with a null-on-error wrapper, so the error safety is
+    # free at 100 TB (no Python, no extra pass).
+    li = _t(spark, sf_dir, "lineitem")
+    parts = F.split(F.col("l_shipdate").cast("string"), "-")
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+            F.col("l_linenumber").cast("string").cast("int").alias("good_cast"),
+            F.round(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1), 4
+            ).alias("safe_ratio"),
+            F.try_element_at(parts, F.lit(10)).alias("oob_element"),
+            F.try_element_at(parts, F.lit(1)).alias("ok_element"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
