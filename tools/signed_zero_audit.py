@@ -134,6 +134,9 @@ _NONNEG = [
     (r"kmeans_embeddings", r"ROUND\(AVG\((val|f\.dist)\)",
      "centroid coords feed arithmetic only (sign of zero is inert there); mean SQUARED "
      "distance is non-negative"),
+    (r"try_error_safe_funcs", r"ROUND\(l_extendedprice / \(l_linenumber - 1\), 4\)",
+     "extendedprice > 0 and the CASE guard excludes the zero denominator, so "
+     "the ratio is strictly positive — never rounds to zero from either side"),
     (r"events_mad_outliers", r"ROUND\(d\.adev - 3 \* m\.mad, 6\)",
      "internal comparison operand: the rounded value feeds only a > 0 test "
      "(where -0.0 > 0 and +0.0 > 0 agree) and never reaches an output column"),
