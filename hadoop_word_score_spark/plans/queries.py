@@ -8627,18 +8627,22 @@ def q_pit_join_events_customer_history(spark: SparkSession, sf_dir: str) -> Data
     # OHLC resampling — the time-series bar aggregation every metrics/
     # market pipeline runs — and the registry's coverage of the argmax
     # aggregate family (Spark min_by/max_by == DuckDB arg_min/arg_max).
-    # Open/close pick the value at the min/max of a composite order key
-    # (epoch-seconds * 1e6 + event_id), so ties at equal timestamps break
-    # on the unique id and both engines select the identical row; values
-    # are raw stored doubles (no arithmetic), hashing exactly.
+    # Open/close pick the value at the min/max of a 128-bit composite
+    # order key: microsecond epoch * 10^10 + event_id (HUGEINT in DuckDB,
+    # DECIMAL(38,0) in Spark — both exact integer arithmetic, identical
+    # ordering). The first cut used seconds * 1e6 + id in int64, whose
+    # tie-safety silently breaks once event_id reaches 1e6 (review r9);
+    # the 128-bit key is collision-free for any id below 10^10 and never
+    # overflows. Values are raw stored doubles (no arithmetic), hashing
+    # exactly.
     oracle="""
     SELECT event_type,
            date_trunc('hour', ts) AS bucket_hour,
-           arg_min(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
                           + event_id) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
                           + event_id) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
@@ -8654,7 +8658,11 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass a naive first/last-over-window plan would pay. At 100 TB this
     # is the difference between a hash aggregate and a per-key sort.
     e = _t(spark, sf_dir, "events")
-    key = F.col("ts").cast("long") * F.lit(1_000_000) + F.col("event_id")
+    key = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)")
+        * F.lit(10_000_000_000).cast("decimal(38,0)")
+        + F.col("event_id")
+    )
     return (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_hour"))
         .agg(
