@@ -72,6 +72,9 @@ PROBES = [
     "events_psi_drift",
     "events_mad_outliers",
     "quality_bigram_logprob",
+    "stats_histogram_equi_depth",
+    "pit_join_events_customer_history",
+    "events_ohlc_hourly",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1129,6 +1132,12 @@ def main() -> None:
         # same shape as pmi_collocations: two vocab-keyed count shuffles;
         # LM joins run on vocabulary-sized relations
         "quality_bigram_logprob": "linear (2 vocab-keyed count shuffles; LM joins vocab-sized)",
+        # exact mode: one range exchange + partition-local rank + bucket agg
+        "stats_histogram_equi_depth": "linear (range exchange + local rank; agg bounded at k buckets)",
+        # as-of union + ONE user-keyed window shuffle; dimension side fixed
+        "pit_join_events_customer_history": "linear in events (union + key-partitioned window; no fan-out)",
+        # single map-side-combined hash aggregate; groups = types x hours
+        "events_ohlc_hourly": "linear (one combined hash agg; min_by/max_by partials are one pair each)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
