@@ -735,3 +735,20 @@ def test_sorted_neighbourhood_rank_join_is_equi_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "_rank_pid" in plan, plan  # window runs partition-local
+
+
+def test_ohlc_is_one_hash_aggregate_no_window(spark):
+    # the argmax family's selling point: open/close come from min_by/max_by
+    # partials inside ONE map-side-combined hash aggregate — a naive
+    # first/last-over-window resampler would pay a per-key Sort + Window
+    plan = plan_of(spark, "events_ohlc_hourly")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_pit_join_has_no_range_join_fanout(spark):
+    # PIT via as-of: one union + one key-partitioned window — never a
+    # nested-loop/range join of facts against version intervals
+    plan = plan_of(spark, "pit_join_events_customer_history")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan, plan
