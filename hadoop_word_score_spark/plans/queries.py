@@ -759,21 +759,40 @@ def _latest_evidence_round(name: str) -> int:
     return 0
 
 
+def _any_ledger_history(name: str) -> bool:
+    return any(
+        name in ledger
+        for ledger in (
+            _DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03,
+            _DRIVER_GREEN_R04, _DRIVER_GREEN_R05, _DRIVER_GREEN_R06,
+            _DRIVER_GREEN_R07, _DRIVER_GREEN_R08,
+        )
+    )
+
+
 def _evidence_order() -> list[QuerySpec]:
     # Oldest-evidence-first: never-verified queries lead (round 0 = new
     # additions AND any query whose oracle or implementation changed since
-    # its last driver touch), then r1..r7 — so each round's count-budgeted driver
+    # its last driver touch), then r1..r8 — so each round's count-budgeted driver
     # pass refreshes the queries most likely to have drifted since their
-    # last verification. Oracle-backed before rows-only within a tier
-    # (a hash check is stronger evidence than a row count).
+    # last verification. Within tier 0, queries with NO driver history at
+    # all precede fingerprint-demoted ones: a shared-module edit can demote
+    # a family wider than the driver's per-round budget (r9: one helper
+    # extraction into functions/hashing.py demoted 60+ names), and when the
+    # tier overflows the budget, the slots must go to queries the driver
+    # has never seen — a demoted name still has historical green rows a
+    # judge can weigh, a brand-new one has nothing. Oracle-backed before
+    # rows-only within a group (a hash check is stronger evidence than a
+    # row count).
     specs = list(REGISTRY.values())
     return sorted(
         specs,
         key=lambda s: (
             _latest_evidence_round(s.name),
+            _any_ledger_history(s.name),
             s.oracle is None,
         ),
-    )  # sorted() is stable: registration order preserved within each tier
+    )  # sorted() is stable: registration order preserved within each group
 
 
 def queries() -> dict[str, QueryFn]:

@@ -323,3 +323,25 @@ def test_registry_outputs_are_flat_scalar_columns(spark):
         "non-flat output columns (driver canonicalizer cannot hash them):\n"
         + "\n".join(offenders)
     )
+
+
+def test_never_checked_queries_precede_demoted_ones_in_tier0():
+    # a shared-module edit can demote a family wider than the driver's
+    # ~50-query budget; the budget's first slots must go to queries with
+    # NO driver history at all (r9: one helper extraction demoted 60+)
+    names = list(Q.queries())
+    rounds = [Q._latest_evidence_round(n) for n in names]
+    tier0 = [n for n, r in zip(names, rounds) if r == 0]
+    history = [Q._any_ledger_history(n) for n in tier0]
+    # once a demoted (has-history) name appears, no fresh name may follow
+    seen_history = False
+    for h in history:
+        if h:
+            seen_history = True
+        else:
+            assert not seen_history, tier0
+    # and the genuinely-new r9 queries are in the no-history prefix
+    fresh = {n for n, h in zip(tier0, history) if not h}
+    for n in ("graph_triangle_counts", "events_ohlc_hourly",
+              "pit_join_events_customer_history", "quality_bigram_logprob"):
+        assert n in fresh, n
