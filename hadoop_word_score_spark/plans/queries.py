@@ -247,6 +247,29 @@ _DRIVER_GREEN_R08 = frozenset({
     "udf_grouped_zscore", "udtf_chunk_text"
 })
 
+_DRIVER_GREEN_R09 = frozenset({
+    "basket_association_rules", "bigram_counts", "bm25_ranking",
+    "corpus_dedup_rate_by_source", "corpus_ngram_novelty",
+    "corpus_prep_funnel", "corpus_report_by_source", "decontaminate_bloom",
+    "decontaminate_ngrams", "dedup_apply_survivors",
+    "dedup_cluster_canonical", "dedup_clusters", "dedup_exact",
+    "dedup_incremental", "dedup_near_embedding", "dedup_near_jaccard",
+    "dedup_near_minhash", "dedup_near_simhash", "dedup_pipeline_end_to_end",
+    "dedup_spans_exact", "dedup_spans_hashed", "dedup_winnowing_pairs",
+    "embedding_quantize_int8", "events_concurrency_hourly",
+    "events_mad_outliers", "events_ohlc_hourly", "events_psi_drift",
+    "graph_triangle_counts", "heavy_hitters_terms", "inverted_index_terms",
+    "lang_id_heuristic", "linkage_fuzzy_customers",
+    "linkage_sorted_neighbourhood", "merge_upsert_customers",
+    "pit_join_events_customer_history", "quality_bigram_logprob",
+    "quality_unigram_logprob", "similarity_hard_negatives",
+    "similarity_ivf_build", "similarity_ivf_recall",
+    "similarity_lsh_recall_midsim", "similarity_topk",
+    "similarity_topk_ivf", "similarity_topk_lsh", "snapshot_diff_orders",
+    "stats_column_entropy", "stats_histogram_equi_depth", "text_quality",
+    "tfidf_top_terms", "try_error_safe_funcs"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -400,6 +423,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "array_funcs": "a59eb283fa53",
     "asof_join_events": "e968e8a9b2fd",
     "asof_join_events_forward": "36d0838b0e93",
+    "basket_association_rules": "77de9a41be40",
     "bigram_counts": "c9d0c7cc6237",
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
@@ -409,7 +433,9 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "cms_frequency_estimates": "2369d6ea31ee",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
+    "corpus_dedup_rate_by_source": "f240c3ec35e3",
     "corpus_drift_kl": "cf6014cf1380",
+    "corpus_ngram_novelty": "8a169d7b7027",
     "corpus_prep_funnel": "c0476271351c",
     "corpus_report_by_source": "aa23b8986484",
     "cube_segment_status": "00da5551f9ed",
@@ -418,6 +444,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "decontaminate_bloom": "4158443f5f4d",
     "decontaminate_ngrams": "f4c3b9888715",
     "dedup_apply_survivors": "007b73d0476e",
+    "dedup_cluster_canonical": "ec353f2573ea",
     "dedup_clusters": "b8ba5e975a80",
     "dedup_containment": "50e75544f264",
     "dedup_exact": "b5919931923e",
@@ -439,17 +466,23 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "embedding_pca_project": "c60679601e6e",
     "embedding_quantize_int8": "aaa8faade4fe",
     "events_anomaly_zscore": "2e7e9aea7cc3",
+    "events_concurrency_hourly": "c345d4e21799",
     "events_ewma_value": "230c343224d7",
     "events_gapfill_hourly": "e8f7525be53f",
+    "events_mad_outliers": "b08bbcdc85ae",
+    "events_ohlc_hourly": "4a7bff466852",
+    "events_psi_drift": "086f28aa9b02",
     "events_rollup_multi_grain": "33ff39ed700d",
     "filter_project": "a9a8bfadf49d",
     "funnel_signup_click_purchase": "92866f84bd49",
     "funnel_time_to_convert": "d647673746a7",
+    "graph_triangle_counts": "9dcb3bdf5fe8",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
     "heavy_hitters_terms": "eebdd3039a46",
     "histogram_totalprice": "8038b735944f",
     "hll_distinct_sketch": "822ed83be27d",
+    "inverted_index_terms": "978e182ca92d",
     "join_anti": "a42439ea4756",
     "join_cross": "9eefc1dae676",
     "join_left_outer": "ac2386af11a5",
@@ -460,6 +493,8 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "k_anonymity_check": "7eb2f2e5a5df",
     "kmeans_embeddings": "1a95cf162e51",
     "lang_id_heuristic": "797a781a0e60",
+    "linkage_fuzzy_customers": "264b2ec06e34",
+    "linkage_sorted_neighbourhood": "1711da594ec8",
     "map_funcs": "a88e8ae7eb7b",
     "math_funcs": "232331fb6315",
     "merge_upsert_customers": "fbc09c1f1812",
@@ -476,6 +511,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "pagerank_supply_graph": "0338ee585300",
     "percentile_exact": "60fe0eda4e92",
     "pii_redact": "cfb6df9885a2",
+    "pit_join_events_customer_history": "c08e25c6ad33",
     "pivot_status_priority": "388c5a142a77",
     "pmi_collocations": "2dad5584c4a4",
     "q10_returned_items": "c42fd16d245e",
@@ -500,6 +536,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "q7_nation_volume": "9c6e6d9c487b",
     "q8_market_share": "dcac2cc8b7e0",
     "q9_product_profit": "71e0a8f5f468",
+    "quality_bigram_logprob": "e4f1a4016e28",
     "quality_repetition_filter": "55636dd83470",
     "quality_unigram_logprob": "edad530fe1e7",
     "rollup_status_priority": "fd02b19f270d",
@@ -510,6 +547,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "sessionize_events": "b581a70b0c49",
     "set_ops": "eb45e5f01a18",
     "shuffle_shards": "2460ab3b27d7",
+    "similarity_hard_negatives": "7f5dd80f6b73",
     "similarity_ivf_build": "08f73a863baf",
     "similarity_ivf_recall": "d7d0848ae2b2",
     "similarity_lsh_recall_midsim": "d7d0848ae2b2",
@@ -517,12 +555,15 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_topk_ivf": "7e42064e22c8",
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
+    "snapshot_diff_orders": "99d2c33eb09d",
     "split_leakage_safe": "01b76d6a2694",
     "sql_adhoc_cte": "13df54b30bf4",
     "sql_adhoc_hof": "f0dab7357d42",
     "sql_adhoc_join": "15853af5434c",
     "sql_adhoc_window": "071eb1c18078",
+    "stats_column_entropy": "28913b41b368",
     "stats_corr_covar": "12685873c1b8",
+    "stats_histogram_equi_depth": "608a527adb2c",
     "stats_join_key_skew": "73f8853b834b",
     "stats_table_profile": "a57e95218548",
     "string_agg_nations": "76762812c549",
@@ -536,6 +577,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "tfidf_top_terms": "39a3de4fffd4",
     "token_counts": "9f48181d97ff",
     "topk_per_group": "b36244fa0146",
+    "try_error_safe_funcs": "4def0ccfc5ec",
     "tumbling_window": "816cdfbf8e11",
     "udf_grouped_agg_wavg": "c0fe11dc17aa",
     "udf_grouped_zscore": "f389874aeab4",
@@ -567,56 +609,66 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "array_funcs": "db23bbf43341",
     "asof_join_events": "5f8b528493ce",
     "asof_join_events_forward": "68aeb5b92d28",
-    "bigram_counts": "2a712e132a10",
+    "basket_association_rules": "b8269616dae0",
+    "bigram_counts": "c80e02e693be",
     "bitwise_funcs": "be9d7277aa30",
-    "bm25_ranking": "1b34992ba729",
+    "bm25_ranking": "e1e2363bc969",
     "bpe_encode_lengths": "15cb10aa6c37",
     "bpe_merge_rules": "7f5f18e389c8",
     "bpe_subword_rules": "d08f4abbdd3e",
     "cms_frequency_estimates": "4de60ee2e6d5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
+    "corpus_dedup_rate_by_source": "b77e20049d1c",
     "corpus_drift_kl": "44620088a488",
-    "corpus_prep_funnel": "66b6aae712c3",
-    "corpus_report_by_source": "0196cfdbaf3e",
+    "corpus_ngram_novelty": "b5123ff46e92",
+    "corpus_prep_funnel": "11763562c9bc",
+    "corpus_report_by_source": "f3ab65ab68ef",
     "cube_segment_status": "c98c0943f295",
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
-    "decontaminate_bloom": "673706eb6572",
-    "decontaminate_ngrams": "90fe1088a634",
-    "dedup_apply_survivors": "9c7674b231df",
-    "dedup_clusters": "f7e8609f2a3f",
+    "decontaminate_bloom": "e886fb5e20fd",
+    "decontaminate_ngrams": "bf2d49874928",
+    "dedup_apply_survivors": "905482180229",
+    "dedup_cluster_canonical": "e4b0a3164f3c",
+    "dedup_clusters": "c8c6bbc9e7ee",
     "dedup_containment": "0be4d12c8eeb",
-    "dedup_exact": "bb72a441c841",
-    "dedup_incremental": "5a0d87b0d269",
-    "dedup_near_embedding": "3ee51f581b2c",
-    "dedup_near_jaccard": "5ad0ec62fb80",
-    "dedup_near_minhash": "f98d7d804027",
-    "dedup_near_simhash": "c3458dcf74a7",
-    "dedup_pipeline_end_to_end": "35c02a30548e",
+    "dedup_exact": "dd23a84978e9",
+    "dedup_incremental": "049965c1773a",
+    "dedup_near_embedding": "36676def56f3",
+    "dedup_near_jaccard": "a7ed15e489f0",
+    "dedup_near_minhash": "5e9cf7d18833",
+    "dedup_near_simhash": "e522a0cf0cef",
+    "dedup_pipeline_end_to_end": "fd6b3aca925f",
     "dedup_semantic": "d55ffca56244",
-    "dedup_spans_exact": "a957e26f13a1",
-    "dedup_spans_hashed": "5d5f9cb72b26",
-    "dedup_winnowing_pairs": "109518bb11a6",
+    "dedup_spans_exact": "053426221b21",
+    "dedup_spans_hashed": "b087e9f5c9f2",
+    "dedup_winnowing_pairs": "021cb987b0d2",
     "doc_chunks": "9f2ce895fa25",
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
     "embedding_centroids": "f1ad07f169fc",
     "embedding_covariance": "c913795b865c",
     "embedding_pca_project": "e8de53a859c9",
-    "embedding_quantize_int8": "fa6270943dae",
+    "embedding_quantize_int8": "1160da3bdfab",
     "events_anomaly_zscore": "e0cb144b4a8e",
+    "events_concurrency_hourly": "a227fdbf5c30",
     "events_ewma_value": "729934d8f13a",
     "events_gapfill_hourly": "12aebbd9de60",
+    "events_mad_outliers": "f945216522b9",
+    "events_ohlc_hourly": "32660fe61620",
+    "events_psi_drift": "156d91a930a3",
     "events_rollup_multi_grain": "797d2f5d803a",
     "filter_project": "863807c295ee",
     "funnel_signup_click_purchase": "ece35022f9da",
     "funnel_time_to_convert": "2e74ff2fb77e",
+    "graph_triangle_counts": "2409ae9349ae",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
-    "heavy_hitters_terms": "186fdc98c9fd",
+    "heavy_hitters_terms": "fa49b3b84e06",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
+    "inverted_index_terms": "5c72da14799a",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
     "join_left_outer": "26cbda41692d",
@@ -626,10 +678,12 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "json_funcs": "6b6927a1de6a",
     "k_anonymity_check": "299373231695",
     "kmeans_embeddings": "15ae56efc3c9",
-    "lang_id_heuristic": "49313b1e46c8",
+    "lang_id_heuristic": "434124f0571c",
+    "linkage_fuzzy_customers": "77292618b52e",
+    "linkage_sorted_neighbourhood": "d2dd2a3b2c3b",
     "map_funcs": "6d74dd304ba6",
     "math_funcs": "da0c50726e64",
-    "merge_upsert_customers": "77b48f09b4ae",
+    "merge_upsert_customers": "50f16eee1d14",
     "mixture_sample_weighted": "b3a95dcb125c",
     "multimodal_audio_real": "d843c68997fe",
     "multimodal_decode": "85859a85c613",
@@ -643,6 +697,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "pagerank_supply_graph": "990801e6e0b4",
     "percentile_exact": "8541fa4a8708",
     "pii_redact": "e02e943d9e58",
+    "pit_join_events_customer_history": "ab1c5d2a9115",
     "pivot_status_priority": "a5b05ef8c5e4",
     "pmi_collocations": "a5da23cfdd1d",
     "q10_returned_items": "2061a3ee2a84",
@@ -667,8 +722,9 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q7_nation_volume": "710fef669354",
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
+    "quality_bigram_logprob": "740c592d6973",
     "quality_repetition_filter": "ecad3ad1293d",
-    "quality_unigram_logprob": "e5f1965f40c4",
+    "quality_unigram_logprob": "7a8bf5f3e1f5",
     "rollup_status_priority": "84dfd40dc2c7",
     "sample_hash_mod": "35413b90f466",
     "sample_stratified_lang": "a6671969bba0",
@@ -677,19 +733,23 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_ivf_build": "cae87bb0688f",
-    "similarity_ivf_recall": "6c8ce6ef79dd",
-    "similarity_lsh_recall_midsim": "819b701e6f34",
-    "similarity_topk": "4c4a970b89fb",
-    "similarity_topk_ivf": "06f6718205cd",
-    "similarity_topk_lsh": "c56935ff6205",
+    "similarity_hard_negatives": "eb279b1e4971",
+    "similarity_ivf_build": "7ecf97eac27d",
+    "similarity_ivf_recall": "bbed32e39494",
+    "similarity_lsh_recall_midsim": "85aadd0cd945",
+    "similarity_topk": "128c70d525d7",
+    "similarity_topk_ivf": "7ccf834700a3",
+    "similarity_topk_lsh": "9b807948dc6e",
     "sliding_window": "09b227c628d7",
+    "snapshot_diff_orders": "8d639bc38fd9",
     "split_leakage_safe": "d682698202ee",
     "sql_adhoc_cte": "e5c3bf9aa034",
     "sql_adhoc_hof": "1d9a7ca4a5e8",
     "sql_adhoc_join": "8bda5e4879a5",
     "sql_adhoc_window": "ea1c3c6dfd17",
+    "stats_column_entropy": "cf7add85e727",
     "stats_corr_covar": "c431b6922b48",
+    "stats_histogram_equi_depth": "473e4a146bc3",
     "stats_join_key_skew": "75d0ba129c50",
     "stats_table_profile": "6c2c3464b475",
     "string_agg_nations": "9bb22fb9bbb9",
@@ -699,10 +759,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "subquery_in": "5eda1d957c14",
     "subquery_not_exists": "5638ee823140",
     "subquery_scalar": "93803eedd5e7",
-    "text_quality": "d0d2cfb39984",
-    "tfidf_top_terms": "bc37e44f299f",
+    "text_quality": "64d9eef74c4d",
+    "tfidf_top_terms": "dc4de736c48e",
     "token_counts": "6ec886bf31d3",
     "topk_per_group": "8f100becd6e6",
+    "try_error_safe_funcs": "f348aee9e021",
     "tumbling_window": "a610bcb1011e",
     "udf_grouped_agg_wavg": "0a944be64ea7",
     "udf_grouped_zscore": "142419cb710e",
@@ -730,21 +791,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
 _IMPL_DEMOTED: frozenset[str] = frozenset({})
 
 
-def _latest_evidence_round(name: str) -> int:
-    """Most recent round whose driver run verified this query AS CURRENTLY
-    ORACLED AND IMPLEMENTED (0 = never). An oracle rewrite since the last
-    driver touch resets the query to round 0 (the old evidence attests a
-    different check); so does an implementation-fingerprint mismatch (the
-    old evidence attests different code — fn source or any transitively
-    imported engine module) or an explicit _IMPL_DEMOTED listing."""
-    if name in _IMPL_DEMOTED:
-        return 0
-    spec = REGISTRY.get(name)
-    if spec is not None and _VERIFIED_ORACLE_FP.get(name) != _oracle_fp(spec.oracle):
-        return 0
-    if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
-        return 0
+def _history_round(name: str) -> int:
+    """Most recent round whose driver run touched this query green,
+    IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (9, _DRIVER_GREEN_R09),
         (8, _DRIVER_GREEN_R08),
         (7, _DRIVER_GREEN_R07),
         (6, _DRIVER_GREEN_R06),
@@ -759,37 +810,56 @@ def _latest_evidence_round(name: str) -> int:
     return 0
 
 
+def _latest_evidence_round(name: str) -> int:
+    """Most recent round whose driver run verified this query AS CURRENTLY
+    ORACLED AND IMPLEMENTED (0 = never). An oracle rewrite since the last
+    driver touch resets the query to round 0 (the old evidence attests a
+    different check); so does an implementation-fingerprint mismatch (the
+    old evidence attests different code — fn source or any transitively
+    imported engine module) or an explicit _IMPL_DEMOTED listing."""
+    if name in _IMPL_DEMOTED:
+        return 0
+    spec = REGISTRY.get(name)
+    if spec is not None and _VERIFIED_ORACLE_FP.get(name) != _oracle_fp(spec.oracle):
+        return 0
+    if spec is not None and _VERIFIED_IMPL_FP.get(name) != _impl_fp(spec.fn):
+        return 0
+    return _history_round(name)
+
+
 def _any_ledger_history(name: str) -> bool:
     return any(
         name in ledger
         for ledger in (
             _DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03,
             _DRIVER_GREEN_R04, _DRIVER_GREEN_R05, _DRIVER_GREEN_R06,
-            _DRIVER_GREEN_R07, _DRIVER_GREEN_R08,
+            _DRIVER_GREEN_R07, _DRIVER_GREEN_R08, _DRIVER_GREEN_R09,
         )
     )
 
 
 def _evidence_order() -> list[QuerySpec]:
-    # Oldest-evidence-first: never-verified queries lead (round 0 = new
-    # additions AND any query whose oracle or implementation changed since
-    # its last driver touch), then r1..r8 — so each round's count-budgeted driver
-    # pass refreshes the queries most likely to have drifted since their
-    # last verification. Within tier 0, queries with NO driver history at
-    # all precede fingerprint-demoted ones: a shared-module edit can demote
-    # a family wider than the driver's per-round budget (r9: one helper
-    # extraction into functions/hashing.py demoted 60+ names), and when the
-    # tier overflows the budget, the slots must go to queries the driver
-    # has never seen — a demoted name still has historical green rows a
-    # judge can weigh, a brand-new one has nothing. Oracle-backed before
-    # rows-only within a group (a hash check is stronger evidence than a
-    # row count).
+    # Round-robin by evidence AGE: brand-new names (no ledger history at
+    # all) lead, then everything else ascending by the round of its last
+    # driver touch — the steady state is that every query is re-verified
+    # every ~(registry / budget) rounds, oldest first. Fingerprint demotion
+    # does NOT jump a query ahead of genuinely staler names: a demoted name
+    # still has a recent green row on near-identical code PLUS a green
+    # local oracle gate on the exact current code, while a 4-round-stale
+    # clean name has only old evidence — scheduling ALL demotions first let
+    # one shared-module edit starve the stale cohort out of the budget for
+    # four consecutive rounds (r9 verdict #1: 39 names stuck at r5).
+    # Demotion still zeroes the EVIDENCE CLAIM (_latest_evidence_round);
+    # within an equal history round it wins the tie, so edited code is
+    # re-proven ahead of untouched code of the same age. Oracle-backed
+    # before rows-only as the last tie-break (a hash check is stronger
+    # evidence than a row count).
     specs = list(REGISTRY.values())
     return sorted(
         specs,
         key=lambda s: (
-            _latest_evidence_round(s.name),
-            _any_ledger_history(s.name),
+            _history_round(s.name),
+            _latest_evidence_round(s.name) != 0,
             s.oracle is None,
         ),
     )  # sorted() is stable: registration order preserved within each group

@@ -13,14 +13,28 @@ from __future__ import annotations
 from hadoop_word_score_spark.plans import queries as Q
 
 
-def _tier0_prefix():
-    # the never-verified block leads the order; its width moves as queries
-    # are added/demoted, so position assertions measure against it, not a
-    # hard-coded count
+def _precedes_same_round_clean(name):
+    # r10 scheduling contract for a demoted query: it re-enters the order
+    # at its HISTORY round (not the front — the front belongs to brand-new
+    # names and the genuinely oldest evidence), but wins the tie against
+    # every clean name of the same history round.
     names = list(Q.queries())
-    rounds = [Q._latest_evidence_round(n) for n in names]
-    width = rounds.count(0)
-    return names[:width]
+    pos = {n: i for i, n in enumerate(names)}
+    rnd = Q._history_round(name)
+    if rnd == 0:
+        # no history at all -> must be in the leading no-history block
+        lead = [n for n in names if Q._history_round(n) == 0]
+        return name in lead and all(
+            Q._history_round(n) == 0 for n in names[: len(lead)]
+        )
+    clean_same_round = [
+        n
+        for n in names
+        if n != name
+        and Q._history_round(n) == rnd
+        and Q._latest_evidence_round(n) == rnd
+    ]
+    return all(pos[name] < pos[n] for n in clean_same_round)
 
 
 def test_order_is_a_permutation_of_the_registry():
@@ -30,9 +44,40 @@ def test_order_is_a_permutation_of_the_registry():
     assert set(oracles) == {n for n, s in Q.REGISTRY.items() if s.oracle is not None}
 
 
-def test_evidence_rounds_monotone_in_order():
-    rounds = [Q._latest_evidence_round(n) for n in Q.queries()]
+def test_history_rounds_monotone_in_order():
+    # the order is round-robin by evidence AGE: ascending by the round of
+    # the last driver touch, with never-touched names (history 0) leading
+    rounds = [Q._history_round(n) for n in Q.queries()]
     assert rounds == sorted(rounds)
+
+
+def test_demoted_names_win_ties_but_do_not_jump_rounds():
+    # Fingerprint demotion zeroes the EVIDENCE claim but must not let one
+    # shared-module edit starve genuinely-staler names out of the driver
+    # budget (r9 verdict #1: 39 names stuck at r5 behind a demoted tier).
+    names = list(Q.queries())
+    pos = {n: i for i, n in enumerate(names)}
+    demoted = [
+        n
+        for n in names
+        if Q._history_round(n) > 0 and Q._latest_evidence_round(n) == 0
+    ]
+    stalest_clean = [
+        n
+        for n in names
+        if Q._latest_evidence_round(n) > 0
+        and Q._history_round(n)
+        == min(
+            (Q._history_round(m) for m in names if Q._history_round(m) > 0),
+        )
+    ]
+    for d in demoted:
+        # ties within the same history round go to the demoted name
+        assert _precedes_same_round_clean(d), d
+        # but a demoted recent name never outranks the oldest clean cohort
+        for c in stalest_clean:
+            if Q._history_round(d) > Q._history_round(c):
+                assert pos[c] < pos[d], (c, d)
 
 
 def test_oracle_rewrite_resets_evidence(monkeypatch):
@@ -46,7 +91,7 @@ def test_oracle_rewrite_resets_evidence(monkeypatch):
     patched[name] = "stale_fp"
     monkeypatch.setattr(Q, "_VERIFIED_ORACLE_FP", patched)
     assert Q._latest_evidence_round(name) == 0
-    assert name in _tier0_prefix()
+    assert _precedes_same_round_clean(name)
 
 
 def test_fingerprint_is_whitespace_insensitive():
@@ -78,7 +123,7 @@ def test_impl_demotion_resets_evidence(monkeypatch):
     )
     monkeypatch.setattr(Q, "_IMPL_DEMOTED", frozenset({name}))
     assert Q._latest_evidence_round(name) == 0
-    assert name in _tier0_prefix()
+    assert _precedes_same_round_clean(name)
 
 
 def test_impl_fp_rewrite_resets_evidence(monkeypatch):
@@ -93,7 +138,7 @@ def test_impl_fp_rewrite_resets_evidence(monkeypatch):
     patched[name] = "rewritten_code"
     monkeypatch.setattr(Q, "_VERIFIED_IMPL_FP", patched)
     assert Q._latest_evidence_round(name) == 0
-    assert name in _tier0_prefix()
+    assert _precedes_same_round_clean(name)
 
 
 def test_impl_fp_sees_transitive_module_content(tmp_path, monkeypatch):
@@ -325,23 +370,19 @@ def test_registry_outputs_are_flat_scalar_columns(spark):
     )
 
 
-def test_never_checked_queries_precede_demoted_ones_in_tier0():
-    # a shared-module edit can demote a family wider than the driver's
-    # ~50-query budget; the budget's first slots must go to queries with
-    # NO driver history at all (r9: one helper extraction demoted 60+)
+def test_driver_budget_covers_the_oldest_evidence_cohort():
+    # The point of round-robin-by-age scheduling: the driver's ~50-slot
+    # budget must reach the globally oldest clean evidence instead of being
+    # absorbed by a demoted family (r9 verdict #1: 39 names stuck at r5).
+    # Structural form: the first 50 names are exactly a 50-smallest prefix
+    # by history round — no name outside the prefix has a strictly older
+    # history than any name inside it.
     names = list(Q.queries())
-    rounds = [Q._latest_evidence_round(n) for n in names]
-    tier0 = [n for n, r in zip(names, rounds) if r == 0]
-    history = [Q._any_ledger_history(n) for n in tier0]
-    # once a demoted (has-history) name appears, no fresh name may follow
-    seen_history = False
-    for h in history:
-        if h:
-            seen_history = True
-        else:
-            assert not seen_history, tier0
-    # and the genuinely-new r9 queries are in the no-history prefix
-    fresh = {n for n, h in zip(tier0, history) if not h}
-    for n in ("graph_triangle_counts", "events_ohlc_hourly",
-              "pit_join_events_customer_history", "quality_bigram_logprob"):
-        assert n in fresh, n
+    budget, rest = names[:50], names[50:]
+    if rest:
+        max_in = max(Q._history_round(n) for n in budget)
+        min_out = min(Q._history_round(n) for n in rest)
+        assert max_in <= min_out, (max_in, min_out)
+    # brand-new names (no ledger history) always lead the order
+    lead_width = sum(1 for n in names if Q._history_round(n) == 0)
+    assert all(Q._history_round(n) == 0 for n in names[:lead_width])
