@@ -168,7 +168,13 @@ def hard_negative_topk(
         queries, candidates, id_col, vec_col, max_queries, "hard_negative_topk"
     )
     banded = scored.filter(
-        (F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi)
+        (F.col("cosine_sim") >= lo)
+        & (F.col("cosine_sim") < hi)
+        # a query is never its own hard negative: self-cosine 1.0 happens
+        # to fall outside the default band, but the operator contract must
+        # hold for ANY band a caller passes (advice r9: hi > 1.0 returned
+        # the query as its own negative)
+        & (F.col("query_id") != F.col("cand_id"))
     )
     return _ranked_topk(banded, k)
 

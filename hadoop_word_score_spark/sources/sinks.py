@@ -214,6 +214,11 @@ def compact_small_files(
     import os
     import shutil
 
+    # normalize once: a trailing-slash path would rename cleanly ASIDE
+    # (os.rename(path, old) strips the slash) but fail the rename BACK
+    # (os.rename(tmp, "dir/") needs "dir/" to exist), crashing mid-swap
+    # with the dataset absent at path (advice r9)
+    path = path.rstrip("/") or path
     df = spark.read.parquet(path)
 
     def _files_and_bytes(p: str) -> tuple[int, int]:
@@ -227,8 +232,8 @@ def compact_small_files(
 
     files_before, bytes_total = _files_and_bytes(path)
     n_out = max(1, math.ceil(bytes_total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
+    tmp = path + "._compact_tmp"
+    old = path + "._compact_old"
     if partition_cols:
         # partition-local compaction; maxRecordsPerFile splits a hot
         # partition back up toward the target (bytes/row measured over

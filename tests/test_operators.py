@@ -2048,6 +2048,28 @@ def test_hard_negative_topk_band_and_rank(spark):
     assert all(0.15 <= r.cosine_sim < 0.4 for r in out)
 
 
+def test_hard_negative_topk_never_returns_self_for_any_band(spark):
+    # advice r9: the qid != cid contract must come from the operator, not
+    # from self-cosine 1.0 happening to fall outside the default band — a
+    # caller passing hi > 1.0 must not get the query as its own negative
+    import math
+
+    from hadoop_word_score_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [(0, vec(0.0)), (1, vec(0.45)), (2, vec(math.acos(0.31)))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = hard_negative_topk(
+        df.where(F.col("vec_id") == 0), df, k=5, lo=0.0, hi=1.5
+    ).collect()
+    assert all(r.cand_id != 0 for r in out)
+    assert [(r.cand_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
 def test_lsh_pair_fns_reject_mismatched_precomputed_index(spark):
     # the mh_meta guard must be symmetric across ALL index-accepting params
     # (review r9: only base_index was validated; a mismatched index/new_index

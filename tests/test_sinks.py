@@ -231,6 +231,19 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
     assert {r.id for r in after.collect()} == set(range(10_000))
 
 
+def test_compact_small_files_accepts_trailing_slash(spark, tmp_path):
+    # advice r9: a trailing-slash path renamed aside fine but failed the
+    # rename BACK (os.rename to a nonexistent "dir/" target), crashing
+    # mid-swap with the dataset absent at path
+    from hadoop_word_score_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "slashy")
+    spark.range(1_000).repartition(8).write.parquet(path)
+    receipt = compact_small_files(spark, path + "/", target_file_bytes=1 << 30)
+    assert receipt["files_after"] == 1
+    assert spark.read.parquet(path).count() == 1_000
+
+
 def test_compact_small_files_partitioned_keeps_directory_pruning(spark, tmp_path):
     from hadoop_word_score_spark.sources.sinks import compact_small_files
 
