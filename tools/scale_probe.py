@@ -1026,7 +1026,7 @@ def main() -> None:
         "dedup_exact": "linear (hash shuffle)",
         "dedup_near_minhash": "~linear (sig + bucket pairs)",
         "dedup_pipeline_end_to_end": "~linear + O(diameter) rounds (LSH → components → survivors)",
-        "dedup_near_jaccard": "superlinear (Σ df² pairing — oracle-only op)",
+        "dedup_near_jaccard": "superlinear (Σ df² pairing) — removed from the bench set r10: the deliberately-uncapped exact-recall yardstick, not a served operator; served near-dup rows (minhash, containment) are benched, ~linear. Correctness remains oracle-gated.",
         # events replicate with shifted event_id but FIXED user_id set, so
         # these probe the events-heavy axis: 10× rows per user, same user
         # cardinality — the shape a hot product sees.
