@@ -5896,11 +5896,15 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Slowly-changing-dimension type 2: effective-dated history rows with
     # half-open [valid_from, valid_to) ranges and a current flag, built from
     # versioned snapshots with ONE window pass (lead over the union — no
-    # self-join of versions). The update set is synthesized deterministically
-    # from the base table (custkey % 7 gets a balance revision) so the oracle
-    # mirrors it exactly. At 100 TB the union is two scans feeding one
-    # custkey-partitioned window shuffle; appending the next version later is
-    # the same plan over (current ∪ delta) — the standard warehouse pattern.
+    # self-join of versions; operators/scd2.py, shared with the PIT join so
+    # the feature-store seam is one code path). The update set is
+    # synthesized deterministically from the base table (custkey % 7 gets a
+    # balance revision) so the oracle mirrors it exactly. At 100 TB the
+    # union is two scans feeding one custkey-partitioned window shuffle;
+    # appending the next version later is the same plan over
+    # (current ∪ delta) — the standard warehouse pattern.
+    from ..operators.scd2 import scd2_history
+
     c = _t(spark, sf_dir, "customer")
     v1 = c.select(
         "c_custkey",
@@ -5914,12 +5918,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("valid_from"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("valid_from")
-    return (
-        v1.unionByName(v2)
-        .withColumn("valid_to", F.lead("valid_from").over(w))
-        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
-        .orderBy("c_custkey", "valid_from")
+    return scd2_history(v1.unionByName(v2), key="c_custkey").orderBy(
+        "c_custkey", "valid_from"
     )
 
 
@@ -8634,13 +8634,17 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pit_join_events_customer_history",
     # Point-in-time (PIT) join — the feature-store leakage-safety
     # primitive: each event is enriched with the dimension VERSION that was
-    # valid at the event's own timestamp, never a later one. The SCD2
-    # history is fabricated deterministically (same recipe as
-    # scd2_customer_history, revision date moved inside the events window
-    # so both versions actually serve traffic). The oracle expresses PIT
-    # as the equivalent half-open range join over LEAD-derived validity
-    # windows; the engine uses the as-of join (backward, latest
-    # valid_from <= ts), identical on non-overlapping version timelines.
+    # valid at the event's own timestamp, never a later one. COMPOSED with
+    # the real SCD2 seam (r9 verdict #4): the version table is built by
+    # operators/scd2.scd2_history — the exact code path behind
+    # scd2_customer_history — and consumed by scd2.pit_enrich, instead of
+    # fabricating validity windows inline. The revision date sits inside
+    # the events window (custkey % 7 revised 2024-01-15; events span Jan)
+    # so both versions actually serve traffic. The oracle expresses PIT as
+    # the equivalent half-open range join over the LEAD-derived
+    # [valid_from, valid_to) windows; the engine uses the as-of join
+    # (backward, latest valid_from <= ts), identical on the non-overlapping
+    # timelines scd2_history produces by construction.
     # sum(acctbal) is a sum of cent-quantized values rounded at 2 dp —
     # the true total sits 0.005 from any rounding boundary, 500x the
     # worst-case fp reordering noise at this cardinality.
@@ -8674,15 +8678,16 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "time", "warehouse"),
 )
 def q_pit_join_events_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Engine side: PIT = as-of join (operators/asof.py) of the fact stream
-    # against the dimension's version timeline — ONE union + ONE
-    # key-partitioned window pass, no range join and no per-version
-    # self-join. At 100 TB this is the plan a feature platform wants: the
-    # fact side never fans out (each event matches exactly one version),
-    # and the version timeline is dimension-sized. Training pipelines use
-    # exactly this shape to avoid feature leakage (a label computed at t
-    # must only see attribute versions <= t).
-    from ..operators.asof import asof_join
+    # Engine side: the version table comes from scd2_history (the SAME
+    # operator scd2_customer_history serves — the real feature-platform
+    # seam), then pit_enrich as-of joins the fact stream against it — ONE
+    # union + ONE key-partitioned window pass, no range join and no
+    # per-version self-join. At 100 TB this is the plan a feature platform
+    # wants: the fact side never fans out (each event matches exactly one
+    # version), and the version timeline is dimension-sized. Training
+    # pipelines use exactly this shape to avoid feature leakage (a label
+    # computed at t must only see attribute versions <= t).
+    from ..operators.scd2 import pit_enrich, scd2_history
 
     e = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("user_key"), "ts", "event_type"
@@ -8700,14 +8705,13 @@ def q_pit_join_events_customer_history(spark: SparkSession, sf_dir: str) -> Data
         F.lit("v2").alias("version"),
         F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_from"),
     )
-    joined = asof_join(
+    history = scd2_history(v1.unionByName(v2), key="user_key")
+    joined = pit_enrich(
         e,
-        v1.unionByName(v2),
+        history,
         on="user_key",
-        left_ts="ts",
-        right_ts="valid_from",
-        right_payload=["acctbal", "version"],
-        how="inner",
+        fact_ts="ts",
+        payload=["acctbal", "version"],
     )
     return (
         joined.groupBy("event_type", F.col("asof_version"))

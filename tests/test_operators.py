@@ -65,6 +65,34 @@ def test_asof_inner_drops_unmatched(spark):
     assert asof_join(left, right, on="k", how="inner").count() == 0
 
 
+def test_scd2_history_feeds_pit_enrich_leakage_safe(spark):
+    # the composed feature-store seam (r9 verdict #4): pit_enrich consumes
+    # the exact table scd2_history produces, and every fact gets the
+    # version valid AT ITS OWN timestamp — never a later one, no fan-out
+    from hadoop_word_score_spark.operators.scd2 import pit_enrich, scd2_history
+
+    versions = spark.createDataFrame(
+        [(1, "v1", 10), (1, "v2", 20), (2, "v1", 10)],
+        "k int, version string, valid_from int",
+    )
+    hist = scd2_history(versions, key="k")
+    rows = {(r.k, r.version): (r.valid_to, r.is_current) for r in hist.collect()}
+    assert rows == {(1, "v1"): (20, 0), (1, "v2"): (None, 1), (2, "v1"): (None, 1)}
+
+    facts = spark.createDataFrame(
+        [(1, 15, "e1"), (1, 25, "e2"), (1, 5, "e0"), (2, 99, "e3")],
+        "k int, ts int, tag string",
+    )
+    out = pit_enrich(
+        facts, hist, on="k", fact_ts="ts", payload=["version"]
+    )
+    got = {r.tag: r.asof_version for r in out.collect()}
+    # e0 predates v1 -> dropped (inner); e1 at t=15 sees v1 NOT the later
+    # v2 (the leakage-safety property); e2 after the revision sees v2
+    assert got == {"e1": "v1", "e2": "v2", "e3": "v1"}
+    assert out.count() == 3  # one row per surviving fact: no fan-out
+
+
 # --- dedup ----------------------------------------------------------------
 
 
