@@ -8527,6 +8527,100 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_mad_outliers_approx",
+    # The 100 TB PRODUCTION path of the MAD report (r9 verdict #6): exact
+    # per-group percentile buffers grow with rows, so at scale the median
+    # and MAD come from approx_percentile sketches (mergeable, fixed
+    # memory). Verified with the approx_aggs bound-check pattern: the
+    # driver can't hash sketch estimates, so the row emits the EXACT
+    # values plus within-ε booleans computed against the sketches; DuckDB
+    # recomputes the exact side and asserts TRUE. Tolerances are wide vs
+    # the sketch's rank-error at these SFs (accuracy 10000 → ≤ n/10000
+    # rank error): a broken sketch path flips a boolean and fails the
+    # hash, a healthy one clears by orders of magnitude.
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ROUND(d.adev - 3 * m.mad, 6) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_exact,
+           TRUE AS median_within_1pct,
+           TRUE AS mad_within_5pct,
+           TRUE AS outliers_within_1pct
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "stats", "approx"),
+)
+def q_events_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch path mirrors the exact plan shape (two grouped percentile
+    # passes + one counting pass) with approx_percentile in both passes;
+    # the exact aggregates ride along ONLY to make the error bound
+    # driver-checkable, exactly like approx_aggs. In production the exact
+    # columns are dropped and the sketches are the whole cost: fixed-size
+    # state per (group × partition), no percentile buffers.
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("med_a"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        F.abs(F.col("value") - F.col("med_a")).alias("adev_a"),
+        "med", "med_a",
+    ).localCheckpoint()  # feeds both MAD passes AND the outlier counts
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"),
+        F.percentile_approx("adev_a", F.lit(0.5), F.lit(10000)).alias("mad_a"),
+    )
+    agg = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.round(F.col("adev") - 3 * F.col("mad"), 6) > 0, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers_exact"),
+            F.sum(
+                F.when(F.round(F.col("adev_a") - 3 * F.col("mad_a"), 6) > 0, 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_outliers_approx"),
+            F.max("med").alias("em"), F.max("med_a").alias("am"),
+            F.max("mad").alias("emad"), F.max("mad_a").alias("amad"),
+        )
+    )
+    eps = F.lit(1e-9)  # absorbs exact == 0 without a div-by-zero branch
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_outliers_exact",
+        (F.abs(F.col("am") - F.col("em"))
+         <= 0.01 * F.abs(F.col("em")) + eps).alias("median_within_1pct"),
+        (F.abs(F.col("amad") - F.col("emad"))
+         <= 0.05 * F.abs(F.col("emad")) + eps).alias("mad_within_5pct"),
+        (
+            F.abs(F.col("n_outliers_approx") - F.col("n_outliers_exact"))
+            <= F.greatest(F.lit(2.0), 0.01 * F.col("n_events"))
+        ).alias("outliers_within_1pct"),
+    ).orderBy("event_type")
+
+
+@register(
     "quality_bigram_logprob",
     # Interpolated bigram LM quality score — the step up from
     # quality_unigram_logprob a real quality filter takes (word-order
