@@ -961,6 +961,146 @@ def triangle_and_blocking_rows(spark) -> list[str]:
     return lines
 
 
+def linkage_hot_block_rows(spark) -> list[str]:
+    """Adversarial hot-BLOCK probe for blocked fuzzy linkage (r10, VERDICT
+    item 5): linkage.py defers block skew to "detect and refine-or-salt" in
+    prose; this receipt actually runs the play. One (nation, mktsegment)
+    block is made to hold 10% of a 10x customer table (150k rows, 15k-row
+    hot block -> C(15k,2) ~ 112M in-block levenshtein candidates in ONE
+    reducer). The probe shows:
+      1. DETECTION: the stats_join_key_skew per-key depth profile on the
+         block tuple flags the hot block (share and x-mean-depth);
+      2. MITIGATION: blocking-key refinement — append the last two c_name
+         chars — splits the hot block ~100x (sum block^2 drops), measured
+         as wall-clock on the same skewed input;
+      3. THE TRADE: refinement is recall-lossy (edit-1 pairs differing in a
+         refinement char split across sub-blocks). The missed pairs are
+         COUNTED, and the production answer — union a complementary
+         sorted-neighbourhood pass (linear w*N) — is run and measured too.
+    Salting is deliberately NOT the mitigation here: a salted self-join
+    would have to compare every salt pair to stay complete, which removes
+    no work — key refinement (or a complementary pass) is the linkage
+    answer to a hot block.
+    """
+    from hadoop_word_score_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+        sorted_neighbourhood_pairs,
+    )
+
+    cust = load_table(spark, BASE, "customer")
+    n1 = cust.count()
+    copies = []
+    for k in range(COPIES):
+        copies.append(
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * (n1 + 1)))
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    # funnel 10% of ALL customers into one (nation, segment) block
+    hot = F.col("c_custkey") % 10 == 0
+    skewed = (
+        big.withColumn(
+            "c_nationkey", F.when(hot, F.lit(7)).otherwise(F.col("c_nationkey"))
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(hot, F.lit("BUILDING")).otherwise(F.col("c_mktsegment")),
+        )
+        .localCheckpoint()
+    )
+    n = skewed.count()
+
+    # --- 1. detection: per-block depth profile (stats_join_key_skew math) -
+    blocks = skewed.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    prof = (
+        blocks.agg(
+            F.max("b").alias("hot"),
+            F.sum("b").alias("total"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("cand"),
+        )
+        .collect()[0]
+    )
+    # refined key: (nation, segment, last 2 chars of c_name)
+    refine = F.substring(F.col("c_name"), -2, 2)
+    rblocks = skewed.groupBy("c_nationkey", "c_mktsegment", refine.alias("r")).agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    rprof = rblocks.agg(
+        F.max("b").alias("hot"),
+        F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("cand"),
+    ).collect()[0]
+
+    def t(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    base_pairs = blocked_fuzzy_pairs(
+        skewed, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"]
+    )
+    refined = skewed.withColumn("c_name2", refine)
+    ref_pairs = blocked_fuzzy_pairs(
+        refined, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment", "c_name2"]
+    )
+    t_hot = t(lambda: base_pairs.write.format("noop").mode("overwrite").save())
+    t_ref = t(lambda: ref_pairs.write.format("noop").mode("overwrite").save())
+    sn_pairs = sorted_neighbourhood_pairs(
+        skewed, "c_custkey", "c_name", F.col("c_name"), window=3
+    )
+    t_sn = t(lambda: sn_pairs.write.format("noop").mode("overwrite").save())
+    # union recall: refined pass + sorted-neighbourhood pass vs the
+    # unrefined (complete-within-block) baseline. Each expensive join is
+    # materialized ONCE (localCheckpoint) — the recall joins then run over
+    # the checkpointed pair ids, not fresh re-executions of the hot join.
+    bp = base_pairs.select("id_a", "id_b").localCheckpoint()
+    rp = ref_pairs.select("id_a", "id_b").localCheckpoint()
+    n_hot_pairs = bp.count()
+    n_ref_pairs = rp.count()
+    union_found = (
+        rp.union(sn_pairs.select("id_a", "id_b"))
+        .distinct()
+        .join(bp, ["id_a", "id_b"], "inner")
+        .count()
+    )
+    skewed.unpersist()
+    return [
+        "",
+        "## Linkage under a hot block: detect, refine, union a second pass",
+        "",
+        f"10x customer table ({n:,} rows), 10% funneled into one"
+        " (nation, segment) block — the adversarial case linkage.py's scale"
+        " story defers to skew handling.",
+        "",
+        "| blocking key | hottest block | sum block^2 candidates | wall s | dist<=1 pairs |",
+        "|---|---|---|---|---|",
+        f"| (nation, segment) | {int(prof.hot):,} ({prof.hot * 100.0 / prof.total:.1f}%"
+        f" of rows, {prof.hot * prof.n_blocks / prof.total:.0f}x mean depth"
+        f" — the detector's x_mean_depth) | {int(prof.cand):,} | {t_hot:.2f} |"
+        f" {n_hot_pairs:,} |",
+        f"| + last-2-chars(name) refinement | {int(rprof.hot):,} |"
+        f" {int(rprof.cand):,} ({prof.cand / max(rprof.cand, 1):.0f}x fewer)"
+        f" | {t_ref:.2f} | {n_ref_pairs:,} |",
+        f"| sorted-neighbourhood pass (w=3, linear) | — | {3 * n:,} | {t_sn:.2f} | — |",
+        "",
+        f"Refinement alone misses {n_hot_pairs - n_ref_pairs:,} of the"
+        f" {n_hot_pairs:,} in-block edit-1 pairs (pairs differing in a"
+        " refinement char). The production play — union a complementary"
+        f" sorted-neighbourhood pass — recovers {union_found:,}/{n_hot_pairs:,}"
+        f" ({union_found * 100.0 / max(n_hot_pairs, 1):.1f}%) at"
+        f" {t_ref + t_sn:.2f}s total vs {t_hot:.2f}s for the hot-block join;"
+        " remaining misses are the classic blocking-recall trade, bounded"
+        " and measured rather than asserted.",
+    ]
+
+
 def isolation_receipt_rows() -> list[str]:
     """Static HISTORICAL receipt (measured once, r9 / 2026-08-14): the r8
     bench carry-over regression, re-measured per-query in FRESH
@@ -1154,6 +1294,7 @@ def main() -> None:
     lines.extend(similarity_crossover_rows(spark))
     lines.extend(adversarial_skew_rows(spark))
     lines.extend(triangle_and_blocking_rows(spark))
+    lines.extend(linkage_hot_block_rows(spark))
     lines.extend(ingest_vs_corpus_rows(spark))
     lines.extend(isolation_receipt_rows())
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
