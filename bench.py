@@ -12,22 +12,34 @@ Each query is timed end-to-end: plan construction + execution to a
 driver-side count via ``df.write.format("noop")`` — a full materialization
 of every row (like the reference writing its output file, CWS:215-216)
 without paying local-disk write costs that wouldn't exist on a cluster.
+
+Session isolation (r10): queries are timed in GROUPS of 6, each group in a
+FRESH subprocess with its own JVM/SparkSession. Two rounds of diagnosis
+(r8's receipted interference, r9's drift on untouched code) showed the
+former shared-session design let session age — accumulated codegen cache,
+GC pressure, Python-worker state from 38 rows x 3 passes — shift published
+minimums on bit-identical code: cross-round spread on untouched rows
+reached 1.2-1.6x, monotonic r7<r8<r9 as the set grew, while isolated
+fresh-session reruns recovered the old numbers (SCALE_PROBE.md isolation
+receipt). Bounding every row's session age at one small group removes the
+drift class for all rows, permanently, instead of maintaining a flagged
+list; the ~20s/group JVM+warmup overhead is excluded from timings. Note
+for cross-round comparison: BENCH_r10 is the first artifact measured this
+way — carry-over rows are expected to land at (or below) their isolated-
+rerun levels, not at BENCH_r09's session-aged levels.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from hadoop_word_score_spark.plans.queries import REGISTRY  # noqa: E402
-from hadoop_word_score_spark.session import get_spark  # noqa: E402
-from hadoop_word_score_spark.sources.registry import TABLES, load_table  # noqa: E402
+GROUP_SIZE = 6
 
 
 def sf_of(sf_dir: str) -> float:
@@ -38,50 +50,50 @@ def sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+def _warm(spark, sf_dir: str, first_query: str) -> None:
+    """One-time costs paid before any timed pass: JVM, parquet footer + OS
+    page caches, the Python/Arrow worker pool (~3s, once per executor
+    lifetime on a real cluster)."""
+    from pyspark.sql import functions as F
 
-    names = [n for n, s in REGISTRY.items() if s.bench]
-    timings: dict[str, float] = {}
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.sources.registry import TABLES, load_table
 
-    # Warm the JVM, parquet footer caches, and the Python worker pool once so
-    # per-query numbers measure the operators, not session cold-start (the
-    # worker pool alone is ~3s and is paid once per executor lifetime).
-    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    REGISTRY[first_query].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.range(8).select(
         F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
-    # One cheap scan per table: parquet footers + OS page cache are per-file
-    # one-time costs (a long-lived cluster pays them once, not per query);
-    # without this the first query to touch each table absorbs them all.
     for t in sorted(TABLES):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # Three passes per query, report the min. The first execution of any plan
-    # pays one-time costs — Catalyst planning, whole-stage-codegen janino
-    # compilation, Arrow-worker stage spin-up — measured at ~2-3s/query
-    # against ~1s steady-state on this dataset. Those are per-plan-lifetime
-    # costs a real cluster amortizes over the job; the min isolates the
-    # operator's steady-state execution, the quantity that scales with data.
-    # The cold total is still reported for transparency.
-    #
-    # Noise robustness (round-3 lesson: min-of-2 on a busy box published a
-    # phantom 22% regression): min-of-3 baseline, then a targeted re-run for
-    # any query whose warm passes disagree by >1.5x — a contamination signal
-    # that fires equally for fast and slow queries. Deliberately NOT
-    # re-running on "slower than last round" (r4 advice): that trigger
-    # granted extra min draws only to regressed-looking queries, letting a
-    # real regression min-shop itself away. Regressions vs the previous
-    # round are instead REPORTED (vs_prev_regressions) and the warm median
-    # is published beside the min, so a lucky minimum can't hide a shifted
-    # steady state. Re-run counts are reported so a noisy run is visible in
-    # the artifact instead of silently shaping the totals.
+
+def _group_main(names: list[str]) -> None:
+    """Child mode: time the given queries in a fresh session, print one JSON
+    line {"trials": {...}, "cold": {...}, "reruns": {...}} and exit. The
+    min-of-3 + disagreement-rerun logic lives HERE because trials must share
+    one (young) session to measure warm steady-state."""
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-group")
+    _warm(spark, sf_dir, names[0])
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         return round(time.perf_counter() - t0, 3)
 
+    # Three passes per query, interleaved (a transient stall hits one trial
+    # of several queries, not all trials of one). The first execution of any
+    # plan pays one-time costs — Catalyst planning, whole-stage-codegen
+    # janino compilation, Arrow-worker stage spin-up (~2-3s/query vs ~1s
+    # steady state); the min isolates steady-state execution, the quantity
+    # that scales with data. The cold pass is still reported.
     cold: dict[str, float] = {}
     trials: dict[str, list[float]] = {n: [] for n in names}
     for pass_no in range(3):
@@ -90,8 +102,14 @@ def main() -> None:
             if pass_no == 0:
                 cold[name] = dt
             trials[name].append(dt)
-    timings = {n: min(ts) for n, ts in trials.items()}
 
+    # Noise robustness (round-3 lesson: min-of-2 on a busy box published a
+    # phantom 22% regression): targeted re-run for any query whose warm
+    # passes disagree by >1.5x — a contamination signal that fires equally
+    # for fast and slow queries. Deliberately NOT re-running on "slower
+    # than last round" (r4 advice): that trigger granted extra min draws
+    # only to regressed-looking queries, letting a real regression min-shop
+    # itself away.
     reruns: dict[str, int] = {}
     for name in names:
         for _ in range(2):  # at most 2 extra trials per suspicious query
@@ -103,25 +121,64 @@ def main() -> None:
             w1, w2 = sorted(trials[name][1:])[:2]
             if not (w1 > 0 and w2 / w1 > 1.5):
                 break
-            dt = run_once(name)
-            trials[name].append(dt)
+            trials[name].append(run_once(name))
             reruns[name] = reruns.get(name, 0) + 1
-            timings[name] = min(timings[name], dt)
+    print(json.dumps({"trials": trials, "cold": cold, "reruns": reruns}))
+    spark.stop()
 
-    # Streaming smoke (one row): a watermarked tumbling-window drain through
-    # the REAL streaming path — file source → state store → noop sink,
-    # Trigger.AvailableNow. The batch bench can never see a regression in
-    # the streaming state machinery; this row does. Two drains with fresh
-    # checkpoints, min reported (same steady-state rationale as above).
+
+def _run_group(names: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--group", ",".join(names)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    raise RuntimeError(
+        f"group {names} produced no JSON (rc={proc.returncode}):\n"
+        f"{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if "--group" in sys.argv:
+        _group_main(sys.argv[sys.argv.index("--group") + 1].split(","))
+        return
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [n for n, s in REGISTRY.items() if s.bench]
+
+    # Deterministic grouping: chunks of the sorted name list. Group
+    # composition shifts only where the bench SET itself changes (which the
+    # membership hash below already flags for cross-round comparison).
+    ordered = sorted(names)
+    groups = [ordered[i : i + GROUP_SIZE] for i in range(0, len(ordered), GROUP_SIZE)]
+    trials: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
+    reruns: dict[str, int] = {}
+    for g in groups:  # sequential — parallel groups would contend for CPUs
+        res = _run_group(g)
+        trials.update(res["trials"])
+        cold.update(res["cold"])
+        reruns.update(res["reruns"])
+    timings = {n: min(ts) for n, ts in trials.items()}
+
+    # Streaming rows run in the parent's own (otherwise idle) session — their
+    # checkpoints are fresh per trial and the session has run nothing else.
+    from hadoop_word_score_spark.session import get_spark
+
+    spark = get_spark("bench")
     timings["streaming_tumbling_drain"] = _streaming_smoke(spark, sf_dir)
     trials["streaming_tumbling_drain"] = [timings["streaming_tumbling_drain"]]
     names.append("streaming_tumbling_drain")
 
-    # Dedup-on-ingest (one row): the sf documents corpus arriving in two
-    # batches through streaming/ingest.py's foreachBatch body — batch 1
-    # signs only itself and probes batch 0 through its PERSISTED band index
-    # (the corpus-never-re-signed path), so this row times the real
-    # incremental-ingest cost, not a batch re-cluster.
     timings["streaming_ingest_drain"] = _ingest_smoke(spark, sf_dir)
     trials["streaming_ingest_drain"] = [timings["streaming_ingest_drain"]]
     names.append("streaming_ingest_drain")
@@ -157,6 +214,8 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "bench_set": sorted(names),
         "bench_set_hash": member_hash,
+        "isolation": {"mode": "grouped-subprocess", "group_size": GROUP_SIZE,
+                      "groups": len(groups)},
         "sf": sf_of(sf_dir),
     }
     if reruns:
@@ -177,6 +236,7 @@ def _streaming_smoke(spark, sf_dir: str) -> float:
     """
     import shutil
 
+    from hadoop_word_score_spark.sources.registry import load_table
     from hadoop_word_score_spark.streaming.windows import (
         read_events_stream,
         tumbling_counts_stream,
@@ -226,6 +286,9 @@ def _ingest_smoke(spark, sf_dir: str) -> float:
     + verify join) + 2 snapshot commits."""
     import shutil
 
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.sources.registry import load_table
     from hadoop_word_score_spark.streaming.ingest import dedup_ingest_sink
 
     scratch = os.path.join(
@@ -254,7 +317,9 @@ def _ingest_smoke(spark, sf_dir: str) -> float:
 def _previous_round_timings(sf: float) -> dict[str, float]:
     """Per-query timings from the latest BENCH_r*.json at the SAME scale
     factor (else {} — comparing across SFs would mislabel every query as a
-    regression or mask real ones)."""
+    regression or mask real ones). The driver's artifact sometimes carries
+    bench's JSON line pre-parsed under "parsed" and sometimes only as the
+    raw "tail" text — try both."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -264,10 +329,17 @@ def _previous_round_timings(sf: float) -> dict[str, float]:
     try:
         with open(files[-1]) as f:
             rec = json.load(f)
-        # The driver's artifact wraps bench's own JSON line under "parsed";
-        # unwrap it (and stay compatible with a raw bench.py capture).
-        rec = rec.get("parsed", rec) or {}
-        if rec.get("sf") != sf:
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if parsed is None and isinstance(rec, dict) and "tail" in rec:
+            tail = rec["tail"]
+            i = tail.find('{"metric"')
+            if i >= 0:
+                try:
+                    parsed = json.loads(tail[i:].splitlines()[0])
+                except (json.JSONDecodeError, ValueError):
+                    parsed = None
+        rec = parsed if parsed is not None else rec
+        if not isinstance(rec, dict) or rec.get("sf") != sf:
             return {}
         return {k: float(v) for k, v in rec.get("queries", {}).items()}
     except Exception:
