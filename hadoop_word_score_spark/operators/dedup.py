@@ -132,6 +132,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering —
+    the SERVED exact path (vs :func:`ngram_jaccard_pairs`, the deliberately
+    uncapped yardstick whose shingle self-join grows with Σdf²).
+
+    Prefix filtering (SSJoin, Chaudhuri/Ganti/Kaushik ICDE'06; PPJoin,
+    Xiao/Wang/Lin/Yu WWW'08 — public literature): order every set's
+    elements by one global canonical order (ascending document frequency,
+    ties on the shingle hash) and keep only each set's first
+    ``|s| - ceil(t*|s|) + 1`` elements as join keys. Any pair with
+    J ≥ t has overlap o ≥ t*max(|A|,|B|), hence o ≥ ceil(t|A|) and
+    ≥ ceil(t|B|), and the SSJoin prefix lemma guarantees the two prefixes
+    share an element — so candidate generation loses NO true pair, and the
+    verify step recomputes true Jaccard on the full sets, so precision is
+    exact too. Same output contract as ngram_jaccard_pairs
+    (id_a, id_b, n_common, jaccard); same oracle.
+
+    Why this fixes the Σdf² blow-up without a recall-lossy df cap: the
+    rarest-first order pushes a hot boilerplate shingle (df in the
+    thousands) to the END of every set it appears in — it enters a doc's
+    prefix only when all of that doc's other shingles are even hotter.
+    Candidate work is Σ_shingle (prefix-df)², where prefix-df counts only
+    docs whose prefix reached that shingle — on a boilerplate-heavy corpus
+    this collapses the hot term (receipted in SCALE_PROBE.md) while staying
+    exact. The length-ratio filter (J ≤ min/max) prunes the rest.
+
+    Plan shape at 100 TB: one Arrow-batched shingle scan, materialized once
+    (localCheckpoint — three consumers: df counts, prefix postings, verify
+    arrays; recomputing the UDF subtree thrice would dominate); one
+    shingle-keyed df aggregation + join (rows linear in postings, never
+    df²); one doc-keyed window for prefix selection (partitioned by doc id
+    — no one-partition trap); the prefix self-join; and a candidate-keyed
+    verify join computing |A∩B| via array_intersect on the checkpointed
+    sets. No Python after the scan.
+    """
+    from ..functions.hashing import text_shingle_hashes_udf
+
+    from pyspark.sql.window import Window
+
+    sh_fn = text_shingle_hashes_udf(n)
+    # materialize BEFORE filtering: a filter on a UDF column makes Catalyst
+    # evaluate the UDF under both Filter and Project (see
+    # ngram_jaccard_pairs), and this relation feeds three consumers.
+    sh = docs.select(
+        F.col(id_col).alias("id"), sh_fn(F.col(text_col)).alias("shingles")
+    ).localCheckpoint()
+    sized = sh.select(
+        "id", F.size("shingles").alias("sz"), "shingles"
+    ).filter(F.col("sz") > 0)
+
+    posts = sized.select("id", "sz", F.explode("shingles").alias("shingle"))
+    df_counts = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # global canonical order = (df asc, shingle): rarest first, total order
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        posts.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= plen)
+        .select("id", "sz", "shingle")
+    )
+    # length-ratio filter: J(A,B) ≤ min/max, so |sizes| outside [t, 1/t]
+    # of each other can never reach the threshold
+    ratio_ok = (F.col("size_b") * threshold <= F.col("size_a")) & (
+        F.col("size_a") * threshold <= F.col("size_b")
+    )
+    cand = (
+        prefix.select(
+            F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "shingle"
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "shingle"
+            ),
+            "shingle",
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = cand.join(
+        sized.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sized.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    jac = F.round(n_common / (sz_a + sz_b - n_common), 6)
+    return (
+        v.select("id_a", "id_b", n_common.alias("n_common"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # Hash-family version tag: bump whenever functions/hashing.py changes the
 # shingle/minhash seed derivation (_shingle_cmix) — an index built under a
 # different family collides wrong, not loudly.

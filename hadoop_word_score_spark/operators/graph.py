@@ -167,3 +167,78 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("triangles"))
         .orderBy("node")
     )
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected simple graph: returns
+    (node, core_degree) for every node surviving ``max_rounds`` rounds of
+    "remove nodes whose degree in the surviving induced subgraph is < k"
+    (Seidman's k-core / Matula-Beck degeneracy peel — public literature;
+    in data pipelines: prune weakly-connected entities before community or
+    quality analysis). ``core_degree`` is the node's degree within the
+    final induced subgraph, ordered by node.
+
+    BOUNDED rounds, not until-convergence, is the contract: the registry
+    oracle unrolls the identical rounds as chained SQL CTEs, so the two
+    sides agree round-for-round whether or not a fixpoint was reached. The
+    loop does stop early at a fixpoint (survivor count unchanged) — a
+    converged peel equals any longer one, so early-stop preserves oracle
+    equality; pytest pins that the driver-SF graphs converge well inside
+    the bound (a worst-case path graph needs O(N) rounds — raising
+    max_rounds is the lever, each round is one bounded shuffle pass).
+
+    Per round at 100 TB: two node-keyed semi-joins restrict the
+    checkpointed edge relation to surviving endpoints, one count-per-
+    endpoint aggregation recomputes degrees. Survivors are checkpointed
+    per round (the PageRank pattern) so lineage stays one round deep;
+    driver state is a single integer (survivor count) per round.
+    """
+    canon = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()  # replayed every round (two joins + degree agg)
+    )
+
+    def degrees(surv: DataFrame) -> DataFrame:
+        live = (
+            canon.join(surv.select(F.col("node").alias("a")), "a", "semi")
+            .join(surv.select(F.col("node").alias("b")), "b", "semi")
+        )
+        return (
+            live.select(F.col("a").alias("node"))
+            .union(live.select("b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    surv = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = surv.count()
+    for _ in range(max_rounds):
+        surv = (
+            degrees(surv)
+            .filter(F.col("deg") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+        n = surv.count()
+        if n == n_prev:  # fixpoint: further rounds are identity
+            break
+        n_prev = n
+    return (
+        degrees(surv)
+        .select("node", F.col("deg").alias("core_degree"))
+        .orderBy("node")
+    )

@@ -166,3 +166,64 @@ def pca_project(
             yield out
 
     return df.mapInPandas(project, schema=out_schema)
+
+
+def jl_sign_matrix(d: int, k: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix (Achlioptas
+    2003, public: a Rademacher sign matrix satisfies the JL lemma with the
+    same guarantees as Gaussian). Entry (j, i) is +1 when the first hex
+    digit of md5(f"{j}:{i}") is 0-7, else -1 — reproducible anywhere, and
+    embedded as LITERALS in both the Spark expression and the SQL oracle,
+    so no runtime hash needs to agree across engines."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection_cols(vec_col: str, d: int, k: int) -> list:
+    """One output Column per projected dimension: p_j = <x, s_j> / sqrt(k),
+    ROUND(6). Pure codegen — the fold over the literal sign row is a
+    sequential left-to-right `aggregate`, matching DuckDB's list_reduce
+    order ELEMENT FOR ELEMENT, and sqrt(k) is exact for power-of-4 k — so
+    the two engines agree bit-for-bit even before rounding. At 100 TB this
+    is a narrow scan-side map: no shuffle, no Python, no state."""
+    from pyspark.sql import functions as F
+
+    signs = jl_sign_matrix(d, k)
+    scale = float(k) ** 0.5
+    cols = []
+    for j, row in enumerate(signs):
+        lits = ",".join(f"{s}D" for s in row)
+        cols.append(
+            F.expr(
+                f"round(aggregate(zip_with(cast({vec_col} as array<double>),"
+                f" array({lits}), (x, y) -> x * y), 0D, (a, b) -> a + b)"
+                f" / {scale!r}, 6)"
+            ).alias(f"p{j}")
+        )
+    return cols
+
+
+def random_projection_oracle_exprs(vec_col: str, d: int, k: int) -> list[str]:
+    """The DuckDB mirror of :func:`random_projection_cols`, one SQL
+    expression string per output dimension (same literals, same fold
+    order, same rounding)."""
+    signs = jl_sign_matrix(d, k)
+    scale = float(k) ** 0.5
+    exprs = []
+    for j, row in enumerate(signs):
+        lits = ",".join(str(s) for s in row)
+        exprs.append(
+            # "+ 0.0" = the signed-zero normalizing wrap (the projection is
+            # mixed-sign, so a tiny negative CAN round to DuckDB's -0.0)
+            f"ROUND(list_reduce(list_transform(range(1, {d + 1}),"
+            f" i -> CAST({vec_col}[i] AS DOUBLE) * ([{lits}])[i]),"
+            f" (a, b) -> a + b) / {scale!r}, 6) + 0.0 AS p{j}"
+        )
+    return exprs

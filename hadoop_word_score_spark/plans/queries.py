@@ -1923,6 +1923,27 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix",
+    oracle=_NEAR_PAIRS_ORACLE,
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L2 served EXACT path (new r10): prefix-filtered set-similarity join
+    # (SSJoin/PPJoin) — identical output contract and oracle as the uncapped
+    # dedup_near_jaccard yardstick, but candidate generation joins only each
+    # set's rarest-first prefix, which collapses the hot-shingle Σdf² term
+    # the yardstick deliberately keeps (SCALE_PROBE.md hot-shingle receipt).
+    # Exactness is by construction on BOTH sides: the prefix lemma loses no
+    # true pair; the verify join recomputes true Jaccard on full sets.
+    from ..operators.dedup import jaccard_prefix_filter_pairs
+
+    return jaccard_prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
     "dedup_near_minhash",
     oracle=_NEAR_PAIRS_ORACLE,
     tags=("llm", "dedup"),
@@ -3873,6 +3894,97 @@ def q_sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_priority",
+    # Efraimidis-Spirakis weighted sampling WITHOUT replacement (IPL 2006,
+    # public): each row gets priority key ln(u)/w with u ~ U(0,1]; the k
+    # largest keys are a weight-proportional sample. u is derived from
+    # md5(doc_id) so both engines draw the SAME "randomness"; ordering is
+    # on the ROUND(6) key with doc_id tiebreak, so the top-k boundary can
+    # never flip on a last-ulp ln() difference between libm and the JVM.
+    oracle="""
+    SELECT doc_id, n_chars, es_key FROM (
+        SELECT doc_id, n_chars,
+               ROUND(ln((CAST(concat('0x',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1) / 4294967296.0) / n_chars,
+                     6) + 0.0 AS es_key
+        FROM documents WHERE n_chars > 0
+    ) ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+    tags=("sample", "llm"),
+)
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exact-k counterpart to mixture_sample_weighted's Bernoulli rates:
+    # length-weighted sample of 100 docs, deterministic and coordination-
+    # free. At 100 TB this is one scan + TakeOrderedAndProject (per-
+    # partition top-k, then a k-row merge at the driver) — no global sort,
+    # no shuffle of the corpus. P(doc in sample) is proportional-ish to
+    # n_chars (the ES guarantee), pinned by a property test.
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "corpus_importance_dsir",
+    # DSIR importance scores (operators/importance.py): every non-src0 doc
+    # scored by the smoothed log-likelihood ratio of the src0 "target"
+    # unigram-bucket model vs the raw-corpus model. The md5 bucketing makes
+    # the hashed feature space identical across engines; ROUND(6) on the
+    # mean log-ratio absorbs summation-order float noise (house rule).
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source <> 'src0' AS is_raw,
+               unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ), tb AS (
+        SELECT doc_id, is_raw,
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 1024
+                   AS bucket
+        FROM tok
+    ), bs AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_raw THEN 0 ELSE 1 END) AS ct,
+               SUM(CASE WHEN is_raw THEN 1 ELSE 0 END) AS cr
+        FROM tb GROUP BY bucket
+    ), tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bs),
+    w AS (
+        SELECT bucket,
+               ln((ct + 1) / (tt + 1024.0)) - ln((cr + 1) / (tr + 1024.0))
+                   AS lw
+        FROM bs CROSS JOIN tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lw) / COUNT(*), 6) + 0.0 AS dsir_score
+    FROM tb JOIN w USING (bucket)
+    WHERE is_raw
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "sample", "quality"),
+)
+def q_corpus_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.importance import dsir_logratio_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logratio_scores(
+        d, target=F.col("source") == "src0"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "dedup_apply_survivors",
     oracle="""
     SELECT d.doc_id, d.lang, d.source
@@ -4295,6 +4407,42 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(codes)[0].alias("code_first"),
         F.expr(codes)[63].alias("code_last"),
         F.round(F.expr(rmse), 9).alias("rmse"),
+    )
+
+
+def _jl_oracle() -> str:
+    from ..operators.linalg import random_projection_oracle_exprs
+
+    exprs = ",\n           ".join(
+        random_projection_oracle_exprs("embedding", 64, 16)
+    )
+    return f"""
+    SELECT vec_id,
+           {exprs}
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_random_projection",
+    # 64-d -> 16-d Johnson-Lindenstrauss sign projection. The +-1 matrix is
+    # generated once (md5-seeded) and embedded as LITERALS in both engines'
+    # expressions; both folds run left-to-right element for element and
+    # sqrt(16)=4 divides exactly, so the comparison is bit-exact before the
+    # ROUND(6) even fires.
+    oracle=_jl_oracle(),
+    tags=("llm", "similarity", "vector"),
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cheap-dim-reduction half of the similarity toolkit (PCA is the
+    # data-dependent half): no fit pass, no shuffle, no Python — 16 codegen
+    # fold expressions over the scan. At 100 TB: project once on ingest,
+    # then every downstream ANN/cluster pass pays 16-d instead of 64-d.
+    from ..operators.linalg import random_projection_cols
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", *random_projection_cols("embedding", 64, 16)).orderBy(
+        "vec_id"
     )
 
 
@@ -7946,6 +8094,79 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel as chained CTEs (DuckDB recursive CTEs can
+    reference the recursive table only once, but the peel needs both
+    endpoints checked — so the BOUNDED rounds of the operator contract are
+    unrolled mechanically instead). s0 = all nodes; s{i} = nodes whose
+    degree within the s{i-1}-induced subgraph is >= k; the final SELECT
+    reports each survivor's degree in the s{rounds}-induced subgraph —
+    matching operators/graph.py::kcore_nodes round for round."""
+    # every CTE is MATERIALIZED: s{i-1} is referenced twice per round, so
+    # DuckDB's default inlining would expand the chain to 2^rounds scans of
+    # lineitem ("too many open files" long before it is slow)
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT l1 AS a, l2 AS b FROM (
+            SELECT a.l_partkey AS l1, b.l_partkey AS l2, COUNT(*) AS c
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ) WHERE c >= 2
+    ),
+    und AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+    s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"""
+    body = "".join(
+        f""",
+    s{i} AS MATERIALIZED (
+        SELECT e.u AS node FROM und e
+        JOIN s{i - 1} x ON e.u = x.node
+        JOIN s{i - 1} y ON e.v = y.node
+        GROUP BY e.u HAVING COUNT(*) >= {k}
+    )"""
+        for i in range(1, rounds + 1)
+    )
+    tail = f"""
+    SELECT e.u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM und e
+    JOIN s{rounds} x ON e.u = x.node
+    JOIN s{rounds} y ON e.v = y.node
+    GROUP BY e.u ORDER BY node"""
+    return head + body + tail
+
+
+@register(
+    "graph_kcore_members",
+    oracle=_kcore_oracle(k=3, rounds=12),
+    tags=("graph",),
+)
+def q_graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core decomposition (new r10, operators/graph.py::kcore_nodes) over
+    # the FREQUENT co-purchase graph: parts adjacent iff they co-occur in
+    # >= 2 orders (the support filter sparsifies the otherwise near-
+    # complete co-purchase graph so the peel has structure — at sf0.01,
+    # k=3 peels 44% of nodes over 8 rounds, well inside the 12-round
+    # contract both sides run). Pipeline use: prune weakly-connected
+    # entities before community/quality analysis. Each peel round is two
+    # semi-joins + one degree aggregation over the checkpointed edge
+    # relation; driver state is one integer per round.
+    from ..operators.graph import kcore_nodes
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return kcore_nodes(edges, k=3, max_rounds=12)
+
+
 @register(
     "basket_association_rules",
     # Directed pairwise association rules over order baskets with brand
@@ -8868,6 +9089,54 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type", "bucket_hour")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    # First-order Markov transition matrix over per-user event sequences:
+    # P(next_type | type) with exact counts. The per-user ordering ties
+    # break on event_id so the LEAD step is engine-deterministic; the
+    # probability is one division over the per-from_type window sum,
+    # ROUND(6) (single division, no summation-order exposure — counts are
+    # exact integers).
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM c ORDER BY from_type, to_type
+    """,
+    tags=("events", "window", "llm"),
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence-mining primitive (what-follows-what over user journeys).
+    # Plan: one user-keyed window shuffle for LEAD (partitioned by user —
+    # never a global sort), one map-side-combined pair count, then the
+    # normalizing window runs over type-pair cardinality rows, not events.
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wu).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "prob", F.round(F.col("n") * 1.0 / F.sum("n").over(wf), 6)
+        )
+        .orderBy("from_type", "to_type")
     )
 
 

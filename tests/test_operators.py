@@ -2147,3 +2147,261 @@ def test_bigram_logprob_penalizes_word_order_scrambling(spark, tmp_path):
     coherent = out[0]
     scrambled = out[99]
     assert scrambled < coherent, (scrambled, coherent)
+
+
+# --- prefix-filtered exact Jaccard join (r10) ------------------------------
+
+
+def test_jaccard_prefix_equals_exact_yardstick_on_corpus(spark):
+    # the served exact path must reproduce the uncapped yardstick BIT FOR
+    # BIT on the real corpus — candidates differ, the verified output can't
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in jaccard_prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dups"
+    assert pref == exact
+
+
+def test_jaccard_prefix_exact_under_hot_boilerplate_shingle(spark):
+    # adversarial case the prefix order exists for: one shingle shared by
+    # every doc. The yardstick pairs all docs through it; the prefix path
+    # must still find exactly the true >=t pairs.
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c unique{i}d " + boiler) for i in range(30)]
+    # two true near-dup pairs on top of the boilerplate background
+    rows += [(100, "alpha beta gamma delta epsilon zeta " + boiler),
+             (101, "alpha beta gamma delta epsilon zeta " + boiler),
+             (200, "one two three four five six seven eight"),
+             (201, "one two three four five six seven eight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.n_common
+        for r in jaccard_prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert (100, 101) in exact and (200, 201) in exact
+    assert pref == exact
+
+
+def test_jaccard_prefix_threshold_boundary_pair_survives(spark):
+    # sizes at the length-ratio boundary: |A|=4, |B|=8, A subset of B ->
+    # J = 4/8 = 0.5 exactly; the ratio filter (t*|B| <= |A|) and the
+    # prefix lemma must both keep it at t=0.5
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    a = "w1 w2 w3 w4 w5 w6"                    # 4 shingles
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"       # 8 shingles, contains A's
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+           for r in jaccard_prefix_filter_pairs(docs, threshold=0.5).collect()}
+    assert out == {(1, 2): (4, 0.5)}
+
+
+# --- k-core (r10) -----------------------------------------------------------
+
+
+def _serial_peel(edges, k, max_rounds=10**9):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    rounds = 0
+    while rounds < max_rounds:
+        kill = [u for u, vs in adj.items() if len(vs) < k]
+        if not kill:
+            break
+        rounds += 1
+        for u in kill:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    # degree-0 survivors are absent from the operator's output (its final
+    # degree pass only sees nodes on a surviving edge) — mirror that
+    return {u: len(vs) for u, vs in adj.items() if len(vs) > 0}, rounds
+
+
+def test_kcore_matches_serial_peel_on_random_graph(spark):
+    import random
+
+    from hadoop_word_score_spark.operators.graph import kcore_nodes
+
+    rnd = random.Random(23)
+    edges = list({(rnd.randrange(80), rnd.randrange(80)) for _ in range(200)})
+    want, rounds = _serial_peel(edges, k=4)
+    assert want and rounds >= 2, "fixture should actually peel (deeply)"
+    assert rounds < 12, "fixture must converge inside the operator bound"
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.core_degree for r in kcore_nodes(e, k=4).collect()}
+    assert got == want
+
+
+def test_kcore_bounded_rounds_contract_on_path_graph(spark):
+    # a 12-node path needs 6 rounds to peel fully at k=2; with
+    # max_rounds=2 the operator must report exactly the 2-round state —
+    # the bounded contract the unrolled SQL oracle mirrors
+    from hadoop_word_score_spark.operators.graph import kcore_nodes
+
+    edges = [(i, i + 1) for i in range(11)]
+    want2, _ = _serial_peel(edges, k=2, max_rounds=2)
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.core_degree for r in kcore_nodes(e, k=2, max_rounds=2).collect()}
+    assert got == want2
+    # and unbounded peel empties the path entirely
+    got_full = kcore_nodes(e, k=2, max_rounds=50).count()
+    assert got_full == 0
+
+
+# --- DSIR importance scores (r10) ------------------------------------------
+
+
+def test_dsir_target_like_raw_docs_score_higher(spark):
+    from hadoop_word_score_spark.operators.importance import (
+        dsir_logratio_scores,
+    )
+
+    tvocab = "aurora borealis quasar nebula pulsar"
+    rvocab = "invoice ledger receipt balance audit"
+    rows = [(i, tvocab, "target") for i in range(20)]
+    rows += [(100 + i, tvocab, "raw") for i in range(5)]    # target-like raw
+    rows += [(200 + i, rvocab, "raw") for i in range(20)]   # raw-like raw
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.id: r.dsir_score
+        for r in dsir_logratio_scores(
+            docs, target=F.col("source") == "target"
+        ).collect()
+    }
+    assert set(out) == {100 + i for i in range(5)} | {200 + i for i in range(20)}
+    target_like = min(out[100 + i] for i in range(5))
+    raw_like = max(out[200 + i] for i in range(20))
+    assert target_like > raw_like > -100
+    assert all(out[100 + i] > 0 for i in range(5))
+    assert all(out[200 + i] < 0 for i in range(20))
+
+
+# --- ES weighted sampling + Markov transitions (r10, registry level) --------
+
+
+def test_weighted_priority_sample_favors_heavy_docs(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.sources.registry import TABLES
+
+    sf = str(tmp_path / "sf")
+    heavy = [Row(doc_id=i, text="x", lang="en", source="s", n_chars=10_000)
+             for i in range(100)]
+    light = [Row(doc_id=1000 + i, text="x", lang="en", source="s", n_chars=10)
+             for i in range(100)]
+    spark.createDataFrame(heavy + light, TABLES["documents"]).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    out = REGISTRY["sample_weighted_priority"].fn(spark, sf).collect()
+    assert len(out) == 100
+    n_heavy = sum(1 for r in out if r.n_chars == 10_000)
+    # ES with a 1000x weight ratio: a light doc outranking a heavy one needs
+    # ln(u_l)/10 > ln(u_h)/10000, i.e. u_l in a vanishing band; >=90 of the
+    # 100 heavy docs must make the sample for any reasonable hash draw
+    assert n_heavy >= 90
+
+
+def test_markov_transitions_hand_computed(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.sources.registry import TABLES
+
+    sf = str(tmp_path / "sf")
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: ["a", "b", "a", "b"], 2: ["a", "b", "c"], 3: ["c"]}
+    rows = []
+    eid = 0
+    for uid, types in seqs.items():
+        for j, ty in enumerate(types):
+            rows.append(Row(event_id=eid, ts=t0 + dt.timedelta(minutes=j),
+                            user_id=uid, event_type=ty, value=1.0, props="{}"))
+            eid += 1
+    spark.createDataFrame(rows, TABLES["events"]).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in REGISTRY["events_markov_transitions"].fn(spark, sf).collect()}
+    # user1: a->b, b->a, a->b ; user2: a->b, b->c ; user3: none.
+    # normalization is per from_type: 'a' has 3 transitions (all ->b),
+    # 'b' has 2 (one each way)
+    assert out == {
+        ("a", "b"): (3, 1.0),
+        ("b", "a"): (1, 0.5),
+        ("b", "c"): (1, 0.5),
+    }
+
+
+# --- JL random projection (r10) ---------------------------------------------
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.linalg import (
+        jl_sign_matrix,
+        random_projection_cols,
+    )
+
+    rnd = np.random.RandomState(7)
+    vecs = rnd.randn(5, 64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: [r[f"p{j}"] for j in range(16)]
+        for r in df.select("vec_id", *random_projection_cols("embedding", 64, 16))
+        .collect()
+    }
+    S = np.array(jl_sign_matrix(64, 16), dtype=np.float64)
+    for i in range(5):
+        want = np.round(S @ vecs[i].astype(np.float64) / 4.0, 6)
+        assert got[i] == pytest.approx(list(want), abs=1e-9)
+
+
+def test_random_projection_preserves_distances_statistically(spark):
+    # the JL property this operator exists for: E[||Px||^2] = ||x||^2 and
+    # concentration — with k=16 the per-vector distortion is loose, so
+    # assert the MEAN squared-norm ratio over the corpus is near 1
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.linalg import jl_sign_matrix
+
+    rnd = np.random.RandomState(11)
+    X = rnd.randn(200, 64)
+    S = np.array(jl_sign_matrix(64, 16), dtype=np.float64)
+    ratios = ((X @ S.T / 4.0) ** 2).sum(axis=1) / (X**2).sum(axis=1)
+    assert 0.9 < ratios.mean() < 1.1

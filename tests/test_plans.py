@@ -752,3 +752,34 @@ def test_pit_join_has_no_range_join_fanout(spark):
     plan = plan_of(spark, "pit_join_events_customer_history")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan, plan
+
+
+def test_round10_new_op_plan_shapes(spark):
+    # sample_weighted_priority: per-partition top-k + driver merge — the
+    # ORDER BY ... LIMIT must compile to TakeOrderedAndProject, never a
+    # global Sort of the corpus
+    plan = plan_of(spark, "sample_weighted_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    # markov transitions: the LEAD window is user-partitioned (a bare
+    # orderBy window would collapse to one task) and the pair count is a
+    # real partial/final aggregate
+    plan = plan_of(spark, "events_markov_transitions")
+    assert "Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # DSIR: the per-bucket weight table and the 1-row totals both attach
+    # via broadcast — no shuffle join against the token stream, and no
+    # cartesian anywhere
+    plan = plan_of(spark, "corpus_importance_dsir")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jaccard_prefix_plan_prefix_window_is_doc_partitioned(spark):
+    # the prefix-selection row_number runs per doc id — the plan must show
+    # a hash-partitioned Window, and candidate generation must be a real
+    # shuffle join on the shingle key (no nested loop fallback)
+    plan = plan_of(spark, "dedup_jaccard_prefix")
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -148,6 +148,9 @@ _NONNEG = [
      "same proof as kmeans_embeddings: the rounded value is an internal centroid "
      "coordinate consumed only by distance/cosine arithmetic, where -0.0 == +0.0 — "
      "it never reaches an output column"),
+    (r"events_markov_transitions", r"ROUND\(n \* 1\.0 / SUM\(n\)",
+     "transition probability: n >= 1 (a counted pair exists) over a sum of "
+     "positive counts — strictly positive, never rounds to zero from below"),
 ]
 
 
