@@ -314,7 +314,7 @@ def _ingest_smoke(spark, sf_dir: str) -> float:
     return best
 
 
-def _previous_round_timings(sf: float) -> dict[str, float]:
+def _previous_round_timings(sf: float, here: str | None = None) -> dict[str, float]:
     """Per-query timings from the latest BENCH_r*.json at the SAME scale
     factor (else {} — comparing across SFs would mislabel every query as a
     regression or mask real ones). The driver's artifact sometimes carries
@@ -322,7 +322,7 @@ def _previous_round_timings(sf: float) -> dict[str, float]:
     raw "tail" text — try both."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not files:
         return {}

@@ -1,0 +1,53 @@
+"""Protocol tests for bench.py's grouped-subprocess harness (no Spark).
+
+The harness itself is exercised end-to-end by the driver per round; these pin
+the pure-Python seams a refactor could silently break: previous-round
+artifact parsing (both driver formats), the group partition, and the
+membership hash input.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_prev_round_parses_driver_parsed_format(tmp_path):
+    rec = {"parsed": {"sf": 0.1, "queries": {"a": 1.5, "b": 0.5}}}
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(rec))
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 1.5, "b": 0.5}
+
+
+def test_prev_round_parses_driver_tail_only_format(tmp_path):
+    inner = {"metric": "bench_total_sec", "sf": 0.1, "queries": {"q": 2.25}}
+    rec = {"parsed": None, "tail": "noise line\n" + json.dumps(inner) + "\n"}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(rec))
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {"q": 2.25}
+
+
+def test_prev_round_rejects_other_scale_factor(tmp_path):
+    rec = {"parsed": {"sf": 0.01, "queries": {"a": 1.0}}}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(rec))
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {}
+
+
+def test_prev_round_latest_file_wins(tmp_path):
+    for r, v in [(8, 1.0), (9, 2.0)]:
+        (tmp_path / f"BENCH_r0{r}.json").write_text(
+            json.dumps({"parsed": {"sf": 0.1, "queries": {"a": v}}})
+        )
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 2.0}
+
+
+def test_group_partition_covers_every_bench_query_exactly_once():
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    names = sorted(n for n, s in REGISTRY.items() if s.bench)
+    groups = [
+        names[i : i + bench.GROUP_SIZE]
+        for i in range(0, len(names), bench.GROUP_SIZE)
+    ]
+    flat = [n for g in groups for n in g]
+    assert flat == names  # no dupes, no drops, deterministic order
+    assert all(0 < len(g) <= bench.GROUP_SIZE for g in groups)
