@@ -197,26 +197,62 @@ def jaccard_prefix_filter_pairs(
         posts.join(df_counts, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= plen)
-        .select("id", "sz", "shingle")
+        # a df-1 shingle has no join partner — it must OCCUPY its prefix
+        # slot (the lemma is about the first plen elements in global order)
+        # but can be dropped from the join input afterwards; on a mostly-
+        # unique corpus this removes the bulk of the candidate-join rows
+        .filter(F.col("df") > 1)
+        .select("id", "sz", "shingle", "rn")
+        # self-joined below: without materialization Spark would replay the
+        # whole scan→explode→df-join→window subtree once per join side
+        .localCheckpoint()
     )
     # length-ratio filter: J(A,B) ≤ min/max, so |sizes| outside [t, 1/t]
     # of each other can never reach the threshold
     ratio_ok = (F.col("size_b") * threshold <= F.col("size_a")) & (
         F.col("size_a") * threshold <= F.col("size_b")
     )
+    # PPJoin positional filter (exactness-preserving): let w be the pair's
+    # FIRST shared prefix shingle in global order — any common shingle
+    # before w would sit in BOTH prefixes (order-prefixes are downward
+    # closed), contradicting w's minimality, so the true overlap is at most
+    # 1 + min(|A| - rank_A(w), |B| - rank_B(w)). J ≥ t needs overlap
+    # ≥ t/(1+t)·(|A|+|B|) (real-valued, so no ceil — a float ceil could
+    # round a boundary pair OUT; the 1e-9 slack keeps the prune safe).
+    # On a mid-similarity-heavy corpus this kills most candidates BEFORE
+    # the verify join hauls any shingle arrays (measured 310k → ~1k pairs
+    # at sf0.1), which is where the wall-clock was.
+    first = F.min(F.struct("rn_a", "rn_b")).alias("w")
     cand = (
         prefix.select(
-            F.col("id").alias("id_a"), F.col("sz").alias("size_a"), "shingle"
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("size_a"),
+            F.col("rn").alias("rn_a"),
+            "shingle",
         )
         .join(
             prefix.select(
-                F.col("id").alias("id_b"), F.col("sz").alias("size_b"), "shingle"
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("size_b"),
+                F.col("rn").alias("rn_b"),
+                "shingle",
             ),
             "shingle",
         )
         .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(first)
+        .filter(
+            1
+            + F.least(
+                F.col("size_a") - F.col("w.rn_a"),
+                F.col("size_b") - F.col("w.rn_b"),
+            )
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("size_a") + F.col("size_b"))
+            - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     v = cand.join(
         sized.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
