@@ -442,3 +442,41 @@ def test_concurrency_profile_matches_serial_sweep(spark, spans):
         for r in concurrency_profile(df, bucket_seconds=60).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_prefix_equals_yardstick_property(spark, word_lists, threshold):
+    # randomized exactness: the prefix lemma + ratio filter + PPJoin
+    # positional filter must lose NO pair and admit NO extra pair at any
+    # threshold, on tiny-vocab corpora engineered for heavy overlap (the
+    # regime where a wrong bound would actually bite)
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.n_common
+        for r in jaccard_prefix_filter_pairs(docs, threshold=threshold).collect()
+    }
+    assert pref == exact
