@@ -19,14 +19,21 @@ from pyspark.sql import functions as F
 from ..sources.registry import TABLES
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events rows (micro-batch per file listing).
 
     ``events_dir`` holds microsecond-timestamp parquet (the test harness
     re-writes the driver's nanos table; Spark's streaming source can't read
-    TIMESTAMP(NANOS) either).
-    """
-    return spark.readStream.schema(TABLES["events"]).parquet(events_dir)
+    TIMESTAMP(NANOS) either). ``max_files_per_trigger`` caps each
+    micro-batch's file intake — watermarks only advance BETWEEN batches, so
+    tests that pin eviction timing use it to force a deterministic batch
+    sequence."""
+    reader = spark.readStream.schema(TABLES["events"])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(events_dir)
 
 
 def tumbling_counts_stream(

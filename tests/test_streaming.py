@@ -8,6 +8,7 @@ files (they share the window expressions by construction).
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -934,3 +935,83 @@ def test_vacuum_ingest_sweeps_uncommitted_batches_only(spark, tmp_path):
     assert out is not None and out.count() == 2
     # idempotent: a second vacuum finds nothing
     assert vacuum_ingest(target) == []
+
+
+def test_stream_stream_left_outer_join_eviction_semantics(spark, scratch_dir):
+    # The left-outer stream-stream join's two production gotchas, pinned:
+    # null-padded rows emit only after the watermark passes the row's join
+    # window, and tail rows whose window the watermark never passes are NOT
+    # emitted by a finite drain. Constructed two-file stream so the batch
+    # sequence (and therefore watermark advancement) is deterministic.
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hadoop_word_score_spark.sources.registry import TABLES
+    from hadoop_word_score_spark.streaming.joins import interval_join_streams
+    from hadoop_word_score_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, ty):
+        return Row(event_id=eid, ts=t0 + dt.timedelta(minutes=minutes),
+                   user_id=uid, event_type=ty, value=1.0, props="{}")
+
+    # users 1-3: click then purchase inside the 30-min window (matched);
+    # users 4-5: click with no purchase (unmatched, should null-pad once
+    # the watermark passes their window)
+    main = [ev(100 + u, 0, u, "click") for u in range(1, 6)]
+    main += [ev(200 + u, 10, u, "purchase") for u in range(1, 4)]
+    # tail: two flush files ~6h later, each carrying a click AND a
+    # purchase (non-matching users). BOTH types are needed: the join's
+    # effective watermark is the MIN over its two inputs' watermark nodes,
+    # and each node only sees rows that survive its side's filter — a
+    # click-only flush would advance the left watermark while the right
+    # one stays at the main file's max ts, and nothing would ever evict
+    # (the first version of this test did exactly that). The first flush
+    # advances both watermarks to t0+5h; watermarks take effect at the
+    # NEXT batch, so the second flush file exists to make that batch
+    # happen — during it every main-file window (t0 + 30min < t0 + 5h)
+    # evicts and null-pads. The flush rows' OWN windows are never passed,
+    # so a finite drain must not emit them.
+    flush1 = [ev(999, 360, 999, "click"), ev(899, 360, 899, "purchase")]
+    flush2 = [ev(998, 370, 998, "click"), ev(898, 370, 898, "purchase")]
+
+    src = os.path.join(scratch_dir, "souter_src")
+    schema = TABLES["events"]
+    spark.createDataFrame(main, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # file-source batch order follows modification time
+    spark.createDataFrame(flush1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(flush2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    joined = interval_join_streams(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    got = run_available_now(
+        joined, os.path.join(scratch_dir, "ckpt_souter"), "souter_out"
+    ).collect()
+
+    matched = {(r.user_id, r.l_event_id, r.r_event_id) for r in got
+               if r.r_event_id is not None}
+    unmatched = {r.user_id for r in got if r.r_event_id is None}
+    assert matched == {(u, 100 + u, 200 + u) for u in range(1, 4)}
+    # gotcha 1: the evicted unmatched rows DID null-pad
+    assert {4, 5} <= unmatched
+    # gotcha 2: the tail rows' windows were never passed — no emission
+    # (and right-side-unmatched purchases never emit under LEFT outer)
+    assert not unmatched & {999, 998, 899, 898}
+    # and the same code path over batch DataFrames is the full outer truth
+    # the stream converges to as the watermark advances
+    b = interval_join_streams(
+        spark.read.parquet(src).filter(F.col("event_type") == "click"),
+        spark.read.parquet(src).filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    assert b.filter(F.col("r_event_id").isNull()).count() == 4  # 4, 5, 999, 998
