@@ -162,7 +162,11 @@ def jaccard_prefix_filter_pairs(
     Candidate work is Σ_shingle (prefix-df)², where prefix-df counts only
     docs whose prefix reached that shingle — on a boilerplate-heavy corpus
     this collapses the hot term (receipted in SCALE_PROBE.md) while staying
-    exact. The length-ratio filter (J ≤ min/max) prunes the rest.
+    exact. Two further exactness-preserving prunes run before any shingle
+    array moves: the length-ratio filter (J ≤ min/max) and the PPJoin
+    POSITIONAL filter — overlap is bounded by the first shared prefix
+    shingle's ranks (see the inline lemma), which on a mid-similarity
+    corpus kills ~99% of candidates before the verify join.
 
     Plan shape at 100 TB: one Arrow-batched shingle scan, materialized once
     (localCheckpoint — three consumers: df counts, prefix postings, verify

@@ -4619,6 +4619,136 @@ def q_mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_rebalance",
+    # The mixture PLANNER that sits in front of mixture_sample_weighted's
+    # executor: given per-source target weights (curated src1-3 at 2x the
+    # crawl), water-fill the largest total corpus T* whose per-source
+    # demand w_s*T*/sum(w) fits each source's available tokens, and emit
+    # each source's planned kept-token budget. The binding source sets T*.
+    # keep_tokens is computed in INTEGER arithmetic end to end (capacities
+    # pre-scaled by the weight lcm, integer min, integer div) so no float
+    # epsilon can flip a floor; the display shares are ROUND(6)+0.0.
+    oracle="""
+    WITH tok AS (
+        SELECT source, CAST(SUM(len(list_filter(
+                   string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')))
+               AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, n_tokens,
+               CASE WHEN source IN ('src1', 'src2', 'src3')
+                    THEN 2 ELSE 1 END AS wgt
+        FROM tok
+    ), m AS (
+        -- capacity in half-units: tokens*2/wgt is integral for wgt in {1,2}
+        SELECT MIN(n_tokens * 2 // wgt) AS m2 FROM w
+    )
+    SELECT source, n_tokens,
+           ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM w), 6) + 0.0
+               AS cur_share,
+           CAST(wgt * m2 // 2 AS BIGINT) AS keep_tokens,
+           ROUND((wgt * m2 // 2) * 1.0 / n_tokens, 6) + 0.0 AS keep_rate
+    FROM w CROSS JOIN m
+    ORDER BY source
+    """,
+    tags=("llm", "sample"),
+)
+def q_corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One scan: per-doc token counts come from size(filter(split(...)))
+    # scan-side (never an explode), then a 20-row source aggregate; the
+    # water-fill min and the total attach as 1-row broadcasts. At 100 TB
+    # the only corpus-sized work is the narrow scan.
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), DELIM_CLASS), lambda x: x != "")
+    ).cast("long")
+    tok = d.select(F.col("source"), ntok.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("n_tokens")
+    )
+    w = tok.withColumn(
+        "wgt",
+        F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(2)).otherwise(
+            F.lit(1)
+        ).cast("long"),
+    )
+    scal = w.agg(
+        F.min(F.expr("n_tokens * 2 div wgt")).alias("m2"),
+        F.sum("n_tokens").alias("total"),
+    )
+    keep = F.expr("wgt * m2 div 2")
+    return (
+        w.crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            "n_tokens",
+            (F.round(F.col("n_tokens") * 1.0 / F.col("total"), 6) + 0.0).alias(
+                "cur_share"
+            ),
+            keep.cast("long").alias("keep_tokens"),
+            (F.round(keep * 1.0 / F.col("n_tokens"), 6) + 0.0).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_forecast_seasonal_naive",
+    # Seasonal-naive backtest: forecast each (type, hour) count with the
+    # count 24 hours earlier, report per-type MAE and signed bias over the
+    # hours where BOTH sides exist. Alignment is an equi-join on
+    # (type, hour - 24h) — never a positional lag, which silently
+    # misaligns whenever a type skips an hour.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+           ROUND(AVG(ABS(c.n - p.n)), 6) + 0.0 AS mae,
+           ROUND(AVG(c.n - p.n), 6) + 0.0 AS bias
+    FROM hourly c
+    JOIN hourly p ON p.event_type = c.event_type
+                 AND p.h = c.h - INTERVAL 24 HOURS
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    tags=("events", "time"),
+)
+def q_events_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The cheapest defensible forecast baseline (and the yardstick any
+    # fancier model must beat). Plan: one map-side-combined (type, hour)
+    # count, then a self-equi-join on the shifted hour — both sides are
+    # hour-cardinality relations, never events — and a type-keyed agg.
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = hourly.select(
+        F.col("event_type"), F.col("h"), F.col("n").alias("n_cur")
+    )
+    p = hourly.select(
+        F.col("event_type"),
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("n").alias("n_prev"),
+    )
+    return (
+        c.join(p, ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_scored"),
+            (F.round(F.avg(F.abs(F.col("n_cur") - F.col("n_prev"))), 6) + 0.0).alias(
+                "mae"
+            ),
+            (F.round(F.avg(F.col("n_cur") - F.col("n_prev")), 6) + 0.0).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "decontaminate_ngrams",
     oracle="""
     WITH sh AS (

@@ -81,6 +81,8 @@ PROBES = [
     "events_markov_transitions",
     "sample_weighted_priority",
     "embedding_random_projection",
+    "corpus_mixture_rebalance",
+    "events_forecast_seasonal_naive",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1352,6 +1354,12 @@ def main() -> None:
         "sample_weighted_priority": "linear scan + k-row driver merge",
         # 16 scan-side codegen folds; output ordering is the only exchange
         "embedding_random_projection": "linear (narrow codegen map; no fit pass)",
+        # one narrow token-count scan; everything after runs on the 20-row
+        # source relation
+        "corpus_mixture_rebalance": "linear scan; planner math on source-cardinality rows",
+        # one combined (type, hour) count; the backtest self-join runs on
+        # hour-cardinality relations, never events
+        "events_forecast_seasonal_naive": "linear in events (one count agg; join on hour-cardinality sides)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
