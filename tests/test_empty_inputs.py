@@ -288,3 +288,26 @@ def test_equi_depth_histogram_empty_and_all_null(spark):
         assert out.count() == 0
     nulls = spark.createDataFrame([(None, 1), (None, 2)], "v double, id long")
     assert equi_depth_histogram(nulls, "v", "id", k=4, exact=True).count() == 0
+
+
+def test_r10_operators_empty(spark):
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+    from hadoop_word_score_spark.operators.graph import kcore_nodes
+    from hadoop_word_score_spark.operators.importance import (
+        dsir_logratio_scores,
+    )
+
+    docs = _empty_docs(spark)
+    out = jaccard_prefix_filter_pairs(docs)
+    assert out.columns == ["id_a", "id_b", "n_common", "jaccard"]
+    assert out.count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = kcore_nodes(edges, k=2)
+    assert out.columns == ["node", "core_degree"]
+    assert out.count() == 0
+    docs3 = spark.createDataFrame([], "doc_id long, text string, source string")
+    out = dsir_logratio_scores(docs3, target=F.col("source") == "t")
+    assert out.columns == ["id", "n_tokens", "dsir_score"]
+    assert out.count() == 0
