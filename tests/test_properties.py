@@ -480,3 +480,40 @@ def test_jaccard_prefix_equals_yardstick_property(spark, word_lists, threshold):
         for r in jaccard_prefix_filter_pairs(docs, threshold=threshold).collect()
     }
     assert pref == exact
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=5,
+        max_size=60,
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_equals_serial_peel_property(spark, edges, k):
+    # randomized peel-equality: the distributed bounded-round peel must hit
+    # the same fixpoint as a serial reference on arbitrary small graphs
+    # (self-loops and duplicate/reversed edges included by construction)
+    import collections
+
+    from hadoop_word_score_spark.operators.graph import kcore_nodes
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    while True:
+        kill = [u for u, vs in adj.items() if len(vs) < k]
+        if not kill:
+            break
+        for u in kill:
+            for v in adj[u]:
+                adj[v].discard(u)
+            del adj[u]
+    want = {u: len(vs) for u, vs in adj.items() if len(vs) > 0}
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.core_degree
+           for r in kcore_nodes(e, k=k, max_rounds=30).collect()}
+    assert got == want
