@@ -1227,7 +1227,7 @@ def main() -> None:
         # (duplicate-heavy axis), but the span COUNT grows linearly and the
         # single shuffle carries one row per span occurrence either way
         "dedup_spans_exact": "linear shuffle rows; map-side partial agg absorbs the 10x-deeper groups",
-        "dedup_winnowing_pairs": "~linear (local-min sampling ~1/(w+1) of spans; bucketed postings self-join)",
+        "dedup_winnowing_pairs": "local-min sampling ~1/(w+1) of spans; postings pair within buckets, so the 10x near-dup-replicated corpus grows matching-fingerprint pairs superlinearly — output-bound, same cause as dedup_jaccard_prefix",
         # two scans of the token stream; summary + candidate shuffles are
         # capacity-bounded, so growth tracks scan cost, never vocabulary
         "heavy_hitters_terms": "linear (2 scans; shuffles bounded by partitions x capacity)",
