@@ -775,10 +775,18 @@ def test_round10_new_op_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_jaccard_prefix_plan_prefix_window_is_doc_partitioned(spark):
+def test_jaccard_prefix_plan_prefix_window_is_doc_partitioned(spark, monkeypatch):
     # the prefix-selection row_number runs per doc id — the plan must show
     # a hash-partitioned Window, and candidate generation must be a real
-    # shuffle join on the shingle key (no nested loop fallback)
+    # shuffle join on the shingle key (no nested loop fallback). The
+    # operator localCheckpoints two relations (which would hide their
+    # subtrees behind Scan ExistingRDD), so checkpointing is no-opped for
+    # the inspection — the plan under test is the full declarative tree.
+    from pyspark.sql.classic.dataframe import DataFrame  # instances' class
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, *a, **k: self
+    )
     plan = plan_of(spark, "dedup_jaccard_prefix")
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
