@@ -8761,51 +8761,15 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One corpus scan -> (type, phase, bucket) map-side-combined counts;
     # everything after runs on the bounded (types x 2 x 10) relation — the
     # densify cross join, totals, and the PSI fold are all tiny. At 100 TB
-    # only the first aggregation touches data volume.
+    # only the first aggregation touches data volume. The count/report
+    # split lives in operators/drift.py because the counts are ADDITIVE:
+    # streaming/monitor.py maintains the same relation through the
+    # exactly-once aggregating_sink and feeds the same report — streamed
+    # PSI equals this query bit for bit (pinned in tests/test_streaming.py).
+    from ..operators.drift import psi_binned_counts, psi_report
+
     e = _t(spark, sf_dir, "events")
-    binned = e.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "base")
-        .otherwise("cur")
-        .alias("phase"),
-        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
-        .cast("long")
-        .alias("bucket"),
-    )
-    cnt = binned.groupBy("event_type", "phase", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    ).localCheckpoint()  # bounded relation, reused by axis + both phases
-    axis = cnt.select("event_type").distinct()
-    buckets = spark.range(10).select(F.col("id").alias("bucket"))
-    base = cnt.where(F.col("phase") == "base").select(
-        "event_type", "bucket", F.col("c").alias("c_base")
-    )
-    cur = cnt.where(F.col("phase") == "cur").select(
-        "event_type", "bucket", F.col("c").alias("c_cur")
-    )
-    dense = (
-        axis.crossJoin(buckets)
-        .join(base, ["event_type", "bucket"], "left")
-        .join(cur, ["event_type", "bucket"], "left")
-        .fillna(0, subset=["c_base", "c_cur"])
-    )
-    tot = dense.groupBy("event_type").agg(
-        F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
-    )
-    p = (F.col("c_cur") + 0.5) / (F.col("n_cur") + 5.0)
-    q = (F.col("c_base") + 0.5) / (F.col("n_base") + 5.0)
-    return (
-        dense.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type", "n_base", "n_cur")
-        .agg((F.round(F.sum((p - q) * F.log(p / q)), 6) + F.lit(0.0)).alias("psi"))
-        .select(
-            "event_type",
-            F.col("n_base").cast("bigint").alias("n_base"),
-            F.col("n_cur").cast("bigint").alias("n_cur"),
-            "psi",
-        )
-        .orderBy("event_type")
-    )
+    return psi_report(psi_binned_counts(e))
 
 
 @register(

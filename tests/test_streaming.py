@@ -1015,3 +1015,40 @@ def test_stream_stream_left_outer_join_eviction_semantics(spark, scratch_dir):
         how="left_outer",
     )
     assert b.filter(F.col("r_event_id").isNull()).count() == 4  # 4, 5, 999, 998
+
+
+def test_psi_monitor_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    # streamed drift monitoring == batch analytics: drain the events
+    # through the PSI monitor sink (additive counts via aggregating_sink),
+    # then the report served from the standing table must equal the batch
+    # events_psi_drift query bit for bit — and a replayed batch must be a
+    # no-op (the exactly-once guard).
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.streaming.monitor import (
+        psi_monitor_sink,
+        psi_report_from_store,
+    )
+    from hadoop_word_score_spark.streaming.windows import read_events_stream
+
+    target = str(tmp_path / "psi_store")
+    sink = psi_monitor_sink(target)
+    q = (
+        read_events_stream(spark, events_stream_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_psi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = psi_report_from_store(spark, target)
+    # SF_SMOKE's events dir is what the fixture re-encodes, so the batch
+    # truth is the registry query over the same scale factor
+    want = REGISTRY["events_psi_drift"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replaying an already-committed batch must not change the store
+    batch0 = spark.read.parquet(events_stream_dir)
+    sink(batch0, 0)  # batch_id 0 was already committed by the drain
+    again = psi_report_from_store(spark, target)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
