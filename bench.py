@@ -50,16 +50,21 @@ def sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def _warm(spark, sf_dir: str, first_query: str) -> None:
+def _warm(spark, sf_dir: str, group: list[str]) -> None:
     """One-time costs paid before any timed pass: JVM, parquet footer + OS
     page caches, the Python/Arrow worker pool (~3s, once per executor
-    lifetime on a real cluster)."""
+    lifetime on a real cluster). The warm query is deliberately chosen
+    OUTSIDE the group — warming with a group member made that member's
+    pass-0 "cold" sample a warm one, systematically understating the
+    published cold numbers for one query per group (review r10)."""
     from pyspark.sql import functions as F
 
     from hadoop_word_score_spark.plans.queries import REGISTRY
     from hadoop_word_score_spark.sources.registry import TABLES, load_table
 
-    REGISTRY[first_query].fn(spark, sf_dir).write.format("noop").mode(
+    member = set(group)
+    warm_query = next(n for n in REGISTRY if n not in member)
+    REGISTRY[warm_query].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     spark.range(8).select(
@@ -79,7 +84,7 @@ def _group_main(names: list[str]) -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench-group")
-    _warm(spark, sf_dir, names[0])
+    _warm(spark, sf_dir, names)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()

@@ -109,8 +109,12 @@ def ngram_jaccard_pairs(
     # Length-ratio prune (AllPairs-style, exactness-preserving): J(A,B) ≤
     # min(|A|,|B|)/max(|A|,|B|), so pairs outside the ratio band can never
     # reach the threshold — drop them before the expensive pair aggregation.
-    ratio_ok = (F.col("b.sz") * threshold <= F.col("a.sz")) & (
-        F.col("a.sz") * threshold <= F.col("b.sz")
+    # The 1e-9 slack keeps exact-boundary pairs: double(t)*sz can overshoot
+    # the exact rational by an ulp (0.56*25 = 14.000000000000002), which
+    # would prune a pair with J == t precisely (review r10 — the prefix
+    # operator's regression test pins this for both paths).
+    ratio_ok = (F.col("b.sz") * threshold <= F.col("a.sz") + 1e-9) & (
+        F.col("a.sz") * threshold <= F.col("b.sz") + 1e-9
     )
     pairs = (
         postings.select(F.explode("docs").alias("a"), "docs")
@@ -196,7 +200,13 @@ def jaccard_prefix_filter_pairs(
     df_counts = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # global canonical order = (df asc, shingle): rarest first, total order
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # ceil over a DOUBLE product needs downward slack: double(t)*sz can
+    # overshoot the exact rational by an ulp (0.56*25 = 14.000000000000002,
+    # ceil 15 instead of 14), which would SHORTEN the prefix below the
+    # lemma's requirement and silently lose boundary pairs. 1e-9 is 6
+    # orders above the ulp and 7 below the 1/sz quantum that could
+    # legitimately change the ceil.
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1
     prefix = (
         posts.join(df_counts, "shingle")
         .withColumn("rn", F.row_number().over(w))
@@ -212,9 +222,11 @@ def jaccard_prefix_filter_pairs(
         .localCheckpoint()
     )
     # length-ratio filter: J(A,B) ≤ min/max, so |sizes| outside [t, 1/t]
-    # of each other can never reach the threshold
-    ratio_ok = (F.col("size_b") * threshold <= F.col("size_a")) & (
-        F.col("size_a") * threshold <= F.col("size_b")
+    # of each other can never reach the threshold. Same 1e-9 slack as the
+    # prefix length: double(t)*size can overshoot the exact rational, and a
+    # boundary pair (min == t*max exactly) must never be pruned.
+    ratio_ok = (F.col("size_b") * threshold <= F.col("size_a") + 1e-9) & (
+        F.col("size_a") * threshold <= F.col("size_b") + 1e-9
     )
     # PPJoin positional filter (exactness-preserving): let w be the pair's
     # FIRST shared prefix shingle in global order — any common shingle

@@ -53,9 +53,14 @@ def dsir_logratio_scores(
     the same single aggregation via conditional sums, and scoring covers
     the complement.
     """
+    # NULL-predicate rows count as RAW (coalesce to false): under SQL 3VL a
+    # bare boolean column would silently drop such rows from BOTH
+    # distributions while still being excluded from scoring — the engine
+    # and oracle must agree on one rule, and "unknown provenance is not
+    # the curated target" is the conservative one (review r10).
     tok = docs.select(
         F.col(id_col).alias("id"),
-        target.alias("is_target"),
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("is_target"),
         F.explode(F.split(F.col(text_col), DELIM_CLASS)).alias("w"),
     ).filter(F.col("w") != "")
     bucket = (

@@ -25,6 +25,7 @@ def scd2_history(
     versions: DataFrame,
     key: str,
     valid_from: str = "valid_from",
+    validate: bool = True,
 ) -> DataFrame:
     """Build an SCD2 effective-dated history from a union of version
     snapshots: adds the half-open ``valid_to`` bound (next version's
@@ -32,10 +33,34 @@ def scd2_history(
 
     ONE window pass partitioned by ``key`` — the standard warehouse
     pattern; appending the next snapshot later replays the same plan over
-    (current ∪ delta). Timelines are non-overlapping by construction
-    (LEAD over distinct valid_from values), which is exactly the property
-    point-in-time enrichment relies on for no-fanout.
+    (current ∪ delta). The non-overlap property point-in-time enrichment
+    relies on requires DISTINCT ``valid_from`` values per key, which this
+    function now enforces rather than assumes (review r10): exact
+    duplicate rows — the replay pattern where a delta re-carries an
+    unchanged version — are dropped declaratively, and any REMAINING
+    (key, valid_from) collision means two conflicting payloads claim the
+    same effective instant: LEAD would then mint a zero-width phantom
+    version and ``is_current``/PIT results would depend on partition
+    order. ``validate=True`` (default) fails fast on that with one
+    bounded probe job; pass False only when the input is known-clean and
+    the extra action matters.
     """
+    versions = versions.dropDuplicates()
+    if validate:
+        clash = (
+            versions.groupBy(key, valid_from)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .first()
+        )
+        if clash is not None:
+            raise ValueError(
+                f"scd2_history: conflicting version rows share "
+                f"({key}={clash[0]!r}, {valid_from}={clash[1]!r}) — two "
+                "different payloads claim the same effective instant, so "
+                "the timeline (and every PIT join over it) would be "
+                "partition-order-dependent; fix the upstream snapshot"
+            )
     w = Window.partitionBy(key).orderBy(valid_from)
     return (
         versions.withColumn("valid_to", F.lead(valid_from).over(w))

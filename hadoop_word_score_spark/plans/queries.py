@@ -827,17 +827,6 @@ def _latest_evidence_round(name: str) -> int:
     return _history_round(name)
 
 
-def _any_ledger_history(name: str) -> bool:
-    return any(
-        name in ledger
-        for ledger in (
-            _DRIVER_GREEN_R01, _DRIVER_GREEN_R02, _DRIVER_GREEN_R03,
-            _DRIVER_GREEN_R04, _DRIVER_GREEN_R05, _DRIVER_GREEN_R06,
-            _DRIVER_GREEN_R07, _DRIVER_GREEN_R08, _DRIVER_GREEN_R09,
-        )
-    )
-
-
 def _evidence_order() -> list[QuerySpec]:
     # Round-robin by evidence AGE: brand-new names (no ledger history at
     # all) lead, then everything else ascending by the round of its last
@@ -3946,7 +3935,9 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean log-ratio absorbs summation-order float noise (house rule).
     oracle="""
     WITH tok AS (
-        SELECT doc_id, source <> 'src0' AS is_raw,
+        -- COALESCE: NULL source counts as raw on both engines (the
+        -- operator coalesces its target predicate to false identically)
+        SELECT doc_id, COALESCE(source <> 'src0', TRUE) AS is_raw,
                unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
                                   x -> x <> '')) AS w
         FROM documents

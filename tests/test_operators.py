@@ -2405,3 +2405,73 @@ def test_random_projection_preserves_distances_statistically(spark):
     S = np.array(jl_sign_matrix(64, 16), dtype=np.float64)
     ratios = ((X @ S.T / 4.0) ** 2).sum(axis=1) / (X**2).sum(axis=1)
     assert 0.9 < ratios.mean() < 1.1
+
+
+def test_jaccard_prefix_float_overshoot_threshold_keeps_boundary_pair(spark):
+    # review r10: double(0.56)*25 = 14.000000000000002, so an unslacked
+    # ceil shortened the prefix below the lemma's bound AND the ratio
+    # filter pruned the exact-boundary pair — a 14-shingle sub-document of
+    # a 25-shingle doc has J = 14/25 = 0.56 >= t and must be found
+    from hadoop_word_score_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(27)]        # 25 shingles
+    a = " ".join(words)
+    b = " ".join(words[:16])                     # 14 shingles, all in A
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    t = 0.56
+    exact = {(r.id_a, r.id_b): r.n_common
+             for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+    pref = {(r.id_a, r.id_b): r.n_common
+            for r in jaccard_prefix_filter_pairs(docs, threshold=t).collect()}
+    assert exact == {(1, 2): 14}
+    assert pref == exact
+
+
+def test_scd2_history_replay_dedups_and_conflict_raises(spark):
+    # review r10: equal (key, valid_from) rows used to mint a zero-width
+    # phantom version with partition-order-dependent is_current/PIT output.
+    # The replay pattern (delta re-carries an unchanged version row) must
+    # dedup cleanly; genuinely conflicting payloads must fail fast.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.operators.scd2 import scd2_history
+
+    replay = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 10, "a")],  # exact dup of v1
+        "k int, valid_from int, payload string",
+    )
+    out = {(r.k, r.valid_from): (r.valid_to, r.is_current)
+           for r in scd2_history(replay, "k").collect()}
+    assert out == {(1, 10): (20, 0), (1, 20): (None, 1)}
+
+    conflict = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "DIFFERENT")],
+        "k int, valid_from int, payload string",
+    )
+    with _pytest.raises(ValueError, match="same effective instant"):
+        scd2_history(conflict, "k")
+
+
+def test_dsir_null_predicate_rows_count_as_raw(spark):
+    # review r10: a NULL target predicate (e.g. source IS NULL) must land
+    # in the RAW distribution and be scored — not vanish from both
+    # distributions under 3VL while the oracle counts it
+    from hadoop_word_score_spark.operators.importance import (
+        dsir_logratio_scores,
+    )
+
+    rows = [(1, "quasar pulsar nebula", "target"),
+            (2, "quasar pulsar nebula", None),
+            (3, "ledger audit invoice", "raw")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.id: r.dsir_score
+           for r in dsir_logratio_scores(
+               docs, target=F.col("source") == "target"
+           ).collect()}
+    assert set(out) == {2, 3}          # NULL-source doc IS scored as raw
+    assert out[2] > 0 > out[3]         # and its target-like text scores high
