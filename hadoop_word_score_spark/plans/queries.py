@@ -1198,6 +1198,37 @@ def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_left_outer",
+    # The stream-stream interval join's SEMANTICS, oracle-gated: the
+    # registry runs the SAME code path (streaming/joins.py::
+    # interval_join_streams, how=left_outer) over batch inputs — clicks
+    # left-joined to the purchases that follow within 30 minutes, null-
+    # padded when none do. DuckDB mirrors the half-open range condition
+    # directly; the streaming drain's eviction behavior over this exact
+    # plan is pinned separately in tests/test_streaming.py.
+    oracle="""
+    SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+           c.ts AS l_ts, p.ts AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+    ORDER BY c.user_id, l_event_id, r_event_id
+    """,
+    tags=("join", "events", "streaming"),
+)
+def q_join_interval_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join_streams
+
+    e = _t(spark, sf_dir, "events")
+    return interval_join_streams(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).orderBy("user_id", "l_event_id", "r_event_id")
+
+
+@register(
     "join_cross",
     oracle="""
     SELECT r1.r_name AS region_a, r2.r_name AS region_b
