@@ -50,8 +50,12 @@ def scd2_history(
         # materialize the deduped relation once: the probe below must
         # execute it anyway, and without this the main plan would re-run
         # the whole upstream subtree a second time (bench receipt: the
-        # guard cost halves from +0.6s to the probe alone)
-        versions = versions.localCheckpoint()
+        # guard cost halves from +0.6s to the probe alone).
+        # persist, not localCheckpoint: the probe's full-input aggregate
+        # populates every partition either way, but persist keeps the
+        # lineage — on a cluster an evicted/lost block recomputes instead
+        # of failing the downstream window/PIT join (review r10)
+        versions = versions.persist()
         clash = (
             versions.groupBy(key, valid_from)
             .agg(F.count(F.lit(1)).alias("n"))
