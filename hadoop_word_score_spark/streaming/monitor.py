@@ -44,3 +44,80 @@ def psi_report_from_store(spark: SparkSession, target: str) -> DataFrame | None:
     if counts is None:
         return None
     return psi_report(counts.select(*PSI_KEYS, "c"))
+
+
+# --- streamed OHLC bars ------------------------------------------------------
+
+OHLC_KEYS = ["event_type", "bucket_hour"]
+
+
+def _ohlc_order_key():
+    # the batch query's exact tie-safe composite (unix_micros * 1e10 +
+    # event_id as decimal(38,0)) — streamed argmin/argmax must break ties
+    # identically or the parity pin below would flap on tied timestamps
+    from pyspark.sql import functions as F
+
+    return (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)")
+        * F.lit(10_000_000_000).cast("decimal(38,0)")
+        + F.col("event_id")
+    )
+
+
+def ohlc_partials(events: DataFrame) -> DataFrame:
+    """Per-batch mergeable OHLC partials: open/close travel as
+    (order_key, value) structs whose lexicographic min/max IS
+    min_by/max_by, so per-batch partials fold exactly under
+    ``mergeable_sink`` regardless of how arrival slices the data."""
+    from pyspark.sql import functions as F
+
+    k = _ohlc_order_key()
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.min(F.struct(k.alias("k"), F.col("value").alias("v"))).alias("open_s"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct(k.alias("k"), F.col("value").alias("v"))).alias("close_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def ohlc_monitor_sink(target: str):
+    """``foreachBatch`` body: fold the batch's OHLC partials into the
+    standing bars table — min/max/struct-argmin merges, exactly once."""
+    from .sinks import mergeable_sink
+
+    merge = mergeable_sink(
+        target,
+        OHLC_KEYS,
+        {"open_s": "min", "high": "max", "low": "min",
+         "close_s": "max", "n_events": "sum"},
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge(ohlc_partials(batch_df), batch_id)
+
+    return write_batch
+
+
+def ohlc_report_from_store(spark: SparkSession, target: str) -> DataFrame | None:
+    """The OHLC bars served from the monitor's standing table (or None
+    before the first commit) — same shape and ordering as the batch
+    ``events_ohlc_hourly`` registry query."""
+    from pyspark.sql import functions as F
+
+    from .sinks import read_table
+
+    bars = read_table(spark, target)
+    if bars is None:
+        return None
+    return bars.select(
+        "event_type",
+        "bucket_hour",
+        F.col("open_s.v").alias("open"),
+        "high",
+        "low",
+        F.col("close_s.v").alias("close"),
+        "n_events",
+    ).orderBy("event_type", "bucket_hour")

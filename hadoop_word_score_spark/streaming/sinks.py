@@ -339,23 +339,56 @@ def aggregating_sink(target: str, keys: list[str], sum_cols: list[str]):
     one bit for bit). Same exactly-once machinery as :func:`upsert_sink`:
     batchId replay guard + fully-written snapshot before the atomic
     pointer swap; same local-filesystem contract.
+
+    Sum is one instance of the general contract — see
+    :func:`mergeable_sink` for arbitrary commutative-monoid merges
+    (min/max, struct-argmin).
     """
-    target = _validate_local_target(target, "aggregating_sink")
-    if not keys or not sum_cols:
-        raise ValueError("aggregating_sink needs at least one key and one sum column")
+    if not sum_cols:
+        raise ValueError("aggregating_sink needs at least one sum column")
+    return mergeable_sink(target, keys, {c: "sum" for c in sum_cols})
+
+
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def mergeable_sink(target: str, keys: list[str], merges: dict[str, str]):
+    """A ``foreachBatch`` function maintaining a MERGEABLE state table:
+    per micro-batch, rows group by ``keys`` and each value column folds
+    into the standing table under its declared merge — ``sum`` | ``min``
+    | ``max``. Any commutative, associative merge makes per-batch partials
+    equal the batch-over-everything aggregate regardless of arrival
+    slicing; ``min``/``max`` over STRUCT columns order lexicographically,
+    which turns them into argmin/argmax carriers — pack (order_key, value)
+    and the surviving struct's ``value`` is min_by/max_by (the streamed
+    OHLC monitor in streaming/monitor.py is the receipt: open/close ride
+    exactly this). Same exactly-once machinery as :func:`upsert_sink`:
+    batchId replay guard + fully-written snapshot before the atomic
+    pointer swap; same local-filesystem contract.
+    """
+    target = _validate_local_target(target, "mergeable_sink")
+    if not keys or not merges:
+        raise ValueError("mergeable_sink needs at least one key and one merge column")
+    bad = {c: m for c, m in merges.items() if m not in _MERGE_FNS}
+    if bad:
+        raise ValueError(
+            f"mergeable_sink: unsupported merge(s) {bad} — each column needs "
+            f"one of {sorted(_MERGE_FNS)} (a non-commutative or non-"
+            "associative fold would make state depend on arrival slicing)"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         version, last_batch = _read_pointer(target)
         if batch_id <= last_batch:  # replayed batch: already committed
             return
-        cols = [*keys, *sum_cols]
+        cols = [*keys, *merges]
         incoming = batch_df.select(*cols)
         if version > 0:
             current = spark.read.parquet(os.path.join(target, f"v={version}"))
             incoming = incoming.unionByName(current.select(*cols))
         merged = incoming.groupBy(*keys).agg(
-            *[F.sum(c).alias(c) for c in sum_cols]
+            *[_MERGE_FNS[m](c).alias(c) for c, m in merges.items()]
         )
         new_version = version + 1
         merged.write.mode("overwrite").parquet(

@@ -1052,3 +1052,46 @@ def test_psi_monitor_stream_equals_batch(spark, events_stream_dir, tmp_path):
     sink(batch0, 0)  # batch_id 0 was already committed by the drain
     again = psi_report_from_store(spark, target)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ohlc_monitor_stream_equals_batch(spark, events_stream_dir, tmp_path):
+    # streamed OHLC == batch argmax query: open/close ride struct-argmin/
+    # argmax merges through mergeable_sink (lexicographic struct min/max
+    # over the batch query's exact tie-safe order key), high/low/n ride
+    # max/min/sum — so per-batch partials fold to the batch-over-
+    # everything bars no matter how arrival slices the events. Multi-batch
+    # drain forced via maxFilesPerTrigger on a two-file source.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+    from hadoop_word_score_spark.streaming.monitor import (
+        ohlc_monitor_sink,
+        ohlc_report_from_store,
+    )
+    from hadoop_word_score_spark.streaming.windows import read_events_stream
+
+    # split the events into two files so the fold actually merges partials
+    src = str(tmp_path / "ohlc_src")
+    ev = spark.read.parquet(events_stream_dir)
+    mid = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY event_id)").first()[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "ohlc_store")
+    sink = ohlc_monitor_sink(target)
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = ohlc_report_from_store(spark, target)
+    want = REGISTRY["events_ohlc_hourly"].fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replayed batch: no-op
+    sink(spark.read.parquet(src), 0)
+    again = ohlc_report_from_store(spark, target)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
