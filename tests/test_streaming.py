@@ -1095,3 +1095,40 @@ def test_ohlc_monitor_stream_equals_batch(spark, events_stream_dir, tmp_path):
     sink(spark.read.parquet(src), 0)
     again = ohlc_report_from_store(spark, target)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_mergeable_sink_state_invariant_under_arrival_slicing(spark, tmp_path):
+    # the mergeable contract itself: ANY slicing of the same rows into
+    # micro-batches folds to the same standing state. Three different
+    # slicings of one constructed event set (1 batch, 2 uneven batches,
+    # row-by-row-ish 4 batches) must serve identical OHLC bars.
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from hadoop_word_score_spark.sources.registry import TABLES
+    from hadoop_word_score_spark.streaming.monitor import (
+        ohlc_monitor_sink,
+        ohlc_report_from_store,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        Row(event_id=i, ts=t0 + dt.timedelta(minutes=7 * i), user_id=i % 3,
+            event_type="tick", value=float((i * 37) % 11) - 3.0, props="{}")
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, TABLES["events"])
+    reports = []
+    for si, cuts in enumerate([[24], [5, 24], [3, 9, 17, 24]]):
+        target = str(tmp_path / f"slice{si}")
+        sink = ohlc_monitor_sink(target)
+        lo = 0
+        for bid, hi in enumerate(cuts):
+            sink(df.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)), bid)
+            lo = hi
+        reports.append(
+            sorted(map(tuple, ohlc_report_from_store(spark, target).collect()))
+        )
+    assert reports[0] == reports[1] == reports[2]
+    assert len(reports[0]) > 1  # multiple hourly bars actually formed
