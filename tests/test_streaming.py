@@ -1132,3 +1132,26 @@ def test_mergeable_sink_state_invariant_under_arrival_slicing(spark, tmp_path):
         )
     assert reports[0] == reports[1] == reports[2]
     assert len(reports[0]) > 1  # multiple hourly bars actually formed
+
+
+def test_mergeable_sink_rejects_non_mergeable_fold(spark, tmp_path):
+    # avg/first/etc. are not commutative-monoid merges — state would
+    # depend on arrival slicing; the sink must refuse loudly up front
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.sinks import mergeable_sink
+
+    with _pytest.raises(ValueError, match="unsupported merge"):
+        mergeable_sink(str(tmp_path / "t"), ["k"], {"v": "avg"})
+    with _pytest.raises(ValueError, match="at least one key"):
+        mergeable_sink(str(tmp_path / "t"), [], {"v": "sum"})
+
+
+def test_monitor_reports_none_before_first_commit(spark, tmp_path):
+    from hadoop_word_score_spark.streaming.monitor import (
+        ohlc_report_from_store,
+        psi_report_from_store,
+    )
+
+    assert psi_report_from_store(spark, str(tmp_path / "nope1")) is None
+    assert ohlc_report_from_store(spark, str(tmp_path / "nope2")) is None
