@@ -270,6 +270,27 @@ _DRIVER_GREEN_R09 = frozenset({
     "tfidf_top_terms", "try_error_safe_funcs"
 })
 
+_DRIVER_GREEN_R10 = frozenset({
+    "agg_stats", "corpus_importance_dsir", "corpus_mixture_rebalance",
+    "cube_segment_status", "date_funcs", "dedup_jaccard_prefix",
+    "embedding_random_projection", "events_forecast_seasonal_naive",
+    "events_gapfill_hourly", "events_mad_outliers_approx",
+    "events_markov_transitions", "filter_project", "funnel_time_to_convert",
+    "graph_kcore_members", "join_anti", "join_cross",
+    "join_interval_left_outer", "join_left_outer", "join_range_theta",
+    "join_semi", "json_funcs", "math_funcs", "pii_redact",
+    "q11_important_parts", "q12_priority_shipping", "q15_top_supplier",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_stock",
+    "q22_inactive_customers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q7_nation_volume", "quality_repetition_filter",
+    "rollup_status_priority", "sample_weighted_priority",
+    "scd2_customer_history", "set_ops", "string_funcs", "topk_per_group",
+    "tumbling_window", "window_analytic", "window_ranking",
+    "window_running", "wordscore", "wordscore_top10"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -435,6 +456,8 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "conditional_funcs": "61feebf4741f",
     "corpus_dedup_rate_by_source": "f240c3ec35e3",
     "corpus_drift_kl": "cf6014cf1380",
+    "corpus_importance_dsir": "4adb5eb54c43",
+    "corpus_mixture_rebalance": "d14c9f9e9bb7",
     "corpus_ngram_novelty": "8a169d7b7027",
     "corpus_prep_funnel": "c0476271351c",
     "corpus_report_by_source": "aa23b8986484",
@@ -449,6 +472,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "dedup_containment": "50e75544f264",
     "dedup_exact": "b5919931923e",
     "dedup_incremental": "b10560da39e5",
+    "dedup_jaccard_prefix": "1cdf1ec48dac",
     "dedup_near_embedding": "385ed2cfbff8",
     "dedup_near_jaccard": "1cdf1ec48dac",
     "dedup_near_minhash": "1cdf1ec48dac",
@@ -465,17 +489,22 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "embedding_covariance": "cd82459eeef8",
     "embedding_pca_project": "c60679601e6e",
     "embedding_quantize_int8": "aaa8faade4fe",
+    "embedding_random_projection": "3c00c9816c26",
     "events_anomaly_zscore": "2e7e9aea7cc3",
     "events_concurrency_hourly": "c345d4e21799",
     "events_ewma_value": "230c343224d7",
+    "events_forecast_seasonal_naive": "4260cafa16fd",
     "events_gapfill_hourly": "e8f7525be53f",
     "events_mad_outliers": "b08bbcdc85ae",
+    "events_mad_outliers_approx": "085c3447f296",
+    "events_markov_transitions": "91ee4d3d3dea",
     "events_ohlc_hourly": "4a7bff466852",
     "events_psi_drift": "086f28aa9b02",
     "events_rollup_multi_grain": "33ff39ed700d",
     "filter_project": "a9a8bfadf49d",
     "funnel_signup_click_purchase": "92866f84bd49",
     "funnel_time_to_convert": "d647673746a7",
+    "graph_kcore_members": "998a325178ca",
     "graph_triangle_counts": "9dcb3bdf5fe8",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
@@ -485,6 +514,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "inverted_index_terms": "978e182ca92d",
     "join_anti": "a42439ea4756",
     "join_cross": "9eefc1dae676",
+    "join_interval_left_outer": "cbeb4cc8a1e6",
     "join_left_outer": "ac2386af11a5",
     "join_range_theta": "68a33d9d01c9",
     "join_salted_skew": "484b58033f85",
@@ -542,6 +572,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "rollup_status_priority": "fd02b19f270d",
     "sample_hash_mod": "4e92ad8c6a40",
     "sample_stratified_lang": "1cd168b40df0",
+    "sample_weighted_priority": "b352e3f9d859",
     "scd2_customer_history": "1f02960c1eb3",
     "session_window": "3e2119405138",
     "sessionize_events": "b581a70b0c49",
@@ -621,6 +652,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "conditional_funcs": "f3ec91d7cec2",
     "corpus_dedup_rate_by_source": "b77e20049d1c",
     "corpus_drift_kl": "44620088a488",
+    "corpus_importance_dsir": "17035698a07c",
+    "corpus_mixture_rebalance": "c7c8ce9e3af6",
     "corpus_ngram_novelty": "b5123ff46e92",
     "corpus_prep_funnel": "11763562c9bc",
     "corpus_report_by_source": "f3ab65ab68ef",
@@ -635,6 +668,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "dedup_containment": "0be4d12c8eeb",
     "dedup_exact": "dd23a84978e9",
     "dedup_incremental": "049965c1773a",
+    "dedup_jaccard_prefix": "7e7b60664ae2",
     "dedup_near_embedding": "36676def56f3",
     "dedup_near_jaccard": "a7ed15e489f0",
     "dedup_near_minhash": "5e9cf7d18833",
@@ -651,17 +685,22 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "embedding_covariance": "c913795b865c",
     "embedding_pca_project": "e8de53a859c9",
     "embedding_quantize_int8": "1160da3bdfab",
+    "embedding_random_projection": "e5c94f19d79b",
     "events_anomaly_zscore": "e0cb144b4a8e",
     "events_concurrency_hourly": "a227fdbf5c30",
     "events_ewma_value": "729934d8f13a",
+    "events_forecast_seasonal_naive": "ba1da70b4c10",
     "events_gapfill_hourly": "12aebbd9de60",
     "events_mad_outliers": "f945216522b9",
+    "events_mad_outliers_approx": "d94c254bcddf",
+    "events_markov_transitions": "5c763fb266a8",
     "events_ohlc_hourly": "32660fe61620",
     "events_psi_drift": "156d91a930a3",
     "events_rollup_multi_grain": "797d2f5d803a",
     "filter_project": "863807c295ee",
     "funnel_signup_click_purchase": "ece35022f9da",
     "funnel_time_to_convert": "2e74ff2fb77e",
+    "graph_kcore_members": "c9816ea85a25",
     "graph_triangle_counts": "2409ae9349ae",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
@@ -671,6 +710,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "inverted_index_terms": "5c72da14799a",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
+    "join_interval_left_outer": "009bd3eb435f",
     "join_left_outer": "26cbda41692d",
     "join_range_theta": "95456ba8b1a9",
     "join_salted_skew": "e1c7773854e5",
@@ -728,7 +768,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "rollup_status_priority": "84dfd40dc2c7",
     "sample_hash_mod": "35413b90f466",
     "sample_stratified_lang": "a6671969bba0",
-    "scd2_customer_history": "201308665b10",
+    "sample_weighted_priority": "f4fc53b9544f",
+    "scd2_customer_history": "44cd6edceb29",
     "session_window": "4fa8d68ec706",
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
@@ -795,6 +836,7 @@ def _history_round(name: str) -> int:
     """Most recent round whose driver run touched this query green,
     IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (10, _DRIVER_GREEN_R10),
         (9, _DRIVER_GREEN_R09),
         (8, _DRIVER_GREEN_R08),
         (7, _DRIVER_GREEN_R07),

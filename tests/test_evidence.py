@@ -113,13 +113,13 @@ def test_ledger_names_are_registered():
 
 def test_impl_demotion_resets_evidence(monkeypatch):
     # r5 advice: an execution-path rewrite with an unchanged oracle must not
-    # ride old driver evidence — _IMPL_DEMOTED listings rank as round 0
-    # pick by ACTUAL latest round, not ledger membership — later-round
-    # ledgers legitimately re-verify R05 names (the rotation working as
-    # intended), so "in _DRIVER_GREEN_R05" does not imply latest == 5
-    name = next(
-        n for n in Q._DRIVER_GREEN_R05
-        if Q._latest_evidence_round(n) == 5 and n not in Q._IMPL_DEMOTED
+    # ride old driver evidence — _IMPL_DEMOTED listings rank as round 0.
+    # Pick a name at the CURRENT evidence floor (the rotation keeps raising
+    # it — hardcoding "round 5" broke when r10 cleared the r5 cohort).
+    rnd, name = min(
+        (Q._latest_evidence_round(n), n)
+        for n in Q.REGISTRY
+        if Q._latest_evidence_round(n) > 0 and n not in Q._IMPL_DEMOTED
     )
     monkeypatch.setattr(Q, "_IMPL_DEMOTED", frozenset({name}))
     assert Q._latest_evidence_round(name) == 0
@@ -130,9 +130,10 @@ def test_impl_fp_rewrite_resets_evidence(monkeypatch):
     # r5 advice, structural form: driver evidence is keyed to an
     # implementation fingerprint (fn source + transitive engine modules), so
     # a code rewrite demotes the query even with an unchanged oracle.
-    name = next(
-        n for n in Q._DRIVER_GREEN_R05
-        if Q._latest_evidence_round(n) == 5
+    rnd, name = min(
+        (Q._latest_evidence_round(n), n)
+        for n in Q.REGISTRY
+        if Q._latest_evidence_round(n) > 0 and n not in Q._IMPL_DEMOTED
     )
     patched = dict(Q._VERIFIED_IMPL_FP)
     patched[name] = "rewritten_code"
