@@ -40,6 +40,19 @@ def test_prev_round_latest_file_wins(tmp_path):
     assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 2.0}
 
 
+def test_group_stdout_parse_skips_stray_json_values():
+    # r10 advice: a bare "null"/number/list from logging noise parsed after
+    # the result line must not be returned as the group result.
+    good = json.dumps({"trials": {"q": [1.0]}, "cold": {"q": 1.0}, "reruns": {}})
+    out = "INFO noise\n" + good + "\nnull\n42\n[1, 2]\n{\"other\": 1}\n"
+    res = bench._parse_group_stdout(out)
+    assert res is not None and res["trials"] == {"q": [1.0]}
+
+
+def test_group_stdout_parse_returns_none_without_result():
+    assert bench._parse_group_stdout("null\n42\nnot json\n") is None
+
+
 def test_group_partition_covers_every_bench_query_exactly_once():
     from hadoop_word_score_spark.plans.queries import REGISTRY
 
