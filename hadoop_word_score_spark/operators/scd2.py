@@ -35,44 +35,59 @@ def scd2_history(
     pattern; appending the next snapshot later replays the same plan over
     (current ∪ delta). The non-overlap property point-in-time enrichment
     relies on requires DISTINCT ``valid_from`` values per key, which this
-    function now enforces rather than assumes (review r10): exact
-    duplicate rows — the replay pattern where a delta re-carries an
-    unchanged version — are dropped declaratively, and any REMAINING
+    function enforces rather than assumes (review r10): exact duplicate
+    rows — the replay pattern where a delta re-carries an unchanged
+    version — are dropped declaratively, and any REMAINING
     (key, valid_from) collision means two conflicting payloads claim the
     same effective instant: LEAD would then mint a zero-width phantom
     version and ``is_current``/PIT results would depend on partition
-    order. ``validate=True`` (default) fails fast on that with one
-    bounded probe job; pass False only when the input is known-clean and
-    the extra action matters.
+    order.
+
+    ``validate=True`` (default) fails fast on a collision INSIDE the
+    timeline plan itself — a per-instant row count (a second window
+    function over the SAME key-partitioned exchange and (key, valid_from)
+    sort the LEAD already needs) feeds ``assert_true``, fused into the
+    ``valid_from``/``valid_to`` output columns so column pruning cannot
+    drop the check while any timeline column is consumed. Zero extra
+    jobs, zero cached state: the r10 probe-job design cost a separate
+    action plus a ``persist()`` that leaked cached blocks into long-lived
+    sessions (driver bench: +1.97s on a 0.5s query; review r10/r11). The
+    error now surfaces at the first ACTION over the timeline (as a Spark
+    ``USER_RAISED_EXCEPTION``), not at plan-build time — the same
+    fail-fast guarantee, since an unexecuted timeline can mislead nobody.
+    Pass ``validate=False`` only when the input is known-clean.
     """
     versions = versions.dropDuplicates()
-    if validate:
-        # materialize the deduped relation once: the probe below must
-        # execute it anyway, and without this the main plan would re-run
-        # the whole upstream subtree a second time (bench receipt: the
-        # guard cost halves from +0.6s to the probe alone).
-        # persist, not localCheckpoint: the probe's full-input aggregate
-        # populates every partition either way, but persist keeps the
-        # lineage — on a cluster an evicted/lost block recomputes instead
-        # of failing the downstream window/PIT join (review r10)
-        versions = versions.persist()
-        clash = (
-            versions.groupBy(key, valid_from)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
-            .first()
-        )
-        if clash is not None:
-            raise ValueError(
-                f"scd2_history: conflicting version rows share "
-                f"({key}={clash[0]!r}, {valid_from}={clash[1]!r}) — two "
-                "different payloads claim the same effective instant, so "
-                "the timeline (and every PIT join over it) would be "
-                "partition-order-dependent; fix the upstream snapshot"
-            )
     w = Window.partitionBy(key).orderBy(valid_from)
+    valid_to = F.lead(valid_from).over(w)
+    valid_from_out = F.col(valid_from)
+    if validate:
+        n_at_instant = F.count(F.lit(1)).over(
+            Window.partitionBy(key, valid_from)
+        )
+        guard = F.assert_true(
+            n_at_instant <= F.lit(1),
+            F.concat(
+                F.lit(f"scd2_history: conflicting version rows share ({key}="),
+                F.col(key).cast("string"),
+                F.lit(f", {valid_from}="),
+                F.col(valid_from).cast("string"),
+                F.lit(
+                    ") — two different payloads claim the same effective "
+                    "instant, so the timeline (and every PIT join over it) "
+                    "would be partition-order-dependent; fix the upstream "
+                    "snapshot"
+                ),
+            ),
+        )
+        # assert_true returns NULL when the predicate holds; wiring it into
+        # the WHEN condition of both output columns makes the check execute
+        # exactly when the timeline does, whichever columns survive pruning
+        valid_to = F.when(guard.isNull(), valid_to)
+        valid_from_out = F.when(guard.isNull(), valid_from_out)
     return (
-        versions.withColumn("valid_to", F.lead(valid_from).over(w))
+        versions.withColumn("valid_to", valid_to)
+        .withColumn(valid_from, valid_from_out)
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
     )
 

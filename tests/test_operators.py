@@ -2453,8 +2453,20 @@ def test_scd2_history_replay_dedups_and_conflict_raises(spark):
         [(1, 10, "a"), (1, 10, "DIFFERENT")],
         "k int, valid_from int, payload string",
     )
-    with _pytest.raises(ValueError, match="same effective instant"):
-        scd2_history(conflict, "k")
+    # r11: the guard is fused into the timeline plan (assert_true inside the
+    # window pass — no probe job, no persist), so it fires at the first
+    # ACTION, not at plan build; and it must fire even when the consumer
+    # prunes down to a single timeline column (the PIT join keeps only
+    # valid_from + payload, which is exactly where non-overlap matters).
+    hist = scd2_history(conflict, "k")
+    with _pytest.raises(Exception, match="same effective instant"):
+        hist.collect()
+    with _pytest.raises(Exception, match="same effective instant"):
+        hist.select("valid_from").collect()
+    with _pytest.raises(Exception, match="same effective instant"):
+        hist.select("k", "valid_to").collect()
+    # an unvalidated build stays lazy and clean — no hidden probe action
+    assert scd2_history(conflict, "k", validate=False).count() == 2
 
 
 def test_dsir_null_predicate_rows_count_as_raw(spark):
