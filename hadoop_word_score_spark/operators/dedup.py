@@ -128,10 +128,17 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # Contract (r10 advice): the threshold tests the TRUE (unrounded)
+    # Jaccard — int/int division is the same IEEE double in Spark and the
+    # DuckDB oracle, so both engines agree bit-for-bit. Filtering on the
+    # ROUND'ed value instead would admit pairs with true J in (t-5e-7, t)
+    # that the exactness-preserving prunes (which guarantee survival only
+    # for true J >= t-1e-9) are allowed to drop — a latent engine/oracle
+    # divergence at corpus scale. ROUND(.,6) remains display-only.
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
+        pairs.filter(jac >= threshold)
+        .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "n_common", "jaccard")
     )
 
@@ -279,10 +286,15 @@ def jaccard_prefix_filter_pairs(
     )
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
-    jac = F.round(n_common / (sz_a + sz_b - n_common), 6)
+    # threshold on the TRUE Jaccard, not the ROUND'ed display value — see
+    # ngram_jaccard_pairs: this is what makes the t-1e-9 prunes exact
+    jac = n_common / (sz_a + sz_b - n_common)
     return (
-        v.select("id_a", "id_b", n_common.alias("n_common"), jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        v.filter(jac >= threshold)
+        .select(
+            "id_a", "id_b", n_common.alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
@@ -436,11 +448,13 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("long") / union  # true-J threshold; ROUND is display-only
     return (
-        verified.withColumn("n_common", inter.cast("long"))
-        .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
+        verified.filter(jac >= threshold)
+        .select(
+            "id_a", "id_b", inter.cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 
@@ -505,11 +519,13 @@ def incremental_lsh_pairs(
     verified = candidates.join(sh_new, "new_id").join(sh_base, "base_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("long") / union  # true-J threshold; ROUND is display-only
     return (
-        verified.withColumn("n_common", inter.cast("long"))
-        .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "base_id", "n_common", "jaccard")
+        verified.filter(jac >= threshold)
+        .select(
+            "new_id", "base_id", inter.cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )
 
 

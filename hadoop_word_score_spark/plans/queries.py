@@ -1960,7 +1960,7 @@ _NEAR_PAIRS_ORACLE = f"""
     SELECT id_a, id_b, n_common,
            ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
     FROM pairs
-    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    WHERE n_common / (size_a + size_b - n_common) >= 0.5
     """
 
 
@@ -2038,7 +2038,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_NEAR_PAIRS_CTES},
     near AS (
         SELECT id_a, id_b FROM pairs
-        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+        WHERE n_common / (size_a + size_b - n_common) >= 0.5
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM near
@@ -2079,7 +2079,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_NEAR_PAIRS_CTES},
     near AS (
         SELECT id_a, id_b FROM pairs
-        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+        WHERE n_common / (size_a + size_b - n_common) >= 0.5
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM near
@@ -4982,7 +4982,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT new_id, base_id, n_common,
            ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
     FROM pairs
-    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    WHERE n_common / (size_a + size_b - n_common) >= 0.5
     """,
     tags=("llm", "dedup"),
 )
@@ -7241,7 +7241,7 @@ _SPLIT_SQL = f"""
 WITH RECURSIVE {_NEAR_PAIRS_CTES},
 near AS (
     SELECT id_a, id_b FROM pairs
-    WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+    WHERE n_common / (size_a + size_b - n_common) >= 0.5
 ),
 edges AS (
     SELECT id_a AS src, id_b AS dst FROM near
@@ -7918,7 +7918,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_NEAR_PAIRS_CTES},
     near AS (
         SELECT id_a, id_b FROM pairs
-        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+        WHERE n_common / (size_a + size_b - n_common) >= 0.5
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM near
@@ -8094,7 +8094,7 @@ def q_stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_NEAR_PAIRS_CTES},
     near AS (
         SELECT id_a, id_b FROM pairs
-        WHERE ROUND(n_common / (size_a + size_b - n_common), 6) >= 0.5
+        WHERE n_common / (size_a + size_b - n_common) >= 0.5
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM near
