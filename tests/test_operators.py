@@ -2270,11 +2270,31 @@ def test_kcore_bounded_rounds_contract_on_path_graph(spark):
     edges = [(i, i + 1) for i in range(11)]
     want2, _ = _serial_peel(edges, k=2, max_rounds=2)
     e = spark.createDataFrame(edges, "src int, dst int")
-    got = {r.node: r.core_degree for r in kcore_nodes(e, k=2, max_rounds=2).collect()}
+    # r11 observability: a bound-limited peel must SAY so (warning +
+    # stats), and strict mode must refuse to return the superset silently
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    stats: dict = {}
+    with _pytest.warns(RuntimeWarning, match="did not reach a fixpoint"):
+        got = {
+            r.node: r.core_degree
+            for r in kcore_nodes(e, k=2, max_rounds=2, stats=stats).collect()
+        }
     assert got == want2
-    # and unbounded peel empties the path entirely
-    got_full = kcore_nodes(e, k=2, max_rounds=50).count()
+    assert stats == {"rounds_used": 2, "converged": False}
+    with _pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        kcore_nodes(e, k=2, max_rounds=2, strict=True)
+    # and unbounded peel empties the path entirely — converged (an empty
+    # survivor set is a fixpoint), early-stopped well inside the bound,
+    # and clean of warnings
+    stats = {}
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        got_full = kcore_nodes(e, k=2, max_rounds=50, stats=stats).count()
     assert got_full == 0
+    assert stats["converged"] and stats["rounds_used"] <= 7
 
 
 # --- DSIR importance scores (r10) ------------------------------------------
