@@ -4722,8 +4722,13 @@ def q_mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scan: per-doc token counts come from size(filter(split(...)))
     # scan-side (never an explode), then a 20-row source aggregate; the
-    # water-fill min and the total attach as 1-row broadcasts. At 100 TB
-    # the only corpus-sized work is the narrow scan.
+    # water-fill itself is operators/mixture.py's parameterized integer
+    # planner (r10 verdict #6: weights were hardcoded {1,2} inline; the
+    # operator lcm-scales ARBITRARY rational weights — for wgt ∈ {2,1},
+    # K = lcm = 2 reproduces the oracle's half-unit arithmetic exactly).
+    # At 100 TB the only corpus-sized work is the narrow scan.
+    from ..operators.mixture import mixture_waterfill
+
     d = _t(spark, sf_dir, "documents")
     ntok = F.size(
         F.filter(F.split(F.col("text"), DELIM_CLASS), lambda x: x != "")
@@ -4731,29 +4736,8 @@ def q_corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.col("source"), ntok.alias("t")).groupBy("source").agg(
         F.sum("t").alias("n_tokens")
     )
-    w = tok.withColumn(
-        "wgt",
-        F.when(F.col("source").isin("src1", "src2", "src3"), F.lit(2)).otherwise(
-            F.lit(1)
-        ).cast("long"),
-    )
-    scal = w.agg(
-        F.min(F.expr("n_tokens * 2 div wgt")).alias("m2"),
-        F.sum("n_tokens").alias("total"),
-    )
-    keep = F.expr("wgt * m2 div 2")
-    return (
-        w.crossJoin(F.broadcast(scal))
-        .select(
-            "source",
-            "n_tokens",
-            (F.round(F.col("n_tokens") * 1.0 / F.col("total"), 6) + 0.0).alias(
-                "cur_share"
-            ),
-            keep.cast("long").alias("keep_tokens"),
-            (F.round(keep * 1.0 / F.col("n_tokens"), 6) + 0.0).alias("keep_rate"),
-        )
-        .orderBy("source")
+    return mixture_waterfill(
+        tok, weights={"src1": 2, "src2": 2, "src3": 2}, default_weight=1
     )
 
 
