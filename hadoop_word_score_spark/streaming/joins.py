@@ -17,7 +17,10 @@ scale story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -56,7 +59,8 @@ def interval_join_streams(
       2. rows near the END of a finite stream only flush if something
          advances the watermark past their window (a later batch, or
          Spark's trailing no-data micro-batch) — "drain and stop" does not
-         by itself guarantee the tail's null-padded rows.
+         by itself guarantee the tail's null-padded rows;
+         :func:`flush_interval_join_tail` is the production recipe.
     State cost is identical to the inner join: both sides buffer within
     the eviction bound, nothing more.
     """
@@ -89,3 +93,71 @@ def interval_join_streams(
         "l_ts",
         "r_ts",
     )
+
+
+def flush_interval_join_tail(
+    spark: SparkSession,
+    source_dir: str,
+    mk_rows: Callable,
+    schema,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    margin: str = "1 minute",
+    ts_col: str = "ts",
+    n_batches: int = 2,
+    pause: float = 1.1,
+):
+    """Advance a finite stream's watermark past every real row's join
+    window so a left-outer :func:`interval_join_streams` drain emits its
+    null-padded TAIL — the production backfill recipe for the pinned
+    caveat that "drain and stop" alone never flushes rows near the end of
+    a finite stream (their windows need a LATER event to pass them).
+
+    Appends ``n_batches`` heartbeat files to the file-source directory at
+    ``flush_ts = max(ts) + max_delay + watermark + margin`` (each
+    ``margin`` later than the last), then the caller re-runs its
+    availableNow drain against the same checkpoint. Two rules this
+    encodes, both learned the hard way (tests pin them):
+
+      1. The heartbeat rows must survive BOTH join sides' pre-join
+         filters — the effective watermark is the MIN across the two
+         inputs' watermark nodes, so a heartbeat visible to only one side
+         advances nothing. ``mk_rows(flush_ts)`` is caller-supplied for
+         exactly this reason: it must return rows that reach both sides
+         (e.g. one click AND one purchase for a sentinel user id).
+      2. Watermarks take effect at the NEXT micro-batch, so one heartbeat
+         file advances the watermark but nothing ever acts on it:
+         ``n_batches=2`` (with ``pause`` between writes so the file
+         source's modification-time ordering splits them) makes the
+         second batch the one that evicts and null-pads. Pair with a
+         ``maxFilesPerTrigger=1`` reader — a reader that swallows both
+         files in one batch is back to one batch.
+
+    The heartbeat rows' OWN windows are never passed, so they do not
+    null-pad in this drain; use a sentinel key so any later pipeline run
+    can filter them. Returns the list of flush timestamps written.
+    """
+    bound = (
+        spark.read.parquet(source_dir)
+        .agg(F.max(ts_col).alias("m"))
+        .select(
+            (
+                F.col("m")
+                + F.expr(f"INTERVAL {max_delay}")
+                + F.expr(f"INTERVAL {watermark}")
+                + F.expr(f"INTERVAL {margin}")
+            ).alias("flush_ts"),
+            (F.expr(f"INTERVAL {margin}")).alias("step"),
+        )
+        .first()
+    )
+    flush_ts, written = bound["flush_ts"], []
+    for i in range(n_batches):
+        if i:
+            time.sleep(pause)  # file-source batch order follows mtime
+        spark.createDataFrame(mk_rows(flush_ts), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(source_dir)
+        written.append(flush_ts)
+        flush_ts = flush_ts + bound["step"]
+    return written
