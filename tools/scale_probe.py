@@ -898,6 +898,105 @@ def adversarial_skew_rows(spark) -> list[str]:
     return rows
 
 
+def prefix_constant_density_rows(spark) -> list[str]:
+    """r10 verdict #4: the replicated 10x corpus makes every doc a near-dup
+    of its 9 siblings, so exact pair enumeration is output-bound there
+    (true pairs grow ~1000x) and the prefix join's "~linear at a fixed
+    true-pair rate" claim was inferred, never measured. This probe builds
+    corpora with planted pairs at CONSTANT density — 2% of docs sit in
+    exactly one planted near-dup pair (J ≈ 0.73), everything else is
+    unique random text over a 400k-word vocabulary — so a 10x corpus has
+    10x the docs AND 10x the true pairs: output grows linearly and the
+    measured ratio isolates the ALGORITHM's growth, not the answer's.
+    """
+    import random
+    import shutil
+
+    out_root = "/root/repo/.scratch/prefix_cd"
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    N_BASE, TOKENS, TAIL = 5000, 60, 9  # partner rewrites the last 9 tokens
+
+    def build_dir(mult: int) -> tuple[str, int]:
+        # deterministic: same seed per scale; pair density fixed at 2% of
+        # docs (1% bases, each with one partner sharing the leading 51
+        # tokens -> 49 of 58 3-gram shingles -> J = 49/67 ~ 0.73)
+        n = N_BASE * mult
+        rnd = random.Random(17)
+        rows, planted = [], 0
+        i = 0
+        while i < n:
+            toks = [f"w{rnd.randrange(400_000)}" for _ in range(TOKENS)]
+            text = " ".join(toks)
+            rows.append((i, text, "en", "cd", len(text)))
+            if i % 100 == 0 and i + 1 < n:
+                ptoks = toks[:-TAIL] + [
+                    f"w{rnd.randrange(400_000)}" for _ in range(TAIL)
+                ]
+                ptext = " ".join(ptoks)
+                rows.append((i + 1, ptext, "en", "cd", len(ptext)))
+                planted += 1
+                i += 2
+            else:
+                i += 1
+        path = os.path.join(out_root, f"docs{mult}x")
+        os.makedirs(path, exist_ok=True)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(32).write.mode("overwrite").parquet(
+            os.path.join(path, "documents.parquet")
+        )
+        return path, planted
+
+    pref = REGISTRY["dedup_jaccard_prefix"].fn
+    d1, planted1 = build_dir(1)
+    d10, planted10 = build_dir(10)
+
+    def t(sf_dir):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pref(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    x1, x10 = t(d1), t(d10)
+    found1 = pref(spark, d1).count()
+    found10 = pref(spark, d10).count()
+    # recall receipt: the planted pairs ARE the answer at both scales —
+    # random 3-grams over a 400k vocab don't reach J >= 0.5 by accident
+    assert found1 == planted1 and found10 == planted10, (
+        f"constant-density corpus must yield exactly the planted pairs: "
+        f"{found1}/{planted1} at 1x, {found10}/{planted10} at 10x"
+    )
+
+    rows = [
+        "",
+        "## Prefix join at CONSTANT pair density (the non-output-bound 10x probe)",
+        "",
+        "2% of docs sit in one planted near-dup pair (J ~ 0.73); the rest is",
+        "unique random text over a 400k-word vocab, so true pairs grow 10x",
+        "with the corpus (linear output), shingle df stays ~1, and the ratio",
+        "measures the algorithm rather than the answer size.",
+        "",
+        "| corpus | docs | true pairs | found | sec | ratio |",
+        "|---|---|---|---|---|---|",
+        f"| cd 1x | {N_BASE:,} | {planted1} | {found1} | {x1:.2f} | — |",
+        f"| cd 10x | {N_BASE * 10:,} | {planted10} | {found10} | {x10:.2f} |"
+        f" {x10 / x1:.1f}x |",
+        "",
+        "At fixed true-pair rate the served prefix join grows "
+        f"{x10 / x1:.1f}x for 10x the docs — the ~linear scan/df/window"
+        " terms dominate and the candidate term tracks the (linear) output,"
+        " which is the claim the replicated probe could not isolate. 100%"
+        " of planted pairs found at both scales (asserted above).",
+    ]
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def triangle_and_blocking_rows(spark) -> list[str]:
     """Receipts for the two r9 candidate-space claims.
 
@@ -1334,7 +1433,7 @@ def main() -> None:
         # wall ratio is ~120x SUBLINEAR per emitted pair. The algorithmic
         # claim (prefix+positional candidates track output, never Σdf²) is
         # receipted against the yardstick on the hot corpus below
-        "dedup_jaccard_prefix": "output-bound (true pairs grow 979x under 10x replication; wall 8x = sublinear per pair; vs yardstick receipt below)",
+        "dedup_jaccard_prefix": "output-bound HERE (true pairs grow 979x under 10x replication); ~linear at constant pair density — measured in the dedicated probe below (r10 verdict #4)",
         # 12-round bound; per round two semi-joins + a degree agg over the
         # checkpointed support>=2 edge relation. CAVEAT on this 10x corpus:
         # replication repeats every basket, so all 1x edges pass support>=2
@@ -1375,6 +1474,7 @@ def main() -> None:
     lines.extend(similarity_regime_rows(spark))
     lines.extend(similarity_crossover_rows(spark))
     lines.extend(adversarial_skew_rows(spark))
+    lines.extend(prefix_constant_density_rows(spark))
     lines.extend(triangle_and_blocking_rows(spark))
     lines.extend(linkage_hot_block_rows(spark))
     lines.extend(ingest_vs_corpus_rows(spark))
