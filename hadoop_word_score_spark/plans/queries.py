@@ -9329,3 +9329,453 @@ def q_try_error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "quality_top_ngram_mass",
+    # Gopher-style repetition signals (Rae et al. 2021, public literature)
+    # not covered by quality_repetition_filter's duplicate-TOKEN fraction:
+    # the share of all 2-grams (3-grams) occupied by the single most
+    # frequent 2-gram (3-gram) — the signature of boilerplate loops and
+    # degenerate generations. Engine and oracle use DIFFERENT algorithms
+    # for the mode (scan-side sorted-run fold vs unnest+group+max), which
+    # is a stronger cross-check than mirroring one plan.
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS w
+        FROM documents
+    ), b AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+        FROM t WHERE len(w) >= 3
+    ), be AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2
+    ), bm AS (
+        SELECT doc_id, MAX(c) AS top_n, SUM(c) AS n_grams FROM be GROUP BY 1
+    ), te AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tg) AS g FROM b) GROUP BY 1, 2
+    ), tm AS (
+        SELECT doc_id, MAX(c) AS top_n, SUM(c) AS n_grams FROM te GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(bm.top_n * 1.0 / bm.n_grams, 6) + 0.0 AS top_bigram_share,
+           ROUND(tm.top_n * 1.0 / tm.n_grams, 6) + 0.0 AS top_trigram_share,
+           (bm.top_n * 1.0 / bm.n_grams > 0.2
+            OR tm.top_n * 1.0 / tm.n_grams > 0.18) AS flagged
+    FROM b JOIN bm USING (doc_id) JOIN tm ON tm.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_top_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mode of each doc's n-gram multiset is computed SCAN-SIDE: sort
+    # the n-gram array, fold it counting the longest equal run (aggregate
+    # HOF with a (prev, run, best) struct state) — zero explode, zero
+    # shuffle, whole-stage codegen end to end. At 100 TB this is a narrow
+    # map over documents; the exploding alternative would shuffle
+    # tokens-per-doc rows just to take a per-doc max.
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.col("text"), DELIM_CLASS), "")
+
+    def top_run(arr: str) -> str:
+        # longest equal run in the SORTED array == multiset mode count
+        return f"""
+        aggregate(
+            array_sort({arr}),
+            named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+            (s, x) -> named_struct(
+                'prev', x,
+                'run', IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L),
+                'best', greatest(s.best,
+                                 IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L))),
+            s -> s.best)
+        """
+
+    base = d.select("doc_id", toks.alias("w")).where(F.size("w") >= 3)
+    grams = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"
+        ).alias("bg"),
+        F.expr(
+            "transform(sequence(0, size(w) - 3),"
+            " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+        ).alias("tg"),
+    )
+    bg_share = F.expr(top_run("bg")) * 1.0 / F.size("bg")
+    tg_share = F.expr(top_run("tg")) * 1.0 / F.size("tg")
+    return grams.select(
+        "doc_id",
+        "n_tokens",
+        (F.round(bg_share, 6) + 0.0).alias("top_bigram_share"),
+        (F.round(tg_share, 6) + 0.0).alias("top_trigram_share"),
+        ((bg_share > 0.2) | (tg_share > 0.18)).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_zipf_slope",
+    # Zipf's-law fit per source: regress ln(freq) on ln(rank) over the top
+    # 500 terms — slope near -1 is natural text, a flat or bimodal fit
+    # flags template/generated corpora. Also exercises §2.8's linear-
+    # regression aggregate family (regr_slope / regr_r2), which both
+    # engines implement per the SQL standard.
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT source, term, COUNT(*) AS freq FROM tok GROUP BY 1, 2
+    ), r AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, term) AS rnk
+        FROM tf
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+           ROUND(regr_slope(ln(freq * 1.0), ln(rnk * 1.0)), 6) + 0.0 AS zipf_slope,
+           ROUND(regr_r2(ln(freq * 1.0), ln(rnk * 1.0)), 6) + 0.0 AS zipf_r2
+    FROM r WHERE rnk <= 500
+    GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "stats"),
+)
+def q_corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One (source, term) count shuffle (map-side combined), one
+    # source-partitioned window for ranks (ties broken on term so the rank
+    # assignment is total), then the regression aggregates run over 500
+    # rows per source. At 100 TB the only corpus-sized work is the token
+    # scan; everything downstream is vocabulary- then rank-bounded.
+    from ..functions.hashing import tokens_expr
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.expr(tokens_expr("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "term")
+    r = tf.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 500)
+    lf, lr = F.log(F.col("freq") * 1.0), F.log(F.col("rnk") * 1.0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranks"),
+            (F.round(F.regr_slope(lf, lr), 6) + 0.0).alias("zipf_slope"),
+            (F.round(F.regr_r2(lf, lr), 6) + 0.0).alias("zipf_r2"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_hourly_acf",
+    # Autocorrelation of the hourly event-rate series at lag 1 (momentum)
+    # and lag 24 (daily seasonality) per type — the two numbers that decide
+    # whether the seasonal-naive forecast baseline is even applicable.
+    # Alignment is an equi-join on the shifted hour (the
+    # events_forecast_seasonal_naive rule: never a positional lag, which
+    # misaligns on gapped hours); corr() ignores NULL pairs identically in
+    # both engines, so LEFT joins keep the row universe explicit.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type,
+           CAST(COUNT(p1.n) AS BIGINT) AS n_lag1,
+           CAST(COUNT(p24.n) AS BIGINT) AS n_lag24,
+           ROUND(corr(c.n, p1.n), 6) + 0.0 AS acf_lag1,
+           ROUND(corr(c.n, p24.n), 6) + 0.0 AS acf_lag24
+    FROM hourly c
+    LEFT JOIN hourly p1 ON p1.event_type = c.event_type
+                       AND p1.h = c.h - INTERVAL 1 HOUR
+    LEFT JOIN hourly p24 ON p24.event_type = c.event_type
+                        AND p24.h = c.h - INTERVAL 24 HOURS
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    tags=("events", "time", "stats"),
+)
+def q_events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One map-side-combined (type, hour) count, then two self-equi-joins on
+    # hour-cardinality relations (never events) and a 5-group corr agg.
+    # hourly feeds THREE consumers whose join keys differ (h, h-1h, h-24h),
+    # so exchange reuse never fires and the naive plan re-scans events
+    # three times (measured: 3 parquet scans) — localCheckpoint pins the
+    # tiny types x hours relation so the corpus is scanned once.
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    c = hourly.alias("c")
+    p1 = hourly.alias("p1")
+    p24 = hourly.alias("p24")
+    return (
+        c.join(
+            p1,
+            (F.col("p1.event_type") == F.col("c.event_type"))
+            & (F.col("p1.h") == F.col("c.h") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .join(
+            p24,
+            (F.col("p24.event_type") == F.col("c.event_type"))
+            & (F.col("p24.h") == F.col("c.h") - F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        .groupBy(F.col("c.event_type").alias("event_type"))
+        .agg(
+            F.count(F.col("p1.n")).alias("n_lag1"),
+            F.count(F.col("p24.n")).alias("n_lag24"),
+            (F.round(F.corr(F.col("c.n"), F.col("p1.n")), 6) + 0.0).alias("acf_lag1"),
+            (F.round(F.corr(F.col("c.n"), F.col("p24.n")), 6) + 0.0).alias(
+                "acf_lag24"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    # CUSUM changepoint detection (Page 1954, public literature) over each
+    # type's hourly rate: the hour where the cumulative deviation from the
+    # type's mean rate peaks in magnitude is the level-shift candidate.
+    # The running sum's ROWS frame fixes the accumulation order, so the
+    # float sequence is bit-identical across engines; ties on |cusum|
+    # break on the hour for a total order.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, h, n,
+               AVG(n) OVER (PARTITION BY event_type) AS mu
+        FROM hourly
+    ), c AS (
+        SELECT event_type, h,
+               SUM(n - mu) OVER (PARTITION BY event_type ORDER BY h
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cusum,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+        FROM m
+    ), r AS (
+        SELECT event_type, h, cusum, n_hours,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, h) AS rk
+        FROM c
+    )
+    SELECT event_type, h AS change_hour,
+           ROUND(ABS(cusum), 6) + 0.0 AS max_abs_cusum,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("events", "time", "window"),
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One (type, hour) count, then three windows over the SAME type
+    # partitioning (mean, ordered running sum, rank) — a single exchange
+    # feeds all of them; everything runs on hour-cardinality rows.
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wrun = wt.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = hourly.select(
+        "event_type", "h", "n",
+        F.avg("n").over(wt).alias("mu"),
+        F.count(F.lit(1)).over(wt).alias("n_hours"),
+    )
+    c = m.select(
+        "event_type",
+        "h",
+        F.sum(F.col("n") - F.col("mu")).over(wrun).alias("cusum"),
+        "n_hours",
+    )
+    wrk = wt.orderBy(F.abs(F.col("cusum")).desc(), "h")
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            (F.round(F.abs("cusum"), 6) + 0.0).alias("max_abs_cusum"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "embedding_centroid_separation",
+    # Cluster-quality audit over labeled embeddings: pairwise distance
+    # between label centroids vs each label's within-spread (RMS distance
+    # to its own centroid) — a Davies-Bouldin-style separation ratio. The
+    # number an embedding-quality gate reads before trusting the labels
+    # for hard-negative mining or SemDeDup thresholds. DuckDB's parallel
+    # unnest zips the value list with an index list; Spark uses posexplode
+    # (0- vs 1-based ordinals never meet, only the per-dim aggregates do).
+    oracle="""
+    WITH e AS (
+        SELECT label, vec_id,
+               unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i, AVG(x) AS c FROM e GROUP BY 1, 2
+    ), d2 AS (
+        SELECT e.label, e.vec_id, SUM((e.x - cent.c) * (e.x - cent.c)) AS d2
+        FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+        GROUP BY 1, 2
+    ), spread AS (
+        SELECT label, sqrt(AVG(d2)) AS rms,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM d2 GROUP BY 1
+    ), pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sqrt(SUM((a.c - b.c) * (a.c - b.c))) AS dist
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b,
+           ROUND(p.dist, 6) + 0.0 AS centroid_dist,
+           ROUND(sa.rms, 6) + 0.0 AS rms_a,
+           ROUND(sb.rms, 6) + 0.0 AS rms_b,
+           ROUND(p.dist / (sa.rms + sb.rms), 6) + 0.0 AS separation_ratio
+    FROM pairs p
+    JOIN spread sa ON sa.label = p.label_a
+    JOIN spread sb ON sb.label = p.label_b
+    ORDER BY p.label_a, p.label_b
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def q_embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode → (label, dim) avg (map-side partials collapse each scan
+    # partition to |labels|x64 rows, so shuffle volume is independent of
+    # corpus size); the within-spread pass joins the centroid relation back
+    # broadcast-small; the pairwise stage runs entirely on |labels|x64
+    # rows. At 100 TB only the two corpus scans grow.
+    em = _t(spark, sf_dir, "embeddings")
+    e = em.select("label", "vec_id", F.posexplode("embedding").alias("i", "x"))
+    # cent feeds three consumers (the d2 join and both sides of the
+    # pairwise stage) under different join keys — without materialization
+    # the scan→posexplode→agg subtree re-runs per consumer (measured: 6
+    # parquet scans of embeddings). Checkpointing the |labels|x64-row
+    # relation leaves exactly the two corpus scans the docstring promises.
+    cent = e.groupBy("label", "i").agg(F.avg("x").alias("c")).localCheckpoint()
+    d2 = (
+        e.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    spread = d2.groupBy("label").agg(
+        F.sqrt(F.avg("d2")).alias("rms"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sqrt(
+                F.sum((F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c")))
+            ).alias("dist")
+        )
+    )
+    sa = spread.select(
+        F.col("label").alias("label_a"), F.col("rms").alias("rms_a_raw")
+    )
+    sb = spread.select(
+        F.col("label").alias("label_b"), F.col("rms").alias("rms_b_raw")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (F.round("dist", 6) + 0.0).alias("centroid_dist"),
+            (F.round("rms_a_raw", 6) + 0.0).alias("rms_a"),
+            (F.round("rms_b_raw", 6) + 0.0).alias("rms_b"),
+            (F.round(F.col("dist") / (F.col("rms_a_raw") + F.col("rms_b_raw")), 6)
+             + 0.0).alias("separation_ratio"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "events_value_winsorized",
+    # Robust per-type value statistics: exact p05/p95 (percentile_cont
+    # interpolation, the parity percentile_exact already pins), then the
+    # winsorized mean — the metric a monitoring pipeline publishes when a
+    # few huge values would otherwise own AVG. Before/after means quantify
+    # the tail's leverage.
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(p.p05, 6) + 0.0 AS p05,
+           ROUND(p.p95, 6) + 0.0 AS p95,
+           ROUND(AVG(e.value), 6) + 0.0 AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)), 6) + 0.0
+               AS mean_winsorized
+    FROM events e JOIN p USING (event_type)
+    GROUP BY e.event_type, p.p05, p.p95
+    ORDER BY e.event_type
+    """,
+    tags=("events", "stats"),
+)
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two passes over events: an exact-percentile agg per type (5 groups —
+    # the sort-based buffer is the oracle-checkable contract; the 100 TB
+    # path swaps in approx_percentile, see events_mad_outliers_approx),
+    # then one clamped-mean agg with the 5-row percentile relation joined
+    # broadcast. Nothing corpus-sized shuffles twice.
+    e = _t(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05_raw"),
+        F.percentile("value", F.lit(0.95)).alias("p95_raw"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05_raw")), F.col("p95_raw"))
+    return (
+        e.join(F.broadcast(p), "event_type")
+        .groupBy("event_type", "p05_raw", "p95_raw")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("value"), 6) + 0.0).alias("mean_raw"),
+            (F.round(F.avg(clamped), 6) + 0.0).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.round("p05_raw", 6) + 0.0).alias("p05"),
+            (F.round("p95_raw", 6) + 0.0).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+        .orderBy("event_type")
+    )
