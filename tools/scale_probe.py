@@ -1241,6 +1241,77 @@ def linkage_hot_block_rows(spark) -> list[str]:
     ]
 
 
+def scd2_guard_receipt_rows(spark) -> list[str]:
+    """r10 verdict #1: the scd2 conflict guard's cost claim must be
+    receipted, not asserted. r11 rebuilt the guard as an assert_true fused
+    into the timeline's window pass (no probe job, no persist); this probe
+    decomposes the row's cost at sf0.1 by timing the SAME scd2 build with
+    validate on vs off, plus the r9-shape baseline (no dedup, no guard).
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.scd2 import scd2_history
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    c = load_table(spark, BASE, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    versions = v1.unionAll(v2)
+
+    def t(fn):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    from pyspark.sql import Window
+
+    def r9_shape():
+        w = Window.partitionBy("c_custkey").orderBy("valid_from")
+        return versions.withColumn(
+            "valid_to", F.lead("valid_from").over(w)
+        ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+    base = t(r9_shape)
+    off = t(lambda: scd2_history(versions, "c_custkey", validate=False))
+    on = t(lambda: scd2_history(versions, "c_custkey", validate=True))
+    rows = [
+        "",
+        "## SCD2 conflict-guard cost decomposition (sf0.1, min of 3 warm)",
+        "",
+        "| variant | sec | delta |",
+        "|---|---|---|",
+        f"| r9 shape (window only, no dedup, no guard) | {base:.2f} | — |",
+        f"| r11 validate=False (adds dropDuplicates) | {off:.2f} |"
+        f" +{off - base:.2f} |",
+        f"| r11 validate=True (adds in-plan assert_true) | {on:.2f} |"
+        f" +{on - off:.2f} vs off |",
+        "",
+        "The r10 design paid a separate probe JOB plus a persist (driver",
+        "bench: +1.97s on a 0.5s row). The r11 guard is a second window",
+        "function over the SAME key exchange and sort the LEAD already",
+        f"needs — measured +{on - off:.2f}s over validate=False, with the",
+        "dedup shuffle (semantics the replay pattern requires) costing",
+        f"+{off - base:.2f}s over the guard-free r9 shape.",
+    ]
+    for r in rows:
+        print(r, flush=True)
+    return rows
+
+
 def isolation_receipt_rows() -> list[str]:
     """Static HISTORICAL record of the session-drift investigation, CLOSED
     in r10: bench.py now isolates every row in fresh-session subprocess
@@ -1478,6 +1549,7 @@ def main() -> None:
     lines.extend(triangle_and_blocking_rows(spark))
     lines.extend(linkage_hot_block_rows(spark))
     lines.extend(ingest_vs_corpus_rows(spark))
+    lines.extend(scd2_guard_receipt_rows(spark))
     lines.extend(isolation_receipt_rows())
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
