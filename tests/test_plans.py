@@ -791,3 +791,44 @@ def test_jaccard_prefix_plan_prefix_window_is_doc_partitioned(spark, monkeypatch
     assert "Window" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_top_ngram_mass_is_scan_side(spark):
+    # r11: the per-doc n-gram mode is a sorted-run fold over HOF arrays —
+    # no Generate (explode), no Python, and the only exchange is the final
+    # presentation sort's range partitioning.
+    plan = plan_of(spark, "quality_top_ngram_mass")
+    assert "Generate" not in plan, plan
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    ex = re.findall(r"Exchange (\w+)", plan)
+    assert all(k.startswith("rangepartitioning") for k in ex), ex
+
+
+def test_hourly_acf_scans_events_once(spark):
+    # r11: hourly feeds three consumers under three different join keys
+    # (h, h-1h, h-24h) — exchange reuse cannot fire, so without the
+    # localCheckpoint the plan re-scanned events three times. The final
+    # plan must contain NO parquet scan of events (all three consumers
+    # read the checkpointed hour-cardinality relation).
+    plan = plan_of(spark, "events_hourly_acf")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+
+
+def test_centroid_separation_scans_embeddings_twice(spark):
+    # r11: the centroid relation is checkpointed for its three consumers;
+    # the remaining parquet scans are exactly the two corpus passes the
+    # docstring promises (centroid build inside the checkpoint + the
+    # within-spread pass).
+    plan = plan_of(spark, "embedding_centroid_separation")
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_cusum_single_exchange_feeds_all_windows(spark):
+    # r11: mean, running sum and rank all partition by event_type — one
+    # hash exchange on the hourly relation must feed every Window node
+    # (plus the count exchange and the output sort, nothing else).
+    plan = plan_of(spark, "events_cusum_changepoint")
+    hash_ex = re.findall(r"Exchange hashpartitioning\(event_type", plan)
+    assert len(hash_ex) == 2, plan  # 1 for the (type,hour) agg, 1 for windows
