@@ -311,3 +311,23 @@ def test_r10_operators_empty(spark):
     out = dsir_logratio_scores(docs3, target=F.col("source") == "t")
     assert out.columns == ["id", "n_tokens", "dsir_score"]
     assert out.count() == 0
+
+
+def test_round11_operators_empty(spark):
+    import tempfile
+
+    from hadoop_word_score_spark.operators.mixture import mixture_waterfill
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    # the water-fill planner: zero sources -> zero budgets, no crash on the
+    # empty 1-row aggregate cross join
+    tc = spark.createDataFrame([], "source string, n_tokens long")
+    assert mixture_waterfill(tc, weights={"a": (3, 2)}).count() == 0
+
+    # the two r11 document queries over a zero-row corpus
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, [])
+        for name in ("quality_top_ngram_mass", "corpus_zipf_slope"):
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name
