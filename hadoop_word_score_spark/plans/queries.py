@@ -9779,3 +9779,155 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sample_weighted_per_stratum",
+    # The per-stratum form of sample_weighted_priority: an exact-k
+    # Efraimidis-Spirakis length-weighted sample WITHIN each language —
+    # what a mixture executor actually runs when the budget is per-lang.
+    # Same md5-derived uniforms and the same boundary rule (rank on the
+    # ROUND(6) key with doc_id tiebreak, so a last-ulp ln() difference
+    # between libm and the JVM can never flip the k boundary).
+    oracle="""
+    SELECT lang, doc_id, n_chars, es_key FROM (
+        SELECT lang, doc_id, n_chars, es_key,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id) AS rk
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   ROUND(ln((CAST(concat('0x',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) + 1) / 4294967296.0) / n_chars,
+                         6) + 0.0 AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+    ) WHERE rk <= 20
+    ORDER BY lang, es_key DESC, doc_id
+    """,
+    tags=("sample", "llm", "window"),
+)
+def q_sample_weighted_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lang-keyed exchange; the rank<=20 filter is a WindowGroupLimit,
+    # so each map partition forwards at most 20 rows per lang BEFORE the
+    # shuffle — per-group top-k never materializes a full per-group sort
+    # at 100 TB. (Plan-asserted in tests/test_plans.py.)
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang", "doc_id", "n_chars",
+        (F.round(F.log(u) / F.col("n_chars"), 6) + 0.0).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("lang", "doc_id", "n_chars", "es_key")
+        .orderBy("lang", F.desc("es_key"), "doc_id")
+    )
+
+
+@register(
+    "corpus_sample_plan_execution",
+    # The planner -> executor integration check: mixture_waterfill's
+    # kept-token budgets become integer parts-per-million keep rates, the
+    # deterministic hash-mod executor applies them doc-by-doc, and the
+    # report compares ACHIEVED kept tokens against the plan per source.
+    # Every rate is integer (ppm = keep_tokens * 1e6 div n_tokens) and the
+    # executor's bucket is md5-derived, so both engines keep the exact
+    # same documents — the end-to-end story behind corpus_mixture_rebalance
+    # + mixture_sample_weighted, composed instead of asserted.
+    oracle="""
+    WITH tok AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS BIGINT) AS ntok,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 AS bucket
+        FROM documents
+    ), src AS (
+        SELECT source, SUM(ntok) AS n_tokens FROM tok GROUP BY source
+    ), w AS (
+        SELECT source, n_tokens,
+               CASE WHEN source IN ('src1', 'src2', 'src3')
+                    THEN 2 ELSE 1 END AS wgt
+        FROM src
+    ), m AS (
+        SELECT MIN(n_tokens * 2 // wgt) AS m2 FROM w
+    ), plan AS (
+        SELECT source, n_tokens,
+               CAST(wgt * m2 // 2 AS BIGINT) AS keep_tokens,
+               CAST((wgt * m2 // 2) * 1000000 // n_tokens AS BIGINT) AS rate_ppm
+        FROM w CROSS JOIN m
+    )
+    SELECT p.source,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           p.keep_tokens, p.rate_ppm,
+           CAST(COUNT(*) FILTER (WHERE t.bucket < p.rate_ppm) AS BIGINT)
+               AS kept_docs,
+           CAST(COALESCE(SUM(t.ntok) FILTER (WHERE t.bucket < p.rate_ppm), 0)
+               AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(SUM(t.ntok) FILTER (WHERE t.bucket < p.rate_ppm), 0)
+                * 1000000 // p.n_tokens AS BIGINT) AS achieved_ppm
+    FROM plan p JOIN tok t USING (source)
+    GROUP BY p.source, p.n_tokens, p.keep_tokens, p.rate_ppm
+    ORDER BY p.source
+    """,
+    tags=("llm", "sample"),
+)
+def q_corpus_sample_plan_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: one narrow token-count scan feeds BOTH the waterfill planner
+    # (via a 20-row source aggregate) and the executor's per-doc relation
+    # (localCheckpointed — the planner and the executor join would
+    # otherwise re-run the scan); the 20-row plan joins back broadcast.
+    # Everything after the scan runs on source- or doc-count-cardinality
+    # integers — no floats anywhere in the keep decision.
+    from ..operators.mixture import mixture_waterfill
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), DELIM_CLASS), lambda x: x != "")
+    ).cast("long")
+    tok = d.select(
+        "source",
+        "doc_id",
+        ntok.alias("ntok"),
+        _hash_bucket("doc_id", 1_000_000).alias("bucket"),
+    ).localCheckpoint()
+    src = tok.groupBy("source").agg(F.sum("ntok").alias("n_tokens"))
+    plan = mixture_waterfill(
+        src, weights={"src1": 2, "src2": 2, "src3": 2}, default_weight=1
+    ).select(
+        "source",
+        "n_tokens",
+        "keep_tokens",
+        F.expr("keep_tokens * 1000000 div n_tokens").alias("rate_ppm"),
+    )
+    kept = F.col("bucket") < F.col("rate_ppm")
+    return (
+        tok.join(F.broadcast(plan), "source")
+        .groupBy("source", "n_tokens", "keep_tokens", "rate_ppm")
+        .agg(
+            F.sum(kept.cast("long")).alias("kept_docs"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("ntok"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "keep_tokens",
+            "rate_ppm",
+            "kept_docs",
+            "kept_tokens",
+            F.expr("kept_tokens * 1000000 div n_tokens").alias("achieved_ppm"),
+        )
+        .orderBy("source")
+    )

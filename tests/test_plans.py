@@ -832,3 +832,20 @@ def test_cusum_single_exchange_feeds_all_windows(spark):
     plan = plan_of(spark, "events_cusum_changepoint")
     hash_ex = re.findall(r"Exchange hashpartitioning\(event_type", plan)
     assert len(hash_ex) == 2, plan  # 1 for the (type,hour) agg, 1 for windows
+
+
+def test_per_stratum_topk_uses_window_group_limit(spark):
+    # r11: the rank<=20 filter must compile to WindowGroupLimit (partial +
+    # final), so each map partition forwards at most k rows per lang BEFORE
+    # the lang exchange — never a full per-group sort of the corpus.
+    plan = plan_of(spark, "sample_weighted_per_stratum")
+    assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_sample_plan_execution_single_scan_broadcast_plan(spark):
+    # r11: the planner and the executor share ONE checkpointed token scan
+    # (zero parquet scans left in the final plan) and the 20-row plan joins
+    # back broadcast.
+    plan = plan_of(spark, "corpus_sample_plan_execution")
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
