@@ -100,8 +100,18 @@ def _warm(spark, sf_dir: str, group: list[str]) -> None:
     spark.range(8).select(
         F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    # Touch each table with a LIMIT 1 scan: opens the file listing + parquet
+    # footers (the per-JVM caches this warm-up exists for) without
+    # materializing the dataset — the previous full noop write re-read
+    # every row group of every table once per group subprocess, real
+    # wall-clock that grows linearly with SF while the docstring claimed
+    # data independence (review r11). OS page-cache warming of actual data
+    # is deliberately NOT done here: the timed pass-0 "cold" sample is
+    # supposed to include that IO.
     for t in sorted(TABLES):
-        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        load_table(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
 
 def _group_main(names: list[str]) -> None:

@@ -34,10 +34,23 @@ def _as_fraction(w) -> Fraction:
     return Fraction(w)  # int or Fraction; floats are rejected below
 
 
+def _validated_fraction(label: str, w) -> Fraction:
+    if isinstance(w, float):
+        raise TypeError(
+            f"mixture weight for {label} is a float ({w!r}); "
+            "pass an int, Fraction, or (num, den) tuple — float weights "
+            "would smuggle binary-rounding error into the integer plan"
+        )
+    f = _as_fraction(w)
+    if f <= 0:
+        raise ValueError(f"mixture weight for {label} must be > 0, got {f}")
+    return f
+
+
 def scaled_integer_weights(
     weights: dict[str, object], default_weight: object = 1
-) -> tuple[dict[str, int], int]:
-    """(integer weight per source, K = lcm of all weights) — exact.
+) -> tuple[dict[str, int], int, int]:
+    """(integer weight per source, integer default weight, K) — exact.
 
     Weights are rationals (int, Fraction, or a ``(num, den)`` tuple);
     floats are rejected outright rather than silently Fraction-ized
@@ -48,24 +61,17 @@ def scaled_integer_weights(
     lcm of the distinct W_s, so ``n_tokens * K div W_s`` divides EXACTLY
     in int64 arithmetic — the water-fill minimum is taken over true
     rationals, not floored intermediates, and the single floor happens at
-    the final ``W_s * m div K``.
+    the final ``W_s * m div K``. The default weight is carried SEPARATELY
+    (review r11: an in-dict sentinel key collided with a source literally
+    named "" and silently discarded its explicit weight).
     """
-    fracs = {}
-    for s, w in {**weights, "": default_weight}.items():
-        if isinstance(w, float):
-            raise TypeError(
-                f"mixture weight for {s or 'default'!r} is a float ({w!r}); "
-                "pass an int, Fraction, or (num, den) tuple — float weights "
-                "would smuggle binary-rounding error into the integer plan"
-            )
-        f = _as_fraction(w)
-        if f <= 0:
-            raise ValueError(f"mixture weight for {s or 'default'!r} must be > 0, got {f}")
-        fracs[s] = f
-    scale = lcm(*(f.denominator for f in fracs.values()))
+    fracs = {s: _validated_fraction(repr(s), w) for s, w in weights.items()}
+    default_f = _validated_fraction("the default", default_weight)
+    scale = lcm(default_f.denominator, *(f.denominator for f in fracs.values()))
     ints = {s: int(f * scale) for s, f in fracs.items()}
-    k = lcm(*ints.values())
-    return ints, k
+    default_w = int(default_f * scale)
+    k = lcm(default_w, *ints.values())
+    return ints, default_w, k
 
 
 def mixture_waterfill(
@@ -97,8 +103,7 @@ def mixture_waterfill(
     Output: (source, n_tokens, cur_share, keep_tokens, keep_rate),
     ordered by source; the float columns are display-only ROUND(6)+0.0.
     """
-    ints, k = scaled_integer_weights(weights, default_weight)
-    default_w = ints.pop("")
+    ints, default_w, k = scaled_integer_weights(weights, default_weight)
 
     wgt = F.lit(default_w)
     for s, wi in sorted(ints.items()):

@@ -3915,6 +3915,25 @@ def _hash_bucket(col, buckets: int = 100):
     )
 
 
+def _es_length_key(id_col: str, weight_col: str):
+    """Efraimidis-Spirakis priority key ln(u)/w with the md5-derived
+    uniform u = (first-8-hex(md5(id)) + 1) / 2^32 ∈ (0, 1]. ONE definition
+    shared by the global and per-stratum samplers (review r11: two
+    verbatim copies could drift and silently break their same-uniforms
+    contract). ROUND(6) + 0.0 BEFORE any ordering, so a last-ulp ln()
+    difference between libm and the JVM can never flip a top-k boundary.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    return F.round(F.log(u) / F.col(weight_col), 6) + 0.0
+
+
 @register(
     "sample_hash_mod",
     oracle="""
@@ -3985,17 +4004,11 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no shuffle of the corpus. P(doc in sample) is proportional-ish to
     # n_chars (the ES guarantee), pinned by a property test.
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
-    key = F.round(F.log(u) / F.col("n_chars"), 6)
     return (
-        d.select("doc_id", "n_chars", key.alias("es_key"))
+        d.select(
+            "doc_id", "n_chars",
+            _es_length_key("doc_id", "n_chars").alias("es_key"),
+        )
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(100)
     )
@@ -9813,17 +9826,9 @@ def q_sample_weighted_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame
     # shuffle — per-group top-k never materializes a full per-group sort
     # at 100 TB. (Plan-asserted in tests/test_plans.py.)
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
     keyed = d.select(
         "lang", "doc_id", "n_chars",
-        (F.round(F.log(u) / F.col("n_chars"), 6) + 0.0).alias("es_key"),
+        _es_length_key("doc_id", "n_chars").alias("es_key"),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
     return (
@@ -9902,13 +9907,26 @@ def q_corpus_sample_plan_execution(spark: SparkSession, sf_dir: str) -> DataFram
         _hash_bucket("doc_id", 1_000_000).alias("bucket"),
     ).localCheckpoint()
     src = tok.groupBy("source").agg(F.sum("ntok").alias("n_tokens"))
+    # ppm overflow is a fail-fast, not an ANSI crash or a silent wrap
+    # (review r11, same hazard class mixture_waterfill guards): the ppm
+    # numerators are bounded by n_tokens * 1e6, so one guard on n_tokens
+    # covers rate_ppm and achieved_ppm both.
+    ppm_guard = F.assert_true(
+        F.col("n_tokens") <= F.lit(((1 << 63) - 1) // 1_000_000),
+        F.concat(
+            F.lit("corpus_sample_plan_execution: n_tokens for "),
+            F.col("source"),
+            F.lit(" overflows int64 at ppm precision; use a coarser rate unit"),
+        ),
+    )
     plan = mixture_waterfill(
         src, weights={"src1": 2, "src2": 2, "src3": 2}, default_weight=1
     ).select(
         "source",
         "n_tokens",
         "keep_tokens",
-        F.expr("keep_tokens * 1000000 div n_tokens").alias("rate_ppm"),
+        F.when(ppm_guard.isNull(), F.expr("keep_tokens * 1000000 div n_tokens"))
+        .alias("rate_ppm"),
     )
     kept = F.col("bucket") < F.col("rate_ppm")
     return (

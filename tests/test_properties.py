@@ -568,6 +568,10 @@ def test_mixture_waterfill_rejects_floats_and_overflow(spark):
         scaled_integer_weights({"a": 0.1})
     with _pytest.raises(ValueError, match="> 0"):
         scaled_integer_weights({"a": 0})
+    # review r11: a source literally named "" must keep its EXPLICIT weight
+    # (an in-dict sentinel key used to silently replace it with the default)
+    ints, default_w, k = scaled_integer_weights({"": (1, 2), "b": 1}, 1)
+    assert ints == {"": 1, "b": 2} and default_w == 2 and k == 2
     # n_tokens * K over int64 must fail fast inside the plan, not wrap
     tc = spark.createDataFrame(
         [("a", (1 << 62)), ("b", 10)], "source string, n_tokens long"
