@@ -1243,3 +1243,48 @@ def test_monitor_reports_none_before_first_commit(spark, tmp_path):
 
     assert psi_report_from_store(spark, str(tmp_path / "nope1")) is None
     assert ohlc_report_from_store(spark, str(tmp_path / "nope2")) is None
+
+
+def test_scd2_sink_incremental_equals_batch_and_replays_safely(spark, tmp_path):
+    # r11: streaming SCD2 maintenance — per-key incremental rebuild over
+    # three arrival batches (including an OUT-OF-ORDER early version for
+    # an existing key) must equal scd2_history over everything, bit for
+    # bit; a replayed batch is a no-op; a conflicting payload fails loudly.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.operators.scd2 import scd2_history
+    from hadoop_word_score_spark.streaming.sinks import read_table, scd2_sink
+
+    schema = "k int, payload string, valid_from int"
+    b0 = [(1, "a1", 10), (2, "b1", 10), (3, "c1", 10)]
+    b1 = [(1, "a2", 30), (4, "d1", 20)]          # key 1 evolves, key 4 new
+    b2 = [(1, "a0", 5), (2, "b1", 10)]           # LATE early version for 1;
+    #                                              exact replay row for 2
+    target = str(tmp_path / "scd2_dim")
+    sink = scd2_sink(target, "k", "valid_from")
+    for i, rows in enumerate((b0, b1, b2)):
+        sink(spark.createDataFrame(rows, schema), i)
+
+    got = read_table(spark, target)
+    want = scd2_history(
+        spark.createDataFrame([*b0, *b1, *b2], schema), "k", "valid_from"
+    )
+    key = lambda r: (r.k, r.valid_from)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the late early version (k=1, t=5) must have been spliced in: its
+    # valid_to is the NEXT version's start, and only t=30 is current
+    tl = {(r.k, r.valid_from): (r.valid_to, r.is_current) for r in got.collect()}
+    assert tl[(1, 5)] == (10, 0) and tl[(1, 10)] == (30, 0)
+    assert tl[(1, 30)] == (None, 1)
+
+    # replayed batch id: no new snapshot version, table unchanged
+    before = sorted(map(tuple, read_table(spark, target).collect()))
+    sink(spark.createDataFrame(b1, schema), 1)
+    assert sorted(map(tuple, read_table(spark, target).collect())) == before
+
+    # untouched keys carry over without a rebuild; a conflicting payload
+    # for an existing instant fails the batch loudly (scd2_history guard)
+    with _pytest.raises(Exception, match="same effective instant"):
+        sink(spark.createDataFrame([(2, "CONFLICT", 10)], schema), 3)
+    # the failed batch must not have committed a snapshot
+    assert sorted(map(tuple, read_table(spark, target).collect())) == before
