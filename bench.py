@@ -401,31 +401,45 @@ def _previous_round_timings(sf: float, here: str | None = None) -> dict[str, flo
     factor (else {} — comparing across SFs would mislabel every query as a
     regression or mask real ones). The driver's artifact sometimes carries
     bench's JSON line pre-parsed under "parsed" and sometimes only as the
-    raw "tail" text — try both."""
+    raw "tail" text — try both. Rows the driver's 2,000-char tail
+    truncated away are backfilled from the committed BENCH_LOCAL.json
+    (written by the previous run, so at read time it still holds the
+    PRIOR round's full per-row record); driver rows win where both exist."""
     import glob
 
     here = here or os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as f:
-            rec = json.load(f)
-        parsed = rec.get("parsed") if isinstance(rec, dict) else None
-        if parsed is None and isinstance(rec, dict) and "tail" in rec:
-            tail = rec["tail"]
-            i = tail.find('{"metric"')
-            if i >= 0:
-                try:
-                    parsed = json.loads(tail[i:].splitlines()[0])
-                except (json.JSONDecodeError, ValueError):
-                    parsed = None
-        rec = parsed if parsed is not None else rec
+
+    def rows_of(rec) -> dict[str, float]:
         if not isinstance(rec, dict) or rec.get("sf") != sf:
             return {}
         return {k: float(v) for k, v in rec.get("queries", {}).items()}
+
+    local: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+            local = rows_of(json.load(f))
     except Exception:
-        return {}
+        pass
+
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    driver: dict[str, float] = {}
+    if files:
+        try:
+            with open(files[-1]) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") if isinstance(rec, dict) else None
+            if parsed is None and isinstance(rec, dict) and "tail" in rec:
+                tail = rec["tail"]
+                i = tail.find('{"metric"')
+                if i >= 0:
+                    try:
+                        parsed = json.loads(tail[i:].splitlines()[0])
+                    except (json.JSONDecodeError, ValueError):
+                        parsed = None
+            driver = rows_of(parsed if parsed is not None else rec)
+        except Exception:
+            driver = {}
+    return {**local, **driver}
 
 
 if __name__ == "__main__":

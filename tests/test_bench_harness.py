@@ -40,6 +40,23 @@ def test_prev_round_latest_file_wins(tmp_path):
     assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 2.0}
 
 
+def test_prev_round_backfills_truncated_driver_rows_from_local(tmp_path):
+    # r11: the driver tail keeps ~30 rows of 38; BENCH_LOCAL (the previous
+    # run's full record) fills the gaps, driver rows winning where both
+    # exist, and a wrong-SF local record contributes nothing.
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "queries": {"a": 2.0}}})
+    )
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 9.9, "b": 1.5}})
+    )
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 2.0, "b": 1.5}
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"sf": 0.01, "queries": {"c": 1.0}})
+    )
+    assert bench._previous_round_timings(0.1, str(tmp_path)) == {"a": 2.0}
+
+
 def test_group_stdout_parse_skips_stray_json_values():
     # r10 advice: a bare "null"/number/list from logging noise parsed after
     # the result line must not be returned as the group result.
