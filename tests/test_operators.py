@@ -2507,3 +2507,55 @@ def test_dsir_null_predicate_rows_count_as_raw(spark):
            ).collect()}
     assert set(out) == {2, 3}          # NULL-source doc IS scored as raw
     assert out[2] > 0 > out[3]         # and its target-like text scores high
+
+
+def test_pack_bins_bfd_parity_and_invariants(spark):
+    # r11: whole-document BFD packing — the Spark path must equal the
+    # pure-Python reference (same placement order and tie rules), no bin
+    # may exceed capacity except a lone oversized document, bin ids are
+    # dense per group, and every doc is assigned exactly once.
+    import random
+
+    from hadoop_word_score_spark.operators.packing import (
+        _bfd_reference,
+        pack_bins_bfd,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for g in ("s1", "s2"):
+        for i in range(120):
+            rows.append((g, (0 if g == "s1" else 1000) + i, rnd.randrange(1, 400)))
+    rows.append(("s1", 999, 2048))  # oversized: own bin, reported not truncated
+    docs = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+
+    out = pack_bins_bfd(docs, capacity=512).collect()
+    assert len(out) == len(rows)
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r)
+    for g, rs in by_group.items():
+        want = _bfd_reference(
+            [(r.doc_id, r.n_tokens) for r in rs], capacity=512
+        )
+        assert {r.doc_id: r.bin_id for r in rs} == want, g
+        bins = sorted({r.bin_id for r in rs})
+        assert bins == list(range(len(bins)))  # dense from 0
+        fill: dict = {}
+        for r in rs:
+            fill[r.bin_id] = fill.get(r.bin_id, 0) + r.n_tokens
+        for r in rs:
+            assert r.bin_fill == fill[r.bin_id]
+        for b, f in fill.items():
+            members = [r for r in rs if r.bin_id == b]
+            assert f <= 512 or (len(members) == 1 and members[0].n_tokens > 512)
+        # BFD can never do worse than the ceil(total/capacity) lower bound x2
+        regular = [r.n_tokens for r in rs if r.n_tokens <= 512]
+        lower = -(-sum(regular) // 512)
+        n_regular_bins = len({r.bin_id for r in rs if r.n_tokens <= 512})
+        assert lower <= n_regular_bins <= 2 * lower
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_bins_bfd(docs, capacity=0)
