@@ -161,3 +161,58 @@ def flush_interval_join_tail(
         written.append(flush_ts)
         flush_ts = flush_ts + bound["step"]
     return written
+
+
+def pit_enrich_stream_sink(
+    out_dir: str,
+    dim_target: str,
+    on: str,
+    fact_ts: str,
+    payload: list[str],
+    valid_from: str = "valid_from",
+):
+    """The feature-platform loop, closed: a ``foreachBatch`` function that
+    point-in-time-enriches each FACT micro-batch against the SCD2
+    dimension a :func:`~..streaming.sinks.scd2_sink` maintains, appending
+    the enriched rows to ``out_dir``.
+
+    Each batch reads the dimension's CURRENT committed snapshot
+    (sinks.read_table) and runs the SAME ``operators/scd2.pit_enrich``
+    as the batch query — one code path for online and offline enrichment,
+    so the leakage-safety property (a fact at t sees only versions
+    <= t) holds identically in both. Consistency contract, stated rather
+    than implied: a fact batch is enriched against the dimension AS OF
+    the batch's execution, so a dimension version that arrives LATER than
+    a fact it should have applied to is missed by the online path —
+    exactly the online/offline skew a feature platform measures — while
+    the offline backfill (batch pit_enrich over the final dimension) is
+    the truth. The parity test drives dim-then-facts, where online ==
+    offline bit for bit.
+
+    Facts with no dimension version at-or-before their timestamp are
+    DROPPED (inner as-of), matching pit_enrich's batch semantics.
+
+    Replay safety: each batch writes (mode=overwrite) its OWN
+    ``batch=<id>`` subdirectory, so a re-delivered batch replaces its
+    previous output instead of appending duplicates — idempotence without
+    a pointer file, at the cost of per-batch directories (compact with
+    sources/sinks.compact_small_files when they accumulate).
+    """
+    from ..operators.scd2 import pit_enrich
+    from .sinks import read_table
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        dim = read_table(batch_df.sparkSession, dim_target)
+        if dim is None:  # no committed dimension yet: nothing can enrich
+            return
+        enriched = pit_enrich(
+            batch_df, dim, on=on, fact_ts=fact_ts, payload=payload,
+            valid_from=valid_from,
+        )
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return write_batch

@@ -1288,3 +1288,55 @@ def test_scd2_sink_incremental_equals_batch_and_replays_safely(spark, tmp_path):
         sink(spark.createDataFrame([(2, "CONFLICT", 10)], schema), 3)
     # the failed batch must not have committed a snapshot
     assert sorted(map(tuple, read_table(spark, target).collect())) == before
+
+
+def test_pit_enrich_stream_equals_batch_offline(spark, scratch_dir):
+    # r11: the closed feature-platform loop — CDC feed maintains the SCD2
+    # dimension through scd2_sink, fact micro-batches PIT-enrich against
+    # the committed snapshot through pit_enrich_stream_sink — and with the
+    # dimension settled before the facts drain, online == offline (batch
+    # pit_enrich over the final dimension) bit for bit. Also: a replayed
+    # fact batch overwrites its own output (no duplicates), and facts
+    # before the first version are dropped in both paths.
+    import datetime as dt
+
+    from hadoop_word_score_spark.operators.scd2 import pit_enrich
+    from hadoop_word_score_spark.streaming.joins import pit_enrich_stream_sink
+    from hadoop_word_score_spark.streaming.sinks import read_table, scd2_sink
+
+    t = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)
+    dim_schema = "k int, segment string, valid_from timestamp"
+    dim_target = os.path.join(scratch_dir, "pit_dim")
+    dsink = scd2_sink(dim_target, "k", "valid_from")
+    dsink(spark.createDataFrame(
+        [(1, "bronze", t(1)), (2, "silver", t(1))], dim_schema), 0)
+    dsink(spark.createDataFrame(
+        [(1, "gold", t(10)), (3, "bronze", t(5))], dim_schema), 1)
+
+    fact_schema = "fact_id int, k int, ts timestamp, amount double"
+    facts = [
+        (100, 1, t(2), 5.0),    # sees bronze (v1 of key 1)
+        (101, 1, t(20), 7.0),   # sees gold (v2)
+        (102, 2, t(3), 1.0),    # sees silver
+        (103, 3, t(4), 2.0),    # BEFORE key 3's first version: dropped
+        (104, 3, t(6), 3.0),    # sees key 3 bronze
+        (105, 9, t(6), 4.0),    # unknown key: dropped
+    ]
+    out_dir = os.path.join(scratch_dir, "pit_out")
+    fsink = pit_enrich_stream_sink(
+        out_dir, dim_target, on="k", fact_ts="ts", payload=["segment"]
+    )
+    fdf = spark.createDataFrame(facts, fact_schema)
+    fsink(fdf.filter(F.col("fact_id") < 103), 0)
+    fsink(fdf.filter(F.col("fact_id") >= 103), 1)
+    fsink(fdf.filter(F.col("fact_id") >= 103), 1)  # replay: overwrite, no dupes
+
+    online = spark.read.parquet(out_dir)
+    offline = pit_enrich(
+        fdf, read_table(spark, dim_target),
+        on="k", fact_ts="ts", payload=["segment"],
+    )
+    assert sorted(map(tuple, online.drop("batch").collect() if "batch" in online.columns else online.collect())) \
+        == sorted(map(tuple, offline.collect()))
+    got = {r.fact_id: r.asof_segment for r in online.collect()}
+    assert got == {100: "bronze", 101: "gold", 102: "silver", 104: "bronze"}
