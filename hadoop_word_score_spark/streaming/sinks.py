@@ -204,86 +204,115 @@ def upsert_sink(target: str, key: str, n_buckets: int | None = None):
         commit(new_version, batch_id)
 
     def write_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        version, last_batch = _read_pointer(target)
-        if batch_id <= last_batch:
-            return
-        manifest = _read_manifest(target, version)
-        if manifest is None:
-            if version > 0:
-                # committed versions exist but none wrote a bucket manifest:
-                # this is a whole-table-layout target. Treating it as an
-                # empty bucketed table would commit a manifest referencing
-                # only this batch's buckets and silently drop every prior
-                # key on read — refuse loudly, like the n_buckets mismatch.
-                raise ValueError(
-                    f"table at {target!r} has committed version {version} "
-                    f"but no bucket manifest (whole-table layout); a "
-                    f"bucketed sink cannot adopt it — rewrite the table"
-                )
-            manifest = {"n_buckets": n_buckets, "buckets": {}}
-        if manifest["n_buckets"] != n_buckets:
-            # a bucket count change silently re-hashes every key into the
-            # wrong partition — refuse, like the MinHash index meta check
-            raise ValueError(
-                f"table at {target!r} was written with "
-                f"n_buckets={manifest['n_buckets']}, sink configured with "
-                f"{n_buckets}; rewrite the table or match the bucket count"
-            )
-        bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
-        # persist: the batch feeds two actions (touched-bucket discovery,
-        # then the merge/write) — without it the whole micro-batch source
-        # recomputes per action (r8 review)
-        src = batch_df.withColumn("_b", bucket).persist()
-        if not src.filter(F.col(key).isNull()).isEmpty():
-            # NOTE: xxhash64(NULL) is NON-null (the seed hash), so a NULL
-            # key lands in a regular bucket and cannot be caught from the
-            # touched set — check the key column itself. merge_upsert's
-            # equi-match never matches NULL, so the row would become an
-            # accumulating all-NULL zombie (r8 review).
-            src.unpersist()
-            raise ValueError(
-                f"upsert_sink: micro-batch {batch_id} contains NULL "
-                f"{key!r} keys; filter or default them upstream"
-            )
-        touched = sorted(
-            r._b for r in src.select("_b").distinct().collect()
-        )  # <= n_buckets rows, bounded by construction
-        if not touched:
-            # empty batch: advance the replay guard on the SAME version —
-            # no new snapshot, no new manifest, reads stay consistent
-            src.unpersist()
-            commit(version, batch_id)
-            return
-        cur_paths = [
-            os.path.join(target, f"b={b}", f"v={manifest['buckets'][str(b)]}")
-            for b in touched
-            if str(b) in manifest["buckets"]
-        ]
-        if cur_paths:
-            cur = spark.read.parquet(*cur_paths).withColumn("_b", bucket)
-            merged = merge_upsert(cur, src, key)
-        else:
-            merged = src
-        new_version = version + 1
-        stage = os.path.join(target, f"_stage.v{new_version}")
-        shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
-        merged.write.mode("overwrite").partitionBy("_b").parquet(stage)
-        new_buckets = dict(manifest["buckets"])
-        for b in touched:
-            dest_dir = os.path.join(target, f"b={b}")
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"v={new_version}")
-            shutil.rmtree(dest, ignore_errors=True)  # crashed prior attempt
-            os.replace(os.path.join(stage, f"_b={b}"), dest)
-            new_buckets[str(b)] = new_version
-        shutil.rmtree(stage, ignore_errors=True)
-        src.unpersist()
-        with open(_manifest_path(target, new_version), "w", encoding="utf-8") as f:
-            json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
-        commit(new_version, batch_id)
+        _bucketed_batch_write(
+            target,
+            key,
+            n_buckets,
+            lambda cur, src: src if cur is None else merge_upsert(cur, src, key),
+            batch_df,
+            batch_id,
+            "upsert_sink",
+        )
 
     return write_batch_whole if n_buckets is None else write_batch_bucketed
+
+
+def _bucketed_batch_write(
+    target: str,
+    key: str,
+    n_buckets: int,
+    combine,
+    batch_df: DataFrame,
+    batch_id: int,
+    what: str,
+) -> None:
+    """The bucketed partial-rewrite core shared by every bucketed sink:
+    layout/replay/NULL-key guards, touched-bucket discovery, staged write +
+    per-bucket atomic rename, manifest + pointer commit. ``combine(cur,
+    src)`` supplies the sink's MERGE semantics — ``cur`` is the touched
+    buckets' current rows (or None when none exist yet) and ``src`` the
+    micro-batch, both carrying the ``_b`` bucket column; it returns the
+    touched buckets' full replacement rows (extracted r11 so scd2_sink's
+    timeline rebuild shares one staging/commit path with upsert_sink)."""
+    spark = batch_df.sparkSession
+    version, last_batch = _read_pointer(target)
+    if batch_id <= last_batch:
+        return
+    manifest = _read_manifest(target, version)
+    if manifest is None:
+        if version > 0:
+            # committed versions exist but none wrote a bucket manifest:
+            # this is a whole-table-layout target. Treating it as an
+            # empty bucketed table would commit a manifest referencing
+            # only this batch's buckets and silently drop every prior
+            # key on read — refuse loudly, like the n_buckets mismatch.
+            raise ValueError(
+                f"table at {target!r} has committed version {version} "
+                f"but no bucket manifest (whole-table layout); a "
+                f"bucketed sink cannot adopt it — rewrite the table"
+            )
+        manifest = {"n_buckets": n_buckets, "buckets": {}}
+    if manifest["n_buckets"] != n_buckets:
+        # a bucket count change silently re-hashes every key into the
+        # wrong partition — refuse, like the MinHash index meta check
+        raise ValueError(
+            f"table at {target!r} was written with "
+            f"n_buckets={manifest['n_buckets']}, sink configured with "
+            f"{n_buckets}; rewrite the table or match the bucket count"
+        )
+    bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets))
+    # persist: the batch feeds two actions (touched-bucket discovery,
+    # then the merge/write) — without it the whole micro-batch source
+    # recomputes per action (r8 review)
+    src = batch_df.withColumn("_b", bucket).persist()
+    if not src.filter(F.col(key).isNull()).isEmpty():
+        # NOTE: xxhash64(NULL) is NON-null (the seed hash), so a NULL
+        # key lands in a regular bucket and cannot be caught from the
+        # touched set — check the key column itself. An equi-match never
+        # matches NULL, so the row would become an accumulating all-NULL
+        # zombie (r8 review).
+        src.unpersist()
+        raise ValueError(
+            f"{what}: micro-batch {batch_id} contains NULL "
+            f"{key!r} keys; filter or default them upstream"
+        )
+    touched = sorted(
+        r._b for r in src.select("_b").distinct().collect()
+    )  # <= n_buckets rows, bounded by construction
+    if not touched:
+        # empty batch: advance the replay guard on the SAME version —
+        # no new snapshot, no new manifest, reads stay consistent
+        src.unpersist()
+        _commit(target, version, batch_id)
+        return
+    cur_paths = [
+        os.path.join(target, f"b={b}", f"v={manifest['buckets'][str(b)]}")
+        for b in touched
+        if str(b) in manifest["buckets"]
+    ]
+    cur = (
+        spark.read.parquet(*cur_paths).withColumn("_b", bucket)
+        if cur_paths
+        else None
+    )
+    merged = combine(cur, src)
+    new_version = version + 1
+    stage = os.path.join(target, f"_stage.v{new_version}")
+    shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+    merged.write.mode("overwrite").partitionBy("_b").parquet(stage)
+    new_buckets = dict(manifest["buckets"])
+    for b in touched:
+        dest_dir = os.path.join(target, f"b={b}")
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, f"v={new_version}")
+        shutil.rmtree(dest, ignore_errors=True)  # crashed prior attempt
+        os.replace(os.path.join(stage, f"_b={b}"), dest)
+        new_buckets[str(b)] = new_version
+    shutil.rmtree(stage, ignore_errors=True)
+    src.unpersist()
+    with open(_manifest_path(target, new_version), "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
+    _commit(target, new_version, batch_id)
 
 
 def vacuum(target: str) -> list[str]:
@@ -399,7 +428,12 @@ def mergeable_sink(target: str, keys: list[str], merges: dict[str, str]):
     return write_batch
 
 
-def scd2_sink(target: str, key: str, valid_from: str = "valid_from"):
+def scd2_sink(
+    target: str,
+    key: str,
+    valid_from: str = "valid_from",
+    n_buckets: int | None = None,
+):
     """A ``foreachBatch`` function maintaining an SCD2 DIMENSION TABLE from
     a stream of version snapshots (the CDC-feed shape: each row is "key K
     has payload P effective from T").
@@ -420,33 +454,63 @@ def scd2_sink(target: str, key: str, valid_from: str = "valid_from"):
     Same exactly-once machinery as :func:`upsert_sink`: batchId replay
     guard + fully-written snapshot before the atomic pointer swap; read
     back (or time-travel) with :func:`read_table`.
+
+    ``n_buckets=None`` rewrites the whole table per batch — fine for
+    bounded dimensions, but the snapshot WRITE is then dimension-sized
+    even when the key rebuild isn't. An integer enables the same bucketed
+    partial-rewrite layout as :func:`upsert_sink` (shared core): a batch
+    rewrites only the buckets its keys hash into, with the per-key
+    timeline rebuild confined to those buckets' current rows — both the
+    re-window AND the write are touched-fraction-sized, the shape a huge
+    dimension needs.
     """
     target = _validate_local_target(target, "scd2_sink")
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.scd2 import scd2_history
+    from ..operators.scd2 import scd2_history
 
+    def rebuild(current: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        if current is None:
+            return scd2_history(batch_df, key, valid_from)
+        affected = batch_df.select(key).distinct()
+        untouched = current.join(affected, key, "left_anti")
+        touched_versions = current.join(affected, key, "semi").drop(
+            "valid_to", "is_current"
+        )
+        rebuilt = scd2_history(
+            touched_versions.unionByName(batch_df, allowMissingColumns=True),
+            key,
+            valid_from,
+        )
+        return untouched.unionByName(rebuilt)
+
+    def write_batch_whole(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         version, last_batch = _read_pointer(target)
         if batch_id <= last_batch:  # replayed batch: already committed
             return
-        if version > 0:
-            current = spark.read.parquet(os.path.join(target, f"v={version}"))
-            affected = batch_df.select(key).distinct()
-            untouched = current.join(affected, key, "left_anti")
-            touched_versions = current.join(affected, key, "semi").drop(
-                "valid_to", "is_current"
+        if version > 0 and _read_manifest(target, version) is not None:
+            raise ValueError(
+                f"table at {target!r} is bucketed (version {version} has a "
+                f"manifest); a whole-table sink cannot adopt it — use "
+                f"n_buckets or rewrite the table"
             )
-            rebuilt = scd2_history(
-                touched_versions.unionByName(batch_df), key, valid_from
-            )
-            new_table = untouched.unionByName(rebuilt)
-        else:
-            new_table = scd2_history(batch_df, key, valid_from)
+        current = (
+            spark.read.parquet(os.path.join(target, f"v={version}"))
+            if version > 0
+            else None
+        )
+        new_table = rebuild(current, batch_df)
         new_version = version + 1
         new_table.write.mode("overwrite").parquet(
             os.path.join(target, f"v={new_version}")
         )
         _commit(target, new_version, batch_id)
 
-    return write_batch
+    def write_batch_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        _bucketed_batch_write(
+            target, key, n_buckets, rebuild, batch_df, batch_id, "scd2_sink"
+        )
+
+    return write_batch_whole if n_buckets is None else write_batch_bucketed

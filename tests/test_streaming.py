@@ -1340,3 +1340,42 @@ def test_pit_enrich_stream_equals_batch_offline(spark, scratch_dir):
         == sorted(map(tuple, offline.collect()))
     got = {r.fact_id: r.asof_segment for r in online.collect()}
     assert got == {100: "bronze", 101: "gold", 102: "silver", 104: "bronze"}
+
+
+def test_scd2_sink_bucketed_partial_rewrite(spark, tmp_path):
+    # r11: the bucketed scd2_sink rewrites ONLY the buckets a batch's keys
+    # hash into (manifest versions advance per touched bucket), while the
+    # table read equals the whole-table sink's result — which equals batch
+    # scd2_history.
+    import json as _json
+    import os as _os
+
+    from hadoop_word_score_spark.operators.scd2 import scd2_history
+    from hadoop_word_score_spark.streaming.sinks import read_table, scd2_sink
+
+    schema = "k int, payload string, valid_from int"
+    b0 = [(k, f"p{k}", 10) for k in range(1, 25)]       # 24 keys spread wide
+    b1 = [(1, "p1v2", 30), (2, "p2v2", 30)]             # touches few buckets
+    target = str(tmp_path / "scd2_bucketed")
+    sink = scd2_sink(target, "k", "valid_from", n_buckets=8)
+    sink(spark.createDataFrame(b0, schema), 0)
+    with open(_os.path.join(target, "_manifest.v1")) as f:
+        m1 = _json.load(f)
+    sink(spark.createDataFrame(b1, schema), 1)
+    with open(_os.path.join(target, "_manifest.v2")) as f:
+        m2 = _json.load(f)
+    advanced = {b for b in m2["buckets"] if m2["buckets"][b] == 2}
+    unchanged = {b for b in m2["buckets"]
+                 if m1["buckets"].get(b) == m2["buckets"][b]}
+    assert 1 <= len(advanced) <= 2  # keys 1 and 2 hash into <= 2 buckets
+    assert advanced | unchanged == set(m2["buckets"])
+    assert len(unchanged) >= 6  # the untouched majority was NOT rewritten
+
+    got = read_table(spark, target).drop("_b")
+    want = scd2_history(
+        spark.createDataFrame([*b0, *b1], schema), "k", "valid_from"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    tl = {(r.k, r.valid_from): (r.valid_to, r.is_current) for r in got.collect()}
+    assert tl[(1, 10)] == (30, 0) and tl[(1, 30)] == (None, 1)
+    assert tl[(3, 10)] == (None, 1)  # untouched key carried over intact
