@@ -663,3 +663,102 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+def mmr_reference(
+    sims_to_query: list, vectors: list, k: int, lam: float
+) -> list[int]:
+    """Pure-Python Maximal Marginal Relevance (Carbonell & Goldstein,
+    SIGIR 1998 — public literature): greedily pick the index maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in picked} cos(d, s)``.
+
+    ONE definition of the pick order and tie rules, shared by the Spark
+    path (executed per group inside applyInPandas) and the parity tests.
+    Scores round to 6 dp before comparison and ties break on list index
+    ascending (= candidate-id order, the callers sort by id), so the pick
+    sequence is deterministic and engine-independent.
+    """
+    vecs = np.asarray(vectors, dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vectors: cos 0 to everything
+    unit = vecs / norms[:, None]
+    n = len(sims_to_query)
+    picked: list[int] = []
+    max_sim_to_picked = np.full(n, -np.inf)
+    for _ in range(min(k, n)):
+        best_i, best_score = -1, None
+        for i in range(n):
+            if i in picked:
+                continue
+            # raw max-sim penalty (classic MMR): anti-correlated candidates
+            # legitimately earn a diversity bonus
+            penalty = 0.0 if not picked else float(max_sim_to_picked[i])
+            score = round(lam * sims_to_query[i] - (1 - lam) * penalty, 6)
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        picked.append(best_i)
+        sims = unit @ unit[best_i]
+        np.maximum(max_sim_to_picked, sims, out=max_sim_to_picked)
+    return picked
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """Diversified top-k: exact cosine retrieval into a per-query pool,
+    then Maximal Marginal Relevance reranking WITHIN each pool — the
+    standard RAG rerank stage (relevance alone returns near-duplicates;
+    MMR trades ``1 - lam`` of it for coverage).
+
+    Returns (query_id, cand_id, cosine_sim, mmr_rank) with mmr_rank the
+    1-based pick order. Plan shape: retrieval + pool selection is the
+    existing distributed scoring pass (:func:`brute_force_topk`'s
+    machinery — candidates stream, nothing corpus-sized collects); the
+    inherently-sequential greedy runs per query group inside ONE
+    ``applyInPandas`` over the pooled rows (≤ ``pool`` vectors per group
+    after one bounded shuffle), so reranking parallelizes across queries
+    and never touches the driver. Swap the retrieval stage for
+    :func:`ivf_probe_topk`'s output at scale — the rerank contract only
+    needs (query_id, cand_id, cosine_sim) + vectors.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"mmr_rerank: k ({k}) cannot exceed pool ({pool})")
+    pooled = _ranked_topk(
+        _scored_pairs(queries, candidates, id_col, vec_col, max_queries,
+                      "mmr_rerank"),
+        pool,
+    )
+    with_vecs = pooled.join(
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")
+        ),
+        "cand_id",
+    )
+
+    schema = with_vecs.select("query_id", "cand_id", "cosine_sim").withColumn(
+        "mmr_rank", F.lit(1)
+    ).schema
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)  # tie order
+        order = mmr_reference(
+            pdf["cosine_sim"].tolist(), pdf["_vec"].tolist(), k, lam
+        )
+        out = pdf.iloc[order][["query_id", "cand_id", "cosine_sim"]].copy()
+        out["mmr_rank"] = range(1, len(order) + 1)
+        return out
+
+    return (
+        with_vecs.groupBy("query_id")
+        .applyInPandas(rerank, schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -2559,3 +2559,51 @@ def test_pack_bins_bfd_parity_and_invariants(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         pack_bins_bfd(docs, capacity=0)
+
+
+def test_mmr_rerank_diversifies_and_matches_reference(spark):
+    # r11: MMR rerank — with one cluster of near-identical high-relevance
+    # vectors and one slightly-less-relevant distinct direction, pure
+    # relevance top-3 keeps the whole cluster; MMR at lam=0.5 must pick
+    # the distinct direction second. The Spark path (applyInPandas per
+    # query) must equal the shared pure-Python reference pick-for-pick.
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+        mmr_reference,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cands = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # cluster A, most relevant
+        (2, [1.0, 0.02, 0.0, 0.0]),   # cluster A near-dup
+        (3, [1.0, 0.03, 0.0, 0.0]),   # cluster A near-dup
+        (4, [0.8, 0.0, 0.6, 0.0]),    # distinct direction, still relevant
+        (5, [0.1, 0.0, 0.0, 1.0]),    # barely relevant
+    ]
+    c = spark.createDataFrame(cands, "vec_id long, embedding array<float>")
+
+    rel = [r.cand_id for r in brute_force_topk(q, c, k=3).orderBy("rank").collect()]
+    assert set(rel) == {1, 2, 3}  # relevance alone keeps the near-dup cluster
+
+    out = mmr_rerank(q, c, k=3, lam=0.5, pool=5).collect()
+    picks = [r.cand_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert picks[0] in {1, 2, 3} and picks[1] == 4, picks
+
+    # pick-for-pick parity with the shared reference on the same pool
+    sims = {r.cand_id: r.cosine_sim
+            for r in brute_force_topk(q, c, k=5).collect()}
+    ordered = sorted(cands)  # cand_id ascending = the Spark group's order
+    ref = mmr_reference(
+        [sims[i] for i, _ in ordered], [v for _, v in ordered], k=3, lam=0.5
+    )
+    assert picks == [ordered[i][0] for i in ref]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(q, c, k=2, lam=1.5)
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_rerank(q, c, k=10, pool=5)
