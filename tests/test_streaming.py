@@ -1379,3 +1379,31 @@ def test_scd2_sink_bucketed_partial_rewrite(spark, tmp_path):
     tl = {(r.k, r.valid_from): (r.valid_to, r.is_current) for r in got.collect()}
     assert tl[(1, 10)] == (30, 0) and tl[(1, 30)] == (None, 1)
     assert tl[(3, 10)] == (None, 1)  # untouched key carried over intact
+
+
+def test_scd2_sink_bucketed_vacuum_and_time_travel(spark, tmp_path):
+    # the shared bucketed core composes with the table utilities: version 1
+    # time-travels until vacuum reclaims the superseded bucket snapshots,
+    # after which reading it raises rather than serving partial data.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.sinks import (
+        read_table,
+        scd2_sink,
+        vacuum,
+    )
+
+    schema = "k int, payload string, valid_from int"
+    target = str(tmp_path / "scd2_vac")
+    sink = scd2_sink(target, "k", "valid_from", n_buckets=4)
+    sink(spark.createDataFrame([(k, f"p{k}", 10) for k in range(8)], schema), 0)
+    sink(spark.createDataFrame([(0, "p0v2", 20)], schema), 1)
+
+    v1_rows = read_table(spark, target, version=1).count()
+    assert v1_rows == 8 and read_table(spark, target).count() == 9
+    removed = vacuum(target)
+    assert removed  # superseded bucket version(s) reclaimed
+    assert read_table(spark, target).count() == 9  # live table intact
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_table(spark, target, version=1)
+    assert vacuum(target) == []  # idempotent
