@@ -703,7 +703,7 @@ def mmr_reference(
 
 
 def mmr_rerank(
-    queries: DataFrame,
+    queries: DataFrame | None,
     candidates: DataFrame,
     k: int = 10,
     lam: float = 0.7,
@@ -711,6 +711,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 4096,
+    pooled: DataFrame | None = None,
 ) -> DataFrame:
     """Diversified top-k: exact cosine retrieval into a per-query pool,
     then Maximal Marginal Relevance reranking WITHIN each pool — the
@@ -724,19 +725,28 @@ def mmr_rerank(
     inherently-sequential greedy runs per query group inside ONE
     ``applyInPandas`` over the pooled rows (≤ ``pool`` vectors per group
     after one bounded shuffle), so reranking parallelizes across queries
-    and never touches the driver. Swap the retrieval stage for
-    :func:`ivf_probe_topk`'s output at scale — the rerank contract only
-    needs (query_id, cand_id, cosine_sim) + vectors.
+    and never touches the driver. At scale, swap the retrieval stage by
+    passing ``pooled`` — any (query_id, cand_id, cosine_sim) relation,
+    e.g. the IVF or LSH top-k output — and the built-in exact scoring
+    pass (and ``queries``) is skipped; ``candidates`` still supplies the
+    vectors by ``id_col``. ``pool`` re-caps the supplied relation per
+    query (rounded-sim desc, cand_id tiebreak), so an over-full input
+    cannot blow up the per-group loop.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
     if k > pool:
         raise ValueError(f"mmr_rerank: k ({k}) cannot exceed pool ({pool})")
-    pooled = _ranked_topk(
-        _scored_pairs(queries, candidates, id_col, vec_col, max_queries,
-                      "mmr_rerank"),
-        pool,
-    )
+    if pooled is None:
+        pooled = _ranked_topk(
+            _scored_pairs(queries, candidates, id_col, vec_col, max_queries,
+                          "mmr_rerank"),
+            pool,
+        )
+    else:
+        pooled = _ranked_topk(
+            pooled.select("query_id", "cand_id", "cosine_sim"), pool
+        )
     with_vecs = pooled.join(
         candidates.select(
             F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")

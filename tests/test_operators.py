@@ -2607,3 +2607,28 @@ def test_mmr_rerank_diversifies_and_matches_reference(spark):
         mmr_rerank(q, c, k=2, lam=1.5)
     with _pytest.raises(ValueError, match="pool"):
         mmr_rerank(q, c, k=10, pool=5)
+
+
+def test_mmr_rerank_accepts_external_retrieval_pool(spark):
+    # the pooled= seam: an approximate retrieval stage's
+    # (query_id, cand_id, cosine_sim) output reranks identically to the
+    # built-in exact scoring when the pools agree
+    from hadoop_word_score_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.01, 0.0, 0.0]), (2, [1.0, 0.02, 0.0, 0.0]),
+         (3, [0.8, 0.0, 0.6, 0.0]), (4, [0.1, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    external_pool = brute_force_topk(q, c, k=4)  # stands in for IVF/LSH
+    via_pool = mmr_rerank(None, c, k=3, lam=0.5, pool=4, pooled=external_pool)
+    built_in = mmr_rerank(q, c, k=3, lam=0.5, pool=4)
+    assert sorted(map(tuple, via_pool.collect())) == sorted(
+        map(tuple, built_in.collect())
+    )
