@@ -114,12 +114,29 @@ def _warm(spark, sf_dir: str, group: list[str]) -> None:
         ).save()
     # ...but the VECTORIZED PARQUET READER itself still needs its C2 warm
     # (a LIMIT 1 decodes one batch; an A/B rerun showed warm medians ~10%
-    # higher without reader warm-up): one bounded slice of the widest
-    # table exercises the column decoders at a cost capped by the row
-    # limit, not the SF.
-    load_table(spark, sf_dir, "lineitem").limit(200_000).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # higher without reader warm-up). Warm it on a SYNTHETIC parquet
+    # written to scratch — reading a slice of a real bench table would
+    # warm the OS page cache for data the timed pass-0 "cold" samples are
+    # supposed to read cold (review r11; same r10 rule that banned warming
+    # with a group member). Mixed column types exercise the long/double/
+    # string/date decoders; cost is row-capped and SF-independent.
+    import shutil
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        spark.range(200_000).select(
+            F.col("id"),
+            (F.col("id") % 97).cast("double").alias("d"),
+            F.concat(F.lit("w"), F.col("id").cast("string")).alias("s"),
+            F.date_add(F.lit("2024-01-01").cast("date"),
+                       (F.col("id") % 365).cast("int")).alias("dt"),
+        ).write.mode("overwrite").parquet(warm_dir)
+        spark.read.parquet(warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
 
 def _group_main(names: list[str]) -> None:
@@ -403,8 +420,13 @@ def _previous_round_timings(sf: float, here: str | None = None) -> dict[str, flo
     bench's JSON line pre-parsed under "parsed" and sometimes only as the
     raw "tail" text — try both. Rows the driver's 2,000-char tail
     truncated away are backfilled from the committed BENCH_LOCAL.json
-    (written by the previous run, so at read time it still holds the
-    PRIOR round's full per-row record); driver rows win where both exist."""
+    (written by the previous run, so at read time it still holds that
+    run's full per-row record); driver rows win where both exist. Caveat:
+    on a SECOND bench run within one round, the backfill serves the first
+    same-round run's numbers for the truncated rows — a vs-prev ratio of
+    ~1.0 there means "unchanged since the last run", not "unchanged since
+    last round" (the driver runs bench once per round, so its artifact is
+    unaffected)."""
     import glob
 
     here = here or os.path.dirname(os.path.abspath(__file__))

@@ -42,7 +42,6 @@ def _bfd_reference(sizes: list[tuple[int, int]], capacity: int) -> dict[int, int
     reports fill > capacity rather than silently truncating).
     """
     bins: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
-    fills: dict[int, int] = {}
     assign: dict[int, int] = {}
     next_bin = 0
     for doc_id, size in sorted(sizes, key=lambda t: (-t[1], t[0])):
@@ -56,7 +55,6 @@ def _bfd_reference(sizes: list[tuple[int, int]], capacity: int) -> dict[int, int
             if size <= capacity:
                 insort(bins, (capacity - size, bin_id))
             # oversized docs: own bin, never offered to other docs
-        fills[bin_id] = fills.get(bin_id, 0) + size
         assign[doc_id] = bin_id
     return assign
 
@@ -77,9 +75,20 @@ def pack_bins_bfd(
         raise ValueError(f"pack_bins_bfd: capacity must be > 0, got {capacity}")
     import pandas as pd
 
-    schema = (
-        f"{group_col} string, {id_col} long, {tokens_col} long, "
-        "bin_id long, bin_fill long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # derive the passthrough columns' TYPES from the input — hardcoding
+    # them broke non-default id/group schemas before (review r11; same
+    # class similarity.py fixed in r8 for its id column)
+    in_fields = {f.name: f for f in docs.select(group_col, id_col, tokens_col).schema}
+    schema = StructType(
+        [
+            in_fields[group_col],
+            in_fields[id_col],
+            in_fields[tokens_col],
+            StructField("bin_id", LongType()),
+            StructField("bin_fill", LongType()),
+        ]
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -737,6 +737,15 @@ def mmr_rerank(
         raise ValueError(f"mmr_rerank: lam must be in [0, 1], got {lam}")
     if k > pool:
         raise ValueError(f"mmr_rerank: k ({k}) cannot exceed pool ({pool})")
+    # exactly one retrieval source: queries=None with no pool would crash
+    # opaquely inside the scoring pass, and a supplied queries alongside
+    # pooled would be silently ignored — both get a clear error instead
+    if (queries is None) == (pooled is None):
+        raise ValueError(
+            "mmr_rerank: pass EITHER queries (built-in exact retrieval) OR "
+            "pooled (an external (query_id, cand_id, cosine_sim) pool), "
+            "not both and not neither"
+        )
     if pooled is None:
         pooled = _ranked_topk(
             _scored_pairs(queries, candidates, id_col, vec_col, max_queries,

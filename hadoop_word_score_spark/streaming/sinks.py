@@ -478,10 +478,14 @@ def scd2_sink(
         touched_versions = current.join(affected, key, "semi").drop(
             "valid_to", "is_current"
         )
+        # plain unionByName, NOT allowMissingColumns: in correct operation
+        # touched_versions and the batch have identical columns, so the
+        # flag could only ever activate on producer schema drift — where
+        # silently null-filling a dropped payload column would commit NULL
+        # features the PIT join then serves with no error anywhere
+        # (review r11). Loud failure is the safe behavior.
         rebuilt = scd2_history(
-            touched_versions.unionByName(batch_df, allowMissingColumns=True),
-            key,
-            valid_from,
+            touched_versions.unionByName(batch_df), key, valid_from
         )
         return untouched.unionByName(rebuilt)
 
@@ -495,6 +499,16 @@ def scd2_sink(
                 f"table at {target!r} is bucketed (version {version} has a "
                 f"manifest); a whole-table sink cannot adopt it — use "
                 f"n_buckets or rewrite the table"
+            )
+        if not batch_df.filter(F.col(key).isNull()).isEmpty():
+            # NULL keys never equi-match: the anti join would carry an old
+            # NULL timeline over while the semi join starts a fresh one —
+            # two overlapping NULL timelines accumulating per batch, the
+            # same zombie class upsert_sink and the bucketed core guard
+            # against (review r11)
+            raise ValueError(
+                f"scd2_sink: micro-batch {batch_id} contains NULL "
+                f"{key!r} keys; filter or default them upstream"
             )
         current = (
             spark.read.parquet(os.path.join(target, f"v={version}"))

@@ -2632,3 +2632,21 @@ def test_mmr_rerank_accepts_external_retrieval_pool(spark):
     assert sorted(map(tuple, via_pool.collect())) == sorted(
         map(tuple, built_in.collect())
     )
+
+
+def test_pack_bins_bfd_preserves_nondefault_id_types(spark):
+    # review r11: passthrough column TYPES derive from the input schema —
+    # string ids and int group keys must survive unchanged
+    from hadoop_word_score_spark.operators.packing import pack_bins_bfd
+
+    docs = spark.createDataFrame(
+        [(7, "docA", 100), (7, "docB", 200), (8, "docC", 50)],
+        "shard int, name string, n_tokens long",
+    )
+    out = pack_bins_bfd(
+        docs, capacity=256, group_col="shard", id_col="name"
+    )
+    assert dict(out.dtypes)["name"] == "string"
+    assert dict(out.dtypes)["shard"] == "int"
+    rows = {r.name: (r.shard, r.bin_id) for r in out.collect()}
+    assert set(rows) == {"docA", "docB", "docC"}

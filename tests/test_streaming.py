@@ -1407,3 +1407,19 @@ def test_scd2_sink_bucketed_vacuum_and_time_travel(spark, tmp_path):
     with _pytest.raises(ValueError, match="vacuumed"):
         read_table(spark, target, version=1)
     assert vacuum(target) == []  # idempotent
+
+
+def test_scd2_sink_whole_table_rejects_null_keys(spark, tmp_path):
+    # review r11: NULL keys never equi-match, so the incremental rebuild
+    # would accumulate overlapping NULL timelines — reject at the boundary
+    # like the bucketed core and upsert_sink do
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.sinks import scd2_sink
+
+    sink = scd2_sink(str(tmp_path / "scd2_null"), "k", "valid_from")
+    bad = spark.createDataFrame(
+        [(None, "p", 10)], "k int, payload string, valid_from int"
+    )
+    with _pytest.raises(ValueError, match="NULL 'k' keys"):
+        sink(bad, 0)

@@ -1315,9 +1315,11 @@ def scd2_guard_receipt_rows(spark) -> list[str]:
 def scd2_sink_bucketed_receipt_rows(spark) -> list[str]:
     """r11: scd2_sink's bucketed mode claims the per-batch rebuild AND
     write are touched-fraction-sized. Receipt: a 150k-key dimension takes
-    a 1k-key delta batch through the whole-table sink vs the 64-bucket
-    sink; the bucketed batch should rewrite only the buckets the delta
-    hashes into (manifest-verified) in a fraction of the wall.
+    a 10-key delta batch (one key per shifted copy: 1e6 mod 15000 = 10000,
+    so ``% 15000 == 7`` selects exactly one custkey per copy) through the
+    whole-table sink vs the 256-bucket sink; the bucketed batch should
+    rewrite only the buckets the delta hashes into (manifest-verified) in
+    a fraction of the wall.
     """
     import shutil
 
