@@ -291,6 +291,28 @@ _DRIVER_GREEN_R10 = frozenset({
     "window_running", "wordscore", "wordscore_top10"
 })
 
+_DRIVER_GREEN_R11 = frozenset({
+    "agg_salted_two_phase", "approx_aggs", "asof_join_events",
+    "asof_join_events_forward", "bitwise_funcs", "cms_frequency_estimates",
+    "conditional_funcs", "corpus_sample_plan_execution",
+    "corpus_zipf_slope", "data_quality_report",
+    "embedding_centroid_separation", "events_cusum_changepoint",
+    "events_hourly_acf", "events_rollup_multi_grain",
+    "events_value_winsorized", "grouping_sets", "having_filter",
+    "histogram_totalprice", "join_salted_skew", "k_anonymity_check",
+    "map_funcs", "null_semantics", "pagerank_supply_graph",
+    "pivot_status_priority", "q10_returned_items",
+    "q13_customer_distribution", "q21_waiting_supplier",
+    "q6_forecast_revenue", "q8_market_share", "quality_top_ngram_mass",
+    "sample_weighted_per_stratum", "session_window", "sliding_window",
+    "split_leakage_safe", "sql_adhoc_cte", "sql_adhoc_hof",
+    "sql_adhoc_join", "sql_adhoc_window", "string_agg_nations",
+    "subquery_correlated_scalar", "subquery_exists", "subquery_in",
+    "subquery_not_exists", "subquery_scalar", "token_counts",
+    "unpivot_lineitem_metrics", "variant_funcs", "vocab_stats",
+    "window_dist", "window_range_frame"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -461,6 +483,8 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "corpus_ngram_novelty": "8a169d7b7027",
     "corpus_prep_funnel": "c0476271351c",
     "corpus_report_by_source": "aa23b8986484",
+    "corpus_sample_plan_execution": "960c59e2b44c",
+    "corpus_zipf_slope": "a9d5e35097c4",
     "cube_segment_status": "00da5551f9ed",
     "data_quality_report": "5c7bc04a92f9",
     "date_funcs": "e57b8125fb64",
@@ -485,6 +509,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "doc_chunks": "ffd74a0e21d5",
     "doc_fingerprint": "677d0308cba2",
     "doc_length_buckets": "e333f9bf8417",
+    "embedding_centroid_separation": "69bf48f70fde",
     "embedding_centroids": "7b840d20f2a5",
     "embedding_covariance": "cd82459eeef8",
     "embedding_pca_project": "c60679601e6e",
@@ -492,15 +517,18 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "embedding_random_projection": "3c00c9816c26",
     "events_anomaly_zscore": "2e7e9aea7cc3",
     "events_concurrency_hourly": "c345d4e21799",
+    "events_cusum_changepoint": "e36df7a79eb1",
     "events_ewma_value": "230c343224d7",
     "events_forecast_seasonal_naive": "4260cafa16fd",
     "events_gapfill_hourly": "e8f7525be53f",
+    "events_hourly_acf": "ebabfb0daaab",
     "events_mad_outliers": "b08bbcdc85ae",
     "events_mad_outliers_approx": "085c3447f296",
     "events_markov_transitions": "91ee4d3d3dea",
     "events_ohlc_hourly": "4a7bff466852",
     "events_psi_drift": "086f28aa9b02",
     "events_rollup_multi_grain": "33ff39ed700d",
+    "events_value_winsorized": "5475c0e0654f",
     "filter_project": "a9a8bfadf49d",
     "funnel_signup_click_purchase": "92866f84bd49",
     "funnel_time_to_convert": "d647673746a7",
@@ -568,10 +596,12 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "q9_product_profit": "71e0a8f5f468",
     "quality_bigram_logprob": "e4f1a4016e28",
     "quality_repetition_filter": "55636dd83470",
+    "quality_top_ngram_mass": "1b649ba867f6",
     "quality_unigram_logprob": "edad530fe1e7",
     "rollup_status_priority": "fd02b19f270d",
     "sample_hash_mod": "4e92ad8c6a40",
     "sample_stratified_lang": "1cd168b40df0",
+    "sample_weighted_per_stratum": "eb12f5201476",
     "sample_weighted_priority": "b352e3f9d859",
     "scd2_customer_history": "1f02960c1eb3",
     "session_window": "3e2119405138",
@@ -587,7 +617,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
     "snapshot_diff_orders": "99d2c33eb09d",
-    "split_leakage_safe": "01b76d6a2694",
+    "split_leakage_safe": "8322be35816f",
     "sql_adhoc_cte": "13df54b30bf4",
     "sql_adhoc_hof": "f0dab7357d42",
     "sql_adhoc_join": "15853af5434c",
@@ -647,7 +677,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bpe_encode_lengths": "15cb10aa6c37",
     "bpe_merge_rules": "7f5f18e389c8",
     "bpe_subword_rules": "d08f4abbdd3e",
-    "cms_frequency_estimates": "4de60ee2e6d5",
+    "cms_frequency_estimates": "d51effacf52c",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
     "corpus_dedup_rate_by_source": "b77e20049d1c",
@@ -657,6 +687,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "corpus_ngram_novelty": "b5123ff46e92",
     "corpus_prep_funnel": "11763562c9bc",
     "corpus_report_by_source": "f3ab65ab68ef",
+    "corpus_sample_plan_execution": "595d52c999e6",
+    "corpus_zipf_slope": "f014f65a6cab",
     "cube_segment_status": "c98c0943f295",
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
@@ -681,6 +713,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "doc_chunks": "9f2ce895fa25",
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
+    "embedding_centroid_separation": "31981357b2f8",
     "embedding_centroids": "f1ad07f169fc",
     "embedding_covariance": "c913795b865c",
     "embedding_pca_project": "e8de53a859c9",
@@ -688,15 +721,18 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "embedding_random_projection": "e5c94f19d79b",
     "events_anomaly_zscore": "e0cb144b4a8e",
     "events_concurrency_hourly": "a227fdbf5c30",
+    "events_cusum_changepoint": "bb566d3fe973",
     "events_ewma_value": "729934d8f13a",
     "events_forecast_seasonal_naive": "ba1da70b4c10",
     "events_gapfill_hourly": "12aebbd9de60",
+    "events_hourly_acf": "a373e7061469",
     "events_mad_outliers": "f945216522b9",
     "events_mad_outliers_approx": "d94c254bcddf",
     "events_markov_transitions": "5c763fb266a8",
     "events_ohlc_hourly": "32660fe61620",
     "events_psi_drift": "156d91a930a3",
     "events_rollup_multi_grain": "797d2f5d803a",
+    "events_value_winsorized": "d1d87ead6c7c",
     "filter_project": "863807c295ee",
     "funnel_signup_click_purchase": "ece35022f9da",
     "funnel_time_to_convert": "2e74ff2fb77e",
@@ -734,7 +770,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "multimodal_video_real": "adaf9e8b95af",
     "null_semantics": "c3e3e3c08e79",
     "pack_sequences": "ba1ba7d9a7b6",
-    "pagerank_supply_graph": "990801e6e0b4",
+    "pagerank_supply_graph": "926439ce5d4b",
     "percentile_exact": "8541fa4a8708",
     "pii_redact": "e02e943d9e58",
     "pit_join_events_customer_history": "ab1c5d2a9115",
@@ -764,10 +800,12 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q9_product_profit": "b61e25e38c65",
     "quality_bigram_logprob": "740c592d6973",
     "quality_repetition_filter": "ecad3ad1293d",
+    "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "7a8bf5f3e1f5",
     "rollup_status_priority": "84dfd40dc2c7",
     "sample_hash_mod": "35413b90f466",
     "sample_stratified_lang": "a6671969bba0",
+    "sample_weighted_per_stratum": "23b4b40149d7",
     "sample_weighted_priority": "f4fc53b9544f",
     "scd2_customer_history": "44cd6edceb29",
     "session_window": "4fa8d68ec706",
@@ -783,7 +821,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "similarity_topk_lsh": "9b807948dc6e",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
-    "split_leakage_safe": "d682698202ee",
+    "split_leakage_safe": "40421108d5c8",
     "sql_adhoc_cte": "e5c3bf9aa034",
     "sql_adhoc_hof": "1d9a7ca4a5e8",
     "sql_adhoc_join": "8bda5e4879a5",
@@ -836,6 +874,7 @@ def _history_round(name: str) -> int:
     """Most recent round whose driver run touched this query green,
     IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (11, _DRIVER_GREEN_R11),
         (10, _DRIVER_GREEN_R10),
         (9, _DRIVER_GREEN_R09),
         (8, _DRIVER_GREEN_R08),
