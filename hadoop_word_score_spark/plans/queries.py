@@ -476,7 +476,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "cms_frequency_estimates": "2369d6ea31ee",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
-    "corpus_dedup_rate_by_source": "f240c3ec35e3",
+    "corpus_dedup_rate_by_source": "cb693f273c58",
     "corpus_drift_kl": "cf6014cf1380",
     "corpus_importance_dsir": "4adb5eb54c43",
     "corpus_mixture_rebalance": "d14c9f9e9bb7",
@@ -491,17 +491,17 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "decontaminate_bloom": "4158443f5f4d",
     "decontaminate_ngrams": "f4c3b9888715",
     "dedup_apply_survivors": "007b73d0476e",
-    "dedup_cluster_canonical": "ec353f2573ea",
-    "dedup_clusters": "b8ba5e975a80",
+    "dedup_cluster_canonical": "f74f31934af5",
+    "dedup_clusters": "82ca48d37481",
     "dedup_containment": "50e75544f264",
     "dedup_exact": "b5919931923e",
-    "dedup_incremental": "b10560da39e5",
-    "dedup_jaccard_prefix": "1cdf1ec48dac",
+    "dedup_incremental": "8b8c3458e304",
+    "dedup_jaccard_prefix": "45fed2cab3f0",
     "dedup_near_embedding": "385ed2cfbff8",
-    "dedup_near_jaccard": "1cdf1ec48dac",
-    "dedup_near_minhash": "1cdf1ec48dac",
+    "dedup_near_jaccard": "45fed2cab3f0",
+    "dedup_near_minhash": "45fed2cab3f0",
     "dedup_near_simhash": "2affa7b75f66",
-    "dedup_pipeline_end_to_end": "4b809bfa609c",
+    "dedup_pipeline_end_to_end": "77fa7e6d3881",
     "dedup_semantic": "a8273a9026f9",
     "dedup_spans_exact": "d61fcc2d29f0",
     "dedup_spans_hashed": "526c5056ea98",
@@ -674,16 +674,16 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "c80e02e693be",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "e1e2363bc969",
-    "bpe_encode_lengths": "15cb10aa6c37",
-    "bpe_merge_rules": "7f5f18e389c8",
-    "bpe_subword_rules": "d08f4abbdd3e",
+    "bpe_encode_lengths": "305205f0f8bc",
+    "bpe_merge_rules": "724ab34527e5",
+    "bpe_subword_rules": "12dc7b3a594e",
     "cms_frequency_estimates": "d51effacf52c",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
-    "corpus_dedup_rate_by_source": "b77e20049d1c",
-    "corpus_drift_kl": "44620088a488",
+    "corpus_dedup_rate_by_source": "16905fe54ce9",
+    "corpus_drift_kl": "8f4e0044fc24",
     "corpus_importance_dsir": "17035698a07c",
-    "corpus_mixture_rebalance": "c7c8ce9e3af6",
+    "corpus_mixture_rebalance": "1cbfecd25466",
     "corpus_ngram_novelty": "b5123ff46e92",
     "corpus_prep_funnel": "11763562c9bc",
     "corpus_report_by_source": "f3ab65ab68ef",
@@ -694,19 +694,19 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "date_funcs": "939160ec60c3",
     "decontaminate_bloom": "e886fb5e20fd",
     "decontaminate_ngrams": "bf2d49874928",
-    "dedup_apply_survivors": "905482180229",
-    "dedup_cluster_canonical": "e4b0a3164f3c",
-    "dedup_clusters": "c8c6bbc9e7ee",
-    "dedup_containment": "0be4d12c8eeb",
-    "dedup_exact": "dd23a84978e9",
-    "dedup_incremental": "049965c1773a",
-    "dedup_jaccard_prefix": "7e7b60664ae2",
-    "dedup_near_embedding": "36676def56f3",
-    "dedup_near_jaccard": "a7ed15e489f0",
-    "dedup_near_minhash": "5e9cf7d18833",
-    "dedup_near_simhash": "e522a0cf0cef",
-    "dedup_pipeline_end_to_end": "fd6b3aca925f",
-    "dedup_semantic": "d55ffca56244",
+    "dedup_apply_survivors": "5908b2133ce2",
+    "dedup_cluster_canonical": "e00254293e29",
+    "dedup_clusters": "891d08c0d8e3",
+    "dedup_containment": "93fd1a3c954e",
+    "dedup_exact": "0104a77aa269",
+    "dedup_incremental": "e763f58df9a8",
+    "dedup_jaccard_prefix": "e6545bf080f2",
+    "dedup_near_embedding": "12a9bc45e8d4",
+    "dedup_near_jaccard": "c95d420c42cb",
+    "dedup_near_minhash": "806ceeff20f6",
+    "dedup_near_simhash": "8ef94000d22f",
+    "dedup_pipeline_end_to_end": "9661eeeff4c7",
+    "dedup_semantic": "8a8828a8dff1",
     "dedup_spans_exact": "053426221b21",
     "dedup_spans_hashed": "b087e9f5c9f2",
     "dedup_winnowing_pairs": "021cb987b0d2",
@@ -715,8 +715,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "doc_length_buckets": "163bfe9dbc31",
     "embedding_centroid_separation": "31981357b2f8",
     "embedding_centroids": "f1ad07f169fc",
-    "embedding_covariance": "c913795b865c",
-    "embedding_pca_project": "e8de53a859c9",
+    "embedding_covariance": "b31cb0babae8",
+    "embedding_pca_project": "626f32a74ac4",
     "embedding_quantize_int8": "1160da3bdfab",
     "embedding_random_projection": "e5c94f19d79b",
     "events_anomaly_zscore": "e0cb144b4a8e",
@@ -730,14 +730,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "events_mad_outliers_approx": "d94c254bcddf",
     "events_markov_transitions": "5c763fb266a8",
     "events_ohlc_hourly": "32660fe61620",
-    "events_psi_drift": "156d91a930a3",
+    "events_psi_drift": "f97949342c07",
     "events_rollup_multi_grain": "797d2f5d803a",
     "events_value_winsorized": "d1d87ead6c7c",
     "filter_project": "863807c295ee",
     "funnel_signup_click_purchase": "ece35022f9da",
     "funnel_time_to_convert": "2e74ff2fb77e",
-    "graph_kcore_members": "c9816ea85a25",
-    "graph_triangle_counts": "2409ae9349ae",
+    "graph_kcore_members": "f339d00b4401",
+    "graph_triangle_counts": "fac172c995e4",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
     "heavy_hitters_terms": "fa49b3b84e06",
@@ -746,14 +746,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "inverted_index_terms": "5c72da14799a",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
-    "join_interval_left_outer": "009bd3eb435f",
+    "join_interval_left_outer": "e7ddafe2f8d2",
     "join_left_outer": "26cbda41692d",
     "join_range_theta": "95456ba8b1a9",
     "join_salted_skew": "e1c7773854e5",
     "join_semi": "5721ec4bead0",
     "json_funcs": "6b6927a1de6a",
     "k_anonymity_check": "299373231695",
-    "kmeans_embeddings": "15ae56efc3c9",
+    "kmeans_embeddings": "5562a07c4364",
     "lang_id_heuristic": "434124f0571c",
     "linkage_fuzzy_customers": "77292618b52e",
     "linkage_sorted_neighbourhood": "d2dd2a3b2c3b",
@@ -773,9 +773,9 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "pagerank_supply_graph": "926439ce5d4b",
     "percentile_exact": "8541fa4a8708",
     "pii_redact": "e02e943d9e58",
-    "pit_join_events_customer_history": "ab1c5d2a9115",
+    "pit_join_events_customer_history": "04793a6d52ac",
     "pivot_status_priority": "a5b05ef8c5e4",
-    "pmi_collocations": "a5da23cfdd1d",
+    "pmi_collocations": "b06d1355d81f",
     "q10_returned_items": "2061a3ee2a84",
     "q11_important_parts": "c38e860a0fd4",
     "q12_priority_shipping": "dd2ef8a2e7ad",
@@ -806,19 +806,19 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sample_hash_mod": "35413b90f466",
     "sample_stratified_lang": "a6671969bba0",
     "sample_weighted_per_stratum": "23b4b40149d7",
-    "sample_weighted_priority": "f4fc53b9544f",
-    "scd2_customer_history": "44cd6edceb29",
+    "sample_weighted_priority": "f44f78ff4a07",
+    "scd2_customer_history": "557784705d46",
     "session_window": "4fa8d68ec706",
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "eb279b1e4971",
-    "similarity_ivf_build": "7ecf97eac27d",
-    "similarity_ivf_recall": "bbed32e39494",
-    "similarity_lsh_recall_midsim": "85aadd0cd945",
-    "similarity_topk": "128c70d525d7",
-    "similarity_topk_ivf": "7ccf834700a3",
-    "similarity_topk_lsh": "9b807948dc6e",
+    "similarity_hard_negatives": "73968dfdc451",
+    "similarity_ivf_build": "7a6398d3003a",
+    "similarity_ivf_recall": "a00f70dd774a",
+    "similarity_lsh_recall_midsim": "fe1995456c0c",
+    "similarity_topk": "6c6bd5a6f0f1",
+    "similarity_topk_ivf": "9e83b0d83a56",
+    "similarity_topk_lsh": "63bd646b043a",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
     "split_leakage_safe": "40421108d5c8",
@@ -830,7 +830,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "stats_corr_covar": "c431b6922b48",
     "stats_histogram_equi_depth": "473e4a146bc3",
     "stats_join_key_skew": "75d0ba129c50",
-    "stats_table_profile": "6c2c3464b475",
+    "stats_table_profile": "7837c4121d56",
     "string_agg_nations": "9bb22fb9bbb9",
     "string_funcs": "129540067d07",
     "subquery_correlated_scalar": "e6cedd2d2b14",
