@@ -151,6 +151,15 @@ def flush_interval_join_tail(
         )
         .first()
     )
+    if bound["flush_ts"] is None:
+        # max(ts) over an empty source is NULL — without this check the
+        # heartbeats are written with NULL timestamps (or createDataFrame
+        # fails opaquely) instead of saying what went wrong (ADVICE r11)
+        raise ValueError(
+            f"flush_interval_join_tail: {source_dir!r} has no rows with a "
+            f"non-null {ts_col!r} to flush — nothing to advance a "
+            f"watermark past"
+        )
     flush_ts, written = bound["flush_ts"], []
     for i in range(n_batches):
         if i:

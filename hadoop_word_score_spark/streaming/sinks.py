@@ -265,51 +265,62 @@ def _bucketed_batch_write(
     # then the merge/write) — without it the whole micro-batch source
     # recomputes per action (r8 review)
     src = batch_df.withColumn("_b", bucket).persist()
-    if not src.filter(F.col(key).isNull()).isEmpty():
-        # NOTE: xxhash64(NULL) is NON-null (the seed hash), so a NULL
-        # key lands in a regular bucket and cannot be caught from the
-        # touched set — check the key column itself. An equi-match never
-        # matches NULL, so the row would become an accumulating all-NULL
-        # zombie (r8 review).
-        src.unpersist()
-        raise ValueError(
-            f"{what}: micro-batch {batch_id} contains NULL "
-            f"{key!r} keys; filter or default them upstream"
+    # try/finally, not explicit unpersist sites: combine() or the staged
+    # write raising (e.g. scd2_history's conflict assert_true firing
+    # mid-write) must not leak cached blocks into the long-lived streaming
+    # session on every failed/retried batch (ADVICE r11 — the same leak
+    # class the r11 scd2 probe rework removed)
+    stage = os.path.join(target, f"_stage.v{version + 1}")
+    try:
+        if not src.filter(F.col(key).isNull()).isEmpty():
+            # NOTE: xxhash64(NULL) is NON-null (the seed hash), so a NULL
+            # key lands in a regular bucket and cannot be caught from the
+            # touched set — check the key column itself. An equi-match never
+            # matches NULL, so the row would become an accumulating all-NULL
+            # zombie (r8 review).
+            raise ValueError(
+                f"{what}: micro-batch {batch_id} contains NULL "
+                f"{key!r} keys; filter or default them upstream"
+            )
+        touched = sorted(
+            r._b for r in src.select("_b").distinct().collect()
+        )  # <= n_buckets rows, bounded by construction
+        if not touched:
+            # empty batch: advance the replay guard on the SAME version —
+            # no new snapshot, no new manifest, reads stay consistent
+            _commit(target, version, batch_id)
+            return
+        cur_paths = [
+            os.path.join(target, f"b={b}", f"v={manifest['buckets'][str(b)]}")
+            for b in touched
+            if str(b) in manifest["buckets"]
+        ]
+        cur = (
+            spark.read.parquet(*cur_paths).withColumn("_b", bucket)
+            if cur_paths
+            else None
         )
-    touched = sorted(
-        r._b for r in src.select("_b").distinct().collect()
-    )  # <= n_buckets rows, bounded by construction
-    if not touched:
-        # empty batch: advance the replay guard on the SAME version —
-        # no new snapshot, no new manifest, reads stay consistent
+        merged = combine(cur, src)
+        new_version = version + 1
+        shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+        merged.write.mode("overwrite").partitionBy("_b").parquet(stage)
+        new_buckets = dict(manifest["buckets"])
+        for b in touched:
+            dest_dir = os.path.join(target, f"b={b}")
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"v={new_version}")
+            shutil.rmtree(dest, ignore_errors=True)  # crashed prior attempt
+            os.replace(os.path.join(stage, f"_b={b}"), dest)
+            new_buckets[str(b)] = new_version
+    except BaseException:
+        # a partially-renamed stage is safe to drop: un-renamed buckets are
+        # rewritten on retry, renamed ones are superseded by the retry's
+        # new_version and never referenced until the manifest+pointer commit
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    finally:
         src.unpersist()
-        _commit(target, version, batch_id)
-        return
-    cur_paths = [
-        os.path.join(target, f"b={b}", f"v={manifest['buckets'][str(b)]}")
-        for b in touched
-        if str(b) in manifest["buckets"]
-    ]
-    cur = (
-        spark.read.parquet(*cur_paths).withColumn("_b", bucket)
-        if cur_paths
-        else None
-    )
-    merged = combine(cur, src)
-    new_version = version + 1
-    stage = os.path.join(target, f"_stage.v{new_version}")
-    shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
-    merged.write.mode("overwrite").partitionBy("_b").parquet(stage)
-    new_buckets = dict(manifest["buckets"])
-    for b in touched:
-        dest_dir = os.path.join(target, f"b={b}")
-        os.makedirs(dest_dir, exist_ok=True)
-        dest = os.path.join(dest_dir, f"v={new_version}")
-        shutil.rmtree(dest, ignore_errors=True)  # crashed prior attempt
-        os.replace(os.path.join(stage, f"_b={b}"), dest)
-        new_buckets[str(b)] = new_version
     shutil.rmtree(stage, ignore_errors=True)
-    src.unpersist()
     with open(_manifest_path(target, new_version), "w", encoding="utf-8") as f:
         json.dump({"n_buckets": n_buckets, "buckets": new_buckets}, f)
     _commit(target, new_version, batch_id)

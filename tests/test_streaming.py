@@ -1423,3 +1423,66 @@ def test_scd2_sink_whole_table_rejects_null_keys(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL 'k' keys"):
         sink(bad, 0)
+
+
+def test_bucketed_batch_write_unpersists_on_combine_failure(spark, tmp_path):
+    # ADVICE r11: a combine() that raises mid-batch (e.g. scd2's conflict
+    # assert_true) must not leak the persisted micro-batch into the
+    # long-lived streaming session — every failed/retried batch would pin
+    # more cached blocks. Drive the shared core directly with a raising
+    # combine and check the storage level is cleared and no stage dir
+    # survives.
+    import os as _os
+
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.sinks import _bucketed_batch_write
+
+    target = str(tmp_path / "leak")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    captured = {}
+
+    def boom(cur, batch):
+        captured["batch"] = batch
+        raise RuntimeError("combine exploded")
+
+    n_cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with _pytest.raises(RuntimeError, match="combine exploded"):
+        _bucketed_batch_write(target, "k", 4, boom, src, 0, "leak-test")
+    assert captured["batch"].storageLevel.useMemory is False  # unpersisted
+    assert not [
+        d for d in (_os.listdir(target) if _os.path.isdir(target) else [])
+        if d.startswith("_stage")
+    ]
+
+    # NULL-key rejection path unpersists too (it raises before combine)
+    bad = spark.createDataFrame([(None, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="NULL 'k' keys"):
+        _bucketed_batch_write(target, "k", 4, boom, bad, 0, "leak-test")
+    assert (
+        spark.sparkContext._jsc.getPersistentRDDs().size()
+        == n_cached_before
+    )
+
+
+def test_flush_interval_join_tail_empty_source_raises(spark, tmp_path):
+    # ADVICE r11: max(ts) over an empty source is NULL; without the guard
+    # the heartbeats get NULL timestamps and the failure surfaces as an
+    # opaque createDataFrame error far from the cause.
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.streaming.joins import (
+        flush_interval_join_tail,
+    )
+
+    src = str(tmp_path / "empty_src")
+    spark.createDataFrame(
+        [], "user_id int, ts timestamp"
+    ).write.parquet(src)
+    with _pytest.raises(ValueError, match="no rows with a non-null 'ts'"):
+        flush_interval_join_tail(
+            spark, src,
+            mk_rows=lambda ts: [(0, ts)],
+            schema="user_id int, ts timestamp",
+        )
