@@ -149,6 +149,63 @@ def apply_merge_rules(w: Column, rules: list[tuple], joiner: str = "") -> Column
     return w
 
 
+def encode_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Encode every DOCUMENT under learned subword merge rules; returns
+    ``(id_col, n_words, n_bpe_tokens)`` — the per-document sequence lengths
+    a packing/mixture planner actually consumes (``pack_bins_bfd`` and the
+    water-fill planner take ``n_tokens`` as given; until this operator they
+    only had whitespace counts to feed it).
+
+    The scale insight is that classic BPE NEVER merges across the ``</w>``
+    word boundary (Sennrich et al. 2016 — every symbolized word ends in the
+    marker, and no rule's left side can end mid-marker), so a document's
+    token count is exactly the sum of its words' subword counts. Encoding
+    therefore runs at VOCABULARY size, not corpus size:
+
+      vocab    one corpus scan -> (word, freq, sym), checkpointed
+               (bounded by vocabulary, ~1e5-1e7 rows at any corpus size)
+      encode   k chained JVM fold expressions over the vocab -> per-word
+               subword count; a repeated word is encoded ONCE corpus-wide
+      join     explode the corpus to (id, word) and equi-join the word ->
+               n_subwords map; vocabulary-sized build side, so AQE takes
+               the broadcast plan at realistic vocab sizes and the
+               corpus-sized probe side never shuffles
+      sum      hash-aggregate by document id (map-side partials)
+
+    The per-doc fold alternative (pandas-UDF over each document's text)
+    re-encodes every occurrence of every word and moves the whole corpus
+    through Python — strictly worse at any scale.
+
+    ``vocab``: pass a prebuilt :func:`subword_vocab` to share the corpus
+    scan with rule learning (fit/apply symmetry, r7 ADVICE).
+    """
+    if vocab is None:
+        vocab = subword_vocab(docs, text_col)
+    enc = vocab.select(
+        "word",
+        F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def learn_subword_rules(
     docs: DataFrame, text_col: str, n_rules: int, vocab: DataFrame | None = None
 ) -> list[tuple]:

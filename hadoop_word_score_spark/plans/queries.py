@@ -6738,7 +6738,9 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
+def _bpe_subword_oracle(
+    n_rounds: int, encode: bool = False, per_doc: bool = False
+) -> str:
     """Chained-CTE DuckDB mirror of the Sennrich subword loop: v0 = word
     frequencies (same whitespace tokenizer as d0 above), s0 = per-char
     symbolization + </w>, then per round a weighted argmax CTE and a
@@ -6746,7 +6748,13 @@ def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
 
     ``encode=True`` mirrors the APPLY direction instead: fold through all
     ``n_rounds`` learned merges and emit the vocab's subword-length
-    distribution from the final state s{n}."""
+    distribution from the final state s{n}.
+
+    ``per_doc=True`` mirrors operators/bpe.py::encode_corpus — the fold
+    CTEs carry ``word`` through, the final state becomes a word ->
+    n_subwords map, and the tail re-joins it to the exploded corpus and
+    sums per document (the same vocab-sized-encode + word-join plan the
+    Spark side runs, so the two stay algorithm-for-algorithm comparable)."""
     count = (
         "SELECT pair, n, string_split(pair, ' ')[1] AS pa,"
         " string_split(pair, ' ')[2] AS pb\n"
@@ -6760,6 +6768,7 @@ def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
         "        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1\n"
         "    )"
     )
+    carry = ", word" if per_doc else ""
     fold = (
         "SELECT ltrim(list_reduce(\n"
         "        list_prepend('', list_filter(string_split(w, ' '), x -> x <> '')),\n"
@@ -6767,7 +6776,7 @@ def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
         "            WHEN ends_with(acc, ' ' || pa) AND x = pb\n"
         "            THEN left(acc, len(acc) - len(pa) - 1) || ' ' || pa || pb\n"
         "            ELSE acc || ' ' || x END\n"
-        "    )) AS w, freq\n"
+        "    )) AS w, freq" + carry + "\n"
         "    FROM s{k}, r{r}"
     )
     ctes = [
@@ -6780,14 +6789,34 @@ def _bpe_subword_oracle(n_rounds: int, encode: bool = False) -> str:
         ")",
         "s0 AS (\n"
         "    SELECT array_to_string(list_transform(range(1, len(word) + 1),"
-        " i -> substr(word, i, 1)), ' ') || ' </w>' AS w, freq\n"
+        " i -> substr(word, i, 1)), ' ') || ' </w>' AS w, freq" + carry + "\n"
         "    FROM v0\n"
         ")",
     ]
     for r in range(1, n_rounds + 1):
         ctes.append(f"r{r} AS (\n    " + count.format(k=r - 1) + "\n)")
-        if r < n_rounds or encode:
+        if r < n_rounds or encode or per_doc:
             ctes.append(f"s{r} AS (\n    " + fold.format(k=r - 1, r=r) + "\n)")
+    if per_doc:
+        ctes.append(
+            f"enc AS (\n"
+            f"    SELECT word, CAST(len(list_filter(string_split(w, ' '),"
+            f" x -> x <> '')) AS BIGINT) AS n_subwords\n"
+            f"    FROM s{n_rounds}\n"
+            f")"
+        )
+        return (
+            "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_subwords) AS BIGINT) AS n_bpe_tokens
+FROM (
+    SELECT doc_id, unnest(list_filter(
+        string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word
+    FROM documents
+) d
+JOIN enc e USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+        )
     if encode:
         return (
             "WITH " + ",\n".join(ctes) + f"""
@@ -6877,6 +6906,40 @@ def q_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("freq").alias("total_freq"),
         )
         .orderBy("n_subwords")
+    )
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_subword_oracle(3, per_doc=True),
+    tags=("llm", "text", "iterative"),
+    bench=True,
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-scale tokenization — the single most-executed step of a
+    # training-data pipeline (r11 verdict #1): learn 3 subword rules, then
+    # emit per-DOCUMENT BPE sequence lengths, the n_tokens the packing
+    # (pack_bins_bfd) and mixture planners consume. encode_corpus exploits
+    # the </w> boundary invariant to encode at VOCAB size and join the
+    # word -> n_subwords map back to the exploded corpus (repeated words
+    # encoded once corpus-wide; no per-doc Python fold) — see
+    # operators/bpe.py:encode_corpus for the full scale story. The oracle
+    # runs the same vocab-encode + word-join plan in DuckDB.
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        encode_corpus,
+        learn_subword_rules,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")  # ONE corpus scan, shared fit/apply
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    return encode_corpus(docs, "doc_id", "txt", rules, vocab=vocab).orderBy(
+        "doc_id"
     )
 
 

@@ -1231,6 +1231,85 @@ def test_subword_merges_stay_within_words_and_stop_when_dry(spark):
     ]
 
 
+def test_bpe_encode_corpus_hand_and_vocab_parity(spark):
+    # Sennrich multiplicities as documents: rules after 3 rounds are
+    # es -> est -> est</w>, so low = [l,o,w,</w>] (4), lower = 6,
+    # newest = [n,e,w,est</w>] (4), widest = 4. Per-doc sums follow; and
+    # the corpus path must agree with the vocab path's freq-weighted total
+    # (the </w> boundary invariant encode_corpus is built on).
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.bpe import (
+        _tokens,
+        apply_merge_rules,
+        encode_corpus,
+        learn_subword_rules,
+        subword_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3))],
+        schema="doc_id int, txt string",
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", 3, vocab=vocab)
+    assert [r[1] for r in rules] == ["e s", "es t", "est </w>"]
+    out = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in encode_corpus(docs, "doc_id", "txt", rules, vocab=vocab).collect()
+    }
+    assert out == {1: (7, 5 * 4 + 2 * 6), 2: (9, 6 * 4 + 3 * 4)}
+
+    weighted = (
+        vocab.select(
+            (F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
+             * F.col("freq")).alias("t")
+        ).agg(F.sum("t")).collect()[0][0]
+    )
+    assert weighted == sum(v[1] for v in out.values()) == 68
+
+
+def test_bpe_encode_corpus_matches_vocab_path_on_real_docs(spark):
+    # fit/apply parity at corpus scale (sf0.001): the per-document path and
+    # the vocab-length-distribution path are two plans over the same
+    # algorithm — their corpus-wide token totals must be identical.
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.bpe import (
+        _tokens,
+        apply_merge_rules,
+        encode_corpus,
+        learn_subword_rules,
+        subword_vocab,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", 3, vocab=vocab)
+    per_doc = encode_corpus(docs, "doc_id", "txt", rules, vocab=vocab)
+    total_docs = per_doc.agg(
+        F.sum("n_bpe_tokens").alias("t"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    vocab_side = vocab.select(
+        (F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
+         * F.col("freq")).alias("t"),
+        F.col("freq"),
+    ).agg(F.sum("t"), F.sum("freq")).collect()[0]
+    assert total_docs["t"] == vocab_side[0]
+    assert total_docs["w"] == vocab_side[1]
+    # merges strictly compress: fewer tokens than raw symbols, never fewer
+    # than one per word
+    assert total_docs["w"] <= total_docs["t"]
+
+
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # Undirected star a-b, a-c, a-d: rank mass stays exactly 1.0 per round
     # (no dangling nodes by construction) and the hub outranks the leaves,
