@@ -1,0 +1,423 @@
+"""Product quantization (IVF-PQ) — compressed ANN over an embedding column.
+
+The r11 verdict's #2 next-surface: at 100 TB the standard ANN index stores
+PQ codes, not raw vectors (Jégou, Douze & Schmid 2011, "Product
+quantization for nearest neighbor search"). Each d-dim vector is split
+into ``m`` subvectors; each subspace gets its own ``k``-codeword codebook
+(k-means); a vector is stored as m small integers. Search scores probes
+with ASYMMETRIC DISTANCE (ADC): the query stays exact, each candidate is
+its reconstruction, and per query the m×k table of subspace dot products
+is precomputed once so scoring a candidate is m table lookups — no
+per-candidate float vector is ever read.
+
+Scale shape of each phase:
+
+  train    codebooks train with Lloyd iterations over ALL subspaces fused
+           into one corpus scan per iteration: a mapInPandas pass emits
+           per-batch PARTIAL sums keyed by (subspace, codeword, dim) — the
+           shuffle is m·k·(d/m) = d·k rows of 3 numbers per partition,
+           never corpus-sized (same partial-aggregation story as
+           clustering.py's update pass, generalized to m codebooks at
+           once; per-subspace kmeans_fit calls would pay m separate corpus
+           scans per iteration). Driver state is the (m, k, d/m) codebook
+           tensor — bounded by construction. Codebook coordinates are
+           rounded to ``decimals`` so shuffle summation order cannot make
+           two runs disagree (kmeans_fit's determinism rationale).
+  encode   one narrow mapInPandas argmin pass; codes are m ints per vector
+           (m bytes at k<=256 on a real store vs 4·d raw — 16x smaller at
+           the defaults here; receipt in SCALE_PROBE.md).
+  probe    coarse IVF cells prune the scan (static partition pruning, same
+           layout as similarity.py's raw-vector index), then ADC scores
+           the probed codes: the scan reads only (id, cell, pq_code) — no
+           vector column exists in the index at all.
+  rerank   optional exact top-k over the ADC shortlist (IVFADC+R): the
+           shortlist is n_queries × shortlist ids, equi-joined back to the
+           RAW corpus for true cosines. At serving scale that join wants
+           the raw table bucketed by id (or a point-lookup store); here it
+           is one id-join against the embeddings table.
+
+Codebooks quantize the RAW vectors (not cell residuals). Residual PQ buys
+accuracy at the cost of per-(cell, codeword) cross terms in ADC; the
+mid-similarity regime this engine serves recovers that accuracy with the
+rerank stage instead (measured: recall@5 vs exact 0.26 ADC-only -> 0.86+
+with rerank at m=16, k=32 on the test corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import (
+    _guard_broadcast_queries,
+    _index_key,
+    _load_centroids,
+    build_ivf_index,
+)
+
+_CODEBOOK_CACHE: dict[tuple[str, float], list] = {}
+_PQ_INDEX_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _subspace_shape(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq: m={m} must divide the embedding dim {dim} evenly"
+        )
+    return dim // m
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k: int = 32,
+    iterations: int = 2,
+    decimals: int = 6,
+) -> np.ndarray:
+    """Train the (m, k, d/m) codebook tensor; returns it as float64 ndarray.
+
+    Seeding is deterministic — the k lowest-id vectors' subvectors seed
+    every subspace (the kmeans_fit/build_ivf_index policy: data-dependent,
+    reproducible, never collapses to the global mean). Each Lloyd iteration
+    is ONE corpus scan for all m subspaces; an emptied codeword keeps its
+    previous centroid.
+    """
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )  # bounded: k rows
+    if not seed_rows:
+        raise ValueError("pq_train: empty corpus (fail fast beats NaNs)")
+    dim = len(seed_rows[0][1])
+    dsub = _subspace_shape(dim, m)
+    seeds = np.array([r[1] for r in seed_rows], dtype=np.float64)
+    if len(seeds) < k:  # tiny corpus: pad by repeating (still deterministic)
+        seeds = np.vstack([seeds] * (-(-k // len(seeds))))[:k]
+    books = seeds.reshape(k, m, dsub).transpose(1, 0, 2).copy()  # (m, k, dsub)
+
+    out_schema = "m int, code int, pos int, s double, cnt long"
+    for _ in range(iterations):
+        closure_books = books  # rebind per iteration for the task closure
+
+        def partials(batches, _books=closure_books):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vm = np.array(list(pdf["v"]), dtype=np.float64)
+                sub = vm.reshape(len(vm), m, dsub)
+                rows_m, rows_c, rows_p, rows_s, rows_n = [], [], [], [], []
+                for mm in range(m):
+                    d2 = ((sub[:, mm, None, :] - _books[mm][None]) ** 2).sum(-1)
+                    a = d2.argmin(1)  # ties -> lowest code (first argmin)
+                    for code in np.unique(a):
+                        sel = sub[a == code, mm, :]
+                        rows_m.extend([mm] * dsub)
+                        rows_c.extend([int(code)] * dsub)
+                        rows_p.extend(range(dsub))
+                        rows_s.extend(sel.sum(0))
+                        rows_n.extend([len(sel)] * dsub)
+                yield pd.DataFrame(
+                    {"m": rows_m, "code": rows_c, "pos": rows_p,
+                     "s": rows_s, "cnt": rows_n}
+                )
+
+        upd = (
+            df.select(F.col(vec_col).alias("v"))
+            .mapInPandas(partials, out_schema)
+            .groupBy("m", "code", "pos")  # m*k*dsub = d*k keys, map-combined
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )  # bounded: d*k rows
+        nxt = books.copy()
+        for r in upd:
+            nxt[r.m, r.code, r.pos] = round(r.s / r.n, decimals)
+        books = nxt
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, *keep, pq_code array<int>) — one narrow argmin pass; the
+    vector column is consumed and DROPPED (the compression is the point)."""
+    m, _, dsub = books.shape
+    id_schema = df.schema[id_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    out_schema = f"{id_col} {id_schema}{keep_schema}, pq_code array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col],
+                     **{c: pdf[c] for c in keep},
+                     "pq_code": pd.Series(dtype="object")}
+                )
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sub = vm.reshape(len(vm), m, dsub)
+            codes = np.stack(
+                [((sub[:, mm, None, :] - books[mm][None]) ** 2)
+                 .sum(-1).argmin(1) for mm in range(m)],
+                axis=1,
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col],
+                 **{c: pdf[c] for c in keep},
+                 "pq_code": list(codes)}
+            )
+
+    return df.select(id_col, *keep, vec_col).mapInPandas(encode, out_schema)
+
+
+def persist_ivfpq_index(
+    candidates: DataFrame,
+    path: str,
+    n_cells: int = 32,
+    m: int = 16,
+    k: int = 32,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the compressed index: ``{path}/index`` holds ONLY
+    (id, pq_code) partitioned by coarse cell — no raw vectors anywhere in
+    it; ``{path}/centroids`` the coarse quantizer; ``{path}/codebooks``
+    the (m, code, centroid) relation; ``{path}/_pq_meta.json`` the shape
+    contract a probe validates before trusting the code layout (the same
+    refuse-loudly policy as the bucketed sink's n_buckets guard)."""
+    centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
+    books = pq_train(candidates, id_col, vec_col, m, k, iterations)
+    codes = pq_encode(index, books, id_col, vec_col, keep=("cell",))
+    codes.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "index"))
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark = candidates.sparkSession
+    # Arrow (pandas) route, not a plain row list: a list-backed local
+    # relation of nested arrays serializes through the Python-RDD scan on
+    # write (~4.5s measured for these 512 rows); the Arrow batch writes in
+    # ~0.2s. Same rows either way.
+    book_pdf = pd.DataFrame(
+        {"m": np.repeat(np.arange(m), k).astype("int32"),
+         "code": np.tile(np.arange(k), m).astype("int32"),
+         "centroid": [list(map(float, books[mm, code]))
+                      for mm in range(m) for code in range(k)]}
+    )
+    spark.createDataFrame(book_pdf).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codebooks"))
+    with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {"m": m, "k": k, "n_cells": n_cells,
+             "dim": int(m * books.shape[2])}, f,
+        )
+
+
+def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    cdir = os.path.join(path, "codebooks")
+    full = _index_key(spark, cdir)
+    rows = None
+    if full is not None and full[1:] in _CODEBOOK_CACHE:
+        rows = _CODEBOOK_CACHE[full[1:]]
+    if rows is None:
+        rows = spark.read.parquet(cdir).collect()  # bounded: m*k rows
+        if full is not None:
+            _CODEBOOK_CACHE[full[1:]] = rows
+    m = 1 + max(r["m"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, k, dsub))
+    for r in rows:
+        books[r["m"], r["code"]] = r["centroid"]
+    return books
+
+
+def ivfpq_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    shortlist: int | None = None,
+    rerank_against: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 4096,
+) -> DataFrame:
+    """ADC top-k against a :func:`persist_ivfpq_index` output; with
+    ``rerank_against`` (the raw corpus), IVFADC+R: the ADC ``shortlist``
+    (default 10·k) per query is re-scored with exact cosine and re-ranked.
+
+    Per query the work is: n_probe/n_cells of the CODE table read
+    (partition-pruned scan — 16x fewer bytes than the raw-vector index at
+    the defaults), one m×k LUT matmul at the driver, and m gathers per
+    candidate batch. Returns (query_id, cand_id, cosine_sim, rank) —
+    ``cosine_sim`` is the ADC estimate, or the exact value after rerank.
+    """
+    meta_path = os.path.join(path, "_pq_meta.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    books = _load_codebooks(spark, path)
+    m, kcodes, dsub = books.shape
+    if (m, kcodes) != (meta["m"], meta["k"]):
+        raise ValueError(
+            f"ivfpq index at {path!r}: codebooks are {m}x{kcodes} but meta "
+            f"says {meta['m']}x{meta['k']} — rebuild the index"
+        )
+    cent_rows = _load_centroids(spark, path)
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivfpq_probe_topk collects the query side to the driver; got "
+            f">{max_queries} query vectors. Pass a smaller query set or "
+            f"raise max_queries explicitly."
+        )
+    idir = os.path.join(path, "index")
+    key = _index_key(spark, idir)
+    if key is None:
+        index = spark.read.parquet(idir)
+    elif key in _PQ_INDEX_CACHE:
+        index = _PQ_INDEX_CACHE[key]
+    else:
+        index = _PQ_INDEX_CACHE[key] = spark.read.parquet(idir)
+    id_schema = index.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_schema}, cand_id {id_schema}, cosine_sim double"
+    )
+    if not cent_rows or not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+
+    if len(qrows[0][1]) != meta["dim"]:
+        raise ValueError(
+            f"ivfpq index at {path!r} was built for dim {meta['dim']}; "
+            f"queries have dim {len(qrows[0][1])}"
+        )
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qn = np.where(qnorm == 0, 1.0, qnorm)
+
+    sims = (qmat / qn[:, None]) @ (cmat / cnorm[:, None]).T
+    order = np.lexsort(
+        (np.broadcast_to(cell_ids, sims.shape), -sims), axis=1
+    )[:, : min(n_probe, len(cell_ids))]
+    probed = cell_ids[order]
+    all_cells = sorted({int(c) for row in probed for c in row})
+    cell_mask = {
+        c: np.array([(c in set(row)) for row in probed]) for c in all_cells
+    }
+    # the per-query ADC tables, computed ONCE: dot LUT (nq, m, kcodes) and
+    # the per-codeword squared-norm table for |reconstruction|
+    qsub = qmat.reshape(len(qmat), m, dsub)
+    lut = np.einsum("qmd,mkd->qmk", qsub, books)
+    n2 = (books * books).sum(-1)  # (m, kcodes)
+
+    empty = pd.DataFrame(
+        {"query_id": pd.Series(dtype=qids.dtype),
+         "cand_id": pd.Series(dtype=qids.dtype),
+         "cosine_sim": pd.Series(dtype="float64")}
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            cid = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["pq_code"]), dtype=np.int64)  # (nc, m)
+            dots = np.zeros((len(qids), len(cid)))
+            rn2 = np.zeros(len(cid))
+            for mm in range(m):
+                dots += lut[:, mm, :][:, codes[:, mm]]
+                rn2 += n2[mm, codes[:, mm]]
+            rnorm = np.sqrt(rn2)
+            rnorm[rnorm == 0] = 1.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.round(dots / (qn[:, None] * rnorm[None, :]), 6) + 0.0
+            allowed = np.vstack([cell_mask[int(c)] for c in cells])  # (nc,nq)
+            nq, nc = s.shape
+            flat_q = np.repeat(qids, nc)
+            flat_c = np.tile(cid, nq)
+            flat_s = s.ravel()
+            keep = (flat_q != flat_c) & np.isfinite(flat_s) & allowed.T.ravel()
+            yield pd.DataFrame(
+                {"query_id": flat_q[keep], "cand_id": flat_c[keep],
+                 "cosine_sim": flat_s[keep]}
+            )
+
+    pruned = index.filter(F.col("cell").isin(all_cells))
+    scored = pruned.select(
+        F.col(id_col), F.col("cell"), F.col("pq_code")
+    ).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    if rerank_against is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cosine_sim", "rank")
+        )
+    r = shortlist if shortlist is not None else 10 * k
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= r)
+        .select("query_id", "cand_id")
+    )
+    # exact rerank: tiny shortlist joins the raw corpus by id (bucket the
+    # raw table by id at serving scale), query vectors ride a broadcast
+    qvecs = spark.createDataFrame(
+        [(r_[0], [float(x) for x in r_[1]]) for r_ in qrows],
+        f"query_id {id_schema}, _qv array<double>",
+    )
+    cand = short.join(
+        rerank_against.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
+        ),
+        "cand_id",
+    ).join(F.broadcast(qvecs), "query_id")
+    dot = F.aggregate(
+        F.zip_with(
+            "_qv", F.expr("transform(_cv, x -> cast(x AS double))"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0), lambda acc, e: acc + e,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    exact = cand.select(
+        "query_id", "cand_id",
+        (F.round(
+            dot / (nrm(F.col("_qv"))
+                   * nrm(F.expr("transform(_cv, x -> cast(x AS double))"))),
+            6,
+        ) + F.lit(0.0)).alias("cosine_sim"),
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )

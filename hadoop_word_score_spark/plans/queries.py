@@ -3199,6 +3199,128 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
 
 
+_PQ_M, _PQ_K, _PQ_N_PROBE = 16, 32, 8
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    """Cache location for the persisted IVF-PQ index (same identity-keyed
+    scheme as _ivf_index_path — a regenerated corpus or retuned build can
+    never serve stale codes)."""
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivfpq-v1|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo_root, ".scratch", "ivfpq", key)
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.pq import persist_ivfpq_index
+
+    path = _ivfpq_index_path(sf_dir)
+    if not (
+        os.path.exists(os.path.join(path, "index", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_pq_meta.json"))
+    ):
+        em = _t(spark, sf_dir, "embeddings")
+        _, corpus = _planted_embeddings(em)
+        persist_ivfpq_index(
+            corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K
+        )
+    return path
+
+
+@register(
+    "similarity_ivfpq_build",
+    # The compressed-index build (r11 verdict #3, IVF-PQ: Jégou et al.
+    # 2011): coarse cells as similarity_ivf_build, PLUS m=16 per-subspace
+    # k=32 codebooks (all subspaces Lloyd-trained in ONE corpus scan per
+    # iteration via partial-sum mapInPandas), PLUS the code-only index —
+    # no raw vector column is written at all (16 code-bytes/vec vs 256
+    # raw; receipt in SCALE_PROBE.md). n_codebook_rows = m*k literal.
+    oracle=f"""
+    SELECT CAST({_IVF_N_CELLS} AS INT) AS n_cells,
+           CAST({_PQ_M * _PQ_K} AS BIGINT) AS n_codebook_rows,
+           (SELECT COUNT(*) + 10 FROM embeddings) AS n_indexed
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import persist_ivfpq_index
+
+    em = _t(spark, sf_dir, "embeddings")
+    _, corpus = _planted_embeddings(em)
+    path = _ivfpq_index_path(sf_dir)
+    persist_ivfpq_index(corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    idx = spark.read.parquet(os.path.join(path, "index"))
+    return (
+        cents.agg(F.count(F.lit(1)).cast("int").alias("n_cells"))
+        .crossJoin(books.agg(F.count(F.lit(1)).alias("n_codebook_rows")))
+        .crossJoin(idx.agg(F.count(F.lit(1)).alias("n_indexed")))
+    )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    # Bound-check oracle (codebook training isn't SQL-expressible): pure
+    # ADC over the code-only index — the probe reads NO vector data at
+    # all (16x fewer candidate bytes than the raw IVF index) and each
+    # query's planted cos≈0.89 near-dup must still surface in its top-5
+    # for >= 80% of queries. Partition-pruned like similarity_topk_ivf.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok
+    FROM embeddings WHERE vec_id < 10 -- ivfpq adc probe
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_probe_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, _ = _planted_embeddings(em)
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    approx = ivfpq_probe_topk(spark, path, q, k=5, n_probe=_PQ_N_PROBE)
+    return _planted_recall_summary(approx, q)
+
+
+@register(
+    "similarity_ivfpq_recall",
+    # Recall-vs-exact receipt beside similarity_ivf_recall (r11 verdict
+    # #3): IVFADC+R — ADC shortlist of 50 from the code-only index, exact
+    # cosine rerank of the shortlist against the raw corpus, then
+    # recall@5 vs brute force over the SAME corpus must hold >= 0.8.
+    # Measured 0.88 at sf0.01 / 0.94 at sf0.1 natural-neighbor recall
+    # before the planted free hits.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10 -- ivfpq rerank
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_probe_topk
+    from ..operators.similarity import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, corpus = _planted_embeddings(em)
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    exact = brute_force_topk(q, corpus, k=5)
+    approx = ivfpq_probe_topk(
+        spark, path, q, k=5, n_probe=_PQ_N_PROBE,
+        shortlist=50, rerank_against=corpus,
+    )
+    return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
+
+
 _STOP_EN = "'the','a','of','and','to','in','is','it','for','on'"
 
 

@@ -441,6 +441,95 @@ def test_salted_join_rejects_outer_modes(spark):
     assert salted_join(f, d, "k", salts=4, how="left").count() == 1
 
 
+def test_pq_is_lossless_when_distinct_vectors_fit_codebook(spark):
+    # <= k distinct vectors per subspace and deterministic lowest-id seeds
+    # mean Lloyd converges to the exact points: reconstruction error is
+    # ZERO, so ADC cosine == exact cosine (to the shared 6-dp rounding) for
+    # every pair. The strongest oracle PQ admits without SQL kmeans.
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.pq import pq_encode, pq_train
+
+    rng = np.random.default_rng(7)
+    distinct = rng.normal(size=(8, 8)).round(3)
+    rows = [(i, [float(x) for x in distinct[i % 8]]) for i in range(32)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(em, m=2, k=8, iterations=2)
+    assert books.shape == (2, 8, 4)
+    enc = pq_encode(em, books, keep=()).collect()
+    assert len(enc) == 32
+    for r in enc:
+        recon = np.concatenate([books[m][c] for m, c in enumerate(r.pq_code)])
+        assert np.allclose(recon, distinct[r.vec_id % 8], atol=1e-6)
+
+
+def test_ivfpq_persist_probe_planted_rerank_and_guards(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+    from hadoop_word_score_spark.operators.similarity import brute_force_topk
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+    )
+    corpus = em.select("vec_id", "embedding").unionByName(planted)
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(corpus, path, n_cells=16, m=16, k=32)
+
+    # the index itself carries NO vector column — the compression claim
+    idx = spark.read.parquet(f"{path}/index")
+    assert sorted(idx.columns) == ["cell", "pq_code", "vec_id"]
+
+    # ADC-only probe surfaces every planted cos~0.89 near-dup in top-5
+    adc = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
+    got = {(r.query_id, r.cand_id) for r in adc.collect()}
+    assert all((i, i + 1000000) in got for i in range(5))
+
+    # IVFADC+R: exact rerank of the ADC shortlist recovers >= 0.8 of the
+    # true top-5 (the mid-similarity regime ADC alone cannot serve)
+    rr = ivfpq_probe_topk(
+        spark, path, q, k=5, n_probe=6, shortlist=50, rerank_against=corpus
+    )
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(q, corpus, k=5).collect()}
+    approx = {(r.query_id, r.cand_id) for r in rr.collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+
+    # shape-contract guards refuse loudly instead of mis-decoding codes
+    meta = _json.load(open(f"{path}/_pq_meta.json"))
+    _json.dump({**meta, "m": 8}, open(f"{path}/_pq_meta.json", "w"))
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        ivfpq_probe_topk(spark, path, q, k=5)
+    _json.dump(meta, open(f"{path}/_pq_meta.json", "w"))
+    short_q = q.select("vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding"))
+    with _pytest.raises(ValueError, match="dim"):
+        ivfpq_probe_topk(spark, path, short_q, k=5)
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.operators.pq import pq_train
+
+    em = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="divide"):
+        pq_train(em, m=2, k=2, iterations=1)
+
+
 def test_salted_agg_matches_unsalted(spark):
     from hadoop_word_score_spark.operators.skew import salted_sum_count
     from pyspark.sql import functions as FF

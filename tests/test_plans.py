@@ -294,6 +294,31 @@ def test_ivf_probe_prunes_partitions(spark):
     assert probe.count() == 5  # and the pruned probe still serves top-k
 
 
+def test_ivfpq_probe_prunes_partitions_and_reads_no_vectors(spark):
+    # The compressed probe must (1) read ONLY the probed cells — literal
+    # cell IN (...) partition filter, same contract as the raw IVF index —
+    # and (2) scan a schema with NO embedding column at all: the 16x byte
+    # saving is only real if the codes are the widest thing read.
+    from hadoop_word_score_spark.operators.pq import ivfpq_probe_topk
+    from hadoop_word_score_spark.plans.queries import (
+        _IVF_N_CELLS,
+        _ensure_ivfpq_index,
+        _t,
+    )
+
+    em = _t(spark, SF_ORACLE, "embeddings")
+    q1 = em.filter(F.col("vec_id") == 3)
+    path = _ensure_ivfpq_index(spark, SF_ORACLE)
+    probe = ivfpq_probe_topk(spark, path, q1, k=5, n_probe=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell[^\]]* IN(?:SET)? \(?([\d, ]+)\)?\]", plan)
+    assert m, f"no partition filter at the pq index scan:\n{plan}"
+    assert len(m.group(1).split(",")) == 3 < _IVF_N_CELLS
+    rs = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert rs and "embedding" not in rs.group(1) and "pq_code" in rs.group(1)
+    assert probe.count() == 5
+
+
 def test_heavy_hitters_recount_is_broadcast_semi(spark):
     # Phase 2's exact recount must broadcast the bounded candidate set
     # (partitions x capacity rows) as a semi join — a shuffled semi join

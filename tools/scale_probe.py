@@ -52,6 +52,7 @@ PROBES = [
     "zorder_keys",
     "bpe_merge_rules",
     "bpe_subword_rules",
+    "bpe_encode_corpus",
     "split_leakage_safe",
     "pagerank_supply_graph",
     "cms_frequency_estimates",
@@ -1396,6 +1397,58 @@ def scd2_sink_bucketed_receipt_rows(spark) -> list[str]:
     return rows
 
 
+def ivfpq_bytes_receipt_rows(spark) -> list[str]:
+    """r11 verdict #3: the IVF-PQ index's compression claim, measured —
+    on-disk bytes of the code-only index vs the raw-vector IVF index over
+    the SAME corpus (sf0.1 + planted, identical coarse layout), plus the
+    recall the compressed path keeps (planted ADC-only; natural via
+    IVFADC+R rerank, bound 0.8)."""
+    from hadoop_word_score_spark.plans.queries import (
+        REGISTRY,
+        _ensure_ivf_index,
+        _ensure_ivfpq_index,
+    )
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    raw_path = _ensure_ivf_index(spark, BASE)
+    pq_path = _ensure_ivfpq_index(spark, BASE)
+    raw_b = du(os.path.join(raw_path, "index"))
+    pq_idx = du(os.path.join(pq_path, "index"))
+    pq_aux = du(os.path.join(pq_path, "codebooks")) + du(
+        os.path.join(pq_path, "centroids")
+    )
+    planted = REGISTRY["similarity_topk_ivfpq"].fn(spark, BASE).collect()[0]
+    rerank = REGISTRY["similarity_ivfpq_recall"].fn(spark, BASE).collect()[0]
+    return [
+        "",
+        "## IVF-PQ index bytes vs raw IVF (r11 verdict #3 receipt)",
+        "",
+        "Same corpus (sf0.1 embeddings + 10 planted near-dups), same 32-cell",
+        "coarse layout. The PQ index stores (vec_id, pq_code[16]) only — no",
+        "vector column exists in it; codebooks+centroids are the bounded",
+        "driver-side artifacts every prober pins.",
+        "",
+        "| artifact | bytes | vs raw index |",
+        "|---|---|---|",
+        f"| raw IVF index (64×float) | {raw_b:,} | 1.00× |",
+        f"| PQ code index (m=16, k=32) | {pq_idx:,} | {pq_idx / raw_b:.2f}× |",
+        f"| PQ codebooks + coarse centroids | {pq_aux:,} | {pq_aux / raw_b:.2f}× |",
+        "",
+        f"Logical payload per vector: 256 raw bytes → 16 code bytes (16×);",
+        f"the on-disk ratio above ({raw_b / pq_idx:.1f}× smaller) additionally",
+        "carries parquet framing, which flatters neither side. Recall kept:",
+        f"planted ADC-only {planted.n_queries}/10 ok={bool(planted.planted_recall_ok)};",
+        f"natural IVFADC+R (shortlist 50, exact rerank) ok={bool(rerank.recall_at_k_ok)}",
+        "at bound 0.8 — ADC-only natural recall is 0.26 (measured, the",
+        "documented reason the rerank stage exists; Jégou et al. 2011).",
+    ]
+
+
 def isolation_receipt_rows() -> list[str]:
     """Static HISTORICAL record of the session-drift investigation, CLOSED
     in r10: bench.py now isolates every row in fresh-session subprocess
@@ -1503,6 +1556,10 @@ def main() -> None:
         # the checkpointed vocab relation — 10x corpus mostly deepens word
         # counts, so expect well under 10x
         "bpe_subword_rules": "one corpus scan + vocab-bounded rounds",
+        # fit shares the checkpointed vocab; encode is k folds over the
+        # vocab relation + one word-keyed join back to the exploded corpus
+        # (AQE broadcasts the vocab-sized build side) + a doc-keyed agg
+        "bpe_encode_corpus": "linear in tokens (vocab-sized encode; word join broadcast; doc agg combined)",
         # r7: candidate generation moved from the exact Σdf² pair op (13.2x
         # at 10x) to the bucketed LSH + verify path; rest is components +
         # one bounded cluster-map join
@@ -1635,6 +1692,7 @@ def main() -> None:
     lines.extend(ingest_vs_corpus_rows(spark))
     lines.extend(scd2_guard_receipt_rows(spark))
     lines.extend(scd2_sink_bucketed_receipt_rows(spark))
+    lines.extend(ivfpq_bytes_receipt_rows(spark))
     lines.extend(isolation_receipt_rows())
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
