@@ -7996,14 +7996,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)))",
     )
     sh = d.select("doc_id", F.explode(F.expr(hashed)).alias("h"))
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # Materialize the PRUNED postings once (two longs per row, far smaller
-    # than the corpus): three consumers (sizes, both self-join sides) would
-    # otherwise each replay the corpus-wide shingle explode — the same
-    # lineage-truncation move as the dedup pipeline's label propagation.
+    # df via a COUNT window over h, not a groupBy + join-back: the join
+    # form signed the corpus twice (once into the df aggregate, once into
+    # the join's probe side — the flat-3-rounds 3.7s bench cost, r11
+    # verdict #5). The window computes each posting's df inside the ONE
+    # h-partitioned exchange, so the corpus-wide shingle explode runs
+    # exactly once end to end.
     surv = (
-        sh.join(dfreq.filter(F.col("df") <= 50), "h")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("df") <= 50)
         .select("doc_id", "h")
+        # Materialize the PRUNED postings once (two longs per row, far
+        # smaller than the corpus): three consumers (sizes, both self-join
+        # sides) would otherwise each replay the corpus-wide shingle
+        # explode — the same lineage-truncation move as the dedup
+        # pipeline's label propagation.
         .localCheckpoint()
     )
     nper = surv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
