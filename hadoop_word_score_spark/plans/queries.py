@@ -9118,6 +9118,8 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     ).localCheckpoint()  # feeds the MAD percentile AND the outlier count
+    # (EVENT-cardinality pin, 4 narrow columns: the one-scan-vs-storage
+    # trade — at 100 TB use persist(DISK_ONLY)+unpersist or a 2nd scan)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad")
     )
@@ -9194,6 +9196,7 @@ def q_events_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med_a")).alias("adev_a"),
         "med", "med_a",
     ).localCheckpoint()  # feeds both MAD passes AND the outlier counts
+    # (EVENT-cardinality pin — same explicit trade as events_mad_outliers)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", 0.5).alias("mad"),
         F.percentile_approx("adev_a", F.lit(0.5), F.lit(10000)).alias("mad_a"),
@@ -9299,6 +9302,8 @@ def q_quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint()  # feeds bigram counts AND the final per-doc agg
+        # ((doc, bigram)-cardinality pin: the one-scan-vs-storage trade —
+        # at 100 TB use persist(DISK_ONLY)+unpersist or a 2nd scan)
     )
     bc = db.groupBy("bigram").agg(F.sum("cnt").alias("c12")).localCheckpoint()
     lc = bc.groupBy(
@@ -10138,6 +10143,13 @@ def q_corpus_sample_plan_execution(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         ntok.alias("ntok"),
         _hash_bucket("doc_id", 1_000_000).alias("bucket"),
+        # DOC-CARDINALITY pin (r11 verdict nit, made explicit): unlike the
+        # other checkpoint sites this materializes one narrow row per
+        # document — 4 small columns, so ~32 B/doc of executor storage
+        # buys skipping a second full corpus scan. At 100 TB swap for
+        # persist(StorageLevel.DISK_ONLY) + unpersist after the action
+        # (spills instead of pinning memory) or accept the second scan;
+        # the 20-row planner side below is unaffected either way.
     ).localCheckpoint()
     src = tok.groupBy("source").agg(F.sum("ntok").alias("n_tokens"))
     # ppm overflow is a fail-fast, not an ANSI crash or a silent wrap
