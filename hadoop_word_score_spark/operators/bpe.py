@@ -206,6 +206,55 @@ def encode_corpus(
     )
 
 
+def encode_corpus_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_col, n_bpe_tokens, token_seq)`` — each document's full subword
+    SEQUENCE in document order (space-joined), the tokenizer's actual
+    output. Same vocab-sized-encode + word-join shape as
+    :func:`encode_corpus`; assembly adds one positional explode and a
+    per-document sort-collect whose group buffer is bounded by max document
+    length (the same inherent bound as chunking/packing — a token sequence
+    cannot be assembled without the document's tokens together).
+
+    Reconstruction invariant (pinned by tests): stripping the spaces from
+    ``token_seq`` and splitting on ``</w>`` recovers the document's
+    original whitespace tokens — BPE merges never cross the boundary
+    marker, so the sequence is a lossless re-segmentation.
+    """
+    if vocab is None:
+        vocab = subword_vocab(docs, text_col)
+    enc = vocab.select(
+        "word",
+        apply_merge_rules(F.col("sym"), rules).alias("w"),
+        F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("token_seq"),
+        )
+    )
+
+
 def learn_subword_rules(
     docs: DataFrame, text_col: str, n_rules: int, vocab: DataFrame | None = None
 ) -> list[tuple]:

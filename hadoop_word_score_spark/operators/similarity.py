@@ -684,11 +684,12 @@ def mmr_reference(
     unit = vecs / norms[:, None]
     n = len(sims_to_query)
     picked: list[int] = []
+    picked_set: set[int] = set()  # O(1) membership; the list keeps order
     max_sim_to_picked = np.full(n, -np.inf)
     for _ in range(min(k, n)):
         best_i, best_score = -1, None
         for i in range(n):
-            if i in picked:
+            if i in picked_set:
                 continue
             # raw max-sim penalty (classic MMR): anti-correlated candidates
             # legitimately earn a diversity bonus
@@ -697,6 +698,7 @@ def mmr_reference(
             if best_score is None or score > best_score:
                 best_i, best_score = i, score
         picked.append(best_i)
+        picked_set.add(best_i)
         sims = unit @ unit[best_i]
         np.maximum(max_sim_to_picked, sims, out=max_sim_to_picked)
     return picked

@@ -6861,7 +6861,10 @@ def q_bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_subword_oracle(
-    n_rounds: int, encode: bool = False, per_doc: bool = False
+    n_rounds: int,
+    encode: bool = False,
+    per_doc: bool = False,
+    sequences: bool = False,
 ) -> str:
     """Chained-CTE DuckDB mirror of the Sennrich subword loop: v0 = word
     frequencies (same whitespace tokenizer as d0 above), s0 = per-char
@@ -6922,11 +6925,31 @@ def _bpe_subword_oracle(
     if per_doc:
         ctes.append(
             f"enc AS (\n"
-            f"    SELECT word, CAST(len(list_filter(string_split(w, ' '),"
+            f"    SELECT word, w, CAST(len(list_filter(string_split(w, ' '),"
             f" x -> x <> '')) AS BIGINT) AS n_subwords\n"
             f"    FROM s{n_rounds}\n"
             f")"
         )
+        if sequences:
+            # token_seq: each word's space-joined subword string, stitched
+            # in DOCUMENT position order — the tokenizer's actual output
+            return (
+                "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, CAST(SUM(e.n_subwords) AS BIGINT) AS n_bpe_tokens,
+       string_agg(e.w, ' ' ORDER BY d.pos) AS token_seq
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> '')) AS word,
+           generate_subscripts(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> ''), 1) AS pos
+    FROM documents
+) d
+JOIN enc e USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+            )
         return (
             "WITH " + ",\n".join(ctes) + """
 SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -7063,6 +7086,37 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_corpus(docs, "doc_id", "txt", rules, vocab=vocab).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "bpe_encode_sequences",
+    oracle=_bpe_subword_oracle(3, per_doc=True, sequences=True),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_encode_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tokenizer's ACTUAL output — each document's subword sequence in
+    # document order, not just its length. Same vocab-sized-encode +
+    # word-join plan as bpe_encode_corpus plus one positional explode and
+    # a per-doc ordered assembly (group buffer bounded by max doc length;
+    # the inherent sequence-assembly bound, same class as pack/chunk). The
+    # reconstruction invariant (strip spaces, split on </w> ⇒ original
+    # tokens) is pinned in tests/test_operators.py.
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        encode_corpus_sequences,
+        learn_subword_rules,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    return encode_corpus_sequences(
+        docs, "doc_id", "txt", rules, vocab=vocab
+    ).orderBy("doc_id")
 
 
 def _pagerank_oracle(iterations: int, damping: float = 0.85) -> str:

@@ -1399,6 +1399,54 @@ def test_bpe_encode_corpus_matches_vocab_path_on_real_docs(spark):
     assert total_docs["w"] <= total_docs["t"]
 
 
+def test_bpe_encode_sequences_reconstructs_documents(spark):
+    # the tokenizer-output invariant: stripping spaces from token_seq and
+    # splitting on </w> recovers the document's original whitespace tokens
+    # exactly — BPE merges never cross the boundary marker. Checked on
+    # real docs (sf0.001) plus the hand corpus's exact expected sequence.
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus_sequences,
+        learn_subword_rules,
+        subword_vocab,
+    )
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2)),
+         (2, " ".join(["newest"] * 6 + ["widest"] * 3))],
+        schema="doc_id int, txt string",
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", 3, vocab=vocab)
+    out = {r.doc_id: r for r in
+           encode_corpus_sequences(docs, "doc_id", "txt", rules, vocab=vocab).collect()}
+    # low -> "l o w </w>", newest -> "n e w est</w>" after es/est/est</w>
+    assert out[1].token_seq == " ".join(["l o w </w>"] * 5 + ["l o w e r </w>"] * 2)
+    assert out[2].token_seq == " ".join(["n e w est</w>"] * 6 + ["w i d est</w>"] * 3)
+    assert out[1].n_bpe_tokens == 5 * 4 + 2 * 6
+    assert out[2].n_bpe_tokens == 6 * 4 + 3 * 4
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    real = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    rvocab = subword_vocab(real, "txt")
+    rrules = learn_subword_rules(real, "txt", 3, vocab=rvocab)
+    seqs = {r.doc_id: r.token_seq for r in
+            encode_corpus_sequences(real, "doc_id", "txt", rrules, vocab=rvocab).collect()}
+    originals = {r.doc_id: r.txt for r in real.collect()}
+    assert set(seqs) == set(originals)
+    for doc_id, seq in seqs.items():
+        rebuilt = seq.replace(" ", "").split("</w>")
+        assert rebuilt[-1] == ""  # every word ends with the marker
+        assert rebuilt[:-1] == originals[doc_id].split(" ")
+
+
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # Undirected star a-b, a-c, a-d: rank mass stays exactly 1.0 per round
     # (no dangling nodes by construction) and the hub outranks the leaves,
