@@ -7119,6 +7119,78 @@ def q_bpe_encode_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_VOCAB_LADDER = (100, 500, 1000, 2000, 4000)
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle=f"""
+    WITH tc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(text, '[ \t\n\r\f]+'),
+                x -> x <> '')) AS word
+            FROM documents
+        ) GROUP BY word
+    ), r AS (
+        SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rn
+        FROM tc
+    ), tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM tc)
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab_used,
+           CAST(SUM(freq) AS BIGINT) AS covered_tokens, total_tokens,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / total_tokens, 6) + 0.0
+               AS coverage
+    FROM (SELECT unnest([{", ".join(str(k) for k in _VOCAB_LADDER)}]) AS k),
+         r, tot
+    WHERE rn <= k
+    GROUP BY k, total_tokens ORDER BY k
+    """,
+    tags=("llm", "text"),
+)
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary-size selection analytics: what fraction of the corpus's
+    # token mass do the top-k most frequent words cover (the OOV-rate
+    # curve a tokenizer budget is chosen from). The global frequency rank
+    # uses operators/rank.py's distributed recipe — NEVER the
+    # one-partition Window.orderBy trap — and the ladder crossing is a
+    # bounded 5-row broadcast against the vocab-sized rank relation;
+    # nothing after the one corpus scan is corpus-sized.
+    from ..functions.hashing import tokens_expr
+    from ..operators.rank import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.expr(tokens_expr("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_rank(
+        tc.withColumn("neg", -F.col("freq")), ["neg", "word"], rank_col="rn"
+    )
+    ladder = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_LADDER])).alias("k")
+    )
+    cov = (
+        ranked.crossJoin(F.broadcast(ladder))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_used"),
+            F.sum("freq").alias("covered_tokens"),
+        )
+    )
+    tot = tc.agg(F.sum("freq").alias("total_tokens"))
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k", "vocab_used", "covered_tokens", "total_tokens",
+            (F.round(F.col("covered_tokens") / F.col("total_tokens"), 6)
+             + F.lit(0.0)).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
 def _pagerank_oracle(iterations: int, damping: float = 0.85) -> str:
     """Unrolled-iteration DuckDB mirror of operators/graph.py::pagerank
     over the part<->supplier supply graph (distinct lineitem pairs, both

@@ -1447,6 +1447,50 @@ def test_bpe_encode_sequences_reconstructs_documents(spark):
         assert rebuilt[:-1] == originals[doc_id].split(" ")
 
 
+def test_pack_bins_consume_bpe_lengths_end_to_end(spark):
+    # the r11 verdict's point of corpus-scale BPE encoding: the packing
+    # operator should consume REAL tokenizer lengths, not whitespace
+    # counts. Chain encode_corpus -> pack_bins_bfd and check the packing
+    # invariants hold on BPE token counts: every doc assigned exactly
+    # once, per-bin fill <= capacity (except single oversized docs), and
+    # total packed tokens == total BPE tokens.
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from hadoop_word_score_spark.functions.hashing import tokens_expr
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus,
+        learn_subword_rules,
+        subword_vocab,
+    )
+    from hadoop_word_score_spark.operators.packing import pack_bins_bfd
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    docs = d.select(
+        "doc_id", "source",
+        F.array_join(F.expr(tokens_expr("text")), " ").alias("txt"),
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", 3, vocab=vocab)
+    lengths = encode_corpus(docs, "doc_id", "txt", rules, vocab=vocab)
+    sized = docs.select("doc_id", "source").join(lengths, "doc_id").select(
+        "source", "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    capacity = 2048
+    packed = pack_bins_bfd(sized, capacity).collect()
+    assert len(packed) == sized.count()  # every doc exactly once
+    fills = {}
+    for r in packed:
+        fills.setdefault((r.source, r.bin_id), []).append(r.n_tokens)
+    for (src_, _), sizes in fills.items():
+        assert sum(sizes) <= capacity or len(sizes) == 1  # oversized alone
+    assert sum(r.n_tokens for r in packed) == (
+        lengths.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+
+
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # Undirected star a-b, a-c, a-d: rank mass stays exactly 1.0 per round
     # (no dangling nodes by construction) and the hub outranks the leaves,
