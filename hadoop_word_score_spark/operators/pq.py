@@ -54,12 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import (
-    _guard_broadcast_queries,
-    _index_key,
-    _load_centroids,
-    build_ivf_index,
-)
+from .similarity import _index_key, _load_centroids, build_ivf_index
 
 _CODEBOOK_CACHE: dict[tuple[str, float], list] = {}
 _PQ_INDEX_CACHE: dict[tuple[str, str, float], DataFrame] = {}

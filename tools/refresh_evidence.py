@@ -110,9 +110,12 @@ def rewrite(names: list[str]) -> int:
             ("_VERIFIED_IMPL_FP", q._impl_fp(spec.fn)),
         ):
             block_at = src.index(f"{dict_name}: dict[str, str] = {{")
+            block_end = src.index("\n}", block_at)  # bound the search to
+            # THIS dict: a name missing here must not silently rewrite its
+            # entry in the next fingerprint block
             pat = re.compile(rf'(^    "{re.escape(name)}": ")[0-9a-f]+(",)$',
                              re.M)
-            m = pat.search(src, block_at)
+            m = pat.search(src, block_at, block_end)
             if m is None:
                 raise SystemExit(f"no {dict_name} entry for {name!r}")
             src = src[: m.start()] + f'{m.group(1)}{fp}{m.group(2)}' + src[m.end():]
