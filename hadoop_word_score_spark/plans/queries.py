@@ -674,9 +674,9 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "c80e02e693be",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "e1e2363bc969",
-    "bpe_encode_lengths": "305205f0f8bc",
-    "bpe_merge_rules": "724ab34527e5",
-    "bpe_subword_rules": "12dc7b3a594e",
+    "bpe_encode_lengths": "cd6b2a9cb3c3",
+    "bpe_merge_rules": "5e04b1e887b7",
+    "bpe_subword_rules": "f0e0a793d469",
     "cms_frequency_estimates": "d51effacf52c",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -687,7 +687,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "corpus_ngram_novelty": "b5123ff46e92",
     "corpus_prep_funnel": "11763562c9bc",
     "corpus_report_by_source": "f3ab65ab68ef",
-    "corpus_sample_plan_execution": "595d52c999e6",
+    "corpus_sample_plan_execution": "3bdb14bb40c5",
     "corpus_zipf_slope": "f014f65a6cab",
     "cube_segment_status": "c98c0943f295",
     "data_quality_report": "f32c321e4f3e",
@@ -697,7 +697,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "dedup_apply_survivors": "5908b2133ce2",
     "dedup_cluster_canonical": "e00254293e29",
     "dedup_clusters": "891d08c0d8e3",
-    "dedup_containment": "93fd1a3c954e",
+    "dedup_containment": "1f4e01047c95",
     "dedup_exact": "0104a77aa269",
     "dedup_incremental": "e763f58df9a8",
     "dedup_jaccard_prefix": "e6545bf080f2",
@@ -726,8 +726,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "events_forecast_seasonal_naive": "ba1da70b4c10",
     "events_gapfill_hourly": "12aebbd9de60",
     "events_hourly_acf": "a373e7061469",
-    "events_mad_outliers": "f945216522b9",
-    "events_mad_outliers_approx": "d94c254bcddf",
+    "events_mad_outliers": "11991cfec38b",
+    "events_mad_outliers_approx": "3d3a4b95f9b4",
     "events_markov_transitions": "5c763fb266a8",
     "events_ohlc_hourly": "32660fe61620",
     "events_psi_drift": "f97949342c07",
@@ -798,7 +798,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q7_nation_volume": "710fef669354",
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
-    "quality_bigram_logprob": "740c592d6973",
+    "quality_bigram_logprob": "ecb0c0c5aff0",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "7a8bf5f3e1f5",
@@ -812,13 +812,13 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "73968dfdc451",
-    "similarity_ivf_build": "7a6398d3003a",
-    "similarity_ivf_recall": "a00f70dd774a",
-    "similarity_lsh_recall_midsim": "fe1995456c0c",
-    "similarity_topk": "6c6bd5a6f0f1",
-    "similarity_topk_ivf": "9e83b0d83a56",
-    "similarity_topk_lsh": "63bd646b043a",
+    "similarity_hard_negatives": "0fc6b2ed0fa0",
+    "similarity_ivf_build": "35a502103dd3",
+    "similarity_ivf_recall": "48d16f670fa9",
+    "similarity_lsh_recall_midsim": "d21714f3dd5d",
+    "similarity_topk": "708449ffd22f",
+    "similarity_topk_ivf": "40c8510425fa",
+    "similarity_topk_lsh": "a3af991db2e8",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
     "split_leakage_safe": "40421108d5c8",
