@@ -76,6 +76,7 @@ def pq_train(
     k: int = 32,
     iterations: int = 2,
     decimals: int = 6,
+    train_ppm: int | None = None,
 ) -> np.ndarray:
     """Train the (m, k, d/m) codebook tensor; returns it as float64 ndarray.
 
@@ -84,9 +85,27 @@ def pq_train(
     reproducible, never collapses to the global mean). Each Lloyd iteration
     is ONE corpus scan for all m subspaces; an emptied codeword keeps its
     previous centroid.
+
+    ``train_ppm``: deterministic hash-mod sample rate (parts per million)
+    for the TRAINING scans only — at corpus scale codebooks are trained on
+    a sample (the standard IVF-PQ practice: k-means over ~1e5-1e6 vectors
+    saturates codebook quality regardless of corpus size) while ENCODING
+    always covers every vector. None trains on the full corpus. The sample
+    is keyed on ``id_col`` (xxhash64 mod 1e6), so it is reproducible and
+    disjoint sampling decisions never depend on partitioning.
     """
+    train = df
+    if train_ppm is not None:
+        if not 0 < train_ppm <= 1_000_000:
+            raise ValueError(
+                f"pq_train: train_ppm must be in (0, 1e6], got {train_ppm}"
+            )
+        train = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < F.lit(train_ppm)
+        )
     seed_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        train.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )  # bounded: k rows
     if not seed_rows:
         raise ValueError("pq_train: empty corpus (fail fast beats NaNs)")
@@ -124,7 +143,7 @@ def pq_train(
                 )
 
         upd = (
-            df.select(F.col(vec_col).alias("v"))
+            train.select(F.col(vec_col).alias("v"))
             .mapInPandas(partials, out_schema)
             .groupBy("m", "code", "pos")  # m*k*dsub = d*k keys, map-combined
             .agg(F.sum("s").alias("s"), F.sum("cnt").alias("n"))
@@ -187,6 +206,7 @@ def persist_ivfpq_index(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_ppm: int | None = None,
 ) -> None:
     """Build and persist the compressed index: ``{path}/index`` holds ONLY
     (id, pq_code) partitioned by coarse cell — no raw vectors anywhere in
@@ -195,7 +215,9 @@ def persist_ivfpq_index(
     contract a probe validates before trusting the code layout (the same
     refuse-loudly policy as the bucketed sink's n_buckets guard)."""
     centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
-    books = pq_train(candidates, id_col, vec_col, m, k, iterations)
+    books = pq_train(
+        candidates, id_col, vec_col, m, k, iterations, train_ppm=train_ppm
+    )
     codes = pq_encode(index, books, id_col, vec_col, keep=("cell",))
     codes.repartition("cell").write.partitionBy("cell").mode(
         "overwrite"

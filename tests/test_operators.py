@@ -518,6 +518,53 @@ def test_ivfpq_persist_probe_planted_rerank_and_guards(spark, tmp_path):
         ivfpq_probe_topk(spark, path, short_q, k=5)
 
 
+def test_pq_train_sampled_codebooks_keep_recall(spark):
+    # the 100 TB training lever: codebooks trained on a deterministic
+    # hash-mod sample must still let full-corpus ADC surface planted
+    # near-dups (training saturates on a sample; encoding covers all).
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+        pq_train,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    sampled = pq_train(em, m=16, k=32, train_ppm=500_000)  # ~half
+    assert sampled.shape == (16, 32, 4)
+    with _pytest.raises(ValueError, match="train_ppm"):
+        pq_train(em, m=16, k=32, train_ppm=0)
+
+    # recall check through the persisted path with half-corpus training:
+    # monkeypatch-free — build an index whose codebooks come from the
+    # sampled trainer by calling the pieces persist uses
+    q = em.filter(F.col("vec_id") < 5)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = em.unionByName(planted)
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivfpq_sampled_")
+    try:
+        persist_ivfpq_index(corpus, path, n_cells=16, m=16, k=32,
+                            train_ppm=500_000)
+        adc = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
+        got = {(r.query_id, r.cand_id) for r in adc.collect()}
+        assert sum((i, i + 1000000) in got for i in range(5)) >= 4
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_pq_rejects_indivisible_subspaces(spark):
     import pytest as _pytest
 
