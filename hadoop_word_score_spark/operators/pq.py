@@ -382,6 +382,23 @@ def ivfpq_probe_topk(
             )
 
     pruned = index.filter(F.col("cell").isin(all_cells))
+    # Arrow batch sizing, same rationale as ivf_probe_topk: the pruned
+    # code scan is TINY (16 bytes/vec), so Spark's default split hands
+    # mapInPandas many near-empty batches whose worker roundtrip dwarfs
+    # the LUT gathers. On a local filesystem coalesce to ~32 MB of probed
+    # bytes per task (coalesce never raises parallelism); cluster stores
+    # skip the listing and keep the scan's natural parallelism.
+    idx_dir = os.path.join(path, "index")
+    if os.path.isdir(idx_dir):
+        probed_bytes = 0
+        for c in all_cells:
+            cdir = os.path.join(idx_dir, f"cell={c}")
+            if os.path.isdir(cdir):
+                with os.scandir(cdir) as it:
+                    probed_bytes += sum(
+                        e.stat().st_size for e in it if e.is_file()
+                    )
+        pruned = pruned.coalesce(max(1, -(-probed_bytes // (32 << 20))))
     scored = pruned.select(
         F.col(id_col), F.col("cell"), F.col("pq_code")
     ).mapInPandas(score, out_schema)
