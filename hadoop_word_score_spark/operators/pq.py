@@ -237,11 +237,153 @@ def persist_ivfpq_index(
     spark.createDataFrame(book_pdf).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codebooks"))
+    # training-time coarse envelope: the worst cosine any indexed vector
+    # has to its assigned centroid — the baseline ivfpq_index_append's
+    # drift guard compares new batches against. One narrow agg pass
+    # (offline build cost); rounded like every served similarity.
+    cmat = np.array(
+        [r["centroid"] for r in centroids.collect()], dtype=np.float64
+    )
+    worst = None
+    if len(cmat):
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0] = 1.0
+        cunit = cmat / cnorm[:, None]
+
+        def worst_sim(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vm = np.array(list(pdf["v"]), dtype=np.float64)
+                vnorm = np.sqrt((vm * vm).sum(axis=1))
+                vnorm[vnorm == 0] = 1.0
+                sims = (vm / vnorm[:, None]) @ cunit.T
+                yield pd.DataFrame({"s": [float(sims.max(axis=1).min())]})
+
+        row = (
+            candidates.select(F.col(vec_col).alias("v"))
+            .mapInPandas(worst_sim, "s double")
+            .agg(F.min("s"))
+            .collect()[0][0]
+        )
+        worst = None if row is None else round(float(row), 6)
     with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
         json.dump(
             {"m": m, "k": k, "n_cells": n_cells,
-             "dim": int(m * books.shape[2])}, f,
+             "dim": int(m * books.shape[2]),
+             **({"worst_coarse_sim": worst} if worst is not None else {})},
+            f,
         )
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_coarse_drift: float | None = None,
+) -> int:
+    """Incrementally index NEW vectors into a persisted IVF-PQ index —
+    the arrival-time maintenance path (same production need as the dedup
+    band index's ``incremental_lsh_pairs``): only the new batch is
+    assigned and encoded, under the EXISTING coarse centroids and
+    codebooks; nothing already written is read back or rewritten. Returns
+    the number of vectors appended.
+
+    Quantizer drift is the correctness hazard of append-only ANN
+    maintenance: centroids/codebooks were trained on the corpus as of the
+    last rebuild, so a distribution shift degrades new vectors' cells and
+    codes silently. ``max_coarse_drift`` guards it: if more than that
+    fraction of the batch lands further from its nearest coarse centroid
+    (cosine) than ANY training-time assignment had to (tracked as
+    ``worst_coarse_sim`` in the meta), the append refuses and asks for a
+    rebuild — refuse-loudly, like the bucket-count and shape guards.
+
+    Single-writer contract (the upsert-sink rule): appends are parquet
+    file additions inside the existing ``cell=<c>`` directories plus a
+    meta bump; concurrent appends or an append racing a rebuild are the
+    caller's lock to take.
+    """
+    spark = new_vectors.sparkSession
+    with open(os.path.join(path, "_pq_meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    books = _load_codebooks(spark, path)
+    cent_rows = _load_centroids(spark, path)
+    first = new_vectors.select(vec_col).limit(1).collect()
+    if not first:
+        return 0
+    if len(first[0][0]) != meta["dim"]:
+        raise ValueError(
+            f"ivfpq index at {path!r} was built for dim {meta['dim']}; "
+            f"new vectors have dim {len(first[0][0])}"
+        )
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    cunit = cmat / cnorm[:, None]
+    m, _, dsub = books.shape
+    id_schema = new_vectors.schema[id_col].dataType.simpleString()
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            vnorm[vnorm == 0] = 1.0
+            sims = (vm / vnorm[:, None]) @ cunit.T
+            best = np.argmax(sims, axis=1)
+            sub = vm.reshape(len(vm), m, dsub)
+            codes = np.stack(
+                [((sub[:, mm, None, :] - books[mm][None]) ** 2)
+                 .sum(-1).argmin(1) for mm in range(m)],
+                axis=1,
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col],
+                 "cell": cell_ids[best].astype("int32"),
+                 "pq_code": list(codes),
+                 "_coarse_sim": np.round(sims[np.arange(len(vm)), best], 6)}
+            )
+
+    encoded = new_vectors.select(id_col, vec_col).mapInPandas(
+        assign_encode,
+        f"{id_col} {id_schema}, cell int, pq_code array<int>, "
+        f"_coarse_sim double",
+    ).localCheckpoint()  # batch-sized: two consumers (drift agg + write)
+    stats = encoded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_coarse_sim").alias("worst"),
+        F.avg(
+            (F.col("_coarse_sim") < F.lit(meta.get("worst_coarse_sim", -1.0)))
+            .cast("double")
+        ).alias("drift_frac"),
+    ).collect()[0]
+    if (
+        max_coarse_drift is not None
+        and "worst_coarse_sim" in meta
+        and stats.drift_frac is not None
+        and stats.drift_frac > max_coarse_drift
+    ):
+        raise ValueError(
+            f"ivfpq_index_append: {stats.drift_frac:.1%} of the batch falls "
+            f"outside the training-time coarse envelope "
+            f"(worst_coarse_sim={meta['worst_coarse_sim']}) — the quantizer "
+            f"has drifted; rebuild the index with persist_ivfpq_index"
+        )
+    encoded.drop("_coarse_sim").repartition("cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(os.path.join(path, "index"))
+    meta["appended"] = int(meta.get("appended", 0)) + int(stats.n)
+    if stats.worst is not None:
+        meta["worst_coarse_sim"] = min(
+            float(meta.get("worst_coarse_sim", float("inf"))),
+            float(stats.worst),
+        )
+    with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    return int(stats.n)
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:

@@ -3293,6 +3293,49 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_append",
+    # Incremental index maintenance (the arrival-time path next to the
+    # dedup band index's incremental probe): the base index is built from
+    # the NATURAL corpus only, then the planted near-dups are appended
+    # under the EXISTING centroids/codebooks — only the new batch is
+    # assigned/encoded, nothing already written is re-read — and the probe
+    # must surface every planted vector from the appended files. The query
+    # rebuilds its scratch index each run so replays stay idempotent.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok
+    FROM embeddings WHERE vec_id < 10 -- ivfpq append
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.pq import (
+        ivfpq_index_append,
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, corpus = _planted_embeddings(em)
+    planted_only = corpus.filter(F.col("vec_id") >= 1000000)
+    path = _ivfpq_index_path(sf_dir) + "-append-demo"
+    shutil.rmtree(path, ignore_errors=True)
+    persist_ivfpq_index(em, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K)
+    n = ivfpq_index_append(planted_only, path, max_coarse_drift=0.5)
+    approx = ivfpq_probe_topk(spark, path, q, k=5, n_probe=_PQ_N_PROBE)
+    # n is bounded (10) — fold it into the summary so a silent no-op
+    # append can't pass on stale base files
+    out = _planted_recall_summary(approx, q)
+    return out.select(
+        "n_queries",
+        (F.col("planted_recall_ok") & F.lit(n == 10)).alias(
+            "planted_recall_ok"
+        ),
+    )
+
+
+@register(
     "similarity_ivfpq_recall",
     # Recall-vs-exact receipt beside similarity_ivf_recall (r11 verdict
     # #3): IVFADC+R — ADC shortlist of 50 from the code-only index, exact

@@ -565,6 +565,77 @@ def test_pq_train_sampled_codebooks_keep_recall(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_ivfpq_append_indexes_new_vectors_and_guards_drift(spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivfpq_app")
+    persist_ivfpq_index(em, path, n_cells=16, m=16, k=32)
+    meta0 = _json.load(open(f"{path}/_pq_meta.json"))
+    assert "worst_coarse_sim" in meta0  # training envelope recorded
+
+    # append planted near-dups of queries 0..4 — only they are new
+    q = em.filter(F.col("vec_id") < 5)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+    )
+    assert ivfpq_index_append(planted, path, max_coarse_drift=0.9) == 5
+    meta1 = _json.load(open(f"{path}/_pq_meta.json"))
+    assert meta1["appended"] == 5
+
+    adc = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
+    got = {(r.query_id, r.cand_id) for r in adc.collect()}
+    assert all((i, i + 1000000) in got for i in range(5))
+
+    # empty batch: no-op, returns 0, meta untouched
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert ivfpq_index_append(empty, path) == 0
+
+    # drift guard: a batch ORTHOGONAL to every coarse centroid (null-space
+    # direction via numpy) has cosine ~0 to all of them — below any real
+    # training envelope — and must refuse
+    import numpy as _np
+
+    cmat = _np.array(
+        [r.centroid for r in
+         spark.read.parquet(f"{path}/centroids").collect()]
+    )
+    _, _, vt = _np.linalg.svd(cmat)
+    null_dir = vt[-1]  # 16 centroids in 64-dim: vt[-1] is in the null space
+    assert float(_np.abs(cmat @ null_dir).max()) < 1e-8
+    shifted = spark.createDataFrame(
+        [(2000000 + i, [float(x) for x in null_dir]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="drifted"):
+        ivfpq_index_append(shifted, path, max_coarse_drift=0.2)
+
+    # dim guard
+    short = em.limit(1).select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        ivfpq_index_append(short, path)
+
+
 def test_pq_rejects_indivisible_subspaces(spark):
     import pytest as _pytest
 
