@@ -7162,6 +7162,87 @@ def q_bpe_encode_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_HH_STREAM_CAP = 64
+
+
+@register(
+    "heavy_hitters_streamed",
+    # Streamed vocabulary statistics WITHOUT storing the vocabulary
+    # (mergeable Misra-Gries summaries, Agarwal et al. PODS 2012): the
+    # documents' tokens arrive in two batches through the exactly-once
+    # monitor sink, and the standing <= capacity-row summary must certify
+    # its guarantee against the batch ground truth — every term with true
+    # count > N/(capacity+1) present (superset_ok), every summary count an
+    # underestimate by at most that bound (bounds_ok). The oracle
+    # recomputes N and the number of above-threshold terms exactly and
+    # asserts both booleans; a guarantee regression flips them.
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(
+            string_split_regex(text, '[ \t\n\r\f]+'),
+            x -> x <> '')) AS term
+        FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+    truth AS (SELECT term, COUNT(*) AS n_true FROM tok GROUP BY term)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth, tot
+            WHERE n_true > n_total // {_HH_STREAM_CAP + 1})
+               AS n_above_threshold,
+           (SELECT n_total FROM tot) AS n_total,
+           TRUE AS superset_ok, TRUE AS bounds_ok
+    """,
+    tags=("llm", "text"),
+)
+def q_heavy_hitters_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..functions.hashing import tokens_expr
+    from ..streaming.monitor import (
+        heavy_hitters_monitor_sink,
+        heavy_hitters_report_from_store,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    target = os.path.join(repo_root, ".scratch", "hh_streamed")
+    shutil.rmtree(target, ignore_errors=True)  # idempotent re-runs
+    sink = heavy_hitters_monitor_sink(target, capacity=_HH_STREAM_CAP)
+    # two arrival batches, split by a doc property (not row order) so the
+    # slicing is deterministic under any partitioning
+    sink(tok.filter(F.col("doc_id") % 2 == 0).select("term"), 0)
+    sink(tok.filter(F.col("doc_id") % 2 == 1).select("term"), 1)
+    report = heavy_hitters_report_from_store(spark, target)
+    truth = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_true"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    thresh = F.expr(f"n_total div {_HH_STREAM_CAP + 1}")
+    above = truth.crossJoin(F.broadcast(tot)).filter(F.col("n_true") > thresh)
+    n_above = above.agg(
+        F.count(F.lit(1)).alias("n_above_threshold")
+    )
+    superset = above.join(
+        report.select("term"), "term", "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("superset_ok"))
+    bounds = (
+        report.join(truth, "term")
+        .agg(
+            F.min(
+                (F.col("mg_count") <= F.col("n_true"))
+                & (F.col("n_true") - F.col("mg_count") <= F.col("err_bound"))
+            ).alias("bounds_ok")
+        )
+    )
+    return (
+        n_above.crossJoin(tot)
+        .crossJoin(superset)
+        .crossJoin(bounds)
+        .select("n_above_threshold", "n_total", "superset_ok", "bounds_ok")
+    )
+
+
 _VOCAB_LADDER = (100, 500, 1000, 2000, 4000)
 
 

@@ -1486,3 +1486,58 @@ def test_flush_interval_join_tail_empty_source_raises(spark, tmp_path):
             mk_rows=lambda ts: [(0, ts)],
             schema="user_id int, ts timestamp",
         )
+
+
+def test_heavy_hitters_monitor_certificate_replay_and_guard(spark, tmp_path):
+    # streamed Misra-Gries: after two arrival batches the standing summary
+    # must hold the mergeable-summaries certificate vs exact truth; a
+    # replayed batch is a no-op; a capacity change refuses.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.streaming.monitor import (
+        heavy_hitters_monitor_sink,
+        heavy_hitters_report_from_store,
+    )
+
+    target = str(tmp_path / "hh")
+    cap = 4
+    sink = heavy_hitters_monitor_sink(target, capacity=cap)
+    # skewed stream: 'a' x 30, 'b' x 12, then a tail of 20 singletons
+    b0 = spark.createDataFrame(
+        [("a",)] * 18 + [("b",)] * 4 + [(f"t{i}",) for i in range(10)],
+        "term string",
+    )
+    b1 = spark.createDataFrame(
+        [("a",)] * 12 + [("b",)] * 8 + [(f"u{i}",) for i in range(10)],
+        "term string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    rep = {r.term: r for r in
+           heavy_hitters_report_from_store(spark, target).collect()}
+    truth = {"a": 30, "b": 12}
+    n_total = 62  # 32 + 30 rows across the two batches
+    err = n_total // (cap + 1)  # 12
+    assert all(len(rep) <= cap for _ in [0])
+    for t, n_true in truth.items():
+        if n_true > err:  # certificate: above-threshold terms MUST appear
+            assert t in rep
+    for t, r in rep.items():
+        n_true = truth.get(t, 1)
+        assert r.mg_count <= n_true <= r.mg_count + r.err_bound
+        assert r.n_total == n_total and r.err_bound == err
+
+    # replay: same batch id again must not change state or n_total
+    sink(b1, 1)
+    rep2 = {r.term: (r.mg_count, r.n_total) for r in
+            heavy_hitters_report_from_store(spark, target).collect()}
+    assert rep2 == {t: (r.mg_count, r.n_total) for t, r in rep.items()}
+
+    # capacity-change guard
+    other = heavy_hitters_monitor_sink(target, capacity=8)
+    with _pytest.raises(ValueError, match="capacity"):
+        other(b0, 2)
+
+    # empty table: report is None
+    assert heavy_hitters_report_from_store(spark, str(tmp_path / "none")) is None
