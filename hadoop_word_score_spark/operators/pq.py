@@ -36,11 +36,19 @@ Scale shape of each phase:
            the raw table bucketed by id (or a point-lookup store); here it
            is one id-join against the embeddings table.
 
-Codebooks quantize the RAW vectors (not cell residuals). Residual PQ buys
-accuracy at the cost of per-(cell, codeword) cross terms in ADC; the
-mid-similarity regime this engine serves recovers that accuracy with the
-rerank stage instead (measured: recall@5 vs exact 0.26 ADC-only -> 0.86+
-with rerank at m=16, k=32 on the test corpus).
+Codebooks quantize the RAW vectors (not cell residuals). Residual PQ
+(quantize x - coarse_centroid, the FAISS default) was MEASURED before
+being rejected, not skipped: on this corpus it buys nothing — ADC-only
+natural recall@5 is 0.56 plain vs 0.56 residual (reconstruction MSE
+0.0035 vs 0.0030) because the coarse cells capture too little of the
+vectors' variance for the residual to be easier to quantize, while ADC
+would grow a per-(cell, subspace, codeword) cross-term table and a
+per-cell norm correction. The recall lever that DOES pay here is the
+rerank stage: 0.26 ADC-only -> 0.86+ with the exact rerank of the ADC
+shortlist (m=16, k=32; the 0.26 runs through the full probe path with
+rounding and cell pruning, the 0.56 above is the unpruned yardstick).
+Revisit residuals if a future corpus shows strong cluster structure
+(coarse-assignment cosines near 1).
 """
 
 from __future__ import annotations
@@ -302,7 +310,12 @@ def ivfpq_index_append(
     Single-writer contract (the upsert-sink rule): appends are parquet
     file additions inside the existing ``cell=<c>`` directories plus a
     meta bump; concurrent appends or an append racing a rebuild are the
-    caller's lock to take.
+    caller's lock to take. Unlike the foreachBatch sinks this is a direct
+    operator with NO batch-id replay guard — re-delivering the same batch
+    indexes its vectors twice (they then occupy two shortlist slots each).
+    Wrap it in a replay-guarded sink (the dedup-ingest pattern) when the
+    source can redeliver, or rebuild-from-scratch for idempotent jobs
+    (what the registry query does).
     """
     spark = new_vectors.sparkSession
     with open(os.path.join(path, "_pq_meta.json"), encoding="utf-8") as f:
