@@ -10444,3 +10444,256 @@ def q_corpus_sample_plan_execution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+_C4_SEG = 8  # tokens per non-overlapping segment ("line" proxy; see below)
+
+
+@register(
+    "dedup_lines_c4",
+    # C4-style within-document dedup (Raffel et al. 2020 §2.2: discard all
+    # but one occurrence of any span repeated in the corpus), EXECUTED as a
+    # removal policy rather than merely detected (dedup_spans_exact surfaces
+    # repeated spans; this query emits the cleaned corpus). The synthetic
+    # documents carry no newlines, so the "line" unit is a fixed
+    # non-overlapping 8-token segment; the policy is deterministic — a
+    # segment repeated anywhere keeps exactly its globally-first occurrence
+    # (min (doc_id, seg_idx)) and is clipped everywhere else, so both
+    # engines keep the identical text. Output is per-document: segment
+    # counts, the kept fraction, and md5 of the cleaned (order-preserving)
+    # reassembled text.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ), seg AS (
+        SELECT doc_id, s.i AS seg_idx, s.seg AS segment,
+               doc_id * 1048576 + s.i AS pos
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1),
+                         i -> {'i': i,
+                               'seg': array_to_string(
+                                   w[CAST((i-1)*8+1 AS BIGINT):CAST((i-1)*8+8 AS BIGINT)],
+                                   ' ')})) AS s
+              FROM tok WHERE len(w) >= 1)
+    ), firsts AS (
+        SELECT segment, MIN(pos) AS keep_pos FROM seg GROUP BY segment
+    )
+    SELECT seg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           ROUND(1.0 - SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS kept_frac,
+           md5(COALESCE(string_agg(segment, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE pos = keep_pos), '')) AS clean_hash
+    FROM seg JOIN firsts USING (segment)
+    GROUP BY seg.doc_id
+    ORDER BY seg.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan: segment expansion is a narrow transform+posexplode (no shuffle);
+    # dedup is one segment-keyed MIN aggregation (map-side combine collapses
+    # a hot segment — the real-corpus empty-line/boilerplate case — to one
+    # row per map partition) plus the join back on segment (AQE skew-split
+    # absorbs the hot key's fan-out); then one doc-keyed reassembly agg.
+    # The single-shuffle alternative (row_number window over segment) was
+    # rejected: it ships every occurrence of a hot segment to one task,
+    # while partial-MIN + join degrades gracefully. RECEIPTED TRADE: the
+    # corpus scans twice (2-column ReadSchema each time) — the firsts
+    # aggregate and the join probe each re-derive segs, and exchange reuse
+    # cannot fire across the aggregate subtree. The alternatives are worse
+    # or situational: localCheckpoint pins a corpus-sized relation in
+    # executor memory (the r11-verdict hazard class); at 100 TB the lever
+    # is persist(DISK_ONLY) on the narrow segs relation if scan+tokenize
+    # dominates spill I/O. Also at 100 TB the group/join key becomes
+    # xxhash64(segment) (8-byte longs, collision-checked — the
+    # dedup_spans_hashed pattern); the test-scale key stays the raw string
+    # so the DuckDB oracle compares the same relation.
+    from ..functions.hashing import let1, tokens_expr
+
+    k = _C4_SEG
+    seg_arr = let1(
+        tokens_expr("text"),
+        "w",
+        f"CASE WHEN size(w) >= 1 THEN "
+        f"transform(sequence(1, (size(w) + {k - 1}) div {k}), "
+        f"i -> concat_ws(' ', slice(w, (i - 1) * {k} + 1, {k}))) "
+        f"ELSE cast(array() as array<string>) END",
+    )
+    d = _t(spark, sf_dir, "documents")
+    # Global-first key: doc_id * 2^20 + seg_idx. The guard is a fail-fast,
+    # not a silent wrap (the mixture_waterfill hazard class): 2^20 segment
+    # slots = docs up to ~8M tokens; beyond that the key must widen.
+    seg_guard = F.assert_true(
+        (F.col("p") + 1) < F.lit(1 << 20),
+        F.lit(
+            "dedup_lines_c4: per-doc segment index overflows the 2^20 slot "
+            "in the global-first key; widen the key"
+        ),
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(F.expr(seg_arr)).alias("p", "segment")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).alias("seg_idx"),
+        "segment",
+        F.when(
+            seg_guard.isNull(),
+            F.col("doc_id") * F.lit(1 << 20) + F.col("p") + 1,
+        ).alias("pos"),
+    )
+    firsts = segs.groupBy("segment").agg(F.min("pos").alias("keep_pos"))
+    joined = segs.join(firsts, "segment")
+    keep = F.col("pos") == F.col("keep_pos")
+    kept_struct = F.when(keep, F.struct("seg_idx", "segment"))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+            # collect_list drops the NULLs the when() leaves for clipped
+            # segments; array_sort on (seg_idx, segment) structs restores
+            # document order before reassembly.
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["segment"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_removed",
+            F.round(
+                F.lit(1.0) - F.col("n_removed") / F.col("n_segs"), 6
+            ).alias("kept_frac"),
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QC_BUCKETS = 256  # hashed-feature table size of the stand-in classifier
+
+
+def _qc_weights(buckets: int = _QC_BUCKETS) -> list[int]:
+    """Deterministic stand-in for a LEARNED weight table: md5-derived
+    integers in [-1000, 1000] (w = weight/1000). hashlib's md5 hexdigest is
+    byte-identical to both engines' md5(), so the DuckDB oracle can rebuild
+    the exact table inline. Integer weights keep the per-document sum exact;
+    the only float op is one final division, bit-identical across engines."""
+    return [
+        (int(hashlib.md5(f"qcw:{b}".encode()).hexdigest()[:8], 16) % 2001) - 1000
+        for b in range(buckets)
+    ]
+
+
+@register(
+    "quality_classifier_score",
+    # Model-based quality filtering (the fastText-classifier stage of
+    # DCLM / FineWeb-Edu-style pipelines): hashed unigram+bigram features
+    # into a 256-bucket linear model, per-document mean feature weight as
+    # the decision margin, keep = margin >= 0. The weight table is a
+    # deterministic md5-derived stand-in (the container has no learned
+    # model), but the inference plumbing is the real thing: the model rides
+    # along as a constant-folded 256-entry literal map (the "broadcast a
+    # tiny model" pattern — a lookup beats a join for 256 weights) and
+    # scoring is a single scan-side aggregate fold per document — zero
+    # shuffles, the correct shape for the most-executed filter of a 100 TB
+    # pipeline. Thresholding on the margin is equivalent to thresholding on
+    # sigmoid(margin) (monotone), so the score stays exact-rational and the
+    # oracle comparison is bit-exact with no libm exp() in sight.
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, source,
+               w || CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END AS fs
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 1
+    ), scored AS (
+        SELECT doc_id, source,
+               CAST(len(fs) AS BIGINT) AS n_features,
+               CAST(list_sum(list_transform(fs, x ->
+                   (CAST(concat('0x', substr(md5('qcw:' || CAST(
+                        CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                            % 256 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001)
+                   - 1000)) AS BIGINT) AS wsum
+        FROM feat
+    )
+    SELECT doc_id, source, n_features,
+           wsum / (n_features * 1000.0) AS margin,
+           wsum >= 0 AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_features is pure size arithmetic over the token array (n unigrams +
+    # n-1 bigrams); the margin is ONE let1-bound fold that tokenizes,
+    # builds bigrams, and folds weights in a single evaluation — the two
+    # columns each tokenize once (HOFs have no CSE; see let1's docstring).
+    from ..functions.hashing import let1, tokens_expr
+
+    weights = _qc_weights()
+    wmap = F.create_map(
+        *[F.lit(v) for b, w in enumerate(weights) for v in (b, w)]
+    )
+
+    def bucket(x):
+        return (
+            F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
+            .cast("long") % _QC_BUCKETS
+        ).cast("int")
+
+    feats_expr = let1(
+        tokens_expr("text"),
+        "w",
+        "concat(w, CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END)",
+    )
+    wsum = F.aggregate(
+        F.expr(feats_expr),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.element_at(wmap, bucket(x)),
+    )
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), DELIM_CLASS), lambda x: x != "")
+    ).cast("long")
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.when(ntok >= 2, 2 * ntok - 1).otherwise(ntok).alias("n_features"),
+            wsum.alias("wsum"),
+        )
+        .filter(F.col("n_features") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_features",
+            # exact-integer sum, one bit-identical double division — the
+            # margin needs no ROUND to hash-match the oracle.
+            (F.col("wsum") / (F.col("n_features") * F.lit(1000.0))).alias(
+                "margin"
+            ),
+            (F.col("wsum") >= 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

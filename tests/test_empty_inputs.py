@@ -331,3 +331,26 @@ def test_round11_operators_empty(spark):
         sf = stage_documents_sf(spark, d, [])
         for name in ("quality_top_ngram_mass", "corpus_zipf_slope"):
             assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+
+def test_round12_operators_empty(spark):
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    # the r12 document-shaped queries over a zero-row corpus: empty result,
+    # no crash (BPE learns zero merges, coverage has no mass, the dedup
+    # policy and the classifier see no documents)
+    names = (
+        "bpe_encode_corpus",
+        "bpe_encode_sequences",
+        "vocab_coverage_topk",
+        "dedup_lines_c4",
+        "quality_classifier_score",
+    )
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, [])
+        for name in names:
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name

@@ -3028,3 +3028,102 @@ def test_pack_bins_bfd_preserves_nondefault_id_types(spark):
     assert dict(out.dtypes)["shard"] == "int"
     rows = {r.name: (r.shard, r.bin_id) for r in out.collect()}
     assert set(rows) == {"docA", "docB", "docC"}
+
+
+def test_dedup_lines_c4_policy(spark):
+    # C4 keep-globally-first policy on a hand corpus: a segment repeated
+    # across docs survives only in the min-(doc_id, seg_idx) occurrence,
+    # a segment repeated WITHIN one doc keeps only its first position, and
+    # singletons are untouched.
+    import hashlib as _hl
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    seg_a = "a b c d e f g h"          # planted cross-doc duplicate
+    seg_r = "r s t u v w x1 y1"        # planted within-doc duplicate
+    docs = [
+        f"{seg_a} x y",                # doc 0: [seg_a, "x y"] - all kept
+        f"{seg_a} p q",                # doc 1: seg_a clipped, "p q" kept
+        f"{seg_r} {seg_r}",            # doc 2: second seg_r clipped
+    ]
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, docs)
+        out = {r.doc_id: r for r in REGISTRY["dedup_lines_c4"].fn(spark, sf).collect()}
+    def h(s):
+        return _hl.md5(s.encode()).hexdigest()
+    assert (out[0].n_segs, out[0].n_removed) == (2, 0)
+    assert out[0].clean_hash == h(f"{seg_a} x y")
+    assert (out[1].n_segs, out[1].n_removed) == (2, 1)
+    assert out[1].clean_hash == h("p q")
+    assert out[1].kept_frac == 0.5
+    assert (out[2].n_segs, out[2].n_removed) == (2, 1)
+    assert out[2].clean_hash == h(seg_r)
+
+
+def test_dedup_lines_c4_kept_equals_distinct_segments(spark):
+    # corpus-level invariant at sf0.001: keep-one-per-distinct-segment means
+    # sum(n_segs - n_removed) == the number of DISTINCT segment strings,
+    # computed here by an independent expression path.
+    from hadoop_word_score_spark.functions.hashing import let1, tokens_expr
+    from hadoop_word_score_spark.plans.queries import REGISTRY, _t
+
+    out = REGISTRY["dedup_lines_c4"].fn(spark, SF_SMOKE)
+    kept = out.agg(F.sum(F.col("n_segs") - F.col("n_removed"))).first()[0]
+    seg_arr = let1(
+        tokens_expr("text"), "w",
+        "CASE WHEN size(w) >= 1 THEN "
+        "transform(sequence(1, (size(w) + 7) div 8), "
+        "i -> concat_ws(' ', slice(w, (i - 1) * 8 + 1, 8))) "
+        "ELSE cast(array() as array<string>) END",
+    )
+    distinct = (
+        _t(spark, SF_SMOKE, "documents")
+        .select(F.explode(F.expr(seg_arr)).alias("segment"))
+        .agg(F.count_distinct("segment"))
+        .first()[0]
+    )
+    assert kept == distinct > 0
+
+
+def test_quality_classifier_score_matches_reference(spark):
+    # the Spark fold reproduces a pure-Python scoring of the same hashed
+    # linear model exactly (integer weight sum, one double division), and
+    # the decision column is consistent with the margin's sign.
+    import hashlib as _hl
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import (
+        REGISTRY,
+        _QC_BUCKETS,
+        _qc_weights,
+    )
+
+    from tests.conftest import stage_documents_sf
+
+    docs = ["table scan fast", "join", "agg row value batch window sort"]
+    w = _qc_weights()
+
+    def ref_margin(text):
+        toks = [t for t in text.split(" ") if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = sum(
+            w[int(_hl.md5(f.encode()).hexdigest()[:8], 16) % _QC_BUCKETS]
+            for f in feats
+        )
+        return len(feats), s / (len(feats) * 1000.0)
+
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, docs)
+        rows = {
+            r.doc_id: r
+            for r in REGISTRY["quality_classifier_score"].fn(spark, sf).collect()
+        }
+    for i, text in enumerate(docs):
+        n_ref, m_ref = ref_margin(text)
+        assert rows[i].n_features == n_ref
+        assert rows[i].margin == m_ref  # bit-exact: int sum, one division
+        assert -1.0 <= rows[i].margin <= 1.0
+        assert rows[i].keep == (rows[i].margin >= 0.0)
