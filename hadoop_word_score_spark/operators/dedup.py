@@ -722,3 +722,87 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_lines_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_segments: int = 1 << 20,
+) -> DataFrame:
+    """C4-style within-document dedup, EXECUTED (Raffel et al. 2020 §2.2:
+    discard all but one occurrence of any span repeated in the corpus).
+
+    The "line" unit is a fixed non-overlapping ``seg_tokens``-token segment
+    (synthetic corpora carry no newlines; on real text pass the output of a
+    line splitter through the same policy). Deterministic keep-globally-first
+    policy: a repeated segment survives only at its min-(id, seg_idx)
+    occurrence, so reruns and both oracle engines keep identical text.
+
+    Returns one row per input document that has >= 1 token:
+    (id_col, n_segs, n_removed, clean_text) with clean_text the kept
+    segments rejoined in document order.
+
+    Plan shape (see the dedup_lines_c4 registry entry for the receipts):
+    narrow transform+posexplode, ONE segment-keyed partial-MIN aggregation
+    (a hot boilerplate segment collapses map-side), join back on segment
+    (AQE skew-split), one doc-keyed ordered-reassembly aggregation. The
+    corpus scans twice (2-column ReadSchema) — preferred over pinning a
+    corpus-sized checkpoint; at 100 TB persist(DISK_ONLY) the segs relation
+    if scan+tokenize dominates, and swap the raw-string key for
+    xxhash64(segment) (collision-checked, the dedup_spans_hashed pattern).
+    """
+    from ..functions.hashing import let1, tokens_expr
+
+    k = seg_tokens
+    seg_arr = let1(
+        tokens_expr(text_col),
+        "w",
+        f"CASE WHEN size(w) >= 1 THEN "
+        f"transform(sequence(1, (size(w) + {k - 1}) div {k}), "
+        f"i -> concat_ws(' ', slice(w, (i - 1) * {k} + 1, {k}))) "
+        f"ELSE cast(array() as array<string>) END",
+    )
+    # Global-first key: id * max_segments + seg_idx. Fail-fast on overflow
+    # of the per-doc slot rather than silently mis-ranking (the
+    # mixture_waterfill hazard class).
+    seg_guard = F.assert_true(
+        (F.col("p") + 1) < F.lit(max_segments),
+        F.lit(
+            f"dedup_lines_keep_first: per-doc segment index overflows the "
+            f"{max_segments} slot in the global-first key; raise max_segments"
+        ),
+    )
+    segs = docs.select(
+        id_col, F.posexplode(F.expr(seg_arr)).alias("p", "segment")
+    ).select(
+        id_col,
+        (F.col("p") + 1).alias("seg_idx"),
+        "segment",
+        F.when(
+            seg_guard.isNull(),
+            F.col(id_col) * F.lit(max_segments) + F.col("p") + 1,
+        ).alias("pos"),
+    )
+    firsts = segs.groupBy("segment").agg(F.min("pos").alias("keep_pos"))
+    keep = F.col("pos") == F.col("keep_pos")
+    kept_struct = F.when(keep, F.struct("seg_idx", "segment"))
+    return (
+        segs.join(firsts, "segment")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+            # collect_list drops the NULLs when() leaves for clipped
+            # segments; array_sort on (seg_idx, segment) structs restores
+            # document order before reassembly.
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["segment"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

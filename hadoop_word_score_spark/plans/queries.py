@@ -10497,76 +10497,17 @@ _C4_SEG = 8  # tokens per non-overlapping segment ("line" proxy; see below)
     tags=("llm", "dedup", "text"),
 )
 def q_dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Plan: segment expansion is a narrow transform+posexplode (no shuffle);
-    # dedup is one segment-keyed MIN aggregation (map-side combine collapses
-    # a hot segment — the real-corpus empty-line/boilerplate case — to one
-    # row per map partition) plus the join back on segment (AQE skew-split
-    # absorbs the hot key's fan-out); then one doc-keyed reassembly agg.
-    # The single-shuffle alternative (row_number window over segment) was
-    # rejected: it ships every occurrence of a hot segment to one task,
-    # while partial-MIN + join degrades gracefully. RECEIPTED TRADE: the
-    # corpus scans twice (2-column ReadSchema each time) — the firsts
-    # aggregate and the join probe each re-derive segs, and exchange reuse
-    # cannot fire across the aggregate subtree. The alternatives are worse
-    # or situational: localCheckpoint pins a corpus-sized relation in
-    # executor memory (the r11-verdict hazard class); at 100 TB the lever
-    # is persist(DISK_ONLY) on the narrow segs relation if scan+tokenize
-    # dominates spill I/O. Also at 100 TB the group/join key becomes
-    # xxhash64(segment) (8-byte longs, collision-checked — the
-    # dedup_spans_hashed pattern); the test-scale key stays the raw string
-    # so the DuckDB oracle compares the same relation.
-    from ..functions.hashing import let1, tokens_expr
+    # Plan shape, skew rationale, and the receipted two-scan trade live on
+    # the operator (operators/dedup.py::dedup_lines_keep_first): one
+    # segment-keyed partial-MIN aggregation + join back (AQE skew-split),
+    # one doc-keyed ordered reassembly; the corpus scans twice (2-column
+    # ReadSchema) rather than pinning a corpus-sized checkpoint.
+    from ..operators.dedup import dedup_lines_keep_first
 
-    k = _C4_SEG
-    seg_arr = let1(
-        tokens_expr("text"),
-        "w",
-        f"CASE WHEN size(w) >= 1 THEN "
-        f"transform(sequence(1, (size(w) + {k - 1}) div {k}), "
-        f"i -> concat_ws(' ', slice(w, (i - 1) * {k} + 1, {k}))) "
-        f"ELSE cast(array() as array<string>) END",
-    )
     d = _t(spark, sf_dir, "documents")
-    # Global-first key: doc_id * 2^20 + seg_idx. The guard is a fail-fast,
-    # not a silent wrap (the mixture_waterfill hazard class): 2^20 segment
-    # slots = docs up to ~8M tokens; beyond that the key must widen.
-    seg_guard = F.assert_true(
-        (F.col("p") + 1) < F.lit(1 << 20),
-        F.lit(
-            "dedup_lines_c4: per-doc segment index overflows the 2^20 slot "
-            "in the global-first key; widen the key"
-        ),
-    )
-    segs = d.select(
-        "doc_id", F.posexplode(F.expr(seg_arr)).alias("p", "segment")
-    ).select(
-        "doc_id",
-        (F.col("p") + 1).alias("seg_idx"),
-        "segment",
-        F.when(
-            seg_guard.isNull(),
-            F.col("doc_id") * F.lit(1 << 20) + F.col("p") + 1,
-        ).alias("pos"),
-    )
-    firsts = segs.groupBy("segment").agg(F.min("pos").alias("keep_pos"))
-    joined = segs.join(firsts, "segment")
-    keep = F.col("pos") == F.col("keep_pos")
-    kept_struct = F.when(keep, F.struct("seg_idx", "segment"))
     return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum((~keep).cast("long")).alias("n_removed"),
-            # collect_list drops the NULLs the when() leaves for clipped
-            # segments; array_sort on (seg_idx, segment) structs restores
-            # document order before reassembly.
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["segment"],
-                ),
-            ).alias("clean_text"),
+        dedup_lines_keep_first(
+            d.select("doc_id", "text"), seg_tokens=_C4_SEG
         )
         .select(
             "doc_id",
@@ -10642,58 +10583,25 @@ def _qc_weights(buckets: int = _QC_BUCKETS) -> list[int]:
     tags=("llm", "text", "quality"),
 )
 def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n_features is pure size arithmetic over the token array (n unigrams +
-    # n-1 bigrams); the margin is ONE let1-bound fold that tokenizes,
-    # builds bigrams, and folds weights in a single evaluation — the two
-    # columns each tokenize once (HOFs have no CSE; see let1's docstring).
-    from ..functions.hashing import let1, tokens_expr
+    # Inference plumbing lives on the operator
+    # (operators/classifier.py::hashed_linear_score): one scan-side fold,
+    # the model as a constant-folded literal map, exact-integer sums, one
+    # bit-identical double division — the margin hash-matches the oracle
+    # with no ROUND. The md5-derived table stands in for a learned model;
+    # a real pipeline passes its trained weights to the same operator.
+    from ..operators.classifier import hashed_linear_score
 
-    weights = _qc_weights()
-    wmap = F.create_map(
-        *[F.lit(v) for b, w in enumerate(weights) for v in (b, w)]
-    )
-
-    def bucket(x):
-        return (
-            F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
-            .cast("long") % _QC_BUCKETS
-        ).cast("int")
-
-    feats_expr = let1(
-        tokens_expr("text"),
-        "w",
-        "concat(w, CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END)",
-    )
-    wsum = F.aggregate(
-        F.expr(feats_expr),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.element_at(wmap, bucket(x)),
-    )
-    ntok = F.size(
-        F.filter(F.split(F.col("text"), DELIM_CLASS), lambda x: x != "")
-    ).cast("long")
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(
-            "doc_id",
-            "source",
-            F.when(ntok >= 2, 2 * ntok - 1).otherwise(ntok).alias("n_features"),
-            wsum.alias("wsum"),
+        hashed_linear_score(
+            d.select("doc_id", "source", "text"), weights=_qc_weights()
         )
-        .filter(F.col("n_features") >= 1)
         .select(
             "doc_id",
             "source",
             "n_features",
-            # exact-integer sum, one bit-identical double division — the
-            # margin needs no ROUND to hash-match the oracle.
-            (F.col("wsum") / (F.col("n_features") * F.lit(1000.0))).alias(
-                "margin"
-            ),
-            (F.col("wsum") >= 0).alias("keep"),
+            "margin",
+            (F.col("margin") >= 0.0).alias("keep"),
         )
         .orderBy("doc_id")
     )

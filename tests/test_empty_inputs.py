@@ -354,3 +354,25 @@ def test_round12_operators_empty(spark):
         sf = stage_documents_sf(spark, d, [])
         for name in names:
             assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+    # the r12 operator APIs directly: empty frame in, empty frame out with
+    # the declared columns; the classifier's weight-table contract fails
+    # fast rather than producing drifting float sums
+    import pytest
+
+    from hadoop_word_score_spark.operators.classifier import (
+        hashed_linear_score,
+    )
+    from hadoop_word_score_spark.operators.dedup import dedup_lines_keep_first
+
+    docs = _empty_docs(spark)
+    out = dedup_lines_keep_first(docs)
+    assert out.columns == ["doc_id", "n_segs", "n_removed", "clean_text"]
+    assert out.count() == 0
+    out = hashed_linear_score(docs, weights=[1, -1])
+    assert out.columns == ["doc_id", "text", "n_features", "margin"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        hashed_linear_score(docs, weights=[])
+    with pytest.raises(ValueError, match="integers"):
+        hashed_linear_score(docs, weights=[0.5, 1.0])
