@@ -10495,6 +10495,7 @@ _C4_SEG = 8  # tokens per non-overlapping segment ("line" proxy; see below)
     ORDER BY seg.doc_id
     """,
     tags=("llm", "dedup", "text"),
+    bench=True,
 )
 def q_dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plan shape, skew rationale, and the receipted two-scan trade live on
@@ -10581,6 +10582,7 @@ def _qc_weights(buckets: int = _QC_BUCKETS) -> list[int]:
     ORDER BY doc_id
     """,
     tags=("llm", "text", "quality"),
+    bench=True,
 )
 def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inference plumbing lives on the operator

@@ -3127,3 +3127,38 @@ def test_quality_classifier_score_matches_reference(spark):
         assert rows[i].margin == m_ref  # bit-exact: int sum, one division
         assert -1.0 <= rows[i].margin <= 1.0
         assert rows[i].keep == (rows[i].margin >= 0.0)
+
+
+def test_train_hashed_logreg_fits_and_exports_to_serving(spark):
+    # fit/apply loop: train on a separable synthetic corpus (label = doc
+    # mentions "spark"), loss must fall, and the integer export served
+    # through hashed_linear_score must reproduce the trained decisions.
+    from hadoop_word_score_spark.operators.classifier import (
+        export_weights,
+        hashed_linear_score,
+        train_hashed_logreg,
+    )
+
+    pos_words = ["spark", "scan", "fast", "query", "table"]
+    neg_words = ["slow", "batch", "row", "merge", "line"]
+    rows = []
+    for i in range(40):
+        base = [pos_words[(i + j) % 5] for j in range(6)]
+        rows.append((i, " ".join(base + ["spark"]), 1))
+        rows.append((100 + i, " ".join(neg_words[(i + j) % 5] for j in range(7)), 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w, bias, history = train_hashed_logreg(
+        docs, "label", iters=12, lr=8.0, buckets=64
+    )
+    assert len(history) == 12
+    assert history[-1] < history[0] * 0.5  # loss halves on separable data
+    served = hashed_linear_score(docs, weights=export_weights(w, bias, 1000), )
+    got = {r.doc_id: r.margin >= 0.0 for r in served.collect()}
+    acc = sum(got[i] == (lab == 1) for i, _, lab in rows) / len(rows)
+    assert acc >= 0.95
+
+    # empty corpus: no crash, zero model, loop exits on the first pass
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    w0, b0, h0 = train_hashed_logreg(empty, "label", iters=3, buckets=8)
+    assert w0 == [0.0] * 8 and b0 == 0.0 and h0 == []

@@ -84,6 +84,8 @@ PROBES = [
     "embedding_random_projection",
     "corpus_mixture_rebalance",
     "events_forecast_seasonal_naive",
+    "dedup_lines_c4",
+    "quality_classifier_score",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1773,6 +1775,15 @@ def main() -> None:
         # one combined (type, hour) count; the backtest self-join runs on
         # hour-cardinality relations, never events
         "events_forecast_seasonal_naive": "linear in events (one count agg; join on hour-cardinality sides)",
+        # the 10x corpus appends a per-copy suffix token, so every segment
+        # except each copy's LAST duplicates across copies (df ~10x). The
+        # partial-MIN absorbs the depth map-side, and unlike the pair-
+        # emitting dedups the join fan-out is one row per OCCURRENCE —
+        # linear even on a pathologically hot segment.
+        "dedup_lines_c4": "linear in segment occurrences (partial-MIN combine; join fan-out = occurrences, never df²)",
+        # one scan-side fold per document; the only exchange is the output
+        # ordering — inference cost is pure scan work
+        "quality_classifier_score": "linear (single scan-side fold; zero data shuffles)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
