@@ -730,19 +730,22 @@ def dedup_lines_keep_first(
     text_col: str = "text",
     seg_tokens: int = 8,
     max_segments: int = 1 << 20,
+    unit: str = "segments",
 ) -> DataFrame:
     """C4-style within-document dedup, EXECUTED (Raffel et al. 2020 §2.2:
     discard all but one occurrence of any span repeated in the corpus).
 
-    The "line" unit is a fixed non-overlapping ``seg_tokens``-token segment
-    (synthetic corpora carry no newlines; on real text pass the output of a
-    line splitter through the same policy). Deterministic keep-globally-first
-    policy: a repeated segment survives only at its min-(id, seg_idx)
+    ``unit="segments"``: the "line" is a fixed non-overlapping
+    ``seg_tokens``-token segment (the synthetic corpora carry no newlines).
+    ``unit="lines"``: the C4-faithful real-corpus mode — the unit is a
+    literal text line (split on '\\n', blank lines dropped) and clean_text
+    rejoins kept lines with '\\n'. Deterministic keep-globally-first policy
+    either way: a repeated unit survives only at its min-(id, position)
     occurrence, so reruns and both oracle engines keep identical text.
 
-    Returns one row per input document that has >= 1 token:
+    Returns one row per input document that has >= 1 unit:
     (id_col, n_segs, n_removed, clean_text) with clean_text the kept
-    segments rejoined in document order.
+    units rejoined in document order.
 
     Plan shape (see the dedup_lines_c4 registry entry for the receipts):
     narrow transform+posexplode, ONE segment-keyed partial-MIN aggregation
@@ -755,15 +758,25 @@ def dedup_lines_keep_first(
     """
     from ..functions.hashing import let1, tokens_expr
 
-    k = seg_tokens
-    seg_arr = let1(
-        tokens_expr(text_col),
-        "w",
-        f"CASE WHEN size(w) >= 1 THEN "
-        f"transform(sequence(1, (size(w) + {k - 1}) div {k}), "
-        f"i -> concat_ws(' ', slice(w, (i - 1) * {k} + 1, {k}))) "
-        f"ELSE cast(array() as array<string>) END",
-    )
+    if unit == "segments":
+        k = seg_tokens
+        seg_arr = let1(
+            tokens_expr(text_col),
+            "w",
+            f"CASE WHEN size(w) >= 1 THEN "
+            f"transform(sequence(1, (size(w) + {k - 1}) div {k}), "
+            f"i -> concat_ws(' ', slice(w, (i - 1) * {k} + 1, {k}))) "
+            f"ELSE cast(array() as array<string>) END",
+        )
+        joiner = " "
+    elif unit == "lines":
+        seg_arr = f"filter(split({text_col}, '\\n'), x -> x <> '')"
+        joiner = "\n"
+    else:
+        raise ValueError(
+            f"dedup_lines_keep_first: unit must be 'segments' or 'lines', "
+            f"got {unit!r}"
+        )
     # Global-first key: id * max_segments + seg_idx. Fail-fast on overflow
     # of the per-doc slot rather than silently mis-ranking (the
     # mixture_waterfill hazard class).
@@ -798,7 +811,7 @@ def dedup_lines_keep_first(
             # segments; array_sort on (seg_idx, segment) structs restores
             # document order before reassembly.
             F.concat_ws(
-                " ",
+                joiner,
                 F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s["segment"],

@@ -3162,3 +3162,35 @@ def test_train_hashed_logreg_fits_and_exports_to_serving(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     w0, b0, h0 = train_hashed_logreg(empty, "label", iters=3, buckets=8)
     assert w0 == [0.0] * 8 and b0 == 0.0 and h0 == []
+
+
+def test_dedup_lines_keep_first_lines_mode(spark):
+    # the real-corpus unit: literal newline-delimited lines; a boilerplate
+    # line repeated across docs survives only in the lowest doc_id, blanks
+    # are dropped, and clean_text rejoins with newlines in document order
+    from hadoop_word_score_spark.operators.dedup import dedup_lines_keep_first
+
+    import pytest
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro zero\n{boiler}\noutro zero"),
+            (1, f"{boiler}\nunique one\n\n{boiler}"),
+            (2, "unique two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_lines_keep_first(docs, unit="lines").collect()
+    }
+    assert out[0].clean_text == f"intro zero\n{boiler}\noutro zero"
+    assert (out[0].n_segs, out[0].n_removed) == (3, 0)
+    # doc 1: both boiler occurrences clipped (doc 0 holds the global first);
+    # the blank line never counts as a unit
+    assert out[1].clean_text == "unique one"
+    assert (out[1].n_segs, out[1].n_removed) == (3, 2)
+    assert out[2].clean_text == "unique two"
+    with pytest.raises(ValueError, match="unit"):
+        dedup_lines_keep_first(docs, unit="sentences")
