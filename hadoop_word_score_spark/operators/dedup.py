@@ -819,3 +819,71 @@ def dedup_lines_keep_first(
             ).alias("clean_text"),
         )
     )
+
+
+def source_overlap_minhash(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content-overlap matrix across groups (source-level MinHash).
+
+    The governance question behind mixture planning — "how much of source A
+    already lives in source B?" — answered WITHOUT a shingle-level
+    cross-source join: a group's MinHash signature is the element-wise min
+    of its documents' signatures (min over a union = min over the parts),
+    so each group collapses to ``num_hashes`` longs no matter how many
+    documents or shingles it holds. The estimator is the standard one:
+    matching slots / slots ≈ Jaccard of the groups' distinct-shingle sets,
+    with std error ~ 1/sqrt(num_hashes).
+
+    Shuffle budget at 100 TB: one corpus scan computes per-doc signatures
+    scan-side; the only data-sized shuffle is the (group, slot) MIN
+    aggregation — map-side combine collapses it to groups x num_hashes x
+    partitions rows — and the pair matrix runs on groups² x num_hashes
+    rows (sources are dozens, slots are hundreds: trivially bounded).
+
+    Returns (group_a, group_b, n_slots_matched, jaccard_est) for every
+    unordered group pair, ordered for stable output.
+    """
+    from ..functions.hashing import minhash_signature, shingles_expr
+
+    sig = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            minhash_signature(shingles_expr(text_col, n), num_hashes).alias(
+                "sig"
+            ),
+        )
+        .filter(F.col("sig").isNotNull())
+        .select("g", F.posexplode("sig").alias("slot", "h"))
+        .groupBy("g", "slot")
+        .agg(F.min("h").alias("h"))
+    )
+    a = sig.select(
+        F.col("g").alias("group_a"), "slot", F.col("h").alias("ha")
+    )
+    b = sig.select(
+        F.col("g").alias("group_b"), "slot", F.col("h").alias("hb")
+    )
+    return (
+        a.join(b, "slot")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum((F.col("ha") == F.col("hb")).cast("long")).alias(
+                "n_slots_matched"
+            ),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_slots_matched",
+            (F.col("n_slots_matched") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+        .orderBy("group_a", "group_b")
+    )

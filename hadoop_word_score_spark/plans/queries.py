@@ -10487,7 +10487,7 @@ _C4_SEG = 8  # tokens per non-overlapping segment ("line" proxy; see below)
            CAST(SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) AS BIGINT)
                AS n_removed,
            ROUND(1.0 - SUM(CASE WHEN pos <> keep_pos THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*), 6) AS kept_frac,
+                     / COUNT(*), 6) + 0.0 AS kept_frac,
            md5(COALESCE(string_agg(segment, ' ' ORDER BY seg_idx)
                             FILTER (WHERE pos = keep_pos), '')) AS clean_hash
     FROM seg JOIN firsts USING (segment)
@@ -10514,8 +10514,14 @@ def q_dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_segs",
             "n_removed",
-            F.round(
-                F.lit(1.0) - F.col("n_removed") / F.col("n_segs"), 6
+            (
+                F.round(
+                    F.lit(1.0) - F.col("n_removed") / F.col("n_segs"), 6
+                )
+                # + 0.0 normalizes IEEE -0.0 (the signed-zero audit rule);
+                # kept_frac is mathematically >= 0 but the invariant is
+                # structural, not proof-by-reading
+                + F.lit(0.0)
             ).alias("kept_frac"),
             F.md5(F.col("clean_text").cast("binary")).alias("clean_hash"),
         )

@@ -3194,3 +3194,53 @@ def test_dedup_lines_keep_first_lines_mode(spark):
     assert out[2].clean_text == "unique two"
     with pytest.raises(ValueError, match="unit"):
         dedup_lines_keep_first(docs, unit="sentences")
+
+
+def test_source_overlap_minhash_tracks_exact_jaccard(spark):
+    # three sources with engineered shingle overlap: A and B share half
+    # their documents' text, C is disjoint vocabulary. The 128-slot
+    # estimate must land within the standard-error band of the exact
+    # distinct-shingle Jaccard computed independently.
+    from hadoop_word_score_spark.functions.hashing import shingles_expr
+    from hadoop_word_score_spark.operators.dedup import source_overlap_minhash
+
+    shared = [
+        " ".join(f"tok{j + 17 * i}" for j in range(20)) for i in range(10)
+    ]
+    only_a = [" ".join(f"aw{j + 9 * i}" for j in range(20)) for i in range(10)]
+    only_b = [" ".join(f"bw{j + 9 * i}" for j in range(20)) for i in range(10)]
+    only_c = [" ".join(f"cw{j + 9 * i}" for j in range(20)) for i in range(10)]
+    rows, did = [], 0
+    for src, texts in (
+        ("A", shared + only_a),
+        ("B", shared + only_b),
+        ("C", only_c),
+    ):
+        for t in texts:
+            rows.append((did, src, t))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    est = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in source_overlap_minhash(docs, num_hashes=128).collect()
+    }
+    assert set(est) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+    # exact distinct-shingle Jaccard per pair, computed the long way
+    sets = {
+        src: {
+            s
+            for (arr,) in docs.filter(F.col("source") == src)
+            .select(F.expr(shingles_expr("text")))
+            .collect()
+            for s in arr
+        }
+        for src in ("A", "B", "C")
+    }
+    for pair in est:
+        a, b = sets[pair[0]], sets[pair[1]]
+        exact = len(a & b) / len(a | b)
+        assert abs(est[pair] - exact) <= 0.15, (pair, est[pair], exact)
+    assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1
+    assert est[("A", "B")] >= 0.2
