@@ -288,3 +288,20 @@ def text_shingle_hashes_udf(n: int = 3):
         return pd.Series(out, dtype=object)
 
     return sh_hashes
+
+
+def unigram_bigram_feats_expr(text_col: str) -> str:
+    """SQL expr: hashed-classifier feature list — the unigram tokens
+    followed by adjacent 'w1 w2' bigrams, from ONE let1-bound tokenizer
+    evaluation. The single source of truth for classifier training AND
+    serving (operators/classifier.py); the quality_classifier_score oracle
+    rebuilds the same list in DuckDB — a tokenizer or feature change here
+    must land in all three places together."""
+    return let1(
+        tokens_expr(text_col),
+        "w",
+        "concat(w, CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) "
+        "ELSE cast(array() as array<string>) END)",
+    )

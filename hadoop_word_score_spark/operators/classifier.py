@@ -1,27 +1,41 @@
-"""Hashed linear text classifier inference (SURVEY §2.10 L4).
+"""Hashed linear text classifier: training and inference (SURVEY §2.10 L4).
 
 The model-based quality-filtering stage of modern curation pipelines
 (fastText-style classifiers in DCLM / FineWeb-Edu): features are hashed
-unigrams + adjacent bigrams, the model is a flat weight table indexed by
-feature bucket, the decision is a threshold on the mean feature weight.
+unigrams + adjacent bigrams (`functions/hashing.unigram_bigram_feats_expr`
+— one source of truth shared by training, serving, and the registry
+oracle), the model is a flat weight table indexed by feature bucket, the
+decision is a threshold on the mean feature weight.
 
 Scale shape: inference is ONE scan-side aggregate fold per row — the weight
 table rides along as a constant-folded literal map (for a table of hundreds
 to a few thousand weights, a lookup literal beats broadcasting a join side),
 so the most-executed filter of a 100 TB pipeline adds zero shuffles and
-stays inside the scan's projection.
+stays inside the scan's projection. Training (``train_hashed_logreg``)
+keeps corpus-sized work scan-side and shuffles only bucket-cardinality
+gradient partials per iteration.
 
-Exactness contract: weights are INTEGERS (caller scales a float model by
-``weight_scale``), per-document sums are exact int64, and the margin is one
-double division — bit-identical across engines, so registry oracles need no
-ROUND. Thresholding the margin is equivalent to thresholding
-sigmoid(margin) (monotone); no libm exp() enters the comparison.
+Exactness contract: serving weights are INTEGERS (callers scale a float
+model by ``weight_scale``), per-document sums are exact int64, and the
+margin is one double division — bit-identical across engines, so registry
+oracles need no ROUND. Thresholding the margin is equivalent to
+thresholding sigmoid(margin) (monotone); no libm exp() enters the
+comparison.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket(x: Column, buckets: int) -> Column:
+    """md5-derived feature bucket (first 8 hex digits mod ``buckets``) —
+    the recipe an oracle can rebuild; shared by training and serving."""
+    return (
+        F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    ).cast("int")
 
 
 def hashed_linear_score(
@@ -45,35 +59,20 @@ def hashed_linear_score(
             "hashed_linear_score: weights must be integers (scale a float "
             "model by weight_scale to keep per-document sums exact)"
         )
-    from ..functions.hashing import let1, tokens_expr
+    from ..functions.hashing import unigram_bigram_feats_expr
     from ..functions.text import DELIM_CLASS
 
     buckets = len(weights)
     wmap = F.create_map(
         *[F.lit(v) for b, w in enumerate(weights) for v in (b, w)]
     )
-
-    def bucket(x):
-        return (
-            F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
-            .cast("long") % buckets
-        ).cast("int")
-
     # ONE let1-bound fold tokenizes, builds bigrams, and folds weights in a
     # single evaluation; n_features is size arithmetic over its own
     # tokenization (HOFs have no CSE — see let1's docstring).
-    feats_expr = let1(
-        tokens_expr(text_col),
-        "w",
-        "concat(w, CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END)",
-    )
     wsum = F.aggregate(
-        F.expr(feats_expr),
+        F.expr(unigram_bigram_feats_expr(text_col)),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.element_at(wmap, bucket(x)),
+        lambda acc, x: acc + F.element_at(wmap, _bucket(x, buckets)),
     )
     ntok = F.size(
         F.filter(F.split(F.col(text_col), DELIM_CLASS), lambda x: x != "")
@@ -95,20 +94,6 @@ def hashed_linear_score(
     )
 
 
-def _feats_sql(text_col: str) -> str:
-    """SQL expr: hashed-model feature list (unigrams + adjacent bigrams)."""
-    from ..functions.hashing import let1, tokens_expr
-
-    return let1(
-        tokens_expr(text_col),
-        "w",
-        "concat(w, CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(1, size(w) - 1), "
-        "i -> concat_ws(' ', slice(w, i, 2))) "
-        "ELSE cast(array() as array<string>) END)",
-    )
-
-
 def train_hashed_logreg(
     df: DataFrame,
     label_col: str,
@@ -122,21 +107,25 @@ def train_hashed_logreg(
 
     The fit side of ``hashed_linear_score`` (the kmeans_fit pattern:
     driver-bounded model state, corpus-sized work stays scan-side). Labels
-    are 0/1 (``label_col``); features are mean-pooled hashed unigram+bigram
-    counts (x_b = cnt_b / n_features), matching the serving operator's
-    margin definition exactly.
+    are strictly 0/1 (``label_col`` — anything else fails fast in-plan);
+    features are mean-pooled hashed unigram+bigram counts
+    (x_b = cnt_b / n_features), matching the serving operator's margin
+    definition exactly.
 
-    Per iteration, ONE Spark action: the current weights ride into the
-    scan as a literal array, the per-document residual (sigmoid(margin +
-    bias) - y) is computed scan-side, and the gradient arrives as a
-    ``buckets``-cardinality aggregation of (bucket, resid * x) partials —
-    map-side combined, so shuffle bytes are O(buckets x partitions)
-    regardless of corpus size. The bias gradient, the log-loss, AND the
-    document-count normalizer need no extra pass: mean-pooled features sum
-    to 1 per document, so spreading resid/n, loss/n, and 1/n over a
-    document's feature rows makes their global sums equal sum(resid),
-    sum(loss), and N. Gradients are means over N (lr is corpus-size-
-    invariant).
+    Per iteration, ONE Spark action AND one margin-fold evaluation per
+    document: the current weights ride into the scan as a literal array,
+    the per-document residual (sigmoid(margin + bias) - y) is computed
+    scan-side, and everything downstream derives from the materialized
+    residual attribute below the explode — including the log-loss, which
+    for y in {0,1} is -log(1 - |resid|), so the fold is never re-evaluated
+    (HOFs have no CSE). The gradient arrives as a ``buckets``-cardinality
+    aggregation of (bucket, resid * x) partials — map-side combined, so
+    shuffle bytes are O(buckets x partitions) regardless of corpus size.
+    The bias gradient, the loss, and the document-count normalizer need no
+    extra pass: mean-pooled features sum to 1 per document, so spreading
+    resid/n, loss/n, and 1/n over a document's feature rows makes their
+    global sums equal sum(resid), sum(loss), and N. Gradients are means
+    over N (lr is corpus-size-invariant).
 
     Returns (weights, bias, per-iteration loss history). Serving export:
     mean-pooled features summing to 1 also means the bias FOLDS EXACTLY
@@ -144,19 +133,22 @@ def train_hashed_logreg(
     ``hashed_linear_score`` a table whose margin sign reproduces the
     trained decision boundary (up to integer quantization).
     """
+    from ..functions.hashing import unigram_bigram_feats_expr
+
     w = [0.0] * buckets
     bias = 0.0
     history: list[float] = []
-    feats = F.expr(_feats_sql(text_col))
+    feats = F.expr(unigram_bigram_feats_expr(text_col))
+    label_guard = F.assert_true(
+        (F.col("y") == 0.0) | (F.col("y") == 1.0),
+        F.concat(
+            F.lit("train_hashed_logreg: labels must be 0/1, got "),
+            F.col("y").cast("string"),
+        ),
+    )
     docs = df.select(
         F.col(label_col).cast("double").alias("y"), feats.alias("fs")
     ).filter(F.size("fs") >= 1)
-
-    def bucket(x):
-        return (
-            F.conv(F.substring(F.md5(x.cast("binary")), 1, 8), 16, 10)
-            .cast("long") % buckets
-        ).cast("int")
 
     for _ in range(iters):
         # repr() round-trips exactly, so the literal the scan folds over is
@@ -165,30 +157,27 @@ def train_hashed_logreg(
         margin = F.aggregate(
             F.col("fs"),
             F.lit(0.0),
-            lambda acc, x: acc + F.element_at(w_lit, bucket(x) + 1),
+            lambda acc, x: acc + F.element_at(w_lit, _bucket(x, buckets) + 1),
         ) / F.size("fs")
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin + F.lit(bias))))
         scored = docs.select(
             "fs",
-            (p - F.col("y")).alias("resid"),
-            # per-doc log-loss, clamped away from log(0)
-            (
-                -(
-                    F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
-                    + (1 - F.col("y"))
-                    * F.log(F.greatest(1 - p, F.lit(1e-12)))
-                )
-            ).alias("loss"),
+            F.when(label_guard.isNull(), p - F.col("y")).alias("resid"),
             F.size("fs").cast("double").alias("nf"),
         )
+        # loss derives from the RESIDUAL attribute (for y in {0,1} the
+        # correct-class probability is 1 - |resid|), evaluated above the
+        # Generate where resid is already materialized — never a second
+        # run of the O(n_features) fold (review r12).
+        loss_term = -F.log(
+            F.greatest(1 - F.abs(F.col("resid")), F.lit(1e-12))
+        )
         parts = (
-            scored.select(
-                F.explode("fs").alias("f"), "resid", "loss", "nf"
-            )
-            .groupBy(bucket(F.col("f")).alias("b"))
+            scored.select(F.explode("fs").alias("f"), "resid", "nf")
+            .groupBy(_bucket(F.col("f"), buckets).alias("b"))
             .agg(
                 F.sum(F.col("resid") / F.col("nf")).alias("g"),
-                F.sum(F.col("loss") / F.col("nf")).alias("ls"),
+                F.sum(loss_term / F.col("nf")).alias("ls"),
                 # one occurrence contributes 1/nf, so this sums to the
                 # document count — the gradient normalizer rides along
                 F.sum(F.lit(1.0) / F.col("nf")).alias("n"),

@@ -738,10 +738,17 @@ def dedup_lines_keep_first(
     ``unit="segments"``: the "line" is a fixed non-overlapping
     ``seg_tokens``-token segment (the synthetic corpora carry no newlines).
     ``unit="lines"``: the C4-faithful real-corpus mode — the unit is a
-    literal text line (split on '\\n', blank lines dropped) and clean_text
-    rejoins kept lines with '\\n'. Deterministic keep-globally-first policy
-    either way: a repeated unit survives only at its min-(id, position)
-    occurrence, so reruns and both oracle engines keep identical text.
+    literal text line. The split accepts all three line-ending conventions
+    ('\\r\\n', '\\r', '\\n' — real web corpora mix them, and a CRLF
+    boilerplate line must string-match its LF twin to dedup), blank lines
+    are dropped, and clean_text rejoins kept lines with '\\n' (line endings
+    normalize). Deterministic keep-globally-first policy either way: a
+    repeated unit survives only at its min-(id, position) occurrence, so
+    reruns and both oracle engines keep identical text.
+
+    ``id_col`` must be an integral column — it anchors the global-first
+    position key. Non-numeric ids fail fast here (a silent cast-to-NULL
+    would blank every document's output).
 
     Returns one row per input document that has >= 1 unit:
     (id_col, n_segs, n_removed, clean_text) with clean_text the kept
@@ -758,6 +765,14 @@ def dedup_lines_keep_first(
     """
     from ..functions.hashing import let1, tokens_expr
 
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"dedup_lines_keep_first: id_col {id_col!r} must be an integral "
+            f"type (got {id_type!r}) — the global-first key is "
+            f"id * max_segments + position, and a non-numeric id would cast "
+            f"to NULL and silently blank every document"
+        )
     if unit == "segments":
         k = seg_tokens
         seg_arr = let1(
@@ -770,21 +785,34 @@ def dedup_lines_keep_first(
         )
         joiner = " "
     elif unit == "lines":
-        seg_arr = f"filter(split({text_col}, '\\n'), x -> x <> '')"
+        seg_arr = f"filter(split({text_col}, '\\r\\n|\\r|\\n'), x -> x <> '')"
         joiner = "\n"
     else:
         raise ValueError(
             f"dedup_lines_keep_first: unit must be 'segments' or 'lines', "
             f"got {unit!r}"
         )
-    # Global-first key: id * max_segments + seg_idx. Fail-fast on overflow
-    # of the per-doc slot rather than silently mis-ranking (the
-    # mixture_waterfill hazard class).
+    # Global-first key: id * max_segments + seg_idx. Fail-fast on BOTH
+    # overflow edges rather than silently mis-ranking (the mixture_waterfill
+    # hazard class): the per-doc slot (position must fit max_segments) AND
+    # the int64 product (id * max_segments must not wrap — a wrapped
+    # negative pos would beat every honest pos in MIN and keep the wrong
+    # occurrence).
+    max_id = ((1 << 63) - 1) // max_segments - 1
     seg_guard = F.assert_true(
-        (F.col("p") + 1) < F.lit(max_segments),
-        F.lit(
-            f"dedup_lines_keep_first: per-doc segment index overflows the "
-            f"{max_segments} slot in the global-first key; raise max_segments"
+        ((F.col("p") + 1) < F.lit(max_segments))
+        & (F.col(id_col) <= F.lit(max_id))
+        & (F.col(id_col) >= 0),
+        F.concat(
+            F.lit(
+                f"dedup_lines_keep_first: global-first key overflow — need "
+                f"position < {max_segments} and 0 <= {id_col} <= {max_id} "
+                f"(got position="
+            ),
+            (F.col("p") + 1).cast("string"),
+            F.lit(f", {id_col}="),
+            F.col(id_col).cast("string"),
+            F.lit("); adjust max_segments"),
         ),
     )
     segs = docs.select(
@@ -845,8 +873,11 @@ def source_overlap_minhash(
     partitions rows — and the pair matrix runs on groups² x num_hashes
     rows (sources are dozens, slots are hundreds: trivially bounded).
 
-    Returns (group_a, group_b, n_slots_matched, jaccard_est) for every
-    unordered group pair, ordered for stable output.
+    Returns (group_a, group_b, n_slots_matched, jaccard_est) for EVERY
+    unordered pair of groups present in ``docs`` — a group whose documents
+    all fall below ``n`` tokens has an empty shingle set, and Jaccard of an
+    empty set against anything is 0, so its pairs report 0.0 rather than
+    silently vanishing from the matrix. Ordered for stable output.
     """
     from ..functions.hashing import minhash_signature, shingles_expr
 
@@ -862,28 +893,42 @@ def source_overlap_minhash(
         .groupBy("g", "slot")
         .agg(F.min("h").alias("h"))
     )
-    a = sig.select(
-        F.col("g").alias("group_a"), "slot", F.col("h").alias("ha")
-    )
-    b = sig.select(
-        F.col("g").alias("group_b"), "slot", F.col("h").alias("hb")
-    )
-    return (
-        a.join(b, "slot")
+    matched = (
+        sig.select(F.col("g").alias("group_a"), "slot", F.col("h").alias("ha"))
+        .join(
+            sig.select(
+                F.col("g").alias("group_b"), "slot", F.col("h").alias("hb")
+            ),
+            "slot",
+        )
         .filter(F.col("group_a") < F.col("group_b"))
         .groupBy("group_a", "group_b")
         .agg(
             F.sum((F.col("ha") == F.col("hb")).cast("long")).alias(
-                "n_slots_matched"
+                "n_matched"
             ),
         )
+    )
+    # the full pair frame comes from the bounded group list, so a
+    # signature-less group still appears (left join, zero-filled)
+    groups = docs.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .crossJoin(groups.select(F.col("g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    return (
+        pairs.join(matched, ["group_a", "group_b"], "left")
         .select(
             "group_a",
             "group_b",
-            "n_slots_matched",
-            (F.col("n_slots_matched") / F.lit(float(num_hashes))).alias(
-                "jaccard_est"
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias(
+                "n_slots_matched"
             ),
+            (
+                F.coalesce(F.col("n_matched"), F.lit(0))
+                / F.lit(float(num_hashes))
+            ).alias("jaccard_est"),
         )
         .orderBy("group_a", "group_b")
     )

@@ -3244,3 +3244,73 @@ def test_source_overlap_minhash_tracks_exact_jaccard(spark):
         assert abs(est[pair] - exact) <= 0.15, (pair, est[pair], exact)
     assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1
     assert est[("A", "B")] >= 0.2
+
+
+def test_dedup_lines_keep_first_guards(spark):
+    # review r12: the global-first key must fail fast, never corrupt —
+    # non-integral ids are rejected at plan time (a string id would cast to
+    # NULL and blank every document), CRLF/CR line endings dedup against
+    # their LF twins, and an id past the int64 product bound raises inside
+    # the plan instead of wrapping negative and winning MIN.
+    import pytest
+
+    from hadoop_word_score_spark.operators.dedup import dedup_lines_keep_first
+
+    str_ids = spark.createDataFrame(
+        [("docA", "x y"), ("docB", "x y")], "name string, text string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        dedup_lines_keep_first(str_ids, id_col="name")
+
+    crlf = spark.createDataFrame(
+        [(0, "keep me\r\nboiler line\r\nalso keep"), (1, "boiler line\nunique")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in dedup_lines_keep_first(crlf, unit="lines").collect()
+    }
+    assert out[0].clean_text == "keep me\nboiler line\nalso keep"
+    assert (out[1].n_removed, out[1].clean_text) == (1, "unique")
+
+    big_id = spark.createDataFrame(
+        [(2**60, "a b")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="key overflow"):
+        dedup_lines_keep_first(big_id).collect()
+
+
+def test_source_overlap_minhash_keeps_signatureless_groups(spark):
+    # review r12: a group whose docs all fall under the shingle width must
+    # still appear in the matrix with jaccard_est 0.0, not vanish
+    from hadoop_word_score_spark.operators.dedup import source_overlap_minhash
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A", " ".join(f"t{i}" for i in range(12))),
+            (1, "B", " ".join(f"t{i}" for i in range(12))),
+            (2, "SHORT", "one two"),  # < 3 tokens of shingle: no signature
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap_minhash(docs, num_hashes=32).collect()
+    }
+    assert set(rows) == {("A", "B"), ("A", "SHORT"), ("B", "SHORT")}
+    assert rows[("A", "SHORT")].jaccard_est == 0.0
+    assert rows[("B", "SHORT")].n_slots_matched == 0
+    assert rows[("A", "B")].jaccard_est == 1.0  # identical text
+
+
+def test_train_hashed_logreg_rejects_bad_labels(spark):
+    # review r12: the -log(1-|resid|) loss identity requires y in {0,1};
+    # fractional labels fail fast in-plan rather than silently corrupting
+    import pytest
+
+    from hadoop_word_score_spark.operators.classifier import train_hashed_logreg
+
+    docs = spark.createDataFrame(
+        [(0, "some text here", 0.5)], "doc_id long, text string, label double"
+    )
+    with pytest.raises(Exception, match="labels must be 0/1"):
+        train_hashed_logreg(docs, "label", iters=1, buckets=8)
