@@ -3314,3 +3314,66 @@ def test_train_hashed_logreg_rejects_bad_labels(spark):
     )
     with pytest.raises(Exception, match="labels must be 0/1"):
         train_hashed_logreg(docs, "label", iters=1, buckets=8)
+
+
+def test_train_hashed_logreg_matches_pure_python_reference(spark):
+    # the repo's shared-reference pattern (pack_bins_bfd, mmr_rerank): the
+    # distributed trainer must reproduce a from-scratch numpy logistic
+    # regression over the IDENTICAL feature hashing, per-iteration — same
+    # loss curve, same final weights/bias up to partial-sum float noise.
+    import hashlib as _hl
+    import math
+
+    from hadoop_word_score_spark.operators.classifier import (
+        train_hashed_logreg,
+    )
+
+    buckets, iters, lr = 32, 6, 4.0
+    rows = [
+        (0, "spark scan fast table", 1),
+        (1, "slow batch row merge line", 0),
+        (2, "query table spark spark", 1),
+        (3, "merge slow slow batch", 0),
+        (4, "fast query scan", 1),
+    ]
+
+    def feats(text):
+        toks = [t for t in text.split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def b_of(f):
+        return int(_hl.md5(f.encode()).hexdigest()[:8], 16) % buckets
+
+    def reference():
+        w = [0.0] * buckets
+        bias = 0.0
+        hist = []
+        data = [(feats(t), float(y)) for _, t, y in rows]
+        for _ in range(iters):
+            grad = [0.0] * buckets
+            gb = 0.0
+            loss = 0.0
+            for fs, y in data:
+                m = sum(w[b_of(f)] for f in fs) / len(fs) + bias
+                p = 1.0 / (1.0 + math.exp(-m))
+                r = p - y
+                for f in fs:
+                    grad[b_of(f)] += r / len(fs)
+                gb += r
+                loss += -math.log(max(1.0 - abs(r), 1e-12))
+            n = len(data)
+            w = [wi - lr * gi / n for wi, gi in zip(w, grad)]
+            bias -= lr * gb / n
+            hist.append(loss / n)
+        return w, bias, hist
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w_s, b_s, h_s = train_hashed_logreg(
+        docs, "label", iters=iters, lr=lr, buckets=buckets
+    )
+    w_r, b_r, h_r = reference()
+    assert len(h_s) == len(h_r) == iters
+    for a, b in zip(h_s, h_r):
+        assert abs(a - b) < 1e-9
+    assert abs(b_s - b_r) < 1e-9
+    assert max(abs(a - b) for a, b in zip(w_s, w_r)) < 1e-9
