@@ -3377,3 +3377,60 @@ def test_train_hashed_logreg_matches_pure_python_reference(spark):
         assert abs(a - b) < 1e-9
     assert abs(b_s - b_r) < 1e-9
     assert max(abs(a - b) for a, b in zip(w_s, w_r)) < 1e-9
+
+
+def test_fast_family_classifier_fit_serve_loop(spark):
+    # the Arrow throughput pair: fast trainer + fast scorer reproduce the
+    # md5 pair's behavior on separable data (loss halves, serving decisions
+    # match labels), and the fast scorer agrees bit-for-bit with a pure
+    # numpy rescore under the same hash family.
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.classifier import (
+        _fast_feature_arrays,
+        hashed_linear_score_fast,
+        train_hashed_logreg_fast,
+    )
+
+    pos_words = ["spark", "scan", "fast", "query", "table"]
+    neg_words = ["slow", "batch", "row", "merge", "line"]
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, " ".join(pos_words[(i + j) % 5] for j in range(6)) + " spark", 1)
+        )
+        rows.append(
+            (100 + i, " ".join(neg_words[(i + j) % 5] for j in range(7)), 0)
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    w, bias, hist = train_hashed_logreg_fast(
+        docs, "label", iters=12, lr=8.0, buckets=64
+    )
+    assert len(hist) == 12 and hist[-1] < hist[0] * 0.5
+    served = hashed_linear_score_fast(docs, weights=w).collect()
+    got = {r.doc_id: (r.margin + bias) >= 0.0 for r in served}
+    acc = sum(got[i] == (lab == 1) for i, _, lab in rows) / len(rows)
+    assert acc >= 0.95
+
+    # bit-parity with a local rescore through the same kernel
+    import pandas as pd
+
+    texts = pd.Series([t for _, t, _ in rows])
+    doc_of, bk, nf = _fast_feature_arrays(texts, 64)
+    wa = np.asarray(w)
+    wsum = np.zeros(len(texts))
+    np.add.at(wsum, doc_of, wa[bk])
+    expect = wsum / nf
+    by_id = {r.doc_id: r.margin for r in served}
+    for idx, (did, _, _) in enumerate(rows):
+        assert by_id[did] == expect[idx]
+
+    # bad labels fail fast inside the Arrow worker too
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(0, "some text", 0.25)], "doc_id long, text string, label double"
+    )
+    with pytest.raises(Exception, match="labels must be 0/1"):
+        train_hashed_logreg_fast(bad, "label", iters=1, buckets=8)
