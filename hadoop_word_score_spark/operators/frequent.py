@@ -36,6 +36,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _mg_prune(counts: dict, capacity: int) -> dict:
+    """The Misra-Gries decrement step (the error-bound-bearing move of the
+    algorithm): subtract the (capacity+1)-th largest count from everyone
+    and drop the non-positive — ONE shared definition for the batch
+    operator and the streaming monitor (review r12: two verbatim copies
+    could drift and silently break one side's certificate)."""
+    if len(counts) <= capacity:
+        return counts
+    vals = sorted(counts.values(), reverse=True)
+    sub = vals[capacity]
+    return {t: c - sub for t, c in counts.items() if c > sub}
+
+
 def _mg_summarize(term_col: str, capacity: int):
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
@@ -47,10 +60,7 @@ def _mg_summarize(term_col: str, capacity: int):
             n_part += len(pdf)
             for term, c in pdf[term_col].value_counts().items():
                 counts[term] = counts.get(term, 0) + int(c)
-            if len(counts) > capacity:
-                vals = sorted(counts.values(), reverse=True)
-                sub = vals[capacity]
-                counts = {t: c - sub for t, c in counts.items() if c > sub}
+            counts = _mg_prune(counts, capacity)
         # sentinel row (term NULL): this partition's RAW token total — the
         # N in the exactness threshold N/(capacity+1) rides along with the
         # summary instead of costing a third scan of the stream.

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _index_key, _load_centroids, build_ivf_index
+from .similarity import _load_centroids, build_ivf_index
 
 _CODEBOOK_CACHE: dict[tuple[str, float], list] = {}
 _PQ_INDEX_CACHE: dict[tuple[str, str, float], DataFrame] = {}
@@ -170,24 +170,44 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep: tuple[str, ...] = (),
+    coarse: tuple[np.ndarray, np.ndarray] | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """(id_col, *keep, pq_code array<int>) — one narrow argmin pass; the
-    vector column is consumed and DROPPED (the compression is the point)."""
+    vector column is consumed and DROPPED (the compression is the point).
+
+    ``coarse``: optional (cell_ids, unit-centroid matrix). When given (and
+    ``cell_col`` is in ``keep``), the SAME pass also emits ``_coarse_sim``
+    — each vector's cosine to its assigned coarse centroid, rounded 6 like
+    every served similarity. Because assignment is cosine argmax over the
+    same centroids, this equals the max-sim the training envelope needs,
+    so the index build gets worst_coarse_sim without a second corpus scan
+    (review r12)."""
     m, _, dsub = books.shape
     id_schema = df.schema[id_col].dataType.simpleString()
     keep_schema = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in keep
     )
     out_schema = f"{id_col} {id_schema}{keep_schema}, pq_code array<int>"
+    if coarse is not None:
+        if cell_col not in keep:
+            raise ValueError(
+                f"pq_encode: coarse sims need {cell_col!r} in keep"
+            )
+        out_schema += ", _coarse_sim double"
+        coarse_ids, coarse_unit = coarse
+        # cell ids need not be dense: map id -> matrix row
+        cell_row = {int(c): i for i, c in enumerate(coarse_ids)}
 
     def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col],
-                     **{c: pdf[c] for c in keep},
-                     "pq_code": pd.Series(dtype="object")}
-                )
+                out = {id_col: pdf[id_col],
+                       **{c: pdf[c] for c in keep},
+                       "pq_code": pd.Series(dtype="object")}
+                if coarse is not None:
+                    out["_coarse_sim"] = pd.Series(dtype="float64")
+                yield pd.DataFrame(out)
                 continue
             vm = np.array(list(pdf[vec_col]), dtype=np.float64)
             sub = vm.reshape(len(vm), m, dsub)
@@ -196,11 +216,20 @@ def pq_encode(
                  .sum(-1).argmin(1) for mm in range(m)],
                 axis=1,
             ).astype(np.int32)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col],
-                 **{c: pdf[c] for c in keep},
-                 "pq_code": list(codes)}
-            )
+            out = {id_col: pdf[id_col],
+                   **{c: pdf[c] for c in keep},
+                   "pq_code": list(codes)}
+            if coarse is not None:
+                vnorm = np.sqrt((vm * vm).sum(axis=1))
+                vnorm[vnorm == 0] = 1.0
+                rows = np.fromiter(
+                    (cell_row[int(c)] for c in pdf[cell_col]),
+                    dtype=np.int64,
+                    count=len(pdf),
+                )
+                sims = ((vm / vnorm[:, None]) * coarse_unit[rows]).sum(axis=1)
+                out["_coarse_sim"] = np.round(sims, 6)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, *keep, vec_col).mapInPandas(encode, out_schema)
 
@@ -226,10 +255,41 @@ def persist_ivfpq_index(
     books = pq_train(
         candidates, id_col, vec_col, m, k, iterations, train_ppm=train_ppm
     )
-    codes = pq_encode(index, books, id_col, vec_col, keep=("cell",))
-    codes.repartition("cell").write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "index"))
+    cent_rows = centroids.collect()  # bounded: n_cells rows
+    coarse = None
+    if cent_rows:
+        cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0] = 1.0
+        coarse = (
+            np.array([r["cell"] for r in cent_rows], dtype=np.int64),
+            cmat / cnorm[:, None],
+        )
+    # ONE encode pass feeds both the index write and the training-time
+    # coarse envelope (review r12: the previous dedicated worst-sim pass
+    # re-scanned the whole corpus for one scalar). Two consumers of a
+    # corpus-sized relation -> persist(DISK_ONLY) + unpersist, the
+    # scale-safe pin (narrow ~90 B/row codes, never raw vectors).
+    from pyspark.storagelevel import StorageLevel
+
+    codes = pq_encode(
+        index, books, id_col, vec_col, keep=("cell",), coarse=coarse
+    )
+    worst = None
+    if coarse is not None:
+        codes = codes.persist(StorageLevel.DISK_ONLY)
+        try:
+            row = codes.agg(F.min("_coarse_sim")).collect()[0][0]
+            worst = None if row is None else float(row)
+            codes.drop("_coarse_sim").repartition("cell").write.partitionBy(
+                "cell"
+            ).mode("overwrite").parquet(os.path.join(path, "index"))
+        finally:
+            codes.unpersist()
+    else:
+        codes.repartition("cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "index"))
     centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     spark = candidates.sparkSession
     # Arrow (pandas) route, not a plain row list: a list-backed local
@@ -245,36 +305,10 @@ def persist_ivfpq_index(
     spark.createDataFrame(book_pdf).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codebooks"))
-    # training-time coarse envelope: the worst cosine any indexed vector
-    # has to its assigned centroid — the baseline ivfpq_index_append's
-    # drift guard compares new batches against. One narrow agg pass
-    # (offline build cost); rounded like every served similarity.
-    cmat = np.array(
-        [r["centroid"] for r in centroids.collect()], dtype=np.float64
-    )
-    worst = None
-    if len(cmat):
-        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-        cnorm[cnorm == 0] = 1.0
-        cunit = cmat / cnorm[:, None]
-
-        def worst_sim(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vm = np.array(list(pdf["v"]), dtype=np.float64)
-                vnorm = np.sqrt((vm * vm).sum(axis=1))
-                vnorm[vnorm == 0] = 1.0
-                sims = (vm / vnorm[:, None]) @ cunit.T
-                yield pd.DataFrame({"s": [float(sims.max(axis=1).min())]})
-
-        row = (
-            candidates.select(F.col(vec_col).alias("v"))
-            .mapInPandas(worst_sim, "s double")
-            .agg(F.min("s"))
-            .collect()[0][0]
-        )
-        worst = None if row is None else round(float(row), 6)
+    # the training-time coarse envelope (worst cosine any indexed vector
+    # has to its assigned centroid) was computed on the shared encode pass
+    # above — per-row ROUND(6) commutes with MIN (round is monotone), so
+    # the value matches the old dedicated pass exactly.
     with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
         json.dump(
             {"m": m, "k": k, "n_cells": n_cells,
@@ -389,26 +423,23 @@ def ivfpq_index_append(
         "cell"
     ).mode("append").parquet(os.path.join(path, "index"))
     meta["appended"] = int(meta.get("appended", 0)) + int(stats.n)
-    if stats.worst is not None:
-        meta["worst_coarse_sim"] = min(
-            float(meta.get("worst_coarse_sim", float("inf"))),
-            float(stats.worst),
-        )
+    # worst_coarse_sim is the TRAINING-time envelope and stays frozen
+    # (review r12): updating it with each accepted batch's minimum would
+    # ratchet the guard monotonically looser — after one borderline batch
+    # slips under max_coarse_drift, a fully drifted next batch would
+    # compare against the loosened floor and pass. Appends never move it;
+    # only persist_ivfpq_index (a rebuild) re-derives it.
     with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f)
     return int(stats.n)
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
-    cdir = os.path.join(path, "codebooks")
-    full = _index_key(spark, cdir)
-    rows = None
-    if full is not None and full[1:] in _CODEBOOK_CACHE:
-        rows = _CODEBOOK_CACHE[full[1:]]
-    if rows is None:
-        rows = spark.read.parquet(cdir).collect()  # bounded: m*k rows
-        if full is not None:
-            _CODEBOOK_CACHE[full[1:]] = rows
+    from .similarity import load_cached_rows
+
+    rows = load_cached_rows(  # bounded: m*k rows
+        spark, os.path.join(path, "codebooks"), _CODEBOOK_CACHE
+    )
     m = 1 + max(r["m"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
     dsub = len(rows[0]["centroid"])
@@ -458,14 +489,11 @@ def ivfpq_probe_topk(
             f">{max_queries} query vectors. Pass a smaller query set or "
             f"raise max_queries explicitly."
         )
-    idir = os.path.join(path, "index")
-    key = _index_key(spark, idir)
-    if key is None:
-        index = spark.read.parquet(idir)
-    elif key in _PQ_INDEX_CACHE:
-        index = _PQ_INDEX_CACHE[key]
-    else:
-        index = _PQ_INDEX_CACHE[key] = spark.read.parquet(idir)
+    from .similarity import load_cached_df
+
+    index = load_cached_df(
+        spark, os.path.join(path, "index"), _PQ_INDEX_CACHE
+    )
     id_schema = index.schema[id_col].dataType.simpleString()
     out_schema = (
         f"query_id {id_schema}, cand_id {id_schema}, cosine_sim double"

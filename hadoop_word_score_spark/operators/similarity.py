@@ -431,25 +431,39 @@ def _index_key(spark: SparkSession, subdir: str) -> tuple[str, str, float] | Non
     return (spark.sparkContext.applicationId, os.path.realpath(subdir), mtime)
 
 
-def _load_centroids(spark: SparkSession, path: str) -> list:
-    cdir = os.path.join(path, "centroids")
-    full = _index_key(spark, cdir)
+def load_cached_rows(spark: SparkSession, subdir: str, cache: dict) -> list:
+    """Staleness-keyed bounded collect: keyed on (realpath, _SUCCESS mtime)
+    so a rebuild invalidates, shared by every persisted-index consumer
+    (centroids, PQ codebooks — review r12: parallel copies of this logic
+    had to re-apply the r8 stale-cache fix in lockstep)."""
+    full = _index_key(spark, subdir)
     if full is None:
-        return spark.read.parquet(cdir).collect()
+        return spark.read.parquet(subdir).collect()
     key = full[1:]
-    if key not in _CENTROIDS_CACHE:
-        _CENTROIDS_CACHE[key] = spark.read.parquet(cdir).collect()
-    return _CENTROIDS_CACHE[key]
+    if key not in cache:
+        cache[key] = spark.read.parquet(subdir).collect()
+    return cache[key]
+
+
+def load_cached_df(spark: SparkSession, subdir: str, cache: dict) -> DataFrame:
+    """Staleness-keyed DataFrame handle: like load_cached_rows but keeps
+    the applicationId in the key (a DataFrame is session-bound)."""
+    key = _index_key(spark, subdir)
+    if key is None:  # non-driver-visible store: no freshness signal, no cache
+        return spark.read.parquet(subdir)
+    if key not in cache:
+        cache[key] = spark.read.parquet(subdir)
+    return cache[key]
+
+
+def _load_centroids(spark: SparkSession, path: str) -> list:
+    return load_cached_rows(
+        spark, os.path.join(path, "centroids"), _CENTROIDS_CACHE
+    )
 
 
 def _load_index(spark: SparkSession, path: str) -> DataFrame:
-    idir = os.path.join(path, "index")
-    key = _index_key(spark, idir)
-    if key is None:  # non-driver-visible store: no freshness signal, no cache
-        return spark.read.parquet(idir)
-    if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = spark.read.parquet(idir)
-    return _INDEX_CACHE[key]
+    return load_cached_df(spark, os.path.join(path, "index"), _INDEX_CACHE)
 
 
 def ivf_probe_topk(

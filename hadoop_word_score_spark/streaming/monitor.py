@@ -157,7 +157,7 @@ def heavy_hitters_monitor_sink(
     import pandas as _pd
     from pyspark.sql import functions as F
 
-    from ..operators.frequent import _mg_summarize
+    from ..operators.frequent import _mg_prune, _mg_summarize
     from .sinks import _commit, _read_pointer, _validate_local_target
 
     target = _validate_local_target(target, "heavy_hitters_monitor_sink")
@@ -203,15 +203,21 @@ def heavy_hitters_monitor_sink(
             ).collect()  # <= capacity rows
             counts = {r.term: r.mg_count for r in standing}
         n_batch = 0
+        n_terms = 0
         for r in rows:
             if r.term is None:
                 n_batch += r.mg_count  # the phase-1 sentinel: raw token count
             else:
+                n_terms += 1
                 counts[r.term] = counts.get(r.term, 0) + r.mg_count
-        if len(counts) > capacity:
-            vals = sorted(counts.values(), reverse=True)
-            sub = vals[capacity]
-            counts = {t: c - sub for t, c in counts.items() if c > sub}
+        if n_batch == 0 and n_terms == 0:
+            # empty batch: advance the replay guard on the SAME version —
+            # no new snapshot, no new meta (the _bucketed_batch_write rule;
+            # review r12: an idle source with periodic triggers would
+            # otherwise accumulate identical version dirs without bound)
+            _commit(target, version, batch_id)
+            return
+        counts = _mg_prune(counts, capacity)
         meta["n_total"] = int(meta["n_total"]) + int(n_batch)
         new_version = version + 1
         pdf = _pd.DataFrame(

@@ -598,6 +598,10 @@ def test_ivfpq_append_indexes_new_vectors_and_guards_drift(spark, tmp_path):
     assert ivfpq_index_append(planted, path, max_coarse_drift=0.9) == 5
     meta1 = _json.load(open(f"{path}/_pq_meta.json"))
     assert meta1["appended"] == 5
+    # review r12: the training envelope is FROZEN — an accepted batch must
+    # not ratchet worst_coarse_sim looser, or repeated borderline appends
+    # would let a fully drifted batch slide under the guard
+    assert meta1["worst_coarse_sim"] == meta0["worst_coarse_sim"]
 
     adc = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
     got = {(r.query_id, r.cand_id) for r in adc.collect()}

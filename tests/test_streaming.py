@@ -1534,10 +1534,26 @@ def test_heavy_hitters_monitor_certificate_replay_and_guard(spark, tmp_path):
             heavy_hitters_report_from_store(spark, target).collect()}
     assert rep2 == {t: (r.mg_count, r.n_total) for t, r in rep.items()}
 
+    # empty batch (review r12): the replay guard advances but NO new
+    # snapshot/meta version is written — an idle source with periodic
+    # triggers must not accumulate identical version directories
+    import os as _os
+
+    n_dirs_before = sorted(_os.listdir(target))
+    empty = spark.createDataFrame([], "term string")
+    sink(empty, 2)
+    assert sorted(_os.listdir(target)) == n_dirs_before
+    rep3 = {r.term: (r.mg_count, r.n_total) for r in
+            heavy_hitters_report_from_store(spark, target).collect()}
+    assert rep3 == {t: (r.mg_count, r.n_total) for t, r in rep.items()}
+    # ...and the empty batch itself replays as a no-op
+    sink(empty, 2)
+    assert sorted(_os.listdir(target)) == n_dirs_before
+
     # capacity-change guard
     other = heavy_hitters_monitor_sink(target, capacity=8)
     with _pytest.raises(ValueError, match="capacity"):
-        other(b0, 2)
+        other(b0, 3)
 
     # empty table: report is None
     assert heavy_hitters_report_from_store(spark, str(tmp_path / "none")) is None

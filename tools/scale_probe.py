@@ -1445,8 +1445,12 @@ def streaming_drain_floor_rows(spark) -> list[str]:
             best = dt if best is None else min(best, dt)
         return best
 
-    tum_full, tum_tiny = drain(full_src, "f"), drain(tiny_src, "t")
-    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # try/finally (review r12): a drain failure must not leak the
+    # 16-partition override into every receipt measured after this one
+    try:
+        tum_full, tum_tiny = drain(full_src, "f"), drain(tiny_src, "t")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     docs = load_table(spark, BASE, "documents").select("doc_id", "text")
     mid = docs.count() // 2
