@@ -855,6 +855,7 @@ def source_overlap_minhash(
     text_col: str = "text",
     num_hashes: int = 128,
     n: int = 3,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Pairwise content-overlap matrix across groups (source-level MinHash).
 
@@ -878,6 +879,17 @@ def source_overlap_minhash(
     all fall below ``n`` tokens has an empty shingle set, and Jaccard of an
     empty set against anything is 0, so its pairs report 0.0 rather than
     silently vanishing from the matrix. Ordered for stable output.
+
+    ``with_containment=True`` adds the ASYMMETRIC direction Jaccard hides —
+    a small source fully embedded in a huge one has tiny J but containment
+    ≈ 1, the signal that actually decides "drop source A, B already covers
+    it". Zero extra passes: the per-group distinct-shingle cardinality
+    falls out of the SAME signature (the k-mins sketch estimator — each
+    slot's minimum of n uniform hashes has mean 1/(n+1), so
+    n̂ = k / Σ normalized-minima − 1), and |A∩B| = J·(|A|+|B|)/(1+J)
+    turns (J, n̂_a, n̂_b) into both containments (clamped to [0,1] —
+    estimators compose). Adds (n_distinct_a, n_distinct_b,
+    containment_a_in_b, containment_b_in_a); zero for empty-set groups.
     """
     from ..functions.hashing import minhash_signature, shingles_expr
 
@@ -917,18 +929,64 @@ def source_overlap_minhash(
         .crossJoin(groups.select(F.col("g").alias("group_b")))
         .filter(F.col("group_a") < F.col("group_b"))
     )
+    out = pairs.join(matched, ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_slots_matched"),
+        (
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            / F.lit(float(num_hashes))
+        ).alias("jaccard_est"),
+    )
+    if not with_containment:
+        return out.orderBy("group_a", "group_b")
+    # k-mins cardinality from the group signature: xxhash64 minima are
+    # uniform on the signed-int64 range, so u = h/2^64 + 0.5 in [0, 1)
+    # and n̂ = k/Σu - 1 (a present group holds exactly num_hashes slots)
+    ncnt = sig.groupBy("g").agg(
+        F.greatest(
+            F.lit(float(num_hashes))
+            / F.greatest(
+                F.sum(F.col("h") / F.lit(2.0**64) + 0.5), F.lit(1e-12)
+            )
+            - 1.0,
+            F.lit(0.0),
+        ).alias("n_est")
+    )
+    j = F.col("jaccard_est")
+    na, nb = F.col("n_distinct_a"), F.col("n_distinct_b")
+    inter = j * (na + nb) / (F.lit(1.0) + j)
+
+    def contain(denom):
+        return F.when(
+            denom > 0, F.least(inter / denom, F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+
     return (
-        pairs.join(matched, ["group_a", "group_b"], "left")
+        out.join(
+            ncnt.select(F.col("g").alias("group_a"),
+                        F.col("n_est").alias("n_distinct_a")),
+            "group_a",
+            "left",
+        )
+        .join(
+            ncnt.select(F.col("g").alias("group_b"),
+                        F.col("n_est").alias("n_distinct_b")),
+            "group_b",
+            "left",
+        )
         .select(
             "group_a",
             "group_b",
-            F.coalesce(F.col("n_matched"), F.lit(0)).alias(
-                "n_slots_matched"
-            ),
-            (
-                F.coalesce(F.col("n_matched"), F.lit(0))
-                / F.lit(float(num_hashes))
-            ).alias("jaccard_est"),
+            "n_slots_matched",
+            "jaccard_est",
+            F.coalesce(na, F.lit(0.0)).alias("n_distinct_a"),
+            F.coalesce(nb, F.lit(0.0)).alias("n_distinct_b"),
+        )
+        .select(
+            "*",
+            contain(na).alias("containment_a_in_b"),
+            contain(nb).alias("containment_b_in_a"),
         )
         .orderBy("group_a", "group_b")
     )

@@ -3305,6 +3305,19 @@ def test_source_overlap_minhash_keeps_signatureless_groups(spark):
     assert rows[("B", "SHORT")].n_slots_matched == 0
     assert rows[("A", "B")].jaccard_est == 1.0  # identical text
 
+    # containment mode over the same corpus: the empty-set group reports
+    # zero cardinality and zero containment both ways, no crash
+    wc = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap_minhash(
+            docs, num_hashes=32, with_containment=True
+        ).collect()
+    }
+    r = wc[("A", "SHORT")]
+    assert r.n_distinct_b == 0.0
+    assert r.containment_a_in_b == 0.0 and r.containment_b_in_a == 0.0
+    assert wc[("A", "B")].containment_a_in_b == 1.0
+
 
 def test_train_hashed_logreg_rejects_bad_labels(spark):
     # review r12: the -log(1-|resid|) loss identity requires y in {0,1};
@@ -3438,3 +3451,53 @@ def test_fast_family_classifier_fit_serve_loop(spark):
     )
     with pytest.raises(Exception, match="labels must be 0/1"):
         train_hashed_logreg_fast(bad, "label", iters=1, buckets=8)
+
+
+def test_source_overlap_containment_direction(spark):
+    # the asymmetric signal: SMALL's shingles are a strict subset of BIG's,
+    # so containment(SMALL in BIG) must approach 1 while Jaccard and the
+    # reverse containment stay near |SMALL|/|BIG|; the k-mins cardinality
+    # estimates must land within the sketch's error band of the true
+    # distinct-shingle counts.
+    from hadoop_word_score_spark.functions.hashing import shingles_expr
+    from hadoop_word_score_spark.operators.dedup import source_overlap_minhash
+
+    base = [" ".join(f"w{j + 23 * i}" for j in range(25)) for i in range(12)]
+    rows = []
+    for i, t in enumerate(base[:3]):          # SMALL = first quarter
+        rows.append((i, "SMALL", t))
+    for i, t in enumerate(base):              # BIG = everything
+        rows.append((100 + i, "BIG", t))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap_minhash(
+            docs, num_hashes=256, with_containment=True
+        ).collect()
+    }
+    r = out[("BIG", "SMALL")]
+    sets = {
+        src: {
+            s
+            for (arr,) in docs.filter(F.col("source") == src)
+            .select(F.expr(shingles_expr("text")))
+            .collect()
+            for s in arr
+        }
+        for src in ("SMALL", "BIG")
+    }
+    assert sets["SMALL"] <= sets["BIG"]
+    # cardinality estimates within ~3/sqrt(256) relative error
+    assert abs(r.n_distinct_a - len(sets["BIG"])) / len(sets["BIG"]) < 0.25
+    assert abs(r.n_distinct_b - len(sets["SMALL"])) / len(sets["SMALL"]) < 0.25
+    # SMALL (= group_b) is fully contained in BIG (= group_a)
+    assert r.containment_b_in_a >= 0.75
+    true_rev = len(sets["SMALL"]) / len(sets["BIG"])
+    assert abs(r.containment_a_in_b - true_rev) < 0.2
+    assert abs(r.jaccard_est - true_rev) < 0.2  # J == |S|/|B| for subsets
+    # plain mode keeps the original 4-column contract
+    plain = source_overlap_minhash(docs, num_hashes=32)
+    assert plain.columns == [
+        "group_a", "group_b", "n_slots_matched", "jaccard_est",
+    ]
