@@ -3316,7 +3316,9 @@ def test_source_overlap_minhash_keeps_signatureless_groups(spark):
     r = wc[("A", "SHORT")]
     assert r.n_distinct_b == 0.0
     assert r.containment_a_in_b == 0.0 and r.containment_b_in_a == 0.0
-    assert wc[("A", "B")].containment_a_in_b == 1.0
+    # identical text both sides; the two cardinality estimates can differ
+    # in the last ulp (partition-order summation), so near-1, not == 1
+    assert wc[("A", "B")].containment_a_in_b >= 0.999
 
 
 def test_train_hashed_logreg_rejects_bad_labels(spark):
