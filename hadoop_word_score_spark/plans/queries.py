@@ -313,6 +313,26 @@ _DRIVER_GREEN_R11 = frozenset({
     "window_dist", "window_range_frame"
 })
 
+_DRIVER_GREEN_R12 = frozenset({
+    "array_funcs", "bpe_encode_corpus", "bpe_encode_lengths",
+    "bpe_encode_sequences", "bpe_merge_rules", "bpe_subword_rules",
+    "cohort_retention_weekly", "corpus_drift_kl", "dedup_containment",
+    "dedup_lines_c4", "dedup_semantic", "doc_chunks", "doc_fingerprint",
+    "doc_length_buckets", "embedding_centroids", "embedding_covariance",
+    "events_anomaly_zscore", "funnel_signup_click_purchase",
+    "heavy_hitters_streamed", "hll_distinct_sketch", "kmeans_embeddings",
+    "mixture_sample_weighted", "multimodal_audio_real", "multimodal_decode",
+    "multimodal_decode_real", "multimodal_frames", "multimodal_meta",
+    "multimodal_resize", "multimodal_video_real", "pack_sequences",
+    "percentile_exact", "pmi_collocations", "q14_promo_effect",
+    "q18_large_volume", "q9_product_profit", "quality_classifier_score",
+    "sample_hash_mod", "sample_stratified_lang", "sessionize_events",
+    "shuffle_shards", "similarity_ivfpq_append", "similarity_ivfpq_build",
+    "similarity_ivfpq_recall", "similarity_topk_ivfpq", "stats_corr_covar",
+    "udf_grouped_agg_wavg", "udf_grouped_zscore", "udtf_chunk_text",
+    "vocab_coverage_topk", "zorder_keys"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -470,7 +490,9 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bigram_counts": "c9d0c7cc6237",
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
+    "bpe_encode_corpus": "c8c97e58a931",
     "bpe_encode_lengths": "b8dc811b87a9",
+    "bpe_encode_sequences": "137ab376b92f",
     "bpe_merge_rules": "337d9cdb287d",
     "bpe_subword_rules": "01ab4987d307",
     "cms_frequency_estimates": "2369d6ea31ee",
@@ -497,6 +519,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "dedup_exact": "b5919931923e",
     "dedup_incremental": "8b8c3458e304",
     "dedup_jaccard_prefix": "45fed2cab3f0",
+    "dedup_lines_c4": "e72476105d67",
     "dedup_near_embedding": "385ed2cfbff8",
     "dedup_near_jaccard": "45fed2cab3f0",
     "dedup_near_minhash": "45fed2cab3f0",
@@ -536,6 +559,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "graph_triangle_counts": "9dcb3bdf5fe8",
     "grouping_sets": "f5bacfcdb761",
     "having_filter": "77fb0b6c240c",
+    "heavy_hitters_streamed": "bf837c9e9482",
     "heavy_hitters_terms": "eebdd3039a46",
     "histogram_totalprice": "8038b735944f",
     "hll_distinct_sketch": "822ed83be27d",
@@ -595,6 +619,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "q8_market_share": "dcac2cc8b7e0",
     "q9_product_profit": "71e0a8f5f468",
     "quality_bigram_logprob": "e4f1a4016e28",
+    "quality_classifier_score": "f8365e550817",
     "quality_repetition_filter": "55636dd83470",
     "quality_top_ngram_mass": "1b649ba867f6",
     "quality_unigram_logprob": "edad530fe1e7",
@@ -611,9 +636,13 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_hard_negatives": "7f5dd80f6b73",
     "similarity_ivf_build": "08f73a863baf",
     "similarity_ivf_recall": "d7d0848ae2b2",
+    "similarity_ivfpq_append": "ad4d57f639af",
+    "similarity_ivfpq_build": "3c6a9b92867d",
+    "similarity_ivfpq_recall": "60b0e9d0e7a5",
     "similarity_lsh_recall_midsim": "d7d0848ae2b2",
     "similarity_topk": "22b1057025c9",
     "similarity_topk_ivf": "7e42064e22c8",
+    "similarity_topk_ivfpq": "fbcae8bf8a13",
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
     "snapshot_diff_orders": "99d2c33eb09d",
@@ -645,6 +674,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "udtf_chunk_text": "ffd74a0e21d5",
     "unpivot_lineitem_metrics": "ceac6a0e32cf",
     "variant_funcs": "1dfefd695b3d",
+    "vocab_coverage_topk": "ce4f99eaab72",
     "vocab_stats": "db379a6f6fbe",
     "window_analytic": "15541ecc7341",
     "window_dist": "0a36a1030c7c",
@@ -671,45 +701,48 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "asof_join_events": "5f8b528493ce",
     "asof_join_events_forward": "68aeb5b92d28",
     "basket_association_rules": "b8269616dae0",
-    "bigram_counts": "c80e02e693be",
+    "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
-    "bm25_ranking": "e1e2363bc969",
-    "bpe_encode_lengths": "cd6b2a9cb3c3",
-    "bpe_merge_rules": "5e04b1e887b7",
-    "bpe_subword_rules": "f0e0a793d469",
-    "cms_frequency_estimates": "d51effacf52c",
+    "bm25_ranking": "02cca47d0e50",
+    "bpe_encode_corpus": "af6233ecd15c",
+    "bpe_encode_lengths": "699d9a9a7e93",
+    "bpe_encode_sequences": "d174358ceec7",
+    "bpe_merge_rules": "ce9d054c6821",
+    "bpe_subword_rules": "05bfddc3bbe3",
+    "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
-    "corpus_dedup_rate_by_source": "16905fe54ce9",
-    "corpus_drift_kl": "8f4e0044fc24",
+    "corpus_dedup_rate_by_source": "d2cf1ccedc4e",
+    "corpus_drift_kl": "e2cae88a5132",
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
-    "corpus_ngram_novelty": "b5123ff46e92",
-    "corpus_prep_funnel": "11763562c9bc",
-    "corpus_report_by_source": "f3ab65ab68ef",
+    "corpus_ngram_novelty": "2f01a5a9cd3e",
+    "corpus_prep_funnel": "9acdb935829d",
+    "corpus_report_by_source": "fadffd6eb92f",
     "corpus_sample_plan_execution": "3bdb14bb40c5",
-    "corpus_zipf_slope": "f014f65a6cab",
+    "corpus_zipf_slope": "9096496a03df",
     "cube_segment_status": "c98c0943f295",
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
-    "decontaminate_bloom": "e886fb5e20fd",
-    "decontaminate_ngrams": "bf2d49874928",
-    "dedup_apply_survivors": "5908b2133ce2",
-    "dedup_cluster_canonical": "e00254293e29",
-    "dedup_clusters": "891d08c0d8e3",
-    "dedup_containment": "1f4e01047c95",
-    "dedup_exact": "0104a77aa269",
-    "dedup_incremental": "e763f58df9a8",
-    "dedup_jaccard_prefix": "e6545bf080f2",
-    "dedup_near_embedding": "12a9bc45e8d4",
-    "dedup_near_jaccard": "c95d420c42cb",
-    "dedup_near_minhash": "806ceeff20f6",
-    "dedup_near_simhash": "8ef94000d22f",
-    "dedup_pipeline_end_to_end": "9661eeeff4c7",
-    "dedup_semantic": "8a8828a8dff1",
-    "dedup_spans_exact": "053426221b21",
-    "dedup_spans_hashed": "b087e9f5c9f2",
-    "dedup_winnowing_pairs": "021cb987b0d2",
+    "decontaminate_bloom": "361611a6a1d8",
+    "decontaminate_ngrams": "d750fba75078",
+    "dedup_apply_survivors": "5f54f881dca0",
+    "dedup_cluster_canonical": "6b0bca20a2b7",
+    "dedup_clusters": "92e03b778528",
+    "dedup_containment": "113d26da6862",
+    "dedup_exact": "81947f3e86c0",
+    "dedup_incremental": "41b9ee20d6e2",
+    "dedup_jaccard_prefix": "1a70dc8b5a1b",
+    "dedup_lines_c4": "f5ed2432ed57",
+    "dedup_near_embedding": "bb26bcb9333b",
+    "dedup_near_jaccard": "63c001fc348f",
+    "dedup_near_minhash": "61843b5d38b2",
+    "dedup_near_simhash": "b5d6fa1e4c15",
+    "dedup_pipeline_end_to_end": "63cdc77305f2",
+    "dedup_semantic": "84fc9579d4ed",
+    "dedup_spans_exact": "33fa8116c9b7",
+    "dedup_spans_hashed": "3a2311ca6565",
+    "dedup_winnowing_pairs": "0777866b4676",
     "doc_chunks": "9f2ce895fa25",
     "doc_fingerprint": "6b0614ec0ba5",
     "doc_length_buckets": "163bfe9dbc31",
@@ -717,7 +750,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "embedding_centroids": "f1ad07f169fc",
     "embedding_covariance": "b31cb0babae8",
     "embedding_pca_project": "626f32a74ac4",
-    "embedding_quantize_int8": "1160da3bdfab",
+    "embedding_quantize_int8": "d4097563fa04",
     "embedding_random_projection": "e5c94f19d79b",
     "events_anomaly_zscore": "e0cb144b4a8e",
     "events_concurrency_hourly": "a227fdbf5c30",
@@ -740,10 +773,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "graph_triangle_counts": "fac172c995e4",
     "grouping_sets": "70db8a2d6dd3",
     "having_filter": "e24d5d3db02b",
-    "heavy_hitters_terms": "fa49b3b84e06",
+    "heavy_hitters_streamed": "abd6638c4b87",
+    "heavy_hitters_terms": "a755b1f0b139",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
-    "inverted_index_terms": "5c72da14799a",
+    "inverted_index_terms": "99540c07af09",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
     "join_interval_left_outer": "e7ddafe2f8d2",
@@ -753,8 +787,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "join_semi": "5721ec4bead0",
     "json_funcs": "6b6927a1de6a",
     "k_anonymity_check": "299373231695",
-    "kmeans_embeddings": "5562a07c4364",
-    "lang_id_heuristic": "434124f0571c",
+    "kmeans_embeddings": "c8bcbf950d3e",
+    "lang_id_heuristic": "0aaf89597566",
     "linkage_fuzzy_customers": "77292618b52e",
     "linkage_sorted_neighbourhood": "d2dd2a3b2c3b",
     "map_funcs": "6d74dd304ba6",
@@ -775,7 +809,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "pii_redact": "e02e943d9e58",
     "pit_join_events_customer_history": "04793a6d52ac",
     "pivot_status_priority": "a5b05ef8c5e4",
-    "pmi_collocations": "b06d1355d81f",
+    "pmi_collocations": "a72666ce773d",
     "q10_returned_items": "2061a3ee2a84",
     "q11_important_parts": "c38e860a0fd4",
     "q12_priority_shipping": "dd2ef8a2e7ad",
@@ -798,10 +832,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q7_nation_volume": "710fef669354",
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
-    "quality_bigram_logprob": "ecb0c0c5aff0",
+    "quality_bigram_logprob": "aaffced9d481",
+    "quality_classifier_score": "700564d9121b",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
-    "quality_unigram_logprob": "7a8bf5f3e1f5",
+    "quality_unigram_logprob": "e72f1e06f07f",
     "rollup_status_priority": "84dfd40dc2c7",
     "sample_hash_mod": "35413b90f466",
     "sample_stratified_lang": "a6671969bba0",
@@ -812,16 +847,20 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "0fc6b2ed0fa0",
-    "similarity_ivf_build": "35a502103dd3",
-    "similarity_ivf_recall": "48d16f670fa9",
-    "similarity_lsh_recall_midsim": "d21714f3dd5d",
-    "similarity_topk": "708449ffd22f",
-    "similarity_topk_ivf": "40c8510425fa",
-    "similarity_topk_lsh": "a3af991db2e8",
+    "similarity_hard_negatives": "40419a14ffa5",
+    "similarity_ivf_build": "1bcff41d86a5",
+    "similarity_ivf_recall": "cbb2663ac14b",
+    "similarity_ivfpq_append": "58c95f3c016e",
+    "similarity_ivfpq_build": "d264e4e5324d",
+    "similarity_ivfpq_recall": "9a75adcd3059",
+    "similarity_lsh_recall_midsim": "180e2057a10d",
+    "similarity_topk": "0627274314aa",
+    "similarity_topk_ivf": "8d7540ab6dc8",
+    "similarity_topk_ivfpq": "377020b09a0c",
+    "similarity_topk_lsh": "4e6c17e28172",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
-    "split_leakage_safe": "40421108d5c8",
+    "split_leakage_safe": "eaab5fde27ef",
     "sql_adhoc_cte": "e5c3bf9aa034",
     "sql_adhoc_hof": "1d9a7ca4a5e8",
     "sql_adhoc_join": "8bda5e4879a5",
@@ -838,8 +877,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "subquery_in": "5eda1d957c14",
     "subquery_not_exists": "5638ee823140",
     "subquery_scalar": "93803eedd5e7",
-    "text_quality": "64d9eef74c4d",
-    "tfidf_top_terms": "dc4de736c48e",
+    "text_quality": "caa67a01581e",
+    "tfidf_top_terms": "dd416d334c92",
     "token_counts": "6ec886bf31d3",
     "topk_per_group": "8f100becd6e6",
     "try_error_safe_funcs": "f348aee9e021",
@@ -849,6 +888,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "udtf_chunk_text": "314fc991755e",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
+    "vocab_coverage_topk": "53943b985787",
     "vocab_stats": "83600c393f57",
     "window_analytic": "03d8f86777ec",
     "window_dist": "0c94ec602910",
@@ -874,6 +914,7 @@ def _history_round(name: str) -> int:
     """Most recent round whose driver run touched this query green,
     IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (12, _DRIVER_GREEN_R12),
         (11, _DRIVER_GREEN_R11),
         (10, _DRIVER_GREEN_R10),
         (9, _DRIVER_GREEN_R09),
