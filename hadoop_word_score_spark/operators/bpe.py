@@ -149,6 +149,45 @@ def apply_merge_rules(w: Column, rules: list[tuple], joiner: str = "") -> Column
     return w
 
 
+def _join_encoded(
+    words: DataFrame, enc: DataFrame, prebuilt_vocab: bool
+) -> DataFrame:
+    """Equi-join the corpus word stream onto the per-word encode relation.
+
+    With the default vocab (built from the same docs) every word matches by
+    construction, so a plain inner join is safe. With a CALLER-SUPPLIED
+    vocab a missing word would silently vanish from the inner join and
+    undercount the document (r12 verdict, minor) — so that path left-joins
+    and fails fast on the first unmatched word instead of mis-encoding.
+    The guard is a null check per probe row (cheap, codegen'd); the join
+    stays the same broadcast equi-join either way.
+    """
+    if not prebuilt_vocab:
+        return words.join(enc, "word")
+    joined = words.join(enc, "word", "left")
+    guard_cols = [
+        F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "encode_corpus: word absent from the supplied vocab: '"
+                    ),
+                    F.col("word"),
+                    F.lit("' — pass a vocab built over the same corpus "
+                          "(subword_vocab), or None to derive it"),
+                )
+            ),
+        )
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in enc.columns
+        if c != "word"
+    ]
+    other = [c for c in joined.columns if c not in set(enc.columns) - {"word"}]
+    return joined.select(*other, *guard_cols)
+
+
 def encode_corpus(
     docs: DataFrame,
     id_col: str,
@@ -183,8 +222,12 @@ def encode_corpus(
     through Python — strictly worse at any scale.
 
     ``vocab``: pass a prebuilt :func:`subword_vocab` to share the corpus
-    scan with rule learning (fit/apply symmetry, r7 ADVICE).
+    scan with rule learning (fit/apply symmetry, r7 ADVICE). A supplied
+    vocab MUST cover every corpus word — an unmatched word raises (via the
+    left-join guard in :func:`_join_encoded`) rather than silently dropping
+    from the counts.
     """
+    prebuilt = vocab is not None
     if vocab is None:
         vocab = subword_vocab(docs, text_col)
     enc = vocab.select(
@@ -197,7 +240,7 @@ def encode_corpus(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("word")
     )
     return (
-        words.join(enc, "word")
+        _join_encoded(words, enc, prebuilt_vocab=prebuilt)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -226,21 +269,27 @@ def encode_corpus_sequences(
     original whitespace tokens — BPE merges never cross the boundary
     marker, so the sequence is a lossless re-segmentation.
     """
+    prebuilt = vocab is not None
     if vocab is None:
         vocab = subword_vocab(docs, text_col)
+    # Two stacked projections, not one: deriving n_subwords from the already
+    # computed `w` keeps the plan at k merge folds total. CollapseProject
+    # will not inline `w` into the size() expression because the fold chain
+    # is non-cheap (same no-CSE-for-HOFs rule as classifier.py) — a single
+    # select with both columns paid 2k folds (r12 verdict).
     enc = vocab.select(
+        "word", apply_merge_rules(F.col("sym"), rules).alias("w")
+    ).select(
         "word",
-        apply_merge_rules(F.col("sym"), rules).alias("w"),
-        F.size(_tokens(apply_merge_rules(F.col("sym"), rules)))
-        .cast("long")
-        .alias("n_subwords"),
+        "w",
+        F.size(_tokens(F.col("w"))).cast("long").alias("n_subwords"),
     )
     words = docs.select(
         F.col(id_col),
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
     )
     return (
-        words.join(enc, "word")
+        _join_encoded(words, enc, prebuilt_vocab=prebuilt)
         .groupBy(id_col)
         .agg(
             F.sum("n_subwords").alias("n_bpe_tokens"),

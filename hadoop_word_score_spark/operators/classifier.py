@@ -25,6 +25,8 @@ comparison.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -153,6 +155,14 @@ def train_hashed_logreg(
     ).filter(F.size("fs") >= 1)
 
     for _ in range(iters):
+        # A diverged weight (too-large lr) would render as an 'infD'/'nanD'
+        # literal and surface as an opaque SQL parse error — fail with the
+        # real cause instead (ADVICE r12).
+        if not all(math.isfinite(x) for x in w) or not math.isfinite(bias):
+            raise ValueError(
+                "train_hashed_logreg: weights diverged to inf/nan after "
+                f"{len(history)} iterations — lower lr (got {lr}) or add l2"
+            )
         # repr() round-trips exactly, so the literal the scan folds over is
         # the SAME float64 the driver holds (the kmeans literal contract)
         w_lit = F.expr("array(" + ",".join(f"{x!r}D" for x in w) + ")")
@@ -267,27 +277,42 @@ def hashed_linear_score_fast(
     df: DataFrame,
     weights,
     text_col: str = "text",
+    bias: float = 0.0,
+    weight_scale: float = 1.0,
 ) -> DataFrame:
     """Fast-family serving: append (n_features, margin) via one Arrow pass.
 
-    ``weights``: float weight table (length = bucket count) TRAINED UNDER
-    THE SAME FAMILY (``train_hashed_logreg_fast``) — bucket assignments do
-    not transfer from the md5 family. Zero-token rows are dropped, matching
+    ``weights``: weight table (length = bucket count) TRAINED UNDER THE
+    SAME FAMILY (``train_hashed_logreg_fast``) — bucket assignments do not
+    transfer from the md5 family. Zero-token rows are dropped, matching
     ``hashed_linear_score``.
+
+    ``bias``: the trainer's second return value; the served margin is
+    mean(w[b]) / weight_scale + bias, so the decision boundary matches the
+    trained sigmoid argument exactly (ADVICE r12: serving raw trained
+    weights without the bias silently shifted the margin).
+
+    ``weight_scale``: divide an integer ``export_weights`` table back to
+    float magnitude (pass the same scale used at export, and bias=0.0 —
+    export already folds the bias into every entry). Default 1.0 serves
+    float trainer output unchanged.
     """
     from pyspark.sql.functions import pandas_udf
 
     w = np.asarray(weights, dtype=np.float64)
     if w.size == 0:
         raise ValueError("hashed_linear_score_fast: weights must be non-empty")
+    if weight_scale != 1.0:
+        w = w / float(weight_scale)
     buckets = int(w.size)
+    b0 = float(bias)
 
     @pandas_udf("struct<n_features: bigint, margin: double>")
     def score(texts: pd.Series) -> pd.DataFrame:
         doc_of, bk, n_feats = _fast_feature_arrays(texts, buckets)
         wsum = np.zeros(len(texts))
         np.add.at(wsum, doc_of, w[bk])
-        margin = wsum / np.where(n_feats > 0, n_feats, 1)
+        margin = wsum / np.where(n_feats > 0, n_feats, 1) + b0
         return pd.DataFrame({"n_features": n_feats, "margin": margin})
 
     return (
@@ -318,8 +343,11 @@ def train_hashed_logreg_fast(
     snapshot, and scatter-adds its gradient into a buckets-sized vector —
     the shuffle per iteration is (touched buckets + 1 sentinel) rows per
     batch, never corpus-sized. Serve the result with
-    ``hashed_linear_score_fast`` (same hash family); export via
-    ``export_weights`` if integer serving tables are wanted downstream.
+    ``hashed_linear_score_fast(df, weights, bias=bias)`` (same hash
+    family); or export via ``export_weights`` and serve the integer table
+    with ``hashed_linear_score_fast(df, table, bias=0.0,
+    weight_scale=1000)`` — export folds the bias into every entry, so the
+    scale is the only correction left.
     """
     w = np.zeros(buckets, dtype=np.float64)
     bias = 0.0

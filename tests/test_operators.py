@@ -3335,6 +3335,26 @@ def test_train_hashed_logreg_rejects_bad_labels(spark):
         train_hashed_logreg(docs, "label", iters=1, buckets=8)
 
 
+def test_train_hashed_logreg_divergence_raises_clearly(spark):
+    # ADVICE r12: a diverged weight used to render as an 'infD' literal and
+    # die with an opaque SQL parse error; the finite guard names the cause
+    import pytest
+
+    from hadoop_word_score_spark.operators.classifier import train_hashed_logreg
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb ccc", 1), (1, "ddd eee fff", 0)],
+        "doc_id long, text string, label int",
+    )
+    # bounded gradients (|resid| <= 1, mean-pooled) keep a plain large-lr
+    # step finite, so force geometric blowup through the unscaled l2 term:
+    # w *= (lr*l2 - 1) per iteration -> overflows double in ~26 rounds
+    with pytest.raises(ValueError, match="diverged to inf/nan"):
+        train_hashed_logreg(
+            docs, "label", iters=40, lr=1e6, l2=1e6, buckets=8
+        )
+
+
 def test_train_hashed_logreg_matches_pure_python_reference(spark):
     # the repo's shared-reference pattern (pack_bins_bfd, mmr_rerank): the
     # distributed trainer must reproduce a from-scratch numpy logistic
@@ -3427,8 +3447,8 @@ def test_fast_family_classifier_fit_serve_loop(spark):
         docs, "label", iters=12, lr=8.0, buckets=64
     )
     assert len(hist) == 12 and hist[-1] < hist[0] * 0.5
-    served = hashed_linear_score_fast(docs, weights=w).collect()
-    got = {r.doc_id: (r.margin + bias) >= 0.0 for r in served}
+    served = hashed_linear_score_fast(docs, weights=w, bias=bias).collect()
+    got = {r.doc_id: r.margin >= 0.0 for r in served}
     acc = sum(got[i] == (lab == 1) for i, _, lab in rows) / len(rows)
     assert acc >= 0.95
 
@@ -3440,10 +3460,22 @@ def test_fast_family_classifier_fit_serve_loop(spark):
     wa = np.asarray(w)
     wsum = np.zeros(len(texts))
     np.add.at(wsum, doc_of, wa[bk])
-    expect = wsum / nf
+    expect = wsum / nf + bias
     by_id = {r.doc_id: r.margin for r in served}
     for idx, (did, _, _) in enumerate(rows):
         assert by_id[did] == expect[idx]
+
+    # an export_weights integer table serves through the same scorer with
+    # weight_scale (bias pre-folded by export, so bias=0.0 here): decisions
+    # must match the float serving path (ADVICE r12)
+    from hadoop_word_score_spark.operators.classifier import export_weights
+
+    table = export_weights(w, bias, weight_scale=1000)
+    served_q = hashed_linear_score_fast(
+        docs, weights=table, bias=0.0, weight_scale=1000
+    ).collect()
+    got_q = {r.doc_id: r.margin >= 0.0 for r in served_q}
+    assert got_q == got
 
     # bad labels fail fast inside the Arrow worker too
     import pytest
