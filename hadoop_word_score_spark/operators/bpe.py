@@ -150,7 +150,10 @@ def apply_merge_rules(w: Column, rules: list[tuple], joiner: str = "") -> Column
 
 
 def _join_encoded(
-    words: DataFrame, enc: DataFrame, prebuilt_vocab: bool
+    words: DataFrame,
+    enc: DataFrame,
+    prebuilt_vocab: bool,
+    what: str = "word absent from the supplied vocab",
 ) -> DataFrame:
     """Equi-join the corpus word stream onto the per-word encode relation.
 
@@ -170,9 +173,7 @@ def _join_encoded(
             F.col(c).isNull(),
             F.raise_error(
                 F.concat(
-                    F.lit(
-                        "encode_corpus: word absent from the supplied vocab: '"
-                    ),
+                    F.lit("encode_corpus: " + what + ": '"),
                     F.col("word"),
                     F.lit("' — pass a vocab built over the same corpus "
                           "(subword_vocab), or None to derive it"),
@@ -300,6 +301,118 @@ def encode_corpus_sequences(
                 ),
                 " ",
             ).alias("token_seq"),
+        )
+    )
+
+
+def subword_id_vocab(vocab: DataFrame, rules: list[tuple]) -> DataFrame:
+    """``(sid, subword, sfreq)`` — the (subword -> integer id) table a
+    trainer's tokenizer artifact ships: every subword the learned merges
+    produce over the corpus vocabulary, with ids assigned by corpus
+    frequency rank (1 = most frequent; ties break by subword text, so ids
+    are deterministic). Frequency-ranked ids are the convention real BPE
+    vocabs use (Sennrich et al. 2016 §3) and keep small ids hot.
+
+    Work is vocab-sized throughout: k merge folds over the word vocab, one
+    subword explode weighted by word freq, and the DISTRIBUTED global-rank
+    recipe (operators/rank.py — never the one-partition Window.orderBy
+    trap; at a realistic 50k-200k subword vocabulary even this bounded
+    relation deserves the range-partitioned rank).
+    """
+    from .rank import global_rank
+
+    enc = vocab.select(
+        "freq", apply_merge_rules(F.col("sym"), rules).alias("w")
+    )
+    sw = (
+        enc.select(F.explode(_tokens(F.col("w"))).alias("subword"), "freq")
+        .groupBy("subword")
+        .agg(F.sum("freq").alias("sfreq"))
+    )
+    ranked = global_rank(
+        sw.withColumn("_neg", -F.col("sfreq")), ["_neg", "subword"],
+        rank_col="sid",
+    )
+    return ranked.select(
+        F.col("sid").cast("int").alias("sid"), "subword", "sfreq"
+    )
+
+
+def encode_corpus_ids(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple],
+    vocab: DataFrame | None = None,
+    id_vocab: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_col, n_bpe_tokens, token_ids)`` — each document's subword
+    sequence as ``array<int>`` ids against :func:`subword_id_vocab`, the
+    tokenizer->trainer handoff format (``pack_sequences`` packs these
+    directly; r12 verdict #3 — the string sequences were one join short of
+    what a trainer consumes).
+
+    Same vocab-sized-encode + word-join plan as
+    :func:`encode_corpus_sequences`, with the id mapping resolved at VOCAB
+    size: each distinct word's subwords explode once corpus-wide, join the
+    (smaller, explicitly broadcast) subword-id table, and reassemble into a
+    per-word id array; documents then just stitch per-word arrays in
+    position order (flatten of a bounded-by-doc-length sorted collect).
+    Corpus-sized data never joins anything bigger than the broadcast
+    word -> ids map.
+
+    ``id_vocab``: pass a prebuilt :func:`subword_id_vocab` to pin ids
+    across corpora (encode a validation set under the training vocab);
+    a subword outside the supplied table fails fast, same contract as
+    ``vocab``.
+    """
+    prebuilt = vocab is not None
+    if vocab is None:
+        vocab = subword_vocab(docs, text_col)
+    prebuilt_ids = id_vocab is not None
+    if id_vocab is None:
+        id_vocab = subword_id_vocab(vocab, rules)
+    enc = vocab.select(
+        "word", apply_merge_rules(F.col("sym"), rules).alias("w")
+    )
+    per_sub = enc.select(
+        "word", F.posexplode(_tokens(F.col("w"))).alias("spos", "subword")
+    )
+    word_ids = (
+        _join_encoded(
+            per_sub.withColumnRenamed("word", "_w")
+            .withColumnRenamed("subword", "word"),
+            F.broadcast(id_vocab.select(F.col("subword").alias("word"), "sid")),
+            prebuilt_vocab=prebuilt_ids,
+            what="subword absent from the supplied id_vocab",
+        )
+        .groupBy(F.col("_w").alias("word"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "sid"))),
+                lambda s: s["sid"],
+            ).alias("ids")
+        )
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        _join_encoded(words, word_ids, prebuilt_vocab=prebuilt)
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("long").alias("n_bpe_tokens"),
+            "token_ids",
         )
     )
 

@@ -6949,6 +6949,7 @@ def _bpe_subword_oracle(
     encode: bool = False,
     per_doc: bool = False,
     sequences: bool = False,
+    ids: bool = False,
 ) -> str:
     """Chained-CTE DuckDB mirror of the Sennrich subword loop: v0 = word
     frequencies (same whitespace tokenizer as d0 above), s0 = per-char
@@ -6963,7 +6964,13 @@ def _bpe_subword_oracle(
     CTEs carry ``word`` through, the final state becomes a word ->
     n_subwords map, and the tail re-joins it to the exploded corpus and
     sums per document (the same vocab-sized-encode + word-join plan the
-    Spark side runs, so the two stay algorithm-for-algorithm comparable)."""
+    Spark side runs, so the two stay algorithm-for-algorithm comparable).
+
+    ``ids=True`` (implies per_doc) mirrors encode_corpus_ids: subword
+    frequencies from the final vocab state, ROW_NUMBER ids (freq DESC,
+    subword ASC — the same total order as the Spark global_rank), per-word
+    ordered id lists, then per-document flattened id sequences."""
+    per_doc = per_doc or ids  # id assembly needs word carried through folds
     count = (
         "SELECT pair, n, string_split(pair, ' ')[1] AS pa,"
         " string_split(pair, ' ')[2] AS pb\n"
@@ -7006,7 +7013,7 @@ def _bpe_subword_oracle(
         ctes.append(f"r{r} AS (\n    " + count.format(k=r - 1) + "\n)")
         if r < n_rounds or encode or per_doc:
             ctes.append(f"s{r} AS (\n    " + fold.format(k=r - 1, r=r) + "\n)")
-    if per_doc:
+    if per_doc or ids:
         ctes.append(
             f"enc AS (\n"
             f"    SELECT word, w, CAST(len(list_filter(string_split(w, ' '),"
@@ -7014,6 +7021,53 @@ def _bpe_subword_oracle(
             f"    FROM s{n_rounds}\n"
             f")"
         )
+        if ids:
+            ctes.append(
+                f"sw AS (\n"
+                f"    SELECT sub, CAST(SUM(freq) AS BIGINT) AS sfreq FROM (\n"
+                f"        SELECT unnest(list_filter(string_split(w, ' '),"
+                f" x -> x <> '')) AS sub, freq\n"
+                f"        FROM s{n_rounds}\n"
+                f"    ) GROUP BY sub\n"
+                f")"
+            )
+            ctes.append(
+                "ids AS (\n"
+                "    SELECT sub, CAST(ROW_NUMBER() OVER"
+                " (ORDER BY sfreq DESC, sub) AS INT) AS sid\n"
+                "    FROM sw\n"
+                ")"
+            )
+            ctes.append(
+                "wid AS (\n"
+                "    SELECT word, list(sid ORDER BY spos) AS wids FROM (\n"
+                "        SELECT word,\n"
+                "               unnest(list_filter(string_split(w, ' '),"
+                " x -> x <> '')) AS sub,\n"
+                "               generate_subscripts(list_filter("
+                "string_split(w, ' '), x -> x <> ''), 1) AS spos\n"
+                "        FROM enc\n"
+                "    ) JOIN ids USING (sub)\n"
+                "    GROUP BY word\n"
+                ")"
+            )
+            return (
+                "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, CAST(SUM(len(wi.wids)) AS BIGINT) AS n_bpe_tokens,
+       flatten(list(wi.wids ORDER BY d.pos)) AS token_ids
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> '')) AS word,
+           generate_subscripts(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> ''), 1) AS pos
+    FROM documents
+) d
+JOIN wid wi USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+            )
         if sequences:
             # token_seq: each word's space-joined subword string, stitched
             # in DOCUMENT position order — the tokenizer's actual output
@@ -7201,6 +7255,42 @@ def q_bpe_encode_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_corpus_sequences(
         docs, "doc_id", "txt", rules, vocab=vocab
     ).orderBy("doc_id")
+
+
+@register(
+    "bpe_encode_ids",
+    oracle=_bpe_subword_oracle(3, ids=True),
+    tags=("llm", "text", "iterative"),
+    bench=True,
+)
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tokenizer->trainer handoff (r12 verdict #3): each document's
+    # subword sequence as integer ids against the frequency-ranked
+    # (subword -> id) vocab table — the array<int> a training pipeline's
+    # packer consumes directly (pack_sequences integration pinned in
+    # tests/test_operators.py). Id resolution happens at VOCAB size (one
+    # subword explode + a broadcast join against the subword-id table,
+    # ranked by the distributed global_rank recipe); the corpus-sized side
+    # only ever joins the broadcast word -> ids map. Reference scope: the
+    # reference tokenizes with StringTokenizer and has no subword stage
+    # (ComputeWordScore.java:116-120); this is the LLM-pipeline extension
+    # surface.
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    return encode_corpus_ids(docs, "doc_id", "txt", rules, vocab=vocab).orderBy(
+        "doc_id"
+    )
 
 
 _HH_STREAM_CAP = 64
