@@ -3253,7 +3253,7 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     st = os.stat(src)
     key = _hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|ivfpq-v1|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}".encode()
+        f"|ivfpq-v2-label|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo_root, ".scratch", "ivfpq", key)
@@ -3270,8 +3270,12 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     ):
         em = _t(spark, sf_dir, "embeddings")
         _, corpus = _planted_embeddings(em)
+        # label rides the code rows (a few bytes next to the 16-byte code)
+        # so the filtered-ANN probes can push their predicate into the
+        # pruned scan; the unfiltered probes simply never read the column
         persist_ivfpq_index(
-            corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K
+            corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K,
+            meta_cols=("label",),
         )
     return path
 
@@ -3401,6 +3405,81 @@ def q_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivfpq_probe_topk(
         spark, path, q, k=5, n_probe=_PQ_N_PROBE,
         shortlist=50, rerank_against=corpus,
+    )
+    return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
+
+
+@register(
+    "similarity_topk_ivfpq_filtered",
+    # Filtered ANN (r12 verdict #4): "top-k within label >= 5". The label
+    # column was carried into the code rows at build time, so the probe's
+    # predicate is pushed into the partition-pruned parquet scan BEFORE any
+    # ADC scoring — no over-fetch heuristics, the top-k is exact over the
+    # surviving candidates. Two certified properties: the planted near-dup
+    # (which shares its query's label) still surfaces, and every returned
+    # candidate satisfies the predicate (filter_respected — a leak through
+    # the filter flips it).
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok,
+           TRUE AS filter_respected
+    FROM embeddings WHERE vec_id < 10 AND label >= 5
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_probe_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q_all, corpus = _planted_embeddings(em)
+    q = q_all.filter(F.col("label") >= 5)
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    approx = ivfpq_probe_topk(
+        spark, path, q, k=5, n_probe=_PQ_N_PROBE, where="label >= 5"
+    )
+    summary = _planted_recall_summary(approx, q)
+    respected = (
+        approx.join(
+            corpus.select(F.col("vec_id").alias("cand_id"), "label"),
+            "cand_id",
+        )
+        .agg(
+            F.coalesce(F.min(F.col("label") >= 5), F.lit(True)).alias(
+                "filter_respected"
+            )
+        )
+    )
+    return summary.crossJoin(respected).select(
+        "n_queries", "planted_recall_ok", "filter_respected"
+    )
+
+
+@register(
+    "similarity_ivfpq_filtered_recall",
+    # The filtered path's recall receipt (the bound-check twin of
+    # similarity_ivfpq_recall): exact brute force over the label-filtered
+    # corpus vs the filtered ADC probe + exact rerank against the same
+    # filtered corpus — recall@5 must hold >= 0.8. Proves the predicate
+    # pushdown does not cost recall relative to exact filtered search.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10 AND label >= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_probe_topk
+    from ..operators.similarity import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q_all, corpus = _planted_embeddings(em)
+    q = q_all.filter(F.col("label") >= 5)
+    fcorpus = corpus.filter(F.col("label") >= 5)
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    exact = brute_force_topk(q, fcorpus, k=5)
+    approx = ivfpq_probe_topk(
+        spark, path, q, k=5, n_probe=_PQ_N_PROBE,
+        shortlist=50, rerank_against=fcorpus, where="label >= 5",
     )
     return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
 

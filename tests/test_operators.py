@@ -518,6 +518,75 @@ def test_ivfpq_persist_probe_planted_rerank_and_guards(spark, tmp_path):
         ivfpq_probe_topk(spark, path, short_q, k=5)
 
 
+def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
+    # r12 verdict #4: metadata columns in the index + a predicate pushed
+    # into the pruned code scan. Pins: (1) every returned candidate
+    # satisfies the predicate, (2) the filtered top-k matches exact brute
+    # force over the filtered corpus at >= 0.8 recall after rerank, (3) an
+    # unresolvable predicate and a meta-less append both refuse loudly.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+    from hadoop_word_score_spark.operators.similarity import brute_force_topk
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_f")
+    persist_ivfpq_index(em, path, n_cells=16, m=16, k=32, meta_cols=("label",))
+    idx = spark.read.parquet(f"{path}/index")
+    assert sorted(idx.columns) == ["cell", "label", "pq_code", "vec_id"]
+
+    q = em.filter(F.col("vec_id") < 5)
+    out = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6, where="label >= 5")
+    cand_ids = [r.cand_id for r in out.collect()]
+    assert cand_ids  # the predicate keeps ~half the corpus
+    bad = (
+        em.filter(F.col("vec_id").isin(cand_ids) & (F.col("label") < 5))
+        .count()
+    )
+    assert bad == 0
+
+    # recall vs exact-filtered brute force (rerank also filtered)
+    fcorpus = em.filter(F.col("label") >= 5)
+    rr = ivfpq_probe_topk(
+        spark, path, q, k=5, n_probe=6, shortlist=50,
+        rerank_against=fcorpus, where="label >= 5",
+    )
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(q, fcorpus, k=5).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in rr.collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+
+    # guards: unknown column names the fix; meta-less append refuses
+    with _pytest.raises(ValueError, match="meta_cols"):
+        ivfpq_probe_topk(spark, path, q, k=5, where="nope = 1")
+    with _pytest.raises(ValueError, match="lacks"):
+        ivfpq_index_append(
+            em.filter(F.col("vec_id") == 7).select("vec_id", "embedding"),
+            path,
+        )
+    # append WITH the column lands rows probe-visible under the filter
+    n = ivfpq_index_append(
+        em.filter(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 2000000).alias("vec_id"),
+            F.lit(9).alias("label"), "embedding",
+        ),
+        path,
+    )
+    assert n == 1
+    again = ivfpq_probe_topk(
+        spark, path, em.filter(F.col("vec_id") == 7), k=5, n_probe=6,
+        where="label = 9",
+    )
+    assert 2000007 in {r.cand_id for r in again.collect()}
+
+
 def test_pq_train_sampled_codebooks_keep_recall(spark):
     # the 100 TB training lever: codebooks trained on a deterministic
     # hash-mod sample must still let full-corpus ADC surface planted
