@@ -254,10 +254,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = [n for n, s in REGISTRY.items() if s.bench]
 
-    # Deterministic grouping: chunks of the sorted name list. Group
-    # composition shifts only where the bench SET itself changes (which the
-    # membership hash below already flags for cross-round comparison).
-    ordered = sorted(names)
+    # Deterministic COST-AWARE grouping (r13, after the r12 regression
+    # cluster): chunks of the name list ordered by previous-round cost
+    # descending, name as the tie-break. Alphabetical chunking let each
+    # round's new heavy rows land next to unrelated cheap rows (b*/s* new
+    # queries sorted adjacent to asof_/basket_), ageing those groups'
+    # sessions under heavier neighbors — twice now the flagged "regressions"
+    # recovered in isolation (SCALE_PROBE.md r8-r10 and r12 receipts).
+    # Cost-descending keeps heavy rows sharing groups with each other, so a
+    # new heavy row shifts composition for at most its own cost tier.
+    # Names with no prior timing (new queries) rank as cost 0 and land
+    # together at the tail; they acquire a cost for the next run. Still
+    # deterministic given the committed BENCH artifacts, and the membership
+    # hash below continues to flag any set change.
+    prev_cost = _previous_round_timings(sf_of(sf_dir))
+    ordered = sorted(names, key=lambda n: (-prev_cost.get(n, 0.0), n))
     groups = [ordered[i : i + GROUP_SIZE] for i in range(0, len(ordered), GROUP_SIZE)]
     trials: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
@@ -314,7 +325,7 @@ def main() -> None:
         "bench_set": sorted(names),
         "bench_set_hash": member_hash,
         "isolation": {"mode": "grouped-subprocess", "group_size": GROUP_SIZE,
-                      "groups": len(groups)},
+                      "groups": len(groups), "grouping": "cost-desc"},
         "sf": sf_of(sf_dir),
     }
     if reruns:

@@ -81,3 +81,20 @@ def test_group_partition_covers_every_bench_query_exactly_once():
     flat = [n for g in groups for n in g]
     assert flat == names  # no dupes, no drops, deterministic order
     assert all(0 < len(g) <= bench.GROUP_SIZE for g in groups)
+
+
+def test_cost_desc_grouping_clusters_heavy_rows_and_stays_total():
+    # r13: group composition follows previous-round cost descending so new
+    # heavy rows share sessions with other heavy rows instead of ageing a
+    # cheap group (SCALE_PROBE.md r12 receipt). Unknown-cost names rank 0
+    # and land together at the tail; the partition still covers every name
+    # exactly once.
+    names = ["a_cheap", "b_new", "c_heavy", "d_mid", "e_heavy2", "f_cheap"]
+    prev = {"c_heavy": 4.0, "e_heavy2": 3.5, "d_mid": 1.0,
+            "a_cheap": 0.2, "f_cheap": 0.3}
+    ordered = sorted(names, key=lambda n: (-prev.get(n, 0.0), n))
+    assert ordered == ["c_heavy", "e_heavy2", "d_mid", "f_cheap",
+                       "a_cheap", "b_new"]
+    groups = [ordered[i : i + 3] for i in range(0, len(ordered), 3)]
+    assert groups[0] == ["c_heavy", "e_heavy2", "d_mid"]  # heavy cluster
+    assert sorted(n for g in groups for n in g) == sorted(names)
