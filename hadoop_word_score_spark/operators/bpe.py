@@ -417,6 +417,86 @@ def encode_corpus_ids(
     )
 
 
+def persist_bpe_tokenizer(
+    path: str,
+    rules: list[tuple],
+    id_vocab: DataFrame,
+) -> None:
+    """Persist the trained tokenizer as a self-describing artifact — the
+    ship-once/encode-everywhere contract a training pipeline needs (train
+    the tokenizer on the reference corpus, encode every later corpus and
+    the eval sets under the SAME rules and ids). Layout mirrors
+    persist_ivfpq_index's: ``{path}/merge_rules`` (step, pair, n) parquet,
+    ``{path}/id_vocab`` (sid, subword, sfreq) parquet, and
+    ``{path}/_bpe_meta.json`` the shape contract (rule count, vocab size,
+    boundary marker) a loader validates before trusting the tables."""
+    import json
+    import os
+
+    spark = id_vocab.sparkSession
+    spark.createDataFrame(
+        [(int(s), p, int(n)) for s, p, n in rules],
+        "step int, pair string, n long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "merge_rules")
+    )
+    id_vocab.select("sid", "subword", "sfreq").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "id_vocab"))
+    n_vocab = id_vocab.count()
+    with open(os.path.join(path, "_bpe_meta.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {"n_rules": len(rules), "vocab_size": int(n_vocab),
+             "end_of_word": END_OF_WORD},
+            f,
+        )
+
+
+def load_bpe_tokenizer(
+    spark, path: str
+) -> tuple[list[tuple], DataFrame]:
+    """(rules, id_vocab) from a :func:`persist_bpe_tokenizer` artifact.
+
+    Refuse-loudly validation against the meta contract: a rules table whose
+    row count or step sequence disagrees with the meta means a partial or
+    mixed write — encoding under it would silently produce a different
+    segmentation, the worst failure mode a tokenizer artifact can have
+    (every downstream token id shifts)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_bpe_meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("end_of_word") != END_OF_WORD:
+        raise ValueError(
+            f"bpe tokenizer at {path!r} uses boundary marker "
+            f"{meta.get('end_of_word')!r}; this engine expects {END_OF_WORD!r}"
+        )
+    rule_rows = (
+        spark.read.parquet(os.path.join(path, "merge_rules"))
+        .orderBy("step")
+        .collect()
+    )  # bounded: n_rules rows
+    rules = [(r.step, r.pair, r.n) for r in rule_rows]
+    if len(rules) != meta["n_rules"] or [s for s, _, _ in rules] != list(
+        range(1, meta["n_rules"] + 1)
+    ):
+        raise ValueError(
+            f"bpe tokenizer at {path!r}: merge_rules has {len(rules)} rows "
+            f"but meta says {meta['n_rules']} sequential steps — partial "
+            f"write or mixed artifact; re-persist the tokenizer"
+        )
+    id_vocab = spark.read.parquet(os.path.join(path, "id_vocab"))
+    n_vocab = id_vocab.count()
+    if n_vocab != meta["vocab_size"]:
+        raise ValueError(
+            f"bpe tokenizer at {path!r}: id_vocab has {n_vocab} rows but "
+            f"meta says {meta['vocab_size']} — partial write or mixed "
+            f"artifact; re-persist the tokenizer"
+        )
+    return rules, id_vocab
+
+
 def learn_subword_rules(
     docs: DataFrame, text_col: str, n_rules: int, vocab: DataFrame | None = None
 ) -> list[tuple]:

@@ -7372,6 +7372,48 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_tokenizer_roundtrip",
+    oracle=_bpe_subword_oracle(3, ids=True),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ship-once/encode-everywhere contract: train the tokenizer, PERSIST
+    # it (merge rules + frequency-ranked id vocab + meta contract), reload
+    # from disk, and encode the corpus under the RELOADED artifact. The
+    # oracle is bpe_encode_ids's — byte-identical ids prove the artifact
+    # round-trips with zero segmentation or id drift, the failure mode that
+    # silently shifts every downstream token id. Production shape: the
+    # artifact is two tiny parquet tables (n_rules rows + vocab-sized), so
+    # loading is driver-bounded; encoding cost is identical to
+    # bpe_encode_ids (the id_vocab arrives prebuilt).
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        load_bpe_tokenizer,
+        persist_bpe_tokenizer,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo_root, ".scratch", "bpe_tokenizer")
+    persist_bpe_tokenizer(path, rules, subword_id_vocab(vocab, rules))
+    loaded_rules, loaded_idv = load_bpe_tokenizer(spark, path)
+    return encode_corpus_ids(
+        docs, "doc_id", "txt", loaded_rules, vocab=vocab, id_vocab=loaded_idv
+    ).orderBy("doc_id")
+
+
 _HH_STREAM_CAP = 64
 
 

@@ -1634,6 +1634,64 @@ def test_bpe_encode_ids_reconstruct_and_guard(spark):
         ).collect()
 
 
+def test_bpe_tokenizer_artifact_roundtrip_and_guards(spark, tmp_path):
+    # persist -> load -> encode must reproduce the in-memory encode exactly;
+    # a tampered meta (wrong rule count / vocab size / boundary marker)
+    # refuses instead of silently re-segmenting the corpus.
+    import json as _json
+
+    import pytest
+
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        load_bpe_tokenizer,
+        persist_bpe_tokenizer,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newest")], ["doc_id", "text"]
+    )
+    vocab = subword_vocab(docs, "text")
+    rules = learn_subword_rules(docs, "text", 4, vocab=vocab)
+    idv = subword_id_vocab(vocab, rules)
+    path = str(tmp_path / "tok")
+    persist_bpe_tokenizer(path, rules, idv)
+    lrules, lidv = load_bpe_tokenizer(spark, path)
+    assert lrules == [(int(s), p, int(n)) for s, p, n in rules]
+    want = {
+        (r.doc_id, tuple(r.token_ids))
+        for r in encode_corpus_ids(
+            docs, "doc_id", "text", rules, vocab=vocab, id_vocab=idv
+        ).collect()
+    }
+    got = {
+        (r.doc_id, tuple(r.token_ids))
+        for r in encode_corpus_ids(
+            docs, "doc_id", "text", lrules, vocab=vocab, id_vocab=lidv
+        ).collect()
+    }
+    assert got == want
+
+    meta = _json.load(open(f"{path}/_bpe_meta.json"))
+    _json.dump({**meta, "n_rules": 7}, open(f"{path}/_bpe_meta.json", "w"))
+    with pytest.raises(ValueError, match="re-persist"):
+        load_bpe_tokenizer(spark, path)
+    _json.dump(
+        {**meta, "vocab_size": meta["vocab_size"] + 1},
+        open(f"{path}/_bpe_meta.json", "w"),
+    )
+    with pytest.raises(ValueError, match="re-persist"):
+        load_bpe_tokenizer(spark, path)
+    _json.dump(
+        {**meta, "end_of_word": "##"}, open(f"{path}/_bpe_meta.json", "w")
+    )
+    with pytest.raises(ValueError, match="boundary marker"):
+        load_bpe_tokenizer(spark, path)
+
+
 def test_bpe_encode_sequences_reconstructs_documents(spark):
     # the tokenizer-output invariant: stripping spaces from token_seq and
     # splitting on </w> recovers the document's original whitespace tokens
