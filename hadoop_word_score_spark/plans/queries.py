@@ -4970,6 +4970,53 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_segments",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                    x -> x <> '')) AS BIGINT) AS n
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n,
+               CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id) - n
+                    AS BIGINT) AS off
+        FROM t WHERE n > 0
+    ), seg AS (
+        SELECT source, doc_id, n, off,
+               unnest(generate_series(off // 512, (off + n - 1) // 512))
+                   AS bin_id
+        FROM c
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+           CAST(GREATEST(0, off - bin_id * 512) AS BIGINT)  AS bin_offset,
+           CAST(GREATEST(0, bin_id * 512 - off) AS BIGINT)  AS doc_offset,
+           CAST(LEAST(n, (bin_id + 1) * 512 - off)
+                - GREATEST(0, bin_id * 512 - off) AS BIGINT) AS seg_len
+    FROM seg
+    """,
+    tags=("llm", "text", "window"),
+    bench=True,
+)
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The attention-boundary map a dataloader consumes from the
+    # concat-and-split packer: one row per (bin, document) contiguous
+    # segment, with the segment's start inside the bin AND inside the doc —
+    # within-bin attention masks and straddle-aware sampling both read this
+    # relation directly. Same single partitioned window as pack_sequences
+    # plus a data-proportional sequence explode; all codegen'd arithmetic,
+    # exact integer DIV (operators/packing.py::pack_segments).
+    from ..functions.text import token_count_ws
+    from ..operators.packing import pack_segments
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return pack_segments(sized, capacity=512)
+
+
+@register(
     "shuffle_shards",
     oracle="""
     WITH h AS (

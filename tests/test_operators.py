@@ -1859,6 +1859,80 @@ def test_pack_sequences_consume_bpe_ids_end_to_end(spark):
     )
 
 
+def test_pack_segments_tiles_bins_and_documents_exactly(spark):
+    # hand corpus with a boundary-straddling doc, then tiling invariants:
+    # within each (stream, bin) the segments cover [0, capacity) (or the
+    # stream tail) with no gaps or overlaps, and within each doc the
+    # segments cover [0, n_tokens) in order; zero-token docs emit nothing.
+    import pytest
+
+    from hadoop_word_score_spark.operators.packing import pack_segments
+
+    rows = [("s", 1, 3), ("s", 2, 6), ("s", 3, 0), ("s", 4, 9), ("t", 5, 4)]
+    sized = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    out = pack_segments(sized, capacity=4)
+    got = {
+        (r.source, r.bin_id, r.doc_id): (r.bin_offset, r.doc_offset, r.seg_len)
+        for r in out.collect()
+    }
+    # stream s: offsets 0(3) 3(6) -(0) 9(9); cap 4
+    assert got == {
+        ("s", 0, 1): (0, 0, 3),   # doc1 fills bin0[0:3)
+        ("s", 0, 2): (3, 0, 1),   # doc2 straddles: 1 token ends bin0
+        ("s", 1, 2): (0, 1, 4),   # ...4 tokens fill bin1
+        ("s", 2, 2): (0, 5, 1),   # ...1 token starts bin2
+        ("s", 2, 4): (1, 0, 3),   # doc4 continues bin2
+        ("s", 3, 4): (0, 3, 4),   # fills bin3
+        ("s", 4, 4): (0, 7, 2),   # tail bin
+        ("t", 0, 5): (0, 0, 4),   # independent stream
+    }
+
+    # invariants on real docs: bins tile, docs tile
+    from tests.conftest import SF_SMOKE
+
+    from hadoop_word_score_spark.functions.text import token_count_ws
+    from hadoop_word_score_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    sized_r = d.select(
+        "source", "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    cap = 512
+    segs = pack_segments(sized_r, capacity=cap).collect()
+    by_bin: dict = {}
+    by_doc: dict = {}
+    for r in segs:
+        by_bin.setdefault((r.source, r.bin_id), []).append(
+            (r.bin_offset, r.seg_len)
+        )
+        by_doc.setdefault(r.doc_id, []).append((r.doc_offset, r.seg_len))
+    for (src, b), parts in by_bin.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos and ln > 0
+            pos += ln
+        last_bin = max(bb for (ss, bb) in by_bin if ss == src)
+        assert pos == cap or b == last_bin
+    n_of = {
+        r.doc_id: r.n_tokens
+        for r in sized_r.filter(F.col("n_tokens") > 0).collect()
+    }
+    assert set(by_doc) == set(n_of)
+    for did, parts in by_doc.items():
+        parts.sort()
+        pos = 0
+        for off, ln in parts:
+            assert off == pos
+            pos += ln
+        assert pos == n_of[did]
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_segments(sized, capacity=0)
+
+
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     # Undirected star a-b, a-c, a-d: rank mass stays exactly 1.0 per round
     # (no dangling nodes by construction) and the hub outranks the leaves,
