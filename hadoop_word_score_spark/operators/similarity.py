@@ -384,6 +384,7 @@ def persist_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Build the IVF index once and persist it PARTITIONED BY cell.
 
@@ -394,8 +395,15 @@ def persist_ivf_index(
     read of ~n_probe/n_cells of the corpus, and ``{path}/centroids`` (a
     bounded ~sqrt(N)-row table) is what probes load to pick cells. Rebuilds
     are corpus-change events, not per-query work.
+
+    ``meta_cols``: attribute columns from ``candidates`` carried into the
+    index rows so :func:`ivf_probe_topk` can push a ``where`` predicate
+    into the pruned scan (the filtered-ANN path; same contract as
+    persist_ivfpq_index's meta_cols — one id-equi-join at build time).
     """
     centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
+    if meta_cols:
+        index = index.join(candidates.select(id_col, *meta_cols), id_col)
     # repartition by cell before the partitioned write: one file per cell
     # instead of (write-tasks × cells) shards. The build is the offline half,
     # so its one extra shuffle buys every probe a minimal file count — small
@@ -475,6 +483,7 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 4096,
+    where: str | None = None,
 ) -> DataFrame:
     """Probe-only top-k against a ``persist_ivf_index`` output.
 
@@ -489,6 +498,12 @@ def ivf_probe_topk(
     per-(query, cell) mask so a candidate only scores against queries that
     probed its cell. Strictly less work than the exact path: same kernel,
     ~n_probe/n_cells of the reads and FLOPs.
+
+    ``where``: a SQL predicate over the index's metadata columns (built
+    with ``meta_cols``) and/or ``id_col``/``cell``, applied to the pruned
+    scan BEFORE scoring — the filtered-ANN path, same contract as
+    ivfpq_probe_topk's ``where`` (pushed to the parquet read; top-k exact
+    over surviving candidates).
     """
     cent_rows = _load_centroids(spark, path)
     # guard fused into the collect — one Spark job, mirroring brute_force_topk
@@ -558,6 +573,17 @@ def ivf_probe_topk(
             )
 
     pruned = index.filter(F.col("cell").isin(all_cells))  # static partition pruning
+    if where is not None:
+        try:
+            pruned = pruned.filter(F.expr(where))
+            pruned.schema  # force analysis now for the clear error below
+        except Exception as e:
+            raise ValueError(
+                f"ivf_probe_topk: predicate {where!r} failed to resolve "
+                f"against the index's columns {sorted(index.columns)} — "
+                f"rebuild with persist_ivf_index(meta_cols=...) to carry "
+                f"the attributes the filter needs"
+            ) from e
     # Arrow batch sizing: Spark splits the pruned scan to reach default
     # parallelism, which at test scale hands mapInPandas dozens of tiny
     # batches whose per-batch worker roundtrip dwarfs the matmul. When the

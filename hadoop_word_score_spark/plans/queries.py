@@ -3140,7 +3140,7 @@ def _ivf_index_path(sf_dir: str) -> str:
     st = os.stat(src)
     key = _hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|planted-v2|{_IVF_N_CELLS}".encode()  # v2: one file per cell
+        f"|planted-v3-label|{_IVF_N_CELLS}".encode()  # v3: +label meta col
     ).hexdigest()[:16]
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     return os.path.join(repo_root, ".scratch", "ivf", key)
@@ -3159,7 +3159,11 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     ):
         em = _t(spark, sf_dir, "embeddings")
         _, corpus = _planted_embeddings(em)
-        persist_ivf_index(corpus, path, n_cells=_IVF_N_CELLS)
+        # label rides the index rows for the filtered probe; unfiltered
+        # probes never read it (column pruning drops it at the scan)
+        persist_ivf_index(
+            corpus, path, n_cells=_IVF_N_CELLS, meta_cols=("label",)
+        )
     return path
 
 
@@ -3216,6 +3220,49 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_ivf_index(spark, sf_dir)
     approx = ivf_probe_topk(spark, path, q, k=5, n_probe=_IVF_N_PROBE)
     return _planted_recall_summary(approx, q)
+
+
+@register(
+    "similarity_topk_ivf_filtered",
+    # Filtered ANN on the RAW-vector index — the same predicate-pushdown
+    # contract as similarity_topk_ivfpq_filtered, so the whole serving
+    # ladder (raw IVF and compressed IVF-PQ) answers "top-k within
+    # label >= 5": the label column rides the index rows, the predicate
+    # lands in the pruned parquet scan before any scoring, and the planted
+    # near-dup (same label as its query) must still surface while every
+    # returned candidate satisfies the predicate.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS planted_recall_ok,
+           TRUE AS filter_respected
+    FROM embeddings WHERE vec_id < 10 AND label >= 5 -- raw ivf filtered
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_probe_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q_all, corpus = _planted_embeddings(em)
+    q = q_all.filter(F.col("label") >= 5)
+    path = _ensure_ivf_index(spark, sf_dir)
+    approx = ivf_probe_topk(
+        spark, path, q, k=5, n_probe=_IVF_N_PROBE, where="label >= 5"
+    )
+    summary = _planted_recall_summary(approx, q)
+    respected = (
+        approx.join(
+            corpus.select(F.col("vec_id").alias("cand_id"), "label"),
+            "cand_id",
+        )
+        .agg(
+            F.coalesce(F.min(F.col("label") >= 5), F.lit(True)).alias(
+                "filter_respected"
+            )
+        )
+    )
+    return summary.crossJoin(respected).select(
+        "n_queries", "planted_recall_ok", "filter_respected"
+    )
 
 
 @register(

@@ -587,6 +587,34 @@ def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
     assert 2000007 in {r.cand_id for r in again.collect()}
 
 
+def test_ivf_raw_filtered_probe_respects_predicate_and_guard(spark, tmp_path):
+    # the raw-vector twin of the IVF-PQ filtered probe: label rides the
+    # persisted index, the predicate lands in the pruned scan, candidates
+    # all satisfy it, and an unresolvable predicate names the fix.
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_f")
+    persist_ivf_index(em, path, n_cells=16, meta_cols=("label",))
+    q = em.filter(F.col("vec_id") < 5)
+    out = ivf_probe_topk(spark, path, q, k=5, n_probe=6, where="label >= 5")
+    cand_ids = [r.cand_id for r in out.collect()]
+    assert cand_ids
+    assert (
+        em.filter(F.col("vec_id").isin(cand_ids) & (F.col("label") < 5))
+        .count()
+        == 0
+    )
+    with _pytest.raises(ValueError, match="meta_cols"):
+        ivf_probe_topk(spark, path, q, k=5, where="nope = 1")
+
+
 def test_pq_train_sampled_codebooks_keep_recall(spark):
     # the 100 TB training lever: codebooks trained on a deterministic
     # hash-mod sample must still let full-corpus ADC surface planted
