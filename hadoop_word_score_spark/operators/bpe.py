@@ -174,7 +174,7 @@ def _join_encoded(
             F.raise_error(
                 F.concat(
                     F.lit("encode_corpus: " + what + ": '"),
-                    F.col("word"),
+                    F.col("word").cast("string"),
                     F.lit("' — pass a vocab built over the same corpus "
                           "(subword_vocab), or None to derive it"),
                 )
@@ -413,6 +413,54 @@ def encode_corpus_ids(
             id_col,
             F.size("token_ids").cast("long").alias("n_bpe_tokens"),
             "token_ids",
+        )
+    )
+
+
+def decode_corpus_ids(
+    encoded: DataFrame,
+    id_vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """``(id_col, text)`` — detokenize id sequences back to whitespace
+    text, the inverse of :func:`encode_corpus_ids`. Subwords carry no
+    spaces and every word ends in ``</w>``, so decoding is: resolve ids to
+    subwords (broadcast join against the vocab-sized id table), stitch in
+    sequence order, concatenate with no separator, and turn each boundary
+    marker into a space. encode -> decode is lossless on
+    single-space-joined input (driver-oracled in bpe_decode_corpus).
+
+    Scale shape: one posexplode of the id arrays (data-proportional — the
+    same rows a dataloader reads), a broadcast equi-join, one doc-keyed
+    ordered reassembly (group buffer bounded by max document length, the
+    inherent sequence bound). An id absent from ``id_vocab`` fails fast —
+    decoding around a hole would silently splice adjacent words.
+    """
+    per_tok = encoded.select(
+        F.col(id_col), F.posexplode(F.col(ids_col)).alias("pos", "sid")
+    )
+    resolved = _join_encoded(
+        per_tok.withColumnRenamed("sid", "word"),
+        F.broadcast(id_vocab.select(F.col("sid").alias("word"), "subword")),
+        prebuilt_vocab=True,
+        what="token id absent from the supplied id_vocab",
+    )
+    return (
+        resolved.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "subword"))),
+                    lambda s: s["subword"],
+                ),
+                "",
+            ).alias("_joined")
+        )
+        .select(
+            id_col,
+            F.trim(F.replace(F.col("_joined"), F.lit(END_OF_WORD), F.lit(" ")))
+            .alias("text"),
         )
     )
 

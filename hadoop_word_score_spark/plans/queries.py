@@ -3186,7 +3186,11 @@ def q_similarity_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     _, corpus = _planted_embeddings(em)
     path = _ivf_index_path(sf_dir)
-    persist_ivf_index(corpus, path, n_cells=_IVF_N_CELLS)
+    # SAME meta_cols as _ensure_ivf_index: both write the one cached index
+    # path, so they must produce the identical layout — a meta-less rebuild
+    # here would strip the label column the filtered probe reads (caught by
+    # the r13 full-suite run: pass/fail depended on query execution order)
+    persist_ivf_index(corpus, path, n_cells=_IVF_N_CELLS, meta_cols=("label",))
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     idx = spark.read.parquet(os.path.join(path, "index"))
     return cents.agg(F.count(F.lit(1)).cast("int").alias("n_cells")).crossJoin(
@@ -3349,7 +3353,12 @@ def q_similarity_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _t(spark, sf_dir, "embeddings")
     _, corpus = _planted_embeddings(em)
     path = _ivfpq_index_path(sf_dir)
-    persist_ivfpq_index(corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K)
+    # SAME meta_cols as _ensure_ivfpq_index — one cached path, one layout
+    # (see q_similarity_ivf_build's note; same order-dependence hazard)
+    persist_ivfpq_index(
+        corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K,
+        meta_cols=("label",),
+    )
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     books = spark.read.parquet(os.path.join(path, "codebooks"))
     idx = spark.read.parquet(os.path.join(path, "index"))
@@ -7227,7 +7236,8 @@ def _bpe_subword_oracle(
             return (
                 "WITH " + ",\n".join(ctes) + """
 SELECT d.doc_id, CAST(SUM(len(wi.wids)) AS BIGINT) AS n_bpe_tokens,
-       flatten(list(wi.wids ORDER BY d.pos)) AS token_ids
+       array_to_string(flatten(list(wi.wids ORDER BY d.pos)), ' ')
+           AS token_ids
 FROM (
     SELECT doc_id,
            unnest(list_filter(
@@ -7461,9 +7471,60 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = subword_vocab(docs, "txt")
     rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
-    return encode_corpus_ids(docs, "doc_id", "txt", rules, vocab=vocab).orderBy(
-        "doc_id"
+    # driver output contract: flat scalars only (the driver canonicalizer
+    # cannot hash array cells — tests/test_evidence.py) — serve the id
+    # sequence space-joined; the operator itself keeps array<int>
+    return (
+        encode_corpus_ids(docs, "doc_id", "txt", rules, vocab=vocab)
+        .select(
+            "doc_id", "n_bpe_tokens",
+            F.array_join("token_ids", " ").alias("token_ids"),
+        )
+        .orderBy("doc_id")
     )
+
+
+@register(
+    "bpe_decode_corpus",
+    # Detokenization closes the loop: encode the corpus to integer ids,
+    # decode the ids back, and the oracle checks the decoded text against
+    # the NORMALIZED ORIGINAL recomputed straight from the documents table
+    # — not against any engine intermediate — so a drift anywhere in the
+    # learn/encode/id-map/decode chain breaks the hash. Zero-token docs
+    # have no sequence and are excluded on both sides.
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_filter(
+               string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''), ' ')
+               AS text
+    FROM documents
+    WHERE len(list_filter(
+        string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_decode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import tokens_expr
+    from ..operators.bpe import (
+        decode_corpus_ids,
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.array_join(F.expr(tokens_expr("text")), " ").alias("txt")
+    )
+    vocab = subword_vocab(docs, "txt")
+    rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    idv = subword_id_vocab(vocab, rules)
+    ids = encode_corpus_ids(
+        docs, "doc_id", "txt", rules, vocab=vocab, id_vocab=idv
+    )
+    return decode_corpus_ids(ids, idv).orderBy("doc_id")
 
 
 @register(
@@ -7503,9 +7564,17 @@ def q_bpe_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(repo_root, ".scratch", "bpe_tokenizer")
     persist_bpe_tokenizer(path, rules, subword_id_vocab(vocab, rules))
     loaded_rules, loaded_idv = load_bpe_tokenizer(spark, path)
-    return encode_corpus_ids(
-        docs, "doc_id", "txt", loaded_rules, vocab=vocab, id_vocab=loaded_idv
-    ).orderBy("doc_id")
+    return (
+        encode_corpus_ids(
+            docs, "doc_id", "txt", loaded_rules,
+            vocab=vocab, id_vocab=loaded_idv,
+        )
+        .select(
+            "doc_id", "n_bpe_tokens",
+            F.array_join("token_ids", " ").alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _HH_STREAM_CAP = 64
