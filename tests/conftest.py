@@ -23,6 +23,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def scratch_dir():
+    # setup-side clean too: a KILLED previous run (timeout, ctrl-c) leaves
+    # half-written streaming checkpoints behind, and a new query refuses to
+    # "recover" from them ("Delete .../offsets to start over" — r13: ten
+    # phantom streaming failures from one SIGTERM'd session)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
     os.makedirs(SCRATCH, exist_ok=True)
     yield SCRATCH
     shutil.rmtree(SCRATCH, ignore_errors=True)
