@@ -42,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 GROUP_SIZE = 6
 
 
+def _order_for_grouping(names: list[str], prev_cost: dict[str, float]) -> list[str]:
+    """Group order: previous-round cost DESCENDING, name as the tie-break.
+
+    Heavy rows share fresh-session groups with each other, so a new heavy
+    query shifts composition for at most its own cost tier (alphabetical
+    chunking twice put new heavy rows next to unrelated cheap ones and aged
+    those groups' sessions — SCALE_PROBE.md r8-r10 and r12 receipts).
+    Unknown-cost (new) names rank 0 and land together at the tail."""
+    return sorted(names, key=lambda n: (-prev_cost.get(n, 0.0), n))
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -255,20 +266,11 @@ def main() -> None:
     names = [n for n, s in REGISTRY.items() if s.bench]
 
     # Deterministic COST-AWARE grouping (r13, after the r12 regression
-    # cluster): chunks of the name list ordered by previous-round cost
-    # descending, name as the tie-break. Alphabetical chunking let each
-    # round's new heavy rows land next to unrelated cheap rows (b*/s* new
-    # queries sorted adjacent to asof_/basket_), ageing those groups'
-    # sessions under heavier neighbors — twice now the flagged "regressions"
-    # recovered in isolation (SCALE_PROBE.md r8-r10 and r12 receipts).
-    # Cost-descending keeps heavy rows sharing groups with each other, so a
-    # new heavy row shifts composition for at most its own cost tier.
-    # Names with no prior timing (new queries) rank as cost 0 and land
-    # together at the tail; they acquire a cost for the next run. Still
-    # deterministic given the committed BENCH artifacts, and the membership
-    # hash below continues to flag any set change.
-    prev_cost = _previous_round_timings(sf_of(sf_dir))
-    ordered = sorted(names, key=lambda n: (-prev_cost.get(n, 0.0), n))
+    # cluster) — see _order_for_grouping. Still deterministic given the
+    # committed BENCH artifacts, and the membership hash below continues to
+    # flag any set change.
+    prev = _previous_round_timings(sf_of(sf_dir))
+    ordered = _order_for_grouping(names, prev)
     groups = [ordered[i : i + GROUP_SIZE] for i in range(0, len(ordered), GROUP_SIZE)]
     trials: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
@@ -298,7 +300,8 @@ def main() -> None:
     warm_median = {
         n: round(statistics.median(ts[1:] or ts), 3) for n, ts in trials.items()
     }
-    prev = _previous_round_timings(sf_of(sf_dir))
+    # `prev` from the grouping step above: the artifacts it reads are
+    # committed files, unchanged by this run
     regressions = {
         n: round(timings[n] / prev[n], 2)
         for n in names

@@ -153,7 +153,10 @@ def _join_encoded(
     words: DataFrame,
     enc: DataFrame,
     prebuilt_vocab: bool,
+    who: str = "encode_corpus",
     what: str = "word absent from the supplied vocab",
+    remedy: str = "pass a vocab built over the same corpus "
+                  "(subword_vocab), or None to derive it",
 ) -> DataFrame:
     """Equi-join the corpus word stream onto the per-word encode relation.
 
@@ -173,10 +176,9 @@ def _join_encoded(
             F.col(c).isNull(),
             F.raise_error(
                 F.concat(
-                    F.lit("encode_corpus: " + what + ": '"),
+                    F.lit(who + ": " + what + ": '"),
                     F.col("word").cast("string"),
-                    F.lit("' — pass a vocab built over the same corpus "
-                          "(subword_vocab), or None to derive it"),
+                    F.lit("' — " + remedy),
                 )
             ),
         )
@@ -290,7 +292,8 @@ def encode_corpus_sequences(
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
     )
     return (
-        _join_encoded(words, enc, prebuilt_vocab=prebuilt)
+        _join_encoded(words, enc, prebuilt_vocab=prebuilt,
+                      who="encode_corpus_sequences")
         .groupBy(id_col)
         .agg(
             F.sum("n_subwords").alias("n_bpe_tokens"),
@@ -384,7 +387,10 @@ def encode_corpus_ids(
             .withColumnRenamed("subword", "word"),
             F.broadcast(id_vocab.select(F.col("subword").alias("word"), "sid")),
             prebuilt_vocab=prebuilt_ids,
+            who="encode_corpus_ids",
             what="subword absent from the supplied id_vocab",
+            remedy="build the id table with subword_id_vocab over the same "
+                   "vocab and rules, or pass id_vocab=None to derive it",
         )
         .groupBy(F.col("_w").alias("word"))
         .agg(
@@ -399,7 +405,8 @@ def encode_corpus_ids(
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
     )
     return (
-        _join_encoded(words, word_ids, prebuilt_vocab=prebuilt)
+        _join_encoded(words, word_ids, prebuilt_vocab=prebuilt,
+                      who="encode_corpus_ids")
         .groupBy(id_col)
         .agg(
             F.flatten(
@@ -444,7 +451,10 @@ def decode_corpus_ids(
         per_tok.withColumnRenamed("sid", "word"),
         F.broadcast(id_vocab.select(F.col("sid").alias("word"), "subword")),
         prebuilt_vocab=True,
+        who="decode_corpus_ids",
         what="token id absent from the supplied id_vocab",
+        remedy="decode with the same subword_id_vocab the ids were "
+               "encoded under",
     )
     return (
         resolved.groupBy(id_col)

@@ -154,15 +154,21 @@ def train_hashed_logreg(
         F.col(label_col).cast("double").alias("y"), feats.alias("fs")
     ).filter(F.size("fs") >= 1)
 
-    for _ in range(iters):
+    def _guard_finite() -> None:
         # A diverged weight (too-large lr) would render as an 'infD'/'nanD'
         # literal and surface as an opaque SQL parse error — fail with the
-        # real cause instead (ADVICE r12).
+        # real cause instead (ADVICE r12). Checked at every iteration top
+        # AND after the loop: the final update is the one that produces the
+        # RETURNED weights, and a divergence there would otherwise escape
+        # to serving time (r13 review).
         if not all(math.isfinite(x) for x in w) or not math.isfinite(bias):
             raise ValueError(
                 "train_hashed_logreg: weights diverged to inf/nan after "
                 f"{len(history)} iterations — lower lr (got {lr}) or add l2"
             )
+
+    for _ in range(iters):
+        _guard_finite()
         # repr() round-trips exactly, so the literal the scan folds over is
         # the SAME float64 the driver holds (the kmeans literal contract)
         w_lit = F.expr("array(" + ",".join(f"{x!r}D" for x in w) + ")")
@@ -209,6 +215,7 @@ def train_hashed_logreg(
         w = [wi - lr * (gi + l2 * wi) for wi, gi in zip(w, grad)]
         bias -= lr * grad_b
         history.append(loss)
+    _guard_finite()
     return w, bias, history
 
 
@@ -302,6 +309,11 @@ def hashed_linear_score_fast(
     w = np.asarray(weights, dtype=np.float64)
     if w.size == 0:
         raise ValueError("hashed_linear_score_fast: weights must be non-empty")
+    if weight_scale <= 0:
+        raise ValueError(
+            f"hashed_linear_score_fast: weight_scale must be > 0, got "
+            f"{weight_scale} (dividing by it would corrupt every margin)"
+        )
     if weight_scale != 1.0:
         w = w / float(weight_scale)
     buckets = int(w.size)

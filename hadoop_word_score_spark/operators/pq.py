@@ -329,7 +329,11 @@ def persist_ivfpq_index(
         json.dump(
             {"m": m, "k": k, "n_cells": n_cells,
              "dim": int(m * books.shape[2]),
-             **({"meta_cols": list(meta_cols)} if meta_cols else {}),
+             **({"meta_cols": list(meta_cols),
+                 "meta_types": {
+                     c: candidates.schema[c].dataType.simpleString()
+                     for c in meta_cols
+                 }} if meta_cols else {}),
              **({"worst_coarse_sim": worst} if worst is not None else {})},
             f,
         )
@@ -398,6 +402,19 @@ def ivfpq_index_append(
             f"ivfpq_index_append: index at {path!r} carries metadata "
             f"columns {list(meta_cols)}; the new batch lacks {missing}"
         )
+    # type parity too, not just presence: appending a batch whose meta
+    # column has a different parquet type writes mixed-dtype files into the
+    # same cell directories, and the NEXT probe's read fails (or binds the
+    # wrong schema) far from the cause (r13 review — same refuse-loudly
+    # class as the dim guard below)
+    for c, want in meta.get("meta_types", {}).items():
+        got = new_vectors.schema[c].dataType.simpleString()
+        if got != want:
+            raise ValueError(
+                f"ivfpq_index_append: index at {path!r} stores metadata "
+                f"column {c!r} as {want}; the new batch supplies {got} — "
+                f"cast it to match (mixed-type cell files break later reads)"
+            )
     meta_schema = "".join(
         f", {c} {new_vectors.schema[c].dataType.simpleString()}"
         for c in meta_cols

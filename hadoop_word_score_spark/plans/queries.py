@@ -2363,6 +2363,32 @@ def _planted_recall_summary(
     )
 
 
+def _filtered_recall_certificates(
+    approx: DataFrame, q: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Summary row (n_queries, planted_recall_ok, filter_respected) for the
+    filtered-ANN probes: planted recall under the predicate PLUS the
+    exclusivity certificate — every returned candidate must satisfy
+    label >= 5 (shared by the raw-IVF and IVF-PQ filtered queries so the
+    certificate logic cannot drift between them; r13 review, the same
+    parallel-copy hazard load_cached_rows closed in r12)."""
+    summary = _planted_recall_summary(approx, q)
+    respected = (
+        approx.join(
+            corpus.select(F.col("vec_id").alias("cand_id"), "label"),
+            "cand_id",
+        )
+        .agg(
+            F.coalesce(F.min(F.col("label") >= 5), F.lit(True)).alias(
+                "filter_respected"
+            )
+        )
+    )
+    return summary.crossJoin(respected).select(
+        "n_queries", "planted_recall_ok", "filter_respected"
+    )
+
+
 @register(
     "similarity_topk_lsh",
     # Bound-check oracle (hyperplane sketches aren't reproducible in SQL):
@@ -3252,21 +3278,7 @@ def q_similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFram
     approx = ivf_probe_topk(
         spark, path, q, k=5, n_probe=_IVF_N_PROBE, where="label >= 5"
     )
-    summary = _planted_recall_summary(approx, q)
-    respected = (
-        approx.join(
-            corpus.select(F.col("vec_id").alias("cand_id"), "label"),
-            "cand_id",
-        )
-        .agg(
-            F.coalesce(F.min(F.col("label") >= 5), F.lit(True)).alias(
-                "filter_respected"
-            )
-        )
-    )
-    return summary.crossJoin(respected).select(
-        "n_queries", "planted_recall_ok", "filter_respected"
-    )
+    return _filtered_recall_certificates(approx, q, corpus)
 
 
 @register(
@@ -3493,21 +3505,7 @@ def q_similarity_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFr
     approx = ivfpq_probe_topk(
         spark, path, q, k=5, n_probe=_PQ_N_PROBE, where="label >= 5"
     )
-    summary = _planted_recall_summary(approx, q)
-    respected = (
-        approx.join(
-            corpus.select(F.col("vec_id").alias("cand_id"), "label"),
-            "cand_id",
-        )
-        .agg(
-            F.coalesce(F.min(F.col("label") >= 5), F.lit(True)).alias(
-                "filter_respected"
-            )
-        )
-    )
-    return summary.crossJoin(respected).select(
-        "n_queries", "planted_recall_ok", "filter_respected"
-    )
+    return _filtered_recall_certificates(approx, q, corpus)
 
 
 @register(

@@ -71,16 +71,22 @@ def test_group_stdout_parse_returns_none_without_result():
 
 
 def test_group_partition_covers_every_bench_query_exactly_once():
+    # exercises bench.py's REAL ordering helper (r13 review: a local
+    # re-implementation of the sort key would keep passing after a
+    # regression in the actual code)
     from hadoop_word_score_spark.plans.queries import REGISTRY
 
-    names = sorted(n for n, s in REGISTRY.items() if s.bench)
+    names = [n for n, s in REGISTRY.items() if s.bench]
+    ordered = bench._order_for_grouping(names, {})
     groups = [
-        names[i : i + bench.GROUP_SIZE]
-        for i in range(0, len(names), bench.GROUP_SIZE)
+        ordered[i : i + bench.GROUP_SIZE]
+        for i in range(0, len(ordered), bench.GROUP_SIZE)
     ]
     flat = [n for g in groups for n in g]
-    assert flat == names  # no dupes, no drops, deterministic order
+    assert flat == ordered and sorted(flat) == sorted(names)
     assert all(0 < len(g) <= bench.GROUP_SIZE for g in groups)
+    # with no prior costs the order is deterministic (name ascending)
+    assert ordered == sorted(names)
 
 
 def test_cost_desc_grouping_clusters_heavy_rows_and_stays_total():
@@ -92,7 +98,7 @@ def test_cost_desc_grouping_clusters_heavy_rows_and_stays_total():
     names = ["a_cheap", "b_new", "c_heavy", "d_mid", "e_heavy2", "f_cheap"]
     prev = {"c_heavy": 4.0, "e_heavy2": 3.5, "d_mid": 1.0,
             "a_cheap": 0.2, "f_cheap": 0.3}
-    ordered = sorted(names, key=lambda n: (-prev.get(n, 0.0), n))
+    ordered = bench._order_for_grouping(names, prev)
     assert ordered == ["c_heavy", "e_heavy2", "d_mid", "f_cheap",
                        "a_cheap", "b_new"]
     groups = [ordered[i : i + 3] for i in range(0, len(ordered), 3)]

@@ -563,12 +563,22 @@ def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
     approx = {(r.query_id, r.cand_id) for r in rr.collect()}
     assert len(exact & approx) / len(exact) >= 0.8
 
-    # guards: unknown column names the fix; meta-less append refuses
+    # guards: unknown column names the fix; meta-less append refuses; a
+    # type-mismatched meta column refuses too (mixed-dtype cell files would
+    # break the NEXT probe's read, far from the cause — r13 review)
     with _pytest.raises(ValueError, match="meta_cols"):
         ivfpq_probe_topk(spark, path, q, k=5, where="nope = 1")
     with _pytest.raises(ValueError, match="lacks"):
         ivfpq_index_append(
             em.filter(F.col("vec_id") == 7).select("vec_id", "embedding"),
+            path,
+        )
+    with _pytest.raises(ValueError, match="cast it to match"):
+        ivfpq_index_append(
+            em.filter(F.col("vec_id") == 7).select(
+                "vec_id", F.col("label").cast("long").alias("label"),
+                "embedding",
+            ),
             path,
         )
     # append WITH the column lands rows probe-visible under the filter
