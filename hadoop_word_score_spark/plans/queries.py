@@ -704,11 +704,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_encode_corpus": "af6233ecd15c",
-    "bpe_encode_lengths": "699d9a9a7e93",
-    "bpe_encode_sequences": "d174358ceec7",
-    "bpe_merge_rules": "ce9d054c6821",
-    "bpe_subword_rules": "05bfddc3bbe3",
+    "bpe_encode_corpus": "fa99fa2a43f2",
+    "bpe_encode_lengths": "eb3fd6e98be6",
+    "bpe_encode_sequences": "116aedfa5442",
+    "bpe_merge_rules": "f276f5510cc6",
+    "bpe_subword_rules": "12d76ad6a951",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -833,7 +833,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
     "quality_bigram_logprob": "aaffced9d481",
-    "quality_classifier_score": "700564d9121b",
+    "quality_classifier_score": "70b1b4935f5d",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "e72f1e06f07f",
@@ -847,17 +847,17 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "40419a14ffa5",
-    "similarity_ivf_build": "1bcff41d86a5",
-    "similarity_ivf_recall": "cbb2663ac14b",
-    "similarity_ivfpq_append": "58c95f3c016e",
-    "similarity_ivfpq_build": "d264e4e5324d",
-    "similarity_ivfpq_recall": "9a75adcd3059",
-    "similarity_lsh_recall_midsim": "180e2057a10d",
-    "similarity_topk": "0627274314aa",
-    "similarity_topk_ivf": "8d7540ab6dc8",
-    "similarity_topk_ivfpq": "377020b09a0c",
-    "similarity_topk_lsh": "4e6c17e28172",
+    "similarity_hard_negatives": "ec960291b498",
+    "similarity_ivf_build": "50bae817337f",
+    "similarity_ivf_recall": "1f3be48d9916",
+    "similarity_ivfpq_append": "a0e63355c39d",
+    "similarity_ivfpq_build": "9550ab917473",
+    "similarity_ivfpq_recall": "f65e3ed6bfaf",
+    "similarity_lsh_recall_midsim": "c195e8817631",
+    "similarity_topk": "d1feb65e7430",
+    "similarity_topk_ivf": "b4c96e49f057",
+    "similarity_topk_ivfpq": "cc1a7a23cdcd",
+    "similarity_topk_lsh": "e0d19f775066",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
     "split_leakage_safe": "eaab5fde27ef",
