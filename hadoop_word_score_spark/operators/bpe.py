@@ -400,6 +400,14 @@ def encode_corpus_ids(
             ).alias("ids")
         )
     )
+    # EXPLICIT broadcast, not AQE's choice (r13 plan audit): the corpus
+    # join below would otherwise REUSE this aggregate's word-keyed exchange
+    # and pull the whole corpus through a word shuffle (SMJ) — checkpoint
+    # stats don't help (ExistingRDD reports the default size). The map is
+    # vocab-sized by construction, the same bound as the id-table hint
+    # above; at an extreme vocabulary where it outgrows driver memory, drop
+    # the hint and take the word-shuffle plan deliberately.
+    word_ids = F.broadcast(word_ids)
     words = docs.select(
         F.col(id_col),
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),

@@ -704,11 +704,11 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_encode_corpus": "fa99fa2a43f2",
-    "bpe_encode_lengths": "eb3fd6e98be6",
-    "bpe_encode_sequences": "116aedfa5442",
-    "bpe_merge_rules": "f276f5510cc6",
-    "bpe_subword_rules": "12d76ad6a951",
+    "bpe_encode_corpus": "eaa12c4dabeb",
+    "bpe_encode_lengths": "9d427c57fd87",
+    "bpe_encode_sequences": "972580933e50",
+    "bpe_merge_rules": "abc99b86ec42",
+    "bpe_subword_rules": "23d44852b0a3",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
