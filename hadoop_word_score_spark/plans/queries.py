@@ -3282,6 +3282,35 @@ def q_similarity_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "similarity_ivf_filtered_recall",
+    # The raw filtered path's recall receipt (twin of
+    # similarity_ivfpq_filtered_recall): raw-index probe under the label
+    # predicate vs exact brute force over the SAME filtered corpus. The raw
+    # index stores exact vectors, so the only recall loss is cell pruning —
+    # the filter itself cannot cost recall because it applies identically
+    # to both sides.
+    oracle="""
+    SELECT COUNT(*) AS n_queries, TRUE AS recall_at_k_ok
+    FROM embeddings WHERE vec_id < 10 AND label >= 5 -- raw ivf filt recall
+    """,
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, ivf_probe_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    q_all, corpus = _planted_embeddings(em)
+    q = q_all.filter(F.col("label") >= 5)
+    fcorpus = corpus.filter(F.col("label") >= 5)
+    path = _ensure_ivf_index(spark, sf_dir)
+    exact = brute_force_topk(q, fcorpus, k=5)
+    approx = ivf_probe_topk(
+        spark, path, q, k=5, n_probe=_IVF_N_PROBE, where="label >= 5"
+    )
+    return _recall_bound_check(exact, approx, q, k=5, bound=0.8)
+
+
+@register(
     "similarity_ivf_recall",
     # Bound-check oracle: overall recall@5 vs the exact path >= 0.8 on the
     # NATURAL corpus (mid-similarity neighbors) via the inline ivf_topk
