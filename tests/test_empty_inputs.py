@@ -387,3 +387,54 @@ def test_round12_operators_empty(spark):
         hashed_linear_score(docs, weights=[])
     with pytest.raises(ValueError, match="integers"):
         hashed_linear_score(docs, weights=[0.5, 1.0])
+
+
+def test_round13_operators_empty(spark):
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    # the r13 document-shaped queries over a zero-row corpus: empty result,
+    # no crash (zero merges learned, no id vocabulary, nothing to pack or
+    # decode)
+    names = (
+        "bpe_encode_ids",
+        "bpe_decode_corpus",
+        "bpe_tokenizer_roundtrip",
+        "pack_segments",
+    )
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, [])
+        for name in names:
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+    # the r13 operator APIs directly: empty in, empty out with the declared
+    # columns
+    from hadoop_word_score_spark.operators.bpe import (
+        decode_corpus_ids,
+        encode_corpus_ids,
+        subword_id_vocab,
+        subword_vocab,
+    )
+    from hadoop_word_score_spark.operators.packing import pack_segments
+
+    docs = _empty_docs(spark)
+    vocab = subword_vocab(docs, "text")
+    idv = subword_id_vocab(vocab, rules=[])
+    assert idv.columns == ["sid", "subword", "sfreq"] and idv.count() == 0
+    ids = encode_corpus_ids(docs, "doc_id", "text", rules=[], vocab=vocab,
+                            id_vocab=idv)
+    assert ids.columns == ["doc_id", "n_bpe_tokens", "token_ids"]
+    assert ids.count() == 0
+    dec = decode_corpus_ids(ids, idv)
+    assert dec.columns == ["doc_id", "text"] and dec.count() == 0
+    sized = spark.createDataFrame(
+        [], "source string, doc_id long, n_tokens long"
+    )
+    segs = pack_segments(sized, capacity=16)
+    assert segs.columns == [
+        "source", "bin_id", "doc_id", "bin_offset", "doc_offset", "seg_len"
+    ]
+    assert segs.count() == 0
