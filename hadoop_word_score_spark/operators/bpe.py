@@ -165,15 +165,22 @@ def _join_encoded(
     vocab a missing word would silently vanish from the inner join and
     undercount the document (r12 verdict, minor) — so that path left-joins
     and fails fast on the first unmatched word instead of mis-encoding.
-    The guard is a null check per probe row (cheap, codegen'd); the join
-    stays the same broadcast equi-join either way.
+    The guard is a FILTER on the null probe column, not a guarded
+    projection (ADVICE r13): a projection-side raise_error is pruned away
+    by Catalyst when a consumer only counts rows, silently keeping
+    unmatched rows; a filter affects cardinality so it survives column
+    pruning, and (verified against the optimized plan) it is neither
+    pushed below the outer join nor does it trigger outer-join
+    elimination. The check stays a cheap codegen'd null test per probe
+    row; the join stays the same broadcast equi-join either way.
     """
     if not prebuilt_vocab:
         return words.join(enc, "word")
+    probe = next(c for c in enc.columns if c != "word")
     joined = words.join(enc, "word", "left")
-    guard_cols = [
+    return joined.filter(
         F.when(
-            F.col(c).isNull(),
+            F.col(probe).isNull(),
             F.raise_error(
                 F.concat(
                     F.lit(who + ": " + what + ": '"),
@@ -181,14 +188,8 @@ def _join_encoded(
                     F.lit("' — " + remedy),
                 )
             ),
-        )
-        .otherwise(F.col(c))
-        .alias(c)
-        for c in enc.columns
-        if c != "word"
-    ]
-    other = [c for c in joined.columns if c not in set(enc.columns) - {"word"}]
-    return joined.select(*other, *guard_cols)
+        ).otherwise(F.lit(True))
+    )
 
 
 def encode_corpus(
@@ -308,13 +309,28 @@ def encode_corpus_sequences(
     )
 
 
-def subword_id_vocab(vocab: DataFrame, rules: list[tuple]) -> DataFrame:
+N_BYTE_IDS = 256  # oov='bytes' reserves ids 1..256 for bytes 0..255
+
+
+def subword_id_vocab(
+    vocab: DataFrame, rules: list[tuple], oov: str | None = None
+) -> DataFrame:
     """``(sid, subword, sfreq)`` — the (subword -> integer id) table a
     trainer's tokenizer artifact ships: every subword the learned merges
     produce over the corpus vocabulary, with ids assigned by corpus
     frequency rank (1 = most frequent; ties break by subword text, so ids
     are deterministic). Frequency-ranked ids are the convention real BPE
     vocabs use (Sennrich et al. 2016 §3) and keep small ids hot.
+
+    ``oov='bytes'`` (r13 verdict #4): reserve ids 1..256 for the raw
+    bytes 0..255 (id = byte + 1; subword text is the byte's codepoint
+    char) and shift corpus subword ids up by 256 — the GPT-2 byte-level
+    discipline that lets :func:`encode_corpus_ids` encode a HELD-OUT
+    corpus under a training vocabulary without ever refusing: an unseen
+    subword falls back to its UTF-8 byte ids. Byte-id decode concatenates
+    codepoint chars (exact for ASCII; multi-byte UTF-8 sequences decode
+    via the same byte->codepoint table, the documented GPT-2-style
+    convention).
 
     Work is vocab-sized throughout: k merge folds over the word vocab, one
     subword explode weighted by word freq, and the DISTRIBUTED global-rank
@@ -324,6 +340,8 @@ def subword_id_vocab(vocab: DataFrame, rules: list[tuple]) -> DataFrame:
     """
     from .rank import global_rank
 
+    if oov not in (None, "bytes"):
+        raise ValueError(f"subword_id_vocab: unknown oov mode {oov!r}")
     enc = vocab.select(
         "freq", apply_merge_rules(F.col("sym"), rules).alias("w")
     )
@@ -336,8 +354,35 @@ def subword_id_vocab(vocab: DataFrame, rules: list[tuple]) -> DataFrame:
         sw.withColumn("_neg", -F.col("sfreq")), ["_neg", "subword"],
         rank_col="sid",
     )
-    return ranked.select(
-        F.col("sid").cast("int").alias("sid"), "subword", "sfreq"
+    if oov is None:
+        return ranked.select(
+            F.col("sid").cast("int").alias("sid"), "subword", "sfreq"
+        )
+    byte_rows = vocab.sparkSession.range(0, N_BYTE_IDS).select(
+        (F.col("id") + 1).cast("int").alias("sid"),
+        F.expr("char(id)").alias("subword"),
+        F.lit(0).cast("long").alias("sfreq"),
+    )
+    return byte_rows.unionAll(
+        ranked.select(
+            (F.col("sid") + N_BYTE_IDS).cast("int").alias("sid"),
+            "subword",
+            "sfreq",
+        )
+    )
+
+
+def byte_fallback_ids(s: Column) -> Column:
+    """``array<int>`` of UTF-8 byte ids (byte + 1) for an OOV subword —
+    the oov='bytes' fallback path. Pure JVM: hex the UTF-8 bytes, read
+    2-char pairs. The hex recipe (not ascii()/char codepoints) is byte-
+    exact for any input and mirrors verbatim in the DuckDB oracle."""
+    h = F.hex(F.encode(s, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
+        lambda i: (
+            F.conv(F.substring(h, i * 2 - 1, 2), 16, 10).cast("int") + 1
+        ),
     )
 
 
@@ -348,6 +393,7 @@ def encode_corpus_ids(
     rules: list[tuple],
     vocab: DataFrame | None = None,
     id_vocab: DataFrame | None = None,
+    oov: str | None = None,
 ) -> DataFrame:
     """``(id_col, n_bpe_tokens, token_ids)`` — each document's subword
     sequence as ``array<int>`` ids against :func:`subword_id_vocab`, the
@@ -368,35 +414,76 @@ def encode_corpus_ids(
     across corpora (encode a validation set under the training vocab);
     a subword outside the supplied table fails fast, same contract as
     ``vocab``.
+
+    ``oov='bytes'`` (r13 verdict #4): with a prebuilt ``id_vocab`` built
+    under the same mode, an unseen subword resolves to its UTF-8 byte ids
+    (:func:`byte_fallback_ids`) instead of raising — production BPE never
+    refuses to encode (Sennrich §3.2; GPT-2 byte-level). The fallback is
+    a per-row projection on the VOCAB-sized subword relation, so the plan
+    shape (broadcast joins only, corpus never shuffles by word) is
+    unchanged.
     """
+    if oov not in (None, "bytes"):
+        raise ValueError(f"encode_corpus_ids: unknown oov mode {oov!r}")
     prebuilt = vocab is not None
     if vocab is None:
         vocab = subword_vocab(docs, text_col)
     prebuilt_ids = id_vocab is not None
     if id_vocab is None:
-        id_vocab = subword_id_vocab(vocab, rules)
+        id_vocab = subword_id_vocab(vocab, rules, oov=oov)
     enc = vocab.select(
         "word", apply_merge_rules(F.col("sym"), rules).alias("w")
     )
     per_sub = enc.select(
         "word", F.posexplode(_tokens(F.col("w"))).alias("spos", "subword")
     )
-    word_ids = (
-        _join_encoded(
+    id_side = F.broadcast(
+        id_vocab.select(F.col("subword").alias("word"), "sid")
+    )
+    if oov == "bytes":
+        # Join ONLY the corpus rows (sid > N_BYTE_IDS): the reserved byte
+        # rows carry single-char subword TEXT that collides with legitimate
+        # single-char corpus subwords — joining the full table would match
+        # such a subword twice and double-emit its id. Byte ids are reached
+        # exclusively through the fallback expression.
+        id_side = F.broadcast(
+            id_vocab.filter(F.col("sid") > N_BYTE_IDS)
+            .select(F.col("subword").alias("word"), "sid")
+        )
+        # LEFT join + byte fallback instead of the fail-fast guard: every
+        # subword resolves, matched ones to [sid], unseen ones to their
+        # UTF-8 byte ids.
+        sub_ids = (
+            per_sub.withColumnRenamed("word", "_w")
+            .withColumnRenamed("subword", "word")
+            .join(id_side, "word", "left")
+            .select(
+                "_w",
+                "spos",
+                F.when(F.col("sid").isNotNull(), F.array("sid"))
+                .otherwise(byte_fallback_ids(F.col("word")))
+                .alias("ids"),
+            )
+        )
+    else:
+        sub_ids = _join_encoded(
             per_sub.withColumnRenamed("word", "_w")
             .withColumnRenamed("subword", "word"),
-            F.broadcast(id_vocab.select(F.col("subword").alias("word"), "sid")),
+            id_side,
             prebuilt_vocab=prebuilt_ids,
             who="encode_corpus_ids",
             what="subword absent from the supplied id_vocab",
             remedy="build the id table with subword_id_vocab over the same "
                    "vocab and rules, or pass id_vocab=None to derive it",
-        )
-        .groupBy(F.col("_w").alias("word"))
+        ).select("_w", "spos", F.array("sid").alias("ids"))
+    word_ids = (
+        sub_ids.groupBy(F.col("_w").alias("word"))
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("spos", "sid"))),
-                lambda s: s["sid"],
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("spos", "ids"))),
+                    lambda s: s["ids"],
+                )
             ).alias("ids")
         )
     )

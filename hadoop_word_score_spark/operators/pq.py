@@ -631,8 +631,9 @@ def ivfpq_probe_topk(
         except Exception as e:
             raise ValueError(
                 f"ivfpq_probe_topk: predicate {where!r} failed to resolve "
-                f"against the index's columns {sorted(allowed_cols)} — "
-                f"rebuild with persist_ivfpq_index(meta_cols=...) to carry "
+                f"against the index's filterable columns "
+                f"{sorted(allowed_cols)} — rebuild with "
+                f"persist_ivfpq_index(meta_cols=...) to carry "
                 f"the attributes the filter needs"
             ) from e
     # Arrow batch sizing, same rationale as ivf_probe_topk: the pruned

@@ -578,9 +578,14 @@ def ivf_probe_topk(
             pruned = pruned.filter(F.expr(where))
             pruned.schema  # force analysis now for the clear error below
         except Exception as e:
+            # Filterable set per the documented contract: id_col, cell, and
+            # the recorded meta columns — NOT the raw vector column, even
+            # though it is physically present (ADVICE r13: the message must
+            # match the contract, not the storage layout).
+            filterable = sorted(set(index.columns) - {vec_col})
             raise ValueError(
                 f"ivf_probe_topk: predicate {where!r} failed to resolve "
-                f"against the index's columns {sorted(index.columns)} — "
+                f"against the index's filterable columns {filterable} — "
                 f"rebuild with persist_ivf_index(meta_cols=...) to carry "
                 f"the attributes the filter needs"
             ) from e

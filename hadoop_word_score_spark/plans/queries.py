@@ -313,6 +313,28 @@ _DRIVER_GREEN_R11 = frozenset({
     "window_dist", "window_range_frame"
 })
 
+_DRIVER_GREEN_R13 = frozenset({
+    "basket_association_rules", "bigram_counts", "bm25_ranking",
+    "bpe_decode_corpus", "bpe_encode_ids", "bpe_tokenizer_roundtrip",
+    "corpus_dedup_rate_by_source", "corpus_ngram_novelty",
+    "corpus_prep_funnel", "corpus_report_by_source", "decontaminate_bloom",
+    "decontaminate_ngrams", "dedup_apply_survivors",
+    "dedup_cluster_canonical", "dedup_clusters", "dedup_exact",
+    "dedup_incremental", "dedup_near_embedding", "dedup_near_jaccard",
+    "dedup_near_minhash", "dedup_near_simhash", "dedup_pipeline_end_to_end",
+    "dedup_spans_exact", "dedup_spans_hashed", "dedup_winnowing_pairs",
+    "embedding_pca_project", "embedding_quantize_int8", "events_ewma_value",
+    "graph_triangle_counts", "heavy_hitters_terms", "inverted_index_terms",
+    "lang_id_heuristic", "merge_upsert_customers", "pack_segments",
+    "quality_unigram_logprob", "similarity_ivf_build",
+    "similarity_ivf_filtered_recall", "similarity_ivf_recall",
+    "similarity_ivfpq_filtered_recall", "similarity_lsh_recall_midsim",
+    "similarity_topk", "similarity_topk_ivf",
+    "similarity_topk_ivf_filtered", "similarity_topk_ivfpq_filtered",
+    "similarity_topk_lsh", "stats_column_entropy", "stats_join_key_skew",
+    "stats_table_profile", "text_quality", "tfidf_top_terms"
+})
+
 _DRIVER_GREEN_R12 = frozenset({
     "array_funcs", "bpe_encode_corpus", "bpe_encode_lengths",
     "bpe_encode_sequences", "bpe_merge_rules", "bpe_subword_rules",
@@ -490,11 +512,14 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bigram_counts": "c9d0c7cc6237",
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
+    "bpe_decode_corpus": "f2cb83b484a8",
     "bpe_encode_corpus": "c8c97e58a931",
+    "bpe_encode_ids": "5852c3d5e645",
     "bpe_encode_lengths": "b8dc811b87a9",
     "bpe_encode_sequences": "137ab376b92f",
     "bpe_merge_rules": "337d9cdb287d",
     "bpe_subword_rules": "01ab4987d307",
+    "bpe_tokenizer_roundtrip": "5852c3d5e645",
     "cms_frequency_estimates": "2369d6ea31ee",
     "cohort_retention_weekly": "bedf40b9dd3b",
     "conditional_funcs": "61feebf4741f",
@@ -589,6 +614,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "multimodal_resize": "da5dd6feffc2",
     "multimodal_video_real": "a6ddc85b6827",
     "null_semantics": "14f06cc19e8d",
+    "pack_segments": "baef0aec88d9",
     "pack_sequences": "efcce867afee",
     "pagerank_supply_graph": "0338ee585300",
     "percentile_exact": "60fe0eda4e92",
@@ -635,14 +661,18 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "shuffle_shards": "2460ab3b27d7",
     "similarity_hard_negatives": "7f5dd80f6b73",
     "similarity_ivf_build": "08f73a863baf",
+    "similarity_ivf_filtered_recall": "24b0622f71ac",
     "similarity_ivf_recall": "d7d0848ae2b2",
     "similarity_ivfpq_append": "ad4d57f639af",
     "similarity_ivfpq_build": "3c6a9b92867d",
+    "similarity_ivfpq_filtered_recall": "8f86ff0f993a",
     "similarity_ivfpq_recall": "60b0e9d0e7a5",
     "similarity_lsh_recall_midsim": "d7d0848ae2b2",
     "similarity_topk": "22b1057025c9",
     "similarity_topk_ivf": "7e42064e22c8",
+    "similarity_topk_ivf_filtered": "c3a2afec22d4",
     "similarity_topk_ivfpq": "fbcae8bf8a13",
+    "similarity_topk_ivfpq_filtered": "7ae1768aeb9c",
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
     "snapshot_diff_orders": "99d2c33eb09d",
@@ -704,11 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
+    "bpe_decode_corpus": "4b6360be09f8",
     "bpe_encode_corpus": "eaa12c4dabeb",
+    "bpe_encode_ids": "ea521a4016fb",
     "bpe_encode_lengths": "9d427c57fd87",
     "bpe_encode_sequences": "972580933e50",
     "bpe_merge_rules": "abc99b86ec42",
     "bpe_subword_rules": "23d44852b0a3",
+    "bpe_tokenizer_roundtrip": "dffb0088f73c",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -803,6 +836,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "multimodal_resize": "f035ca630ce8",
     "multimodal_video_real": "adaf9e8b95af",
     "null_semantics": "c3e3e3c08e79",
+    "pack_segments": "dc56cf5e9b3d",
     "pack_sequences": "ba1ba7d9a7b6",
     "pagerank_supply_graph": "926439ce5d4b",
     "percentile_exact": "8541fa4a8708",
@@ -849,14 +883,18 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "shuffle_shards": "90c2dded7bd7",
     "similarity_hard_negatives": "ec960291b498",
     "similarity_ivf_build": "50bae817337f",
+    "similarity_ivf_filtered_recall": "b43a04f9869e",
     "similarity_ivf_recall": "1f3be48d9916",
     "similarity_ivfpq_append": "a0e63355c39d",
     "similarity_ivfpq_build": "9550ab917473",
+    "similarity_ivfpq_filtered_recall": "fceca739779f",
     "similarity_ivfpq_recall": "f65e3ed6bfaf",
     "similarity_lsh_recall_midsim": "c195e8817631",
     "similarity_topk": "d1feb65e7430",
     "similarity_topk_ivf": "b4c96e49f057",
+    "similarity_topk_ivf_filtered": "120dc4f0fee9",
     "similarity_topk_ivfpq": "cc1a7a23cdcd",
+    "similarity_topk_ivfpq_filtered": "337fed25339a",
     "similarity_topk_lsh": "e0d19f775066",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
@@ -900,6 +938,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "zorder_keys": "9fb63837cb46",
 }
 
+_IMPL_DEMOTED: frozenset[str] = frozenset({})
+
 
 # Manual implementation-revision demotions (ADVICE r5): the oracle
 # fingerprint cannot see an execution-path rewrite that keeps the oracle
@@ -914,6 +954,7 @@ def _history_round(name: str) -> int:
     """Most recent round whose driver run touched this query green,
     IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (13, _DRIVER_GREEN_R13),
         (12, _DRIVER_GREEN_R12),
         (11, _DRIVER_GREEN_R11),
         (10, _DRIVER_GREEN_R10),
@@ -5619,7 +5660,16 @@ WITH base AS (
 train AS (SELECT * FROM base WHERE bucket >= 20 AND len(w) > 0),
 flags AS (
     SELECT *,
-           (1.0 - len(list_distinct(w)) * 1.0 / len(w)) <= 0.6 AS pass_q
+           (1.0 - len(list_distinct(w)) * 1.0 / len(w)) <= 0.6 AS pass_q,
+           list_sum(list_transform(
+               w || CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END,
+               x -> (CAST(concat('0x', substr(md5('qcw:' || CAST(
+                        CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                            % 256 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001)
+                    - 1000)) >= 0 AS pass_m
     FROM train
 ),
 surv AS (
@@ -5653,7 +5703,9 @@ SELECT source,
        CAST(COUNT(*) FILTER (WHERE pass_q) AS BIGINT) AS n_quality,
        CAST(COUNT(*) FILTER (WHERE is_surv) AS BIGINT) AS n_dedup,
        CAST(COUNT(*) FILTER (WHERE is_surv AND doc_id NOT IN
-            (SELECT doc_id FROM contam)) AS BIGINT) AS n_clean
+            (SELECT doc_id FROM contam)) AS BIGINT) AS n_clean,
+       CAST(COUNT(*) FILTER (WHERE is_surv AND pass_m AND doc_id NOT IN
+            (SELECT doc_id FROM contam)) AS BIGINT) AS n_model
 FROM surv
 GROUP BY source
 ORDER BY source
@@ -5669,16 +5721,20 @@ ORDER BY source
 def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The END-TO-END corpus-prep job, composed from the individually-proven
     # stages: train-side selection -> Gopher repetition filter -> exact
-    # dedup survivors -> eval 5-gram decontamination, reported as a
-    # per-source funnel (docs surviving each stage). Plan shape: per-doc
-    # stage FLAGS in one relation (scan + one content-hash window shuffle),
-    # so the funnel is a single conditional aggregation, not four chained
-    # materializations; the contamination check re-derives survivor
-    # shingles scan-side (the heavy-hitters two-scan cost shape) and joins
-    # the bounded eval shingle set broadcast.
+    # dedup survivors -> eval 5-gram decontamination -> model-based quality
+    # gate (the DCLM/FineWeb-Edu classifier stage, r13 verdict missing #4),
+    # reported as a per-source funnel (docs surviving each stage). Plan
+    # shape: per-doc stage FLAGS in one relation (scan + one content-hash
+    # window shuffle), so the funnel is a single conditional aggregation,
+    # not five chained materializations; the classifier margin is a
+    # scan-side fold with the weight table as a constant-folded literal map
+    # (operators/classifier.py), adding zero shuffles; the contamination
+    # check re-derives survivor shingles scan-side (the heavy-hitters
+    # two-scan cost shape) and joins the bounded eval shingle set broadcast.
     from pyspark.sql import Window
 
     from ..functions.hashing import shingles
+    from ..operators.classifier import hashed_linear_score
 
     d = _t(spark, sf_dir, "documents")
     bucket = _hash_bucket("doc_id")
@@ -5686,7 +5742,14 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "source", "text", bucket.alias("bucket"))
     train = base.filter((F.col("bucket") >= 20) & (F.size(toks) > 0))
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
-    flags = train.withColumn("pass_q", dup_ratio <= 0.6)
+    flags = (
+        # every train row has >= 1 token, so the operator's zero-feature
+        # drop is vacuous here and row counts are preserved
+        hashed_linear_score(train, weights=_qc_weights())
+        .withColumn("pass_m", F.col("margin") >= 0.0)
+        .drop("n_features", "margin")
+        .withColumn("pass_q", dup_ratio <= 0.6)
+    )
     w_hash = Window.partitionBy(F.md5(F.col("text").cast("binary")))
     min_q = F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(w_hash)
     surv = flags.withColumn("is_surv", F.col("pass_q") & (F.col("doc_id") == min_q))
@@ -5714,6 +5777,13 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("is_surv") & ~F.coalesce(F.col("contaminated"), F.lit(False)))
                 .cast("int")
             ).cast("long").alias("n_clean"),
+            F.sum(
+                (
+                    F.col("is_surv")
+                    & F.col("pass_m")
+                    & ~F.coalesce(F.col("contaminated"), F.lit(False))
+                ).cast("int")
+            ).cast("long").alias("n_model"),
         )
         .orderBy("source")
     )
@@ -7585,10 +7655,22 @@ def q_bpe_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = subword_vocab(docs, "txt")
     rules = learn_subword_rules(docs, "txt", n_rules=3, vocab=vocab)
+    # Content-keyed path (ADVICE r13): the fixed ".scratch/bpe_tokenizer"
+    # path let two concurrent sessions (driver + pytest/bench) interleave
+    # writer and reader and trip load_bpe_tokenizer's partial-artifact
+    # guard spuriously. Same keying discipline as _ivf_index_path: corpus
+    # file identity + the training params that shape the artifact.
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}|bpe-v1|3".encode()
+    ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    path = os.path.join(repo_root, ".scratch", "bpe_tokenizer")
+    path = os.path.join(repo_root, ".scratch", "bpe_tokenizer", key)
     persist_bpe_tokenizer(path, rules, subword_id_vocab(vocab, rules))
     loaded_rules, loaded_idv = load_bpe_tokenizer(spark, path)
     return (
@@ -11052,6 +11134,352 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_features",
             "margin",
             (F.col("margin") >= 0.0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT: HTML/markup -> text extraction (operators/markup.py; SURVEY §2.13).
+# The first stage of a web-corpus pipeline — the r13 verdict's top missing
+# surface. The markup fixture is rendered IN-PIPELINE from `documents`
+# (deterministic template, same pattern as the multimodal synthesized
+# rasters) so both engines rebuild it from one source of truth: the oracle
+# SQL below interpolates the SAME template constants the Spark operator
+# concatenates.
+# ---------------------------------------------------------------------------
+
+def _markup_oracle_parts() -> tuple[str, str]:
+    """(rendered_cte, lines_cte) — the DuckDB mirror of render_markup +
+    strip_markup + extract_lines, built from the shared template constants
+    so fixture drift between engines is impossible."""
+    from ..operators.markup import (
+        BLOCK_BREAK_RE,
+        MARKUP_HEAD,
+        MARKUP_MID,
+        MARKUP_TAIL,
+    )
+
+    rendered = f"""
+    rendered AS (
+        SELECT doc_id, source,
+               '{MARKUP_HEAD}' || CAST(doc_id AS VARCHAR) || '{MARKUP_MID}'
+               || regexp_replace(
+                      replace(replace(replace(text, '&', '&amp;'),
+                                      '<', '&lt;'), '>', '&gt;'),
+                      '([.!?]) ', '\\1</p><p>', 'g')
+               || '{MARKUP_TAIL}' AS html
+        FROM documents
+    )"""
+    lines = f"""
+    stripped AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   html,
+                   '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                   '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                   '{BLOCK_BREAK_RE}', chr(10), 'g'),
+                   '<[^>]+>', '', 'g') AS t
+        FROM rendered
+    ),
+    decoded AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   replace(replace(replace(replace(replace(t,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', chr(39)), '&amp;', '&'),
+                   '[ \\t]+', ' ', 'g') AS t
+        FROM stripped
+    ),
+    doc_lines AS (
+        SELECT doc_id, source,
+               list_filter(list_transform(string_split(t, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS ls
+        FROM decoded
+    )"""
+    return rendered, lines
+
+
+_MARKUP_RENDERED_CTE, _MARKUP_LINES_CTE = _markup_oracle_parts()
+
+
+def _markup_line_keep_sql(var: str = "x", min_words: int = 3) -> str:
+    """The DuckDB mirror of operators/markup.c4_keep_line."""
+    from ..operators.markup import BOILERPLATE_PHRASES
+
+    rules = [
+        f"regexp_matches({var}, '[.!?\"]$')",
+        f"len(string_split({var}, ' ')) >= {min_words}",
+    ]
+    rules += [
+        f"NOT contains(lower({var}), '{p}')" for p in BOILERPLATE_PHRASES
+    ]
+    rules.append(f"NOT contains({var}, chr(123))")  # '{' without f-string pain
+    return " AND ".join(rules)
+
+
+@register(
+    "html_extract_text",
+    oracle=f"""
+    WITH {_MARKUP_RENDERED_CTE},
+    {_MARKUP_LINES_CTE}
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           array_to_string(ls, chr(10)) AS clean_text
+    FROM doc_lines
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pipeline"),
+    bench=True,
+)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markup -> clean text, hash-compared line for line: render the
+    # deterministic HTML fixture (escaped entities, nav/script/style/footer
+    # boilerplate, sentence-per-<p> content region), then run the pure-
+    # Column extraction chain. One projection over the scan — zero UDFs,
+    # zero shuffles before the presentation sort; at 100 TB this is a
+    # single codegen'd regex pass per page, the shape CCNet/C4 extractors
+    # need. Entity decode is verified by round-trip: any drift in escape/
+    # strip/decode order breaks the hash on every doc containing & < >.
+    from ..operators.markup import extract_lines, render_markup
+
+    d = _t(spark, sf_dir, "documents")
+    ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
+    return d.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.array_join(ls, "\n").alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "html_extract_funnel",
+    oracle=f"""
+    WITH {_MARKUP_RENDERED_CTE},
+    {_MARKUP_LINES_CTE},
+    judged AS (
+        SELECT doc_id, source, ls,
+               list_filter(ls, x -> {_markup_line_keep_sql("x")}) AS kept,
+               array_to_string(ls, chr(10)) AS clean_text
+        FROM doc_lines
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(ls)) AS BIGINT) AS n_lines,
+           CAST(SUM(len(kept)) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) FILTER (
+               WHERE len(kept) >= 3
+                 AND NOT contains(lower(clean_text), 'lorem ipsum')
+                 AND NOT contains(clean_text, chr(123))
+           ) AS BIGINT) AS n_docs_kept
+    FROM judged
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text", "pipeline", "quality"),
+)
+def q_html_extract_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The C4 §2.2 boilerplate funnel over the extracted pages: line rules
+    # (terminal punctuation, >= 3 words, phrase blacklist, no '{') then
+    # page rules (>= 3 kept lines, no 'lorem ipsum', no '{'), reported as
+    # per-source counts. All line logic stays inside array HOFs on the
+    # scan — the only shuffle is the final per-source aggregate, so the
+    # funnel costs one pass regardless of corpus size. The fixture's
+    # nav/title/footer lines are REAL boilerplate the rules must drop
+    # (footer carries a cookies+rights-reserved notice; nav has no
+    # terminal punctuation), so a filter regression changes the counts.
+    from ..operators.markup import c4_keep_line, extract_lines, render_markup
+
+    d = _t(spark, sf_dir, "documents")
+    ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
+    base = d.select(
+        "source",
+        ls.alias("ls"),
+        F.array_join(ls, "\n").alias("clean_text"),
+    ).withColumn("kept", F.filter("ls", c4_keep_line))
+    page_keep = (
+        (F.size("kept") >= 3)
+        & ~F.lower(F.col("clean_text")).contains("lorem ipsum")
+        & ~F.col("clean_text").contains("{")
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("ls")).cast("long").alias("n_lines"),
+            F.sum(F.size("kept")).cast("long").alias("n_lines_kept"),
+            F.sum(page_keep.cast("int")).cast("long").alias("n_docs_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_heldout_oracle(n_rounds: int = 3) -> str:
+    """DuckDB mirror of the held-out encode under oov='bytes': train the
+    merge rules + frequency-ranked id table (ids shifted by 256 to reserve
+    the byte range) on the bucket>=20 split, fold the bucket<20 split's
+    word vocabulary through the SAME rules, resolve subwords against the
+    training table, and fall back to UTF-8 byte ids (byte+1) for OOV
+    subwords — the exact recipe of operators/bpe.py::byte_fallback_ids."""
+    count = (
+        "SELECT pair, n, string_split(pair, ' ')[1] AS pa,"
+        " string_split(pair, ' ')[2] AS pb\n"
+        "    FROM (\n"
+        "        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (\n"
+        "            SELECT unnest(list_transform(range(1, len(t)),"
+        " i -> t[i] || ' ' || t[i+1])) AS pair, freq\n"
+        "            FROM (SELECT list_filter(string_split(w, ' '),"
+        " x -> x <> '') AS t, freq FROM s{k})\n"
+        "            WHERE len(t) >= 2\n"
+        "        ) GROUP BY pair ORDER BY n DESC, pair LIMIT 1\n"
+        "    )"
+    )
+    fold = (
+        "SELECT ltrim(list_reduce(\n"
+        "        list_prepend('', list_filter(string_split(w, ' '), x -> x <> '')),\n"
+        "        (acc, x) -> CASE\n"
+        "            WHEN ends_with(acc, ' ' || pa) AND x = pb\n"
+        "            THEN left(acc, len(acc) - len(pa) - 1) || ' ' || pa || pb\n"
+        "            ELSE acc || ' ' || x END\n"
+        "    )) AS w{carry}\n"
+        "    FROM {src}, r{r}"
+    )
+    byte_ids = (
+        "list_transform(range(1, len(hex(encode(hw.sub))) // 2 + 1),"
+        " i -> CAST(concat('0x', substr(hex(encode(hw.sub)), 2*i - 1, 2))"
+        " AS INT) + 1)"
+    )
+    ctes = [
+        "base AS (\n"
+        "    SELECT doc_id, text,\n"
+        "           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) % 100 AS bucket\n"
+        "    FROM documents\n"
+        ")",
+        "v0 AS (\n"
+        "    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (\n"
+        "        SELECT unnest(list_filter("
+        "string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word\n"
+        "        FROM base WHERE bucket >= 20\n"
+        "    ) GROUP BY word\n"
+        ")",
+        "s0 AS (\n"
+        "    SELECT array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> substr(word, i, 1)), ' ') || ' </w>' AS w, freq\n"
+        "    FROM v0\n"
+        ")",
+        "h0 AS (\n"
+        "    SELECT array_to_string(list_transform(range(1, len(word) + 1),"
+        " i -> substr(word, i, 1)), ' ') || ' </w>' AS w, word FROM (\n"
+        "        SELECT DISTINCT unnest(list_filter("
+        "string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word\n"
+        "        FROM base WHERE bucket < 20\n"
+        "    )\n"
+        ")",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"r{r} AS (\n    " + count.format(k=r - 1) + "\n)")
+        ctes.append(
+            f"s{r} AS (\n    "
+            + fold.format(carry=", freq", src=f"s{r - 1}", r=r)
+            + "\n)"
+        )
+        ctes.append(
+            f"h{r} AS (\n    "
+            + fold.format(carry=", word", src=f"h{r - 1}", r=r)
+            + "\n)"
+        )
+    ctes += [
+        f"sw AS (\n"
+        f"    SELECT sub, CAST(SUM(freq) AS BIGINT) AS sfreq FROM (\n"
+        f"        SELECT unnest(list_filter(string_split(w, ' '),"
+        f" x -> x <> '')) AS sub, freq\n"
+        f"        FROM s{n_rounds}\n"
+        f"    ) GROUP BY sub\n"
+        f")",
+        "ids AS (\n"
+        "    SELECT sub, CAST(ROW_NUMBER() OVER"
+        " (ORDER BY sfreq DESC, sub) + 256 AS INT) AS sid\n"
+        "    FROM sw\n"
+        ")",
+        f"hw AS (\n"
+        f"    SELECT word,\n"
+        f"           unnest(list_filter(string_split(w, ' '),"
+        f" x -> x <> '')) AS sub,\n"
+        f"           generate_subscripts(list_filter(string_split(w, ' '),"
+        f" x -> x <> ''), 1) AS spos\n"
+        f"    FROM h{n_rounds}\n"
+        f")",
+        "wid AS (\n"
+        "    SELECT word, flatten(list(sids ORDER BY spos)) AS wids FROM (\n"
+        "        SELECT hw.word, hw.spos,\n"
+        "               CASE WHEN ids.sid IS NOT NULL THEN [ids.sid]\n"
+        f"                    ELSE {byte_ids}\n"
+        "               END AS sids\n"
+        "        FROM hw LEFT JOIN ids ON hw.sub = ids.sub\n"
+        "    ) GROUP BY word\n"
+        ")",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, CAST(SUM(len(wi.wids)) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(flatten(list(wi.wids ORDER BY d.pos)), ' ')
+           AS token_ids
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> '')) AS word,
+           generate_subscripts(list_filter(
+               string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+               x -> x <> ''), 1) AS pos
+    FROM base WHERE bucket < 20
+) d
+JOIN wid wi USING (word)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+
+
+@register(
+    "bpe_encode_ids_heldout",
+    oracle=_bpe_heldout_oracle(3),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_encode_ids_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production tokenizer contract (r13 verdict #2 missing): encode a
+    # HELD-OUT corpus (doc_id buckets 0-19) under a vocabulary trained on
+    # the REST (buckets 20-99) and NEVER refuse — unseen subwords fall back
+    # to reserved UTF-8 byte ids (GPT-2 byte-level discipline; Sennrich
+    # §3.2), with corpus subword ids shifted past the 256-byte reserve.
+    # Plan shape is identical to bpe_encode_ids (vocab-sized id resolution,
+    # broadcast word->ids map, doc-keyed reassembly); the fallback is one
+    # extra CASE projection on the vocab-sized subword relation. The oracle
+    # re-derives rules, ids, the held-out fold AND the byte fallback from
+    # the raw documents table, so any drift — including an id-shift or
+    # fallback-recipe change — breaks the hash.
+    from ..operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
+    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
+    held = base.filter(F.col("bucket") < 20).select("doc_id", "text")
+    vocab_tr = subword_vocab(train, "text")
+    rules = learn_subword_rules(train, "text", n_rules=3, vocab=vocab_tr)
+    idv = subword_id_vocab(vocab_tr, rules, oov="bytes")
+    return (
+        encode_corpus_ids(
+            held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
+        )
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.array_join("token_ids", " ").alias("token_ids"),
         )
         .orderBy("doc_id")
     )

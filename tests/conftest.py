@@ -9,7 +9,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 # Scratch space inside the repo (the container forbids writes elsewhere).
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+# Pytest owns ONLY the .scratch/pytest subtree: wiping all of .scratch
+# deleted the cross-run content-keyed IVF/IVFPQ index caches and the
+# bpe_tokenizer artifact out from under a concurrent bench/driver session
+# (ADVICE r13) — the engine's sibling dirs (.scratch/ivf, .scratch/ivfpq,
+# .scratch/bpe_tokenizer, .scratch/bench_*) are never touched here.
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "pytest"
+)
 
 
 @pytest.fixture(scope="session")

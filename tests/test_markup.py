@@ -1,0 +1,111 @@
+"""operators/markup.py — HTML extraction + C4 line rules (SURVEY §2.13)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _extract(spark, rows):
+    from hadoop_word_score_spark.operators.markup import (
+        extract_lines,
+        render_markup,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select(
+        "doc_id",
+        extract_lines(render_markup(F.col("text"), F.col("doc_id"))).alias("ls"),
+    ).orderBy("doc_id")
+
+
+def test_content_region_roundtrips(spark):
+    # Sentence boundaries become line breaks; the content tokens must
+    # survive extraction exactly (render escapes, extractor decodes).
+    out = _extract(spark, [(1, "First point. Second point! Third?")]).collect()[0]
+    assert "First point." in out.ls
+    assert "Second point!" in out.ls
+    assert "Third?" in out.ls
+
+
+def test_entities_roundtrip(spark):
+    # Literal & < > in user text must survive the render->extract cycle
+    # verbatim — i.e. never be interpreted as markup.
+    txt = "a < b & b > c. Use <script> tags carefully."
+    out = _extract(spark, [(1, txt)]).collect()[0]
+    joined = "\n".join(out.ls)
+    assert "a < b & b > c." in joined
+    assert "<script> tags carefully." in joined  # not treated as a subtree
+
+
+def test_boilerplate_lines_present_pre_filter(spark):
+    # The fixture's nav/title/footer are real boilerplate: extraction keeps
+    # them (extraction is lossless), the C4 rules must drop them.
+    out = _extract(spark, [(5, "Real content lives here.")]).collect()[0]
+    assert out.ls[0] == "Doc 5"
+    assert out.ls[1] == "Home | Log in"
+    assert any("cookies" in l for l in out.ls)
+
+
+def test_script_style_subtree_content_never_leaks(spark):
+    out = _extract(spark, [(1, "Body text.")]).collect()[0]
+    joined = "\n".join(out.ls)
+    assert "cookieConsent" not in joined  # script content
+    assert "margin" not in joined  # style content
+
+
+def test_trim_is_not_indexed(spark):
+    # Regression: F.transform(ls, F.trim) fed (element, index) so trim's
+    # second arg became the TRIM CHARACTER SET — line i lost the digits of
+    # i at its ends. doc_id 0's title line is the canary.
+    out = _extract(spark, [(0, "Zero must survive. 10 points to line 0.")]).collect()[0]
+    assert out.ls[0] == "Doc 0"
+    assert "10 points to line 0." in out.ls
+
+
+def test_c4_line_rules(spark):
+    from hadoop_word_score_spark.operators.markup import c4_keep_line
+
+    df = spark.createDataFrame(
+        [
+            ("Good sentence with words.", True),
+            ("No terminal punctuation here", False),
+            ("Too. Short.", True),  # one line, 2 words -> fails min_words
+            ("Enable javascript to continue.", False),
+            ("This site uses cookies for ads.", False),
+            ("All rights reserved.", False),
+            ("function f() { return 1; }.", False),  # brace rule
+        ],
+        "line string, want boolean",
+    )
+    got = df.select("line", "want", c4_keep_line(F.col("line")).alias("got")).collect()
+    for r in got:
+        if r.line == "Too. Short.":
+            assert not r.got  # 2 words < 3
+        else:
+            assert r.got == r.want, r.line
+
+
+def test_funnel_page_rules(spark):
+    # A page whose content yields < 3 kept lines is dropped at page level.
+    from hadoop_word_score_spark.operators.markup import (
+        c4_keep_line,
+        extract_lines,
+        render_markup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "One good sentence here. Another good sentence follows. "
+                "And a third keeps it alive."),
+            (2, "just a fragment"),
+        ],
+        "doc_id long, text string",
+    )
+    ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
+    out = (
+        df.select("doc_id", F.size(F.filter(ls, c4_keep_line)).alias("n_kept"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0].n_kept >= 3
+    assert out[1].n_kept < 3
