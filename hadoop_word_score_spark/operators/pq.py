@@ -623,6 +623,9 @@ def ivfpq_probe_topk(
             )
 
     pruned = index.filter(F.col("cell").isin(all_cells))
+    from .similarity import apply_ann_tombstones
+
+    pruned = apply_ann_tombstones(pruned, spark, path, id_col)
     if where is not None:
         allowed_cols = {id_col, "cell", *meta.get("meta_cols", ())}
         try:

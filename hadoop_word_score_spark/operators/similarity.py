@@ -470,6 +470,132 @@ def _load_centroids(spark: SparkSession, path: str) -> list:
     )
 
 
+# ---------------------------------------------------------------------------
+# Tombstone delete + cell-local vacuum — shared by BOTH persisted index
+# layouts (raw IVF here and IVF-PQ in operators/pq.py: ``{path}/index``
+# partitioned by cell). r13 verdict #5: after a dedup pass removes
+# survivors' duplicates, the index must shrink WITHOUT a full rebuild.
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def ann_index_delete(ids: DataFrame, path: str, id_col: str = "vec_id") -> int:
+    """Tombstone-delete ids from a persisted index: append the batch to
+    ``{path}/tombstones`` (a bounded parquet manifest every probe
+    anti-joins) and return the number of distinct ids tombstoned. O(batch)
+    — no index file is read or rewritten; physical removal is deferred to
+    :func:`ann_index_vacuum`, which compacts only the touched cells.
+
+    Single-writer contract, like ``ivfpq_index_append``: concurrent
+    deletes, or a delete racing a vacuum/rebuild, are the caller's lock to
+    take. Ids absent from the index are harmless (the anti-join and the
+    vacuum both ignore them). Keep the manifest bounded by vacuuming on a
+    schedule — probes broadcast it."""
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"ann_index_delete: batch has no {id_col!r} column "
+            f"(columns: {ids.columns})"
+        )
+    batch = ids.select(id_col).distinct()
+    n = batch.count()
+    if n == 0:
+        return 0
+    # small manifest by construction: one file per delete batch
+    batch.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+    return int(n)
+
+
+def load_ann_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current tombstone manifest, or None when the index has none.
+    Staleness-keyed like every serving cache (a delete batch updates the
+    manifest's _SUCCESS; a vacuum removes the directory)."""
+    tomb_dir = os.path.join(path, "tombstones")
+    if not os.path.exists(os.path.join(tomb_dir, "_SUCCESS")):
+        return None
+    return load_cached_df(spark, tomb_dir, _TOMBSTONE_CACHE)
+
+
+def apply_ann_tombstones(
+    index_rows: DataFrame, spark: SparkSession, path: str, id_col: str
+) -> DataFrame:
+    """Drop tombstoned rows from a (pruned) index scan — one broadcast
+    anti-join on the id, applied ABOVE the partition-pruned read so the
+    scan's pruning levers are untouched. No-op when no tombstones exist."""
+    tomb = load_ann_tombstones(spark, path)
+    if tomb is None:
+        return index_rows
+    return index_rows.join(
+        F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti"
+    )
+
+
+def ann_index_vacuum(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> dict:
+    """Physically compact tombstoned rows out of the index: CELL-LOCAL
+    rewrite of only the touched partitions (the bucketed sink's staged
+    write + per-partition atomic rename discipline,
+    streaming/sinks.py::_bucketed_batch_write), then clear the manifest.
+    Untouched cell directories are never read-for-write, staged, or
+    renamed — receipt pinned by tests (file identity compared before and
+    after). Returns ``{"cells_rewritten", "cells_dropped",
+    "rows_removed"}``; a fully-emptied cell's directory is dropped.
+
+    The index ``_SUCCESS`` marker is re-touched so every staleness-keyed
+    serving cache (index handle, centroids, codebooks) re-reads after the
+    compaction. Single-writer contract as above."""
+    import shutil
+
+    idx_dir = os.path.join(path, "index")
+    tomb_dir = os.path.join(path, "tombstones")
+    out = {"cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0}
+    if not os.path.exists(os.path.join(tomb_dir, "_SUCCESS")):
+        return out
+    tomb = spark.read.parquet(tomb_dir).select(id_col).distinct()
+    index = spark.read.parquet(idx_dir)
+    dead_by_cell = (
+        index.join(F.broadcast(tomb), id_col, "left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+        .collect()  # bounded by n_cells
+    )
+    if not dead_by_cell:
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        return out
+    touched = sorted(int(r["cell"]) for r in dead_by_cell)
+    out["rows_removed"] = int(sum(r["n_dead"] for r in dead_by_cell))
+    survivors = index.filter(F.col("cell").isin(touched)).join(
+        F.broadcast(tomb), id_col, "left_anti"
+    )
+    stage = os.path.join(path, "_vacuum_stage")
+    shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+    try:
+        survivors.repartition("cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(stage)
+        for c in touched:
+            src = os.path.join(stage, f"cell={c}")
+            dst = os.path.join(idx_dir, f"cell={c}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+                out["cells_rewritten"] += 1
+            else:  # every row of the cell was tombstoned
+                out["cells_dropped"] += 1
+    finally:
+        # a partially-renamed stage is safe to drop: un-renamed cells are
+        # rewritten on retry (tombstones are only cleared after success)
+        shutil.rmtree(stage, ignore_errors=True)
+    marker = os.path.join(idx_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.utime(marker)  # invalidate staleness-keyed serving caches
+    shutil.rmtree(tomb_dir, ignore_errors=True)
+    return out
+
+
 def _load_index(spark: SparkSession, path: str) -> DataFrame:
     return load_cached_df(spark, os.path.join(path, "index"), _INDEX_CACHE)
 
@@ -573,6 +699,7 @@ def ivf_probe_topk(
             )
 
     pruned = index.filter(F.col("cell").isin(all_cells))  # static partition pruning
+    pruned = apply_ann_tombstones(pruned, spark, path, id_col)
     if where is not None:
         try:
             pruned = pruned.filter(F.expr(where))

@@ -11483,3 +11483,102 @@ def q_bpe_encode_ids_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _ivfpq_del_index_path(sf_dir: str) -> str:
+    """Cache location for the DELETE-path IVF-PQ index — its OWN variant
+    (key + directory) because the delete query tombstones and vacuums it:
+    sharing _ivfpq_index_path would mutate the index every other
+    similarity query serves from."""
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = _hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|ivfpq-del-v1|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, ".scratch", "ivfpq_del", key)
+
+
+@register(
+    "similarity_topk_ivfpq_deleted",
+    # Probe-excludes-deleted certificate (r13 verdict #5): tombstone the
+    # planted near-dups, probe (must surface ZERO deleted ids and still
+    # fill k from the natural corpus), physically vacuum, probe again —
+    # the two probes must be bit-identical (tombstone filtering and
+    # cell-local compaction are the same relation). The oracle recomputes
+    # the query count and asserts both certificates TRUE; idempotent
+    # across runs (a second run tombstones already-vacuumed ids: the
+    # delete and vacuum are no-ops and the probes are unchanged).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_results,
+           TRUE AS deleted_excluded_ok,
+           TRUE AS vacuum_matches_tombstone_ok
+    FROM embeddings WHERE vec_id < 10 -- ivfpq delete/vacuum probe
+    """,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_probe_topk, persist_ivfpq_index
+    from ..operators.similarity import ann_index_delete, ann_index_vacuum
+
+    em = _t(spark, sf_dir, "embeddings")
+    q, corpus = _planted_embeddings(em)
+    path = _ivfpq_del_index_path(sf_dir)
+    if not (
+        os.path.exists(os.path.join(path, "index", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "codebooks", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "_pq_meta.json"))
+    ):
+        persist_ivfpq_index(
+            corpus, path, n_cells=_IVF_N_CELLS, m=_PQ_M, k=_PQ_K,
+            meta_cols=("label",),
+        )
+    # dedup-driven removal: the planted near-duplicates are exactly what a
+    # dedup pass would drop. Deterministic set, so re-running is idempotent.
+    dead = q.select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"))
+    ann_index_delete(dead, path)
+    probe_cols = ["query_id", "rank", "cand_id", "cosine_sim"]
+    t = (
+        ivfpq_probe_topk(spark, path, q, k=5, n_probe=_PQ_N_PROBE)
+        .select(*probe_cols)
+        .localCheckpoint()  # tiny (n_queries*k); two consumers + pre/post-vacuum isolation
+    )
+    ann_index_vacuum(spark, path)
+    v = ivfpq_probe_topk(spark, path, q, k=5, n_probe=_PQ_N_PROBE).select(
+        *probe_cols
+    )
+    mismatches = (
+        t.withColumnRenamed("cand_id", "c1")
+        .withColumnRenamed("cosine_sim", "s1")
+        .join(
+            v.withColumnRenamed("cand_id", "c2")
+            .withColumnRenamed("cosine_sim", "s2"),
+            ["query_id", "rank"],
+            "full_outer",
+        )
+        .filter(
+            F.col("c1").isNull() | F.col("c2").isNull()
+            | (F.col("c1") != F.col("c2")) | (F.col("s1") != F.col("s2"))
+        )
+    )
+    return (
+        q.agg(F.count(F.lit(1)).alias("n_queries"))
+        .crossJoin(t.agg(
+            F.count(F.lit(1)).alias("n_results"),
+            F.max((F.col("cand_id") >= 1000000).cast("int")).alias("_leaked"),
+        ))
+        .crossJoin(mismatches.agg(F.count(F.lit(1)).alias("_n_mismatch")))
+        .select(
+            "n_queries",
+            "n_results",
+            (F.col("_leaked").eqNullSafe(F.lit(0))).alias("deleted_excluded_ok"),
+            (F.col("_n_mismatch") == 0).alias("vacuum_matches_tombstone_ok"),
+        )
+    )

@@ -518,6 +518,104 @@ def test_ivfpq_persist_probe_planted_rerank_and_guards(spark, tmp_path):
         ivfpq_probe_topk(spark, path, short_q, k=5)
 
 
+def test_similarity_ivfpq_delete(spark, tmp_path):
+    # r13 verdict #5: tombstone delete + cell-local vacuum. The probe must
+    # exclude tombstoned ids immediately; the vacuum must rewrite ONLY the
+    # touched cells (file identity of untouched cell dirs pinned), drop a
+    # fully-emptied cell's directory, clear the manifest, and leave the
+    # probe results bit-identical to the tombstone-filtered ones.
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_vacuum,
+        load_ann_tombstones,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+    )
+    corpus = em.select("vec_id", "embedding").unionByName(planted)
+    path = str(tmp_path / "ivfpq")
+    persist_ivfpq_index(corpus, path, n_cells=16, m=16, k=32)
+
+    # pre-delete: every planted near-dup tops its query
+    pre = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
+    got = {(r.query_id, r.cand_id) for r in pre.collect()}
+    assert all((i, i + 1000000) in got for i in range(5))
+
+    # tombstone the planted rows + one whole cell's worth of ids
+    idx = spark.read.parquet(f"{path}/index")
+    a_cell = int(idx.select("cell").orderBy("cell").limit(1).collect()[0][0])
+    cell_ids = idx.filter(F.col("cell") == a_cell).select("vec_id")
+    dead = planted.select("vec_id").unionByName(cell_ids).distinct()
+    n = ann_index_delete(dead, path)
+    assert n == dead.count()
+    assert ann_index_delete(dead.limit(0), path) == 0  # empty batch no-op
+
+    # probe now excludes every tombstoned id, without any file rewrite
+    tomb = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6)
+    dead_set = {r.vec_id for r in dead.collect()}
+    tomb_rows = tomb.collect()
+    assert tomb_rows and not {r.cand_id for r in tomb_rows} & dead_set
+
+    # record file identity per cell dir before the vacuum
+    def _sig(cell):
+        d = f"{path}/index/cell={cell}"
+        if not _os.path.isdir(d):
+            return None
+        return sorted(
+            (e.name, e.stat().st_ino, e.stat().st_mtime_ns)
+            for e in _os.scandir(d)
+        )
+    cells = sorted(
+        int(e.name.split("=")[1])
+        for e in _os.scandir(f"{path}/index") if e.name.startswith("cell=")
+    )
+    before = {c: _sig(c) for c in cells}
+    touched = {
+        int(r.cell)
+        for r in idx.join(
+            F.broadcast(dead), "vec_id", "left_semi"
+        ).select("cell").distinct().collect()
+    }
+
+    stats = ann_index_vacuum(spark, path)
+    assert stats["rows_removed"] == len(dead_set)
+    assert stats["cells_dropped"] >= 1  # a_cell was fully emptied
+    assert not _os.path.isdir(f"{path}/index/cell={a_cell}")
+    assert stats["cells_rewritten"] + stats["cells_dropped"] == len(touched)
+    # untouched cells: byte-for-byte the same files (no rewrite happened)
+    for c in cells:
+        if c not in touched:
+            assert _sig(c) == before[c], f"untouched cell {c} was rewritten"
+    assert load_ann_tombstones(spark, path) is None  # manifest cleared
+
+    # post-vacuum probe is bit-identical to the tombstone-filtered probe
+    post = {(r.query_id, r.rank, r.cand_id, r.cosine_sim)
+            for r in ivfpq_probe_topk(spark, path, q, k=5, n_probe=6).collect()}
+    assert post == {(r.query_id, r.rank, r.cand_id, r.cosine_sim)
+                    for r in tomb_rows}
+
+    # vacuum with no tombstones is a no-op
+    assert ann_index_vacuum(spark, path) == {
+        "cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0
+    }
+
+
 def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
     # r12 verdict #4: metadata columns in the index + a predicate pushed
     # into the pruned code scan. Pins: (1) every returned candidate
