@@ -258,6 +258,37 @@ def _run_isolated(name: str) -> dict:
     )
 
 
+def _adjudicate_regressions(
+    regressions: dict[str, float],
+    timings: dict[str, float],
+    prev: dict[str, float],
+    run=None,
+) -> dict[str, dict]:
+    """Auto-adjudication (r13 verdict #2: three vs-prev flags shipped
+    unadjudicated and the judge had to rerun them by hand — all three were
+    session interference). Every flagged row gets one fresh SOLO subprocess
+    rerun; both numbers land in the artifact so a flag never leaves a round
+    without its isolated counterpart. The grouped number stays the
+    published timing (the isolated rerun is evidence, not a min-shopping
+    draw — r4 advice still applies). ``run`` is injectable for tests."""
+    run = run or _run_isolated
+    isolated: dict[str, dict] = {}
+    for n in sorted(regressions):
+        solo = run(n)
+        iso = min(solo["trials"][n])
+        isolated[n] = {
+            "grouped_sec": timings[n],
+            "isolated_sec": round(iso, 3),
+            "prev_sec": round(prev[n], 3),
+            "isolated_ratio": round(iso / prev[n], 2),
+            "verdict": (
+                "recovered-isolated" if iso <= 1.5 * prev[n]
+                else "confirmed-regression"
+            ),
+        }
+    return isolated
+
+
 def _parse_group_stdout(stdout: str) -> dict | None:
     """Last line of child stdout that is the result dict, else None.
 
@@ -347,27 +378,7 @@ def main() -> None:
         if prev.get(n, 0) > 0 and timings[n] > 1.5 * prev[n]
     }
 
-    # Auto-adjudication (r13 verdict #2: three vs-prev flags shipped
-    # unadjudicated and the judge had to rerun them by hand — all three
-    # were session interference). Every flagged row gets one fresh SOLO
-    # subprocess rerun; both numbers land in the artifact so a flag never
-    # leaves a round without its isolated counterpart. The grouped number
-    # stays the published timing (the isolated rerun is evidence, not a
-    # min-shopping draw — r4 advice still applies).
-    isolated: dict[str, dict] = {}
-    for n in sorted(regressions):
-        solo = _run_isolated(n)
-        iso = min(solo["trials"][n])
-        isolated[n] = {
-            "grouped_sec": timings[n],
-            "isolated_sec": round(iso, 3),
-            "prev_sec": round(prev[n], 3),
-            "isolated_ratio": round(iso / prev[n], 2),
-            "verdict": (
-                "recovered-isolated" if iso <= 1.5 * prev[n]
-                else "confirmed-regression"
-            ),
-        }
+    isolated = _adjudicate_regressions(regressions, timings, prev)
 
     # Membership fingerprint (r5 advice): the headline total is only
     # comparable across rounds when the bench SET is unchanged; recording

@@ -528,7 +528,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "corpus_importance_dsir": "4adb5eb54c43",
     "corpus_mixture_rebalance": "d14c9f9e9bb7",
     "corpus_ngram_novelty": "8a169d7b7027",
-    "corpus_prep_funnel": "c0476271351c",
+    "corpus_prep_funnel": "b52c65bd7c79",
     "corpus_report_by_source": "aa23b8986484",
     "corpus_sample_plan_execution": "960c59e2b44c",
     "corpus_zipf_slope": "a9d5e35097c4",
@@ -734,14 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "4b6360be09f8",
-    "bpe_encode_corpus": "eaa12c4dabeb",
-    "bpe_encode_ids": "ea521a4016fb",
-    "bpe_encode_lengths": "9d427c57fd87",
-    "bpe_encode_sequences": "972580933e50",
-    "bpe_merge_rules": "abc99b86ec42",
-    "bpe_subword_rules": "23d44852b0a3",
-    "bpe_tokenizer_roundtrip": "dffb0088f73c",
+    "bpe_decode_corpus": "f4790c0d4b07",
+    "bpe_encode_corpus": "cc2967c8ff58",
+    "bpe_encode_ids": "cfd6bcef6ff8",
+    "bpe_encode_lengths": "9d953abd54a0",
+    "bpe_encode_sequences": "43532496f3e5",
+    "bpe_merge_rules": "7d42e661582b",
+    "bpe_subword_rules": "985a595349c9",
+    "bpe_tokenizer_roundtrip": "8b95df4d1ead",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -750,7 +750,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
     "corpus_ngram_novelty": "2f01a5a9cd3e",
-    "corpus_prep_funnel": "9acdb935829d",
+    "corpus_prep_funnel": "2b496ea15364",
     "corpus_report_by_source": "fadffd6eb92f",
     "corpus_sample_plan_execution": "3bdb14bb40c5",
     "corpus_zipf_slope": "9096496a03df",
@@ -881,21 +881,21 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "ec960291b498",
-    "similarity_ivf_build": "50bae817337f",
-    "similarity_ivf_filtered_recall": "b43a04f9869e",
-    "similarity_ivf_recall": "1f3be48d9916",
-    "similarity_ivfpq_append": "a0e63355c39d",
-    "similarity_ivfpq_build": "9550ab917473",
-    "similarity_ivfpq_filtered_recall": "fceca739779f",
-    "similarity_ivfpq_recall": "f65e3ed6bfaf",
-    "similarity_lsh_recall_midsim": "c195e8817631",
-    "similarity_topk": "d1feb65e7430",
-    "similarity_topk_ivf": "b4c96e49f057",
-    "similarity_topk_ivf_filtered": "120dc4f0fee9",
-    "similarity_topk_ivfpq": "cc1a7a23cdcd",
-    "similarity_topk_ivfpq_filtered": "337fed25339a",
-    "similarity_topk_lsh": "e0d19f775066",
+    "similarity_hard_negatives": "0fece02ae928",
+    "similarity_ivf_build": "833456f1e7e6",
+    "similarity_ivf_filtered_recall": "723e7e1a5b41",
+    "similarity_ivf_recall": "c59e5ed923d3",
+    "similarity_ivfpq_append": "55c23f00b6f4",
+    "similarity_ivfpq_build": "b51cbacbe2f2",
+    "similarity_ivfpq_filtered_recall": "cd880c125f07",
+    "similarity_ivfpq_recall": "7fb1647553c7",
+    "similarity_lsh_recall_midsim": "19afb4e1ffd1",
+    "similarity_topk": "272522f5e89a",
+    "similarity_topk_ivf": "c0fbfcda297c",
+    "similarity_topk_ivf_filtered": "fb64fafa26ef",
+    "similarity_topk_ivfpq": "a92330b15303",
+    "similarity_topk_ivfpq_filtered": "c4c06a9607d2",
+    "similarity_topk_lsh": "0495e070c7f9",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
     "split_leakage_safe": "eaab5fde27ef",
@@ -11246,11 +11246,19 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
-    return d.select(
-        "doc_id",
-        F.size(ls).cast("long").alias("n_lines"),
-        F.array_join(ls, "\n").alias("clean_text"),
-    ).orderBy("doc_id")
+    # two stacked projections, not one: both output columns derive from the
+    # same regexp/HOF chain, and HOFs have no CSE — a single select paid the
+    # whole extraction twice per row (plan-audited; same rule as
+    # encode_corpus_sequences' stacked enc projection)
+    return (
+        d.select("doc_id", ls.alias("ls"))
+        .select(
+            "doc_id",
+            F.size("ls").cast("long").alias("n_lines"),
+            F.array_join("ls", "\n").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -104,3 +104,42 @@ def test_cost_desc_grouping_clusters_heavy_rows_and_stays_total():
     groups = [ordered[i : i + 3] for i in range(0, len(ordered), 3)]
     assert groups[0] == ["c_heavy", "e_heavy2", "d_mid"]  # heavy cluster
     assert sorted(n for g in groups for n in g) == sorted(names)
+
+
+def test_adjudication_records_isolated_and_verdict():
+    # every flagged row gets exactly one solo rerun; the verdict flips on
+    # whether the isolated warm min clears the same 1.5x vs-prev bar
+    calls = []
+
+    def fake_run(name):
+        calls.append(name)
+        return {"trials": {name: [2.0, 0.4, 0.45]}, "cold": {}, "reruns": {}}
+
+    out = bench._adjudicate_regressions(
+        {"a": 4.6, "b": 2.0},
+        {"a": 1.84, "b": 0.9},
+        {"a": 0.4, "b": 0.45},
+        run=fake_run,
+    )
+    assert calls == ["a", "b"]
+    assert out["a"]["isolated_sec"] == 0.4
+    assert out["a"]["grouped_sec"] == 1.84
+    assert out["a"]["verdict"] == "recovered-isolated"
+    assert out["b"]["verdict"] == "recovered-isolated"
+
+    out2 = bench._adjudicate_regressions(
+        {"a": 4.0}, {"a": 1.6},
+        {"a": 0.4},
+        run=lambda n: {"trials": {n: [1.7, 1.6, 1.65]}},
+    )
+    assert out2["a"]["verdict"] == "confirmed-regression"
+    assert bench._adjudicate_regressions({}, {}, {}, run=fake_run) == {}
+
+
+def test_isolated_runner_dispatches_stream_rows():
+    # streaming drains don't exist in the query REGISTRY, so their solo
+    # rerun must route through --solo-stream, not --group
+    import bench as b
+
+    assert "streaming_tumbling_drain" in b._STREAM_ROWS
+    assert "streaming_ingest_drain" in b._STREAM_ROWS

@@ -438,3 +438,62 @@ def test_round13_operators_empty(spark):
         "source", "bin_id", "doc_id", "bin_offset", "doc_offset", "seg_len"
     ]
     assert segs.count() == 0
+
+
+def test_round14_operators_empty(spark):
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    # the r14 document-shaped queries over a zero-row corpus
+    names = ("html_extract_text", "html_extract_funnel",
+             "bpe_encode_ids_heldout")
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, [])
+        for name in names:
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+    # markup extraction directly: empty in, empty out, declared shape
+    from hadoop_word_score_spark.operators.markup import (
+        extract_lines,
+        render_markup,
+    )
+
+    docs = _empty_docs(spark)
+    out = docs.select(
+        extract_lines(render_markup(F.col("text"), F.col("doc_id"))).alias("ls")
+    )
+    assert out.count() == 0
+
+    # oov='bytes' with an empty corpus: byte reserve only, encode empty
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus_ids,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    vocab = subword_vocab(docs, "text")
+    idv = subword_id_vocab(vocab, rules=[], oov="bytes")
+    assert idv.count() == 256  # the reserved byte rows
+    ids = encode_corpus_ids(docs, "doc_id", "text", rules=[],
+                            id_vocab=idv, oov="bytes")
+    assert ids.columns == ["doc_id", "n_bpe_tokens", "token_ids"]
+    assert ids.count() == 0
+
+    # tombstone delete with an empty batch: 0, and no manifest created
+    import tempfile as _tf
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_vacuum,
+        load_ann_tombstones,
+    )
+
+    with _tf.TemporaryDirectory(dir=".") as d:
+        assert ann_index_delete(_empty_vecs(spark), d) == 0
+        assert load_ann_tombstones(spark, d) is None
+        assert ann_index_vacuum(spark, d) == {
+            "cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0
+        }

@@ -616,6 +616,44 @@ def test_similarity_ivfpq_delete(spark, tmp_path):
     }
 
 
+def test_similarity_raw_ivf_delete_parity(spark, tmp_path):
+    # The tombstone consult also guards the RAW IVF probe (same index
+    # layout, same manifest): delete -> excluded, vacuum -> identical.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_vacuum,
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 3)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+    )
+    corpus = em.select("vec_id", "embedding").unionByName(planted)
+    path = str(tmp_path / "ivf")
+    persist_ivf_index(corpus, path, n_cells=8)
+    pre = {(r.query_id, r.cand_id)
+           for r in ivf_probe_topk(spark, path, q, k=5, n_probe=4).collect()}
+    assert all((i, i + 1000000) in pre for i in range(3))
+    ann_index_delete(planted.select("vec_id"), path)
+    tomb = ivf_probe_topk(spark, path, q, k=5, n_probe=4).collect()
+    assert tomb and not any(r.cand_id >= 1000000 for r in tomb)
+    ann_index_vacuum(spark, path)
+    post = ivf_probe_topk(spark, path, q, k=5, n_probe=4).collect()
+    key = lambda rows: {(r.query_id, r.rank, r.cand_id, r.cosine_sim)  # noqa: E731
+                        for r in rows}
+    assert key(post) == key(tomb)
+
+
 def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
     # r12 verdict #4: metadata columns in the index + a predicate pushed
     # into the pruned code scan. Pins: (1) every returned candidate
