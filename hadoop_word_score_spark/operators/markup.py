@@ -49,11 +49,15 @@ MARKUP_MID = (
     '</head><body><nav class="menu"><a href="/">Home</a> | '
     '<a href="/login">Log in</a></nav><div id="content"><p>'
 )
-MARKUP_TAIL = (
-    '</p></div><footer>This website uses cookies to improve your '
+MARKUP_TAIL_DIV = '</p></div>'
+MARKUP_FOOTER = (
+    '<footer>This website uses cookies to improve your '
     'experience. &copy; 2024 Example Corp. All rights reserved.'
     '</footer></body></html>'
 )
+# kept as one constant for the oracle interpolation (link-less renders are
+# byte-identical to the pre-link template)
+MARKUP_TAIL = MARKUP_TAIL_DIV + MARKUP_FOOTER
 
 # Sentence-ish boundaries become paragraph breaks in the fixture, so the
 # extractor has real multi-line pages to filter. No lookbehind — RE2 (the
@@ -77,23 +81,63 @@ BOILERPLATE_PHRASES = (
 )
 
 
-def render_markup(text: Column, doc_id: Column) -> Column:
+def render_markup(
+    text: Column, doc_id: Column, link_ids: Column | None = None
+) -> Column:
     """Wrap a clean text column in the deterministic HTML template.
 
     Escapes ``& < >`` (in that order — the inverse of the extractor's
     decode order) so a page containing literal markup characters round-
     trips, then splits sentence boundaries into ``</p><p>`` breaks.
+
+    ``link_ids`` (optional, ``array<long>``): render a related-documents
+    block ``<ul class="related"><li><a href="/doc/N">...</a></li>...</ul>``
+    between the content div and the footer — the fixture for link-graph
+    extraction (:func:`extract_link_ids`). Link-less renders are
+    byte-identical to the pre-link template.
     """
     esc = F.replace(text, F.lit("&"), F.lit("&amp;"))
     esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
     esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
     body = F.regexp_replace(esc, _SENT_BREAK, "$1</p><p>")
+    if link_ids is None:
+        links: Column = F.lit("")
+    else:
+        links = F.concat(
+            F.lit('<ul class="related">'),
+            F.array_join(
+                F.transform(
+                    link_ids,
+                    lambda d: F.concat(
+                        F.lit('<li><a href="/doc/'),
+                        d.cast("string"),
+                        F.lit('">Doc '),
+                        d.cast("string"),
+                        F.lit("</a></li>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</ul>"),
+        )
     return F.concat(
         F.lit(MARKUP_HEAD),
         doc_id.cast("string"),
         F.lit(MARKUP_MID),
         body,
-        F.lit(MARKUP_TAIL),
+        F.lit(MARKUP_TAIL_DIV),
+        links,
+        F.lit(MARKUP_FOOTER),
+    )
+
+
+def extract_link_ids(html: Column) -> Column:
+    """``array<long>`` of internal-document link targets (`/doc/N` hrefs)
+    in page order — the crawl-graph edge extractor (PageRank priors /
+    frontier scheduling start here). Pure regexp, one pass per page."""
+    return F.transform(
+        F.regexp_extract_all(html, F.lit('<a href="/doc/([0-9]+)">'), 1),
+        lambda s: s.cast("long"),
     )
 
 

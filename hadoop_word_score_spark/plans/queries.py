@@ -7839,11 +7839,27 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iterations: int, damping: float = 0.85) -> str:
-    """Unrolled-iteration DuckDB mirror of operators/graph.py::pagerank
-    over the part<->supplier supply graph (distinct lineitem pairs, both
-    directions). Scaled-by-N 4 dp output keeps the value hash far from fp
-    summation noise (see embedding_covariance's 3 dp rationale)."""
+_SUPPLY_GRAPH_CTES = """pairs AS (
+    SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem
+),
+edges AS (
+    SELECT p AS src, s AS dst FROM pairs
+    UNION ALL SELECT s, p FROM pairs
+)"""
+
+
+def _pagerank_oracle(
+    iterations: int, damping: float = 0.85, graph_ctes: str | None = None
+) -> str:
+    """Unrolled-iteration DuckDB mirror of operators/graph.py::pagerank.
+    ``graph_ctes`` supplies the graph as an ``edges(src, dst)`` CTE chain
+    (default: the part<->supplier supply graph — distinct lineitem pairs,
+    both directions); every src must cover the node set (no dangling
+    nodes), matching the operator's contract. Scaled-by-N 4 dp output
+    keeps the value hash far from fp summation noise (see
+    embedding_covariance's 3 dp rationale)."""
+    if graph_ctes is None:
+        graph_ctes = _SUPPLY_GRAPH_CTES
     rounds = []
     for i in range(1, iterations + 1):
         rounds.append(f"""r{i} AS (
@@ -7859,13 +7875,7 @@ def _pagerank_oracle(iterations: int, damping: float = 0.85) -> str:
     ) c USING (node)
 )""")
     return f"""
-WITH pairs AS (
-    SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem
-),
-edges AS (
-    SELECT p AS src, s AS dst FROM pairs
-    UNION ALL SELECT s, p FROM pairs
-),
+WITH {graph_ctes},
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
@@ -11590,3 +11600,100 @@ def q_similarity_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("_n_mismatch") == 0).alias("vacuum_matches_tombstone_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXT: link-graph extraction from markup (operators/markup.py; SURVEY
+# §2.13). The crawl-graph half of a web pipeline: harvest internal links
+# from each page, then run the existing graph analytics (PageRank priors
+# are a standard web-quality signal) over the extracted edges. The fixture
+# renders each document with two DETERMINISTIC related-document links
+# ((id*7+1) % N and (id*13+5) % N), so the oracle derives ground-truth
+# edges ARITHMETICALLY — the Spark side must recover exactly those edges
+# from the actual markup, which makes the regex extractor itself the thing
+# under test (a rendering or extraction bug breaks the hash).
+# ---------------------------------------------------------------------------
+
+def _linked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, html) with the deterministic related-links block."""
+    from ..operators.markup import render_markup
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    base = d.select("doc_id", "text").crossJoin(F.broadcast(n))
+    link_ids = F.array(
+        (F.col("doc_id") * 7 + 1) % F.col("_n"),
+        (F.col("doc_id") * 13 + 5) % F.col("_n"),
+    )
+    return base.select(
+        "doc_id",
+        render_markup(F.col("text"), F.col("doc_id"), link_ids).alias("html"),
+    )
+
+
+@register(
+    "html_extract_links",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst
+    FROM documents CROSS JOIN n
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents CROSS JOIN n
+    ORDER BY src, dst
+    """,
+    tags=("llm", "text", "pipeline", "graph"),
+)
+def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge harvest: one regexp pass per page (no UDF, no shuffle before the
+    # explode), `/doc/N` hrefs in page order -> (src, dst) rows. The oracle
+    # never sees the markup — it recomputes the planted link map
+    # arithmetically, so extraction must be EXACT, not merely plausible.
+    from ..operators.markup import extract_link_ids
+
+    linked = _linked_docs(spark, sf_dir)
+    return (
+        linked.select(
+            F.col("doc_id").alias("src"),
+            F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "html_links_pagerank",
+    oracle=_pagerank_oracle(3, graph_ctes="""pairs AS (
+    SELECT doc_id, n.n AS n
+    FROM documents CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ) n
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM pairs
+        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % n FROM pairs
+    )
+)"""),
+    tags=("llm", "graph", "iterative", "pipeline"),
+)
+def q_html_links_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markup -> link graph -> PageRank, end to end: the extracted edges
+    # feed the SAME operators/graph.py::pagerank the supply graph uses
+    # (every doc links out, so the no-dangling-nodes contract holds by
+    # construction). The oracle unrolls the same three rounds over the
+    # arithmetically-derived edge set — a drift anywhere in render,
+    # extraction, dedup, or the iteration breaks the hash. Per round the
+    # shuffle is (node, rank) pairs, never page bodies.
+    from ..operators.graph import pagerank
+    from ..operators.markup import extract_link_ids
+
+    linked = _linked_docs(spark, sf_dir)
+    edges = linked.select(
+        F.col("doc_id").alias("src"),
+        F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+    )
+    r = pagerank(edges, iterations=3)
+    n = r.count()
+    return r.select(
+        "node", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_x_n")
+    ).orderBy("node")

@@ -109,3 +109,35 @@ def test_funnel_page_rules(spark):
     )
     assert out[0].n_kept >= 3
     assert out[1].n_kept < 3
+
+
+def test_link_rendering_and_extraction(spark):
+    from hadoop_word_score_spark.operators.markup import (
+        MARKUP_TAIL,
+        extract_link_ids,
+        render_markup,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "Some content here.", [7, 12])],
+        "doc_id long, text string, links array<long>",
+    )
+    html = render_markup(F.col("text"), F.col("doc_id"), F.col("links"))
+    row = df.select(
+        html.alias("h"), extract_link_ids(html).alias("ids")
+    ).collect()[0]
+    assert '<a href="/doc/7">Doc 7</a>' in row.h
+    assert row.ids == [7, 12]
+    # link-less render is byte-identical to the pre-link template (the
+    # oracle interpolates MARKUP_TAIL as one constant)
+    plain = df.select(
+        render_markup(F.col("text"), F.col("doc_id")).alias("h")
+    ).collect()[0].h
+    assert MARKUP_TAIL in plain
+    assert '<ul class="related">' not in plain
+    # extraction ignores non-/doc/ anchors (nav links) by construction
+    assert df.select(
+        extract_link_ids(
+            render_markup(F.col("text"), F.col("doc_id"))
+        ).alias("ids")
+    ).collect()[0].ids == []
