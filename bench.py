@@ -274,8 +274,20 @@ def _adjudicate_regressions(
     run = run or _run_isolated
     isolated: dict[str, dict] = {}
     for n in sorted(regressions):
-        solo = run(n)
-        iso = min(solo["trials"][n])
+        # a failed solo rerun (transient OOM, killed child) must not
+        # abort the whole bench after all timing work is done (r14
+        # review) — record the failure as this row's verdict instead
+        try:
+            solo = run(n)
+            iso = min(solo["trials"][n])
+        except Exception as e:
+            isolated[n] = {
+                "grouped_sec": timings[n],
+                "prev_sec": round(prev[n], 3),
+                "verdict": "rerun-failed",
+                "error": str(e)[-500:],
+            }
+            continue
         isolated[n] = {
             "grouped_sec": timings[n],
             "isolated_sec": round(iso, 3),

@@ -437,6 +437,32 @@ def encode_corpus_ids(
     per_sub = enc.select(
         "word", F.posexplode(_tokens(F.col("w"))).alias("spos", "subword")
     )
+    if prebuilt_ids:
+        # mode-mismatch guard (r14 review): an unshifted table under
+        # oov='bytes' would drop its 256 most frequent subwords from the
+        # join (they collide with the byte reserve) and byte-encode them —
+        # SILENT id corruption; a bytes-built table under oov=None
+        # double-matches single-char subwords. The byte reserve is
+        # detectable structurally: ids are dense frequency ranks, so rows
+        # with sid <= 256 exist either way, but only reserve rows carry
+        # sfreq = 0 for ALL of them.
+        low = id_vocab.filter(F.col("sid") <= N_BYTE_IDS).agg(
+            F.count(F.lit(1)).alias("n"), F.max("sfreq").alias("mx")
+        ).collect()[0]
+        has_reserve = low.n == N_BYTE_IDS and (low.mx is None or low.mx == 0)
+        if oov == "bytes" and not has_reserve:
+            raise ValueError(
+                "encode_corpus_ids: oov='bytes' requires an id_vocab built "
+                "with subword_id_vocab(..., oov='bytes') — the supplied "
+                "table has no byte reserve (ids 1..256), so its most "
+                "frequent subwords would silently byte-encode"
+            )
+        if oov is None and has_reserve:
+            raise ValueError(
+                "encode_corpus_ids: the supplied id_vocab carries a byte "
+                "reserve (built with oov='bytes') — pass oov='bytes', or "
+                "single-char subwords will match twice"
+            )
     id_side = F.broadcast(
         id_vocab.select(F.col("subword").alias("word"), "sid")
     )

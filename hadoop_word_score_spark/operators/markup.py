@@ -175,10 +175,16 @@ def extract_lines(html: Column) -> Column:
     )
 
 
-def c4_keep_line(line: Column, min_words: int = 3) -> Column:
+def c4_keep_line(line: Column, *, min_words: int = 3) -> Column:
     """C4 §2.2 line filter over an already-trimmed, space-collapsed line:
     terminal punctuation, ≥ ``min_words`` words, no boilerplate phrase,
-    no line-level ``{`` (the code-leak tell)."""
+    no line-level ``{`` (the code-leak tell).
+
+    ``min_words`` is KEYWORD-ONLY so this function is safe to pass bare to
+    ``F.filter``/``F.transform``: a second positional parameter would be
+    bound to the HOF's ELEMENT INDEX (PySpark feeds two-parameter callables
+    ``(element, index)``), silently turning the word-count rule into
+    "line i needs ≥ i words" (r14 review, confirmed empirically)."""
     keep = line.rlike('[.!?"]$')
     keep = keep & (F.size(F.split(line, " ")) >= min_words)
     low = F.lower(line)

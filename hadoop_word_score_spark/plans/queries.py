@@ -734,14 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "f4790c0d4b07",
-    "bpe_encode_corpus": "cc2967c8ff58",
-    "bpe_encode_ids": "cfd6bcef6ff8",
-    "bpe_encode_lengths": "9d953abd54a0",
-    "bpe_encode_sequences": "43532496f3e5",
-    "bpe_merge_rules": "7d42e661582b",
-    "bpe_subword_rules": "985a595349c9",
-    "bpe_tokenizer_roundtrip": "8b95df4d1ead",
+    "bpe_decode_corpus": "d5ff46b60161",
+    "bpe_encode_corpus": "3bed28d2a2b1",
+    "bpe_encode_ids": "c1dbb7d493eb",
+    "bpe_encode_lengths": "5b126b705c71",
+    "bpe_encode_sequences": "98a69a6d5a28",
+    "bpe_merge_rules": "16063c7866c6",
+    "bpe_subword_rules": "9bf4b6c4dce9",
+    "bpe_tokenizer_roundtrip": "c838cabea918",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -937,8 +937,6 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "wordscore_top10": "fd3e92b420ec",
     "zorder_keys": "9fb63837cb46",
 }
-
-_IMPL_DEMOTED: frozenset[str] = frozenset({})
 
 
 # Manual implementation-revision demotions (ADVICE r5): the oracle
@@ -7670,7 +7668,11 @@ def q_bpe_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    path = os.path.join(repo_root, ".scratch", "bpe_tokenizer", key)
+    parent = os.path.join(repo_root, ".scratch", "bpe_tokenizer")
+    # pytest stages a fresh temp corpus per run -> a new key per run; prune
+    # stale siblings so artifacts don't accumulate unboundedly (r14 review)
+    _gc_scratch_siblings(parent, keep=key)
+    path = os.path.join(parent, key)
     persist_bpe_tokenizer(path, rules, subword_id_vocab(vocab, rules))
     loaded_rules, loaded_idv = load_bpe_tokenizer(spark, path)
     return (
@@ -11159,10 +11161,12 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # concatenates.
 # ---------------------------------------------------------------------------
 
-def _markup_oracle_parts() -> tuple[str, str]:
+def _markup_oracle_parts(source_rel: str = "documents") -> tuple[str, str]:
     """(rendered_cte, lines_cte) — the DuckDB mirror of render_markup +
     strip_markup + extract_lines, built from the shared template constants
-    so fixture drift between engines is impossible."""
+    so fixture drift between engines is impossible. ``source_rel``: the
+    relation providing (doc_id, source, text) — the funnel substitutes a
+    punctuated derivation of the corpus (see _PUNCT_DOCS_SQL)."""
     from ..operators.markup import (
         BLOCK_BREAK_RE,
         MARKUP_HEAD,
@@ -11179,7 +11183,7 @@ def _markup_oracle_parts() -> tuple[str, str]:
                                       '<', '&lt;'), '>', '&gt;'),
                       '([.!?]) ', '\\1</p><p>', 'g')
                || '{MARKUP_TAIL}' AS html
-        FROM documents
+        FROM {source_rel}
     )"""
     lines = f"""
     stripped AS (
@@ -11271,10 +11275,32 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The funnel's fixture must be DISCRIMINATIVE (r14 review: the raw corpus
+# has no terminal punctuation, so every content line failed the punct rule
+# and the kept-counts were identically zero — the certificate pinned
+# nothing). Deterministically punctuate the corpus: a '.' lands after every
+# 8th and every 13th token, so the sentence splitter yields variable-length
+# lines (8, 5, 3, 8, 2, ... words) and BOTH the terminal-punctuation rule
+# (unpunctuated tails) and the min-words rule (2-word punctuated lines)
+# fire on real content, not just boilerplate.
+_PUNCT_DOCS_SQL = """(
+        SELECT doc_id, source,
+               array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> w[i] || CASE WHEN i % 8 = 0 OR i % 13 = 0
+                                     THEN '.' ELSE '' END), ' ') AS text
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+    ) punctuated"""
+
+_MARKUP_RENDERED_PUNCT_CTE, _ = _markup_oracle_parts(_PUNCT_DOCS_SQL)
+
+
 @register(
     "html_extract_funnel",
     oracle=f"""
-    WITH {_MARKUP_RENDERED_CTE},
+    WITH {_MARKUP_RENDERED_PUNCT_CTE},
     {_MARKUP_LINES_CTE},
     judged AS (
         SELECT doc_id, source, ls,
@@ -11304,18 +11330,39 @@ def q_html_extract_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source counts. All line logic stays inside array HOFs on the
     # scan — the only shuffle is the final per-source aggregate, so the
     # funnel costs one pass regardless of corpus size. The fixture's
-    # nav/title/footer lines are REAL boilerplate the rules must drop
-    # (footer carries a cookies+rights-reserved notice; nav has no
-    # terminal punctuation), so a filter regression changes the counts.
+    # nav/title/footer lines are REAL boilerplate the rules must drop, and
+    # the punctuated content (see _PUNCT_DOCS_SQL) makes every line rule
+    # fire on real lines too — a regression in ANY rule (including the
+    # r14 index-binding bug this replaced) now changes the counts.
     from ..operators.markup import c4_keep_line, extract_lines, render_markup
 
     d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split("text", DELIM_CLASS), "")
+    punct_text = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.concat(
+                x,
+                F.when(
+                    ((i + 1) % 8 == 0) | ((i + 1) % 13 == 0), F.lit(".")
+                ).otherwise(F.lit("")),
+            ),
+        ),
+        " ",
+    )
+    punctuated = d.select("doc_id", "source", punct_text.alias("text"))
     ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
-    base = d.select(
-        "source",
-        ls.alias("ls"),
-        F.array_join(ls, "\n").alias("clean_text"),
-    ).withColumn("kept", F.filter("ls", c4_keep_line))
+    base = (
+        # stacked projections: the extraction chain evaluates once (no CSE
+        # for HOFs — same rule as html_extract_text)
+        punctuated.select("source", ls.alias("ls"))
+        .select("source", "ls", F.array_join("ls", "\n").alias("clean_text"))
+        .withColumn(
+            # lambda, NOT bare c4_keep_line: min_words is keyword-only
+            # precisely so a bare pass can't bind the HOF element index
+            "kept", F.filter("ls", lambda x: c4_keep_line(x))
+        )
+    )
     page_keep = (
         (F.size("kept") >= 3)
         & ~F.lower(F.col("clean_text")).contains("lorem ipsum")
@@ -11503,23 +11550,60 @@ def q_bpe_encode_ids_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_del_index_path(sf_dir: str) -> str:
+def _gc_scratch_siblings(
+    parent: str, keep: str, keep_newest: int = 16, max_age_hours: int = 24
+) -> None:
+    """Prune stale content-keyed sibling dirs under a .scratch cache parent
+    (r14 review: pytest stages a fresh temp corpus per run, so its key is
+    new every time and artifacts accumulated unboundedly). Only siblings
+    BOTH older than ``max_age_hours`` AND beyond the ``keep_newest`` most
+    recent are removed — the age floor protects any concurrently running
+    session (sessions live minutes-to-hours, not days). ``keep`` (the
+    current key's dir name) is never removed."""
+    import shutil
+    import time
+
+    if not os.path.isdir(parent):
+        return
+    entries = []
+    for e in os.scandir(parent):
+        if e.is_dir() and e.name != keep:
+            try:
+                entries.append((e.stat().st_mtime, e.path))
+            except OSError:
+                pass
+    entries.sort(reverse=True)
+    cutoff = time.time() - max_age_hours * 3600
+    for mtime, p in entries[keep_newest:]:
+        if mtime < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _ivfpq_del_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Cache location for the DELETE-path IVF-PQ index — its OWN variant
     (key + directory) because the delete query tombstones and vacuums it:
     sharing _ivfpq_index_path would mutate the index every other
-    similarity query serves from."""
+    similarity query serves from. The key also carries the SESSION's
+    applicationId (r14 review): delete/vacuum are single-writer operators,
+    and two concurrent sessions (driver + bench/pytest) running this query
+    against one shared dir would race a vacuum's cell-dir renames against
+    the other session's probe scan — per-session keys remove the race for
+    the cost of one per-session build."""
     import hashlib as _hashlib
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = _hashlib.md5(
         f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|ivfpq-del-v1|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}".encode()
+        f"|ivfpq-del-v2|{_IVF_N_CELLS}|{_PQ_M}|{_PQ_K}"
+        f"|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:16]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return os.path.join(repo_root, ".scratch", "ivfpq_del", key)
+    parent = os.path.join(repo_root, ".scratch", "ivfpq_del")
+    _gc_scratch_siblings(parent, keep=key)
+    return os.path.join(parent, key)
 
 
 @register(
@@ -11548,7 +11632,7 @@ def q_similarity_topk_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFra
 
     em = _t(spark, sf_dir, "embeddings")
     q, corpus = _planted_embeddings(em)
-    path = _ivfpq_del_index_path(sf_dir)
+    path = _ivfpq_del_index_path(spark, sf_dir)
     if not (
         os.path.exists(os.path.join(path, "index", "_SUCCESS"))
         and os.path.exists(os.path.join(path, "codebooks", "_SUCCESS"))

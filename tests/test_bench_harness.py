@@ -143,3 +143,19 @@ def test_isolated_runner_dispatches_stream_rows():
 
     assert "streaming_tumbling_drain" in b._STREAM_ROWS
     assert "streaming_ingest_drain" in b._STREAM_ROWS
+
+
+def test_adjudication_survives_failed_rerun():
+    # one flaky solo subprocess must not discard the whole bench artifact
+    def bad_run(name):
+        if name == "a":
+            raise RuntimeError("child produced no result JSON")
+        return {"trials": {name: [0.5]}}
+
+    out = bench._adjudicate_regressions(
+        {"a": 2.0, "b": 2.0}, {"a": 1.0, "b": 1.0},
+        {"a": 0.5, "b": 0.5}, run=bad_run,
+    )
+    assert out["a"]["verdict"] == "rerun-failed"
+    assert "no result JSON" in out["a"]["error"]
+    assert out["b"]["verdict"] == "recovered-isolated"

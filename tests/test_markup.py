@@ -103,12 +103,40 @@ def test_funnel_page_rules(spark):
     )
     ls = extract_lines(render_markup(F.col("text"), F.col("doc_id")))
     out = (
-        df.select("doc_id", F.size(F.filter(ls, c4_keep_line)).alias("n_kept"))
+        df.select(
+            "doc_id",
+            F.size(F.filter(ls, lambda x: c4_keep_line(x))).alias("n_kept"),
+        )
         .orderBy("doc_id")
         .collect()
     )
     assert out[0].n_kept >= 3
     assert out[1].n_kept < 3
+
+
+def test_c4_keep_line_cannot_bind_hof_index(spark):
+    # r14 review regression pin: passing the rule bare to F.filter once
+    # bound the array INDEX to min_words (PySpark feeds two-parameter
+    # callables (element, index)), silently replacing the >= 3 words rule
+    # with ">= i words". min_words is now keyword-only, which PySpark's
+    # HOF arity check rejects LOUDLY instead.
+    import pytest
+    from pyspark.errors import PySparkValueError
+
+    from hadoop_word_score_spark.operators.markup import c4_keep_line
+
+    df = spark.createDataFrame([([
+        "Hi there.", "Hi there.", "Hi there.",
+        "One two three four five six.",
+    ],)], "ls array<string>")
+    with pytest.raises(PySparkValueError):
+        df.select(F.filter("ls", c4_keep_line)).collect()
+    kept = df.select(
+        F.filter("ls", lambda x: c4_keep_line(x)).alias("k")
+    ).collect()[0].k
+    # 2-word lines fail min_words REGARDLESS of position; the 6-word line
+    # passes
+    assert kept == ["One two three four five six."]
 
 
 def test_link_rendering_and_extraction(spark):

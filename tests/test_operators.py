@@ -1865,6 +1865,35 @@ def test_bpe_oov_byte_fallback_roundtrip(spark):
     assert base_ids == oov_ids
 
 
+def test_bpe_oov_mode_mismatch_fails_fast(spark):
+    # r14 review: an unshifted id table under oov='bytes' silently
+    # byte-encodes its 256 most frequent subwords (they collide with the
+    # reserve); the inverse double-matches single-char subwords. Both
+    # directions must refuse loudly.
+    import pytest
+
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    docs = spark.createDataFrame([(1, "low lower lowest")], ["doc_id", "text"])
+    vocab = subword_vocab(docs, "text")
+    rules = learn_subword_rules(docs, "text", 2, vocab=vocab)
+    plain = subword_id_vocab(vocab, rules)
+    withbytes = subword_id_vocab(vocab, rules, oov="bytes")
+    with pytest.raises(ValueError, match="no byte reserve"):
+        encode_corpus_ids(
+            docs, "doc_id", "text", rules, id_vocab=plain, oov="bytes"
+        ).collect()
+    with pytest.raises(ValueError, match="byte reserve"):
+        encode_corpus_ids(
+            docs, "doc_id", "text", rules, id_vocab=withbytes
+        ).collect()
+
+
 def test_bpe_vocab_guard_survives_count_only_consumer(spark):
     # ADVICE r13: the fail-fast on a missing vocab word was a guarded
     # PROJECTION, prunable by a count-only consumer; it is now a filter.
