@@ -600,6 +600,7 @@ def persist_bpe_tokenizer(
     path: str,
     rules: list[tuple],
     id_vocab: DataFrame,
+    oov: str | None = None,
 ) -> None:
     """Persist the trained tokenizer as a self-describing artifact — the
     ship-once/encode-everywhere contract a training pipeline needs (train
@@ -608,7 +609,12 @@ def persist_bpe_tokenizer(
     persist_ivfpq_index's: ``{path}/merge_rules`` (step, pair, n) parquet,
     ``{path}/id_vocab`` (sid, subword, sfreq) parquet, and
     ``{path}/_bpe_meta.json`` the shape contract (rule count, vocab size,
-    boundary marker) a loader validates before trusting the tables."""
+    boundary marker, oov mode) a loader validates before trusting the
+    tables. ``oov`` records the mode ``id_vocab`` was built with — a
+    shipped bytes-mode tokenizer must not lose its byte-reserve contract
+    on reload."""
+    if oov not in (None, "bytes"):
+        raise ValueError(f"persist_bpe_tokenizer: unknown oov mode {oov!r}")
     import json
     import os
 
@@ -626,15 +632,21 @@ def persist_bpe_tokenizer(
     with open(os.path.join(path, "_bpe_meta.json"), "w", encoding="utf-8") as f:
         json.dump(
             {"n_rules": len(rules), "vocab_size": int(n_vocab),
-             "end_of_word": END_OF_WORD},
+             "end_of_word": END_OF_WORD,
+             **({"oov": oov} if oov is not None else {})},
             f,
         )
 
 
 def load_bpe_tokenizer(
     spark, path: str
-) -> tuple[list[tuple], DataFrame]:
-    """(rules, id_vocab) from a :func:`persist_bpe_tokenizer` artifact.
+) -> tuple[list[tuple], DataFrame, str | None]:
+    """(rules, id_vocab, oov) from a :func:`persist_bpe_tokenizer` artifact.
+
+    ``oov`` is the mode the id table was BUILT with (r14: a bytes-mode
+    tokenizer whose reload forgot the mode would fail encode_corpus_ids's
+    mode-mismatch guard — or worse, predate it and silently corrupt ids);
+    callers thread it straight into :func:`encode_corpus_ids`.
 
     Refuse-loudly validation against the meta contract: a rules table whose
     row count or step sequence disagrees with the meta means a partial or
@@ -673,7 +685,7 @@ def load_bpe_tokenizer(
             f"meta says {meta['vocab_size']} — partial write or mixed "
             f"artifact; re-persist the tokenizer"
         )
-    return rules, id_vocab
+    return rules, id_vocab, meta.get("oov")
 
 
 def learn_subword_rules(

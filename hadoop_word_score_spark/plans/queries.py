@@ -734,14 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "d5ff46b60161",
-    "bpe_encode_corpus": "3bed28d2a2b1",
-    "bpe_encode_ids": "c1dbb7d493eb",
-    "bpe_encode_lengths": "5b126b705c71",
-    "bpe_encode_sequences": "98a69a6d5a28",
-    "bpe_merge_rules": "16063c7866c6",
-    "bpe_subword_rules": "9bf4b6c4dce9",
-    "bpe_tokenizer_roundtrip": "c838cabea918",
+    "bpe_decode_corpus": "b72a438eaf99",
+    "bpe_encode_corpus": "91c57dd33a0f",
+    "bpe_encode_ids": "ada0b39b3487",
+    "bpe_encode_lengths": "c11a57580041",
+    "bpe_encode_sequences": "086b4ddb8196",
+    "bpe_merge_rules": "38514cfbaf69",
+    "bpe_subword_rules": "d06a294c5e80",
+    "bpe_tokenizer_roundtrip": "e886c92ae3ed",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -7674,7 +7674,8 @@ def q_bpe_tokenizer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _gc_scratch_siblings(parent, keep=key)
     path = os.path.join(parent, key)
     persist_bpe_tokenizer(path, rules, subword_id_vocab(vocab, rules))
-    loaded_rules, loaded_idv = load_bpe_tokenizer(spark, path)
+    loaded_rules, loaded_idv, loaded_oov = load_bpe_tokenizer(spark, path)
+    assert loaded_oov is None  # this artifact ships without a byte reserve
     return (
         encode_corpus_ids(
             docs, "doc_id", "txt", loaded_rules,

@@ -1865,6 +1865,37 @@ def test_bpe_oov_byte_fallback_roundtrip(spark):
     assert base_ids == oov_ids
 
 
+def test_bpe_tokenizer_artifact_ships_oov_mode(spark, tmp_path):
+    # A bytes-mode tokenizer must carry its byte-reserve contract through
+    # persist/reload: the loaded mode feeds encode_corpus_ids directly and
+    # the reloaded encode matches the in-memory one id for id.
+    from hadoop_word_score_spark.operators.bpe import (
+        encode_corpus_ids,
+        learn_subword_rules,
+        load_bpe_tokenizer,
+        persist_bpe_tokenizer,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low")], ["doc_id", "text"]
+    )
+    held = spark.createDataFrame([(9, "lowly zebra")], ["doc_id", "text"])
+    vocab = subword_vocab(train, "text")
+    rules = learn_subword_rules(train, "text", 2, vocab=vocab)
+    idv = subword_id_vocab(vocab, rules, oov="bytes")
+    path = str(tmp_path / "tok_bytes")
+    persist_bpe_tokenizer(path, rules, idv, oov="bytes")
+    lrules, lidv, loov = load_bpe_tokenizer(spark, path)
+    assert loov == "bytes"
+    direct = {r.doc_id: r.token_ids for r in encode_corpus_ids(
+        held, "doc_id", "text", rules, id_vocab=idv, oov="bytes").collect()}
+    reloaded = {r.doc_id: r.token_ids for r in encode_corpus_ids(
+        held, "doc_id", "text", lrules, id_vocab=lidv, oov=loov).collect()}
+    assert direct == reloaded
+
+
 def test_bpe_oov_mode_mismatch_fails_fast(spark):
     # r14 review: an unshifted id table under oov='bytes' silently
     # byte-encodes its 256 most frequent subwords (they collide with the
@@ -1938,7 +1969,8 @@ def test_bpe_tokenizer_artifact_roundtrip_and_guards(spark, tmp_path):
     idv = subword_id_vocab(vocab, rules)
     path = str(tmp_path / "tok")
     persist_bpe_tokenizer(path, rules, idv)
-    lrules, lidv = load_bpe_tokenizer(spark, path)
+    lrules, lidv, loov = load_bpe_tokenizer(spark, path)
+    assert loov is None
     assert lrules == [(int(s), p, int(n)) for s, p, n in rules]
     want = {
         (r.doc_id, tuple(r.token_ids))
