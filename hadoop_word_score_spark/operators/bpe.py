@@ -327,10 +327,10 @@ def subword_id_vocab(
     char) and shift corpus subword ids up by 256 — the GPT-2 byte-level
     discipline that lets :func:`encode_corpus_ids` encode a HELD-OUT
     corpus under a training vocabulary without ever refusing: an unseen
-    subword falls back to its UTF-8 byte ids. Byte-id decode concatenates
-    codepoint chars (exact for ASCII; multi-byte UTF-8 sequences decode
-    via the same byte->codepoint table, the documented GPT-2-style
-    convention).
+    subword falls back to its UTF-8 byte ids. Decode under this mode goes
+    through hex assembly + one UTF-8 decode per document
+    (:func:`decode_corpus_ids` with ``oov='bytes'``), so even multi-byte
+    characters split across byte ids reassemble exactly.
 
     Work is vocab-sized throughout: k merge folds over the word vocab, one
     subword explode weighted by word freq, and the DISTRIBUTED global-rank
@@ -370,6 +370,35 @@ def subword_id_vocab(
             "sfreq",
         )
     )
+
+
+def _assert_id_vocab_mode(id_vocab: DataFrame, oov: str | None, who: str) -> None:
+    """Mode-mismatch guard (r14 review): an unshifted table under
+    oov='bytes' would drop its 256 most frequent subwords from the encode
+    join (they collide with the byte reserve) and byte-encode them —
+    SILENT id corruption; a bytes-built table under oov=None
+    double-matches single-char subwords on encode and decodes byte ids as
+    their Latin-1 table chars. The byte reserve is detectable
+    structurally: ids are dense frequency ranks, so rows with sid <= 256
+    exist either way, but only reserve rows carry sfreq = 0 for ALL of
+    them."""
+    low = id_vocab.filter(F.col("sid") <= N_BYTE_IDS).agg(
+        F.count(F.lit(1)).alias("n"), F.max("sfreq").alias("mx")
+    ).collect()[0]
+    has_reserve = low.n == N_BYTE_IDS and (low.mx is None or low.mx == 0)
+    if oov == "bytes" and not has_reserve:
+        raise ValueError(
+            f"{who}: oov='bytes' requires an id_vocab built with "
+            f"subword_id_vocab(..., oov='bytes') — the supplied table has "
+            f"no byte reserve (ids 1..256), so its most frequent subwords "
+            f"would silently byte-encode"
+        )
+    if oov is None and has_reserve:
+        raise ValueError(
+            f"{who}: the supplied id_vocab carries a byte reserve (built "
+            f"with oov='bytes') — pass oov='bytes', or ids will silently "
+            f"mis-resolve"
+        )
 
 
 def byte_fallback_ids(s: Column) -> Column:
@@ -438,31 +467,7 @@ def encode_corpus_ids(
         "word", F.posexplode(_tokens(F.col("w"))).alias("spos", "subword")
     )
     if prebuilt_ids:
-        # mode-mismatch guard (r14 review): an unshifted table under
-        # oov='bytes' would drop its 256 most frequent subwords from the
-        # join (they collide with the byte reserve) and byte-encode them —
-        # SILENT id corruption; a bytes-built table under oov=None
-        # double-matches single-char subwords. The byte reserve is
-        # detectable structurally: ids are dense frequency ranks, so rows
-        # with sid <= 256 exist either way, but only reserve rows carry
-        # sfreq = 0 for ALL of them.
-        low = id_vocab.filter(F.col("sid") <= N_BYTE_IDS).agg(
-            F.count(F.lit(1)).alias("n"), F.max("sfreq").alias("mx")
-        ).collect()[0]
-        has_reserve = low.n == N_BYTE_IDS and (low.mx is None or low.mx == 0)
-        if oov == "bytes" and not has_reserve:
-            raise ValueError(
-                "encode_corpus_ids: oov='bytes' requires an id_vocab built "
-                "with subword_id_vocab(..., oov='bytes') — the supplied "
-                "table has no byte reserve (ids 1..256), so its most "
-                "frequent subwords would silently byte-encode"
-            )
-        if oov is None and has_reserve:
-            raise ValueError(
-                "encode_corpus_ids: the supplied id_vocab carries a byte "
-                "reserve (built with oov='bytes') — pass oov='bytes', or "
-                "single-char subwords will match twice"
-            )
+        _assert_id_vocab_mode(id_vocab, oov, "encode_corpus_ids")
     id_side = F.broadcast(
         id_vocab.select(F.col("subword").alias("word"), "sid")
     )
@@ -550,6 +555,7 @@ def decode_corpus_ids(
     id_vocab: DataFrame,
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
+    oov: str | None = None,
 ) -> DataFrame:
     """``(id_col, text)`` — detokenize id sequences back to whitespace
     text, the inverse of :func:`encode_corpus_ids`. Subwords carry no
@@ -559,12 +565,22 @@ def decode_corpus_ids(
     marker into a space. encode -> decode is lossless on
     single-space-joined input (driver-oracled in bpe_decode_corpus).
 
+    ``oov='bytes'`` (for ids encoded under a byte-reserve table): decoding
+    goes through HEX assembly — byte ids contribute their raw byte, corpus
+    subwords their UTF-8 bytes — then ONE unhex + UTF-8 decode per
+    document, so a multi-byte character split across byte-fallback ids
+    reassembles EXACTLY (no Latin-1 approximation; all built-ins, no UDF).
+    Mode mismatch against the table fails fast either direction.
+
     Scale shape: one posexplode of the id arrays (data-proportional — the
     same rows a dataloader reads), a broadcast equi-join, one doc-keyed
     ordered reassembly (group buffer bounded by max document length, the
     inherent sequence bound). An id absent from ``id_vocab`` fails fast —
     decoding around a hole would silently splice adjacent words.
     """
+    if oov not in (None, "bytes"):
+        raise ValueError(f"decode_corpus_ids: unknown oov mode {oov!r}")
+    _assert_id_vocab_mode(id_vocab, oov, "decode_corpus_ids")
     per_tok = encoded.select(
         F.col(id_col), F.posexplode(F.col(ids_col)).alias("pos", "sid")
     )
@@ -577,22 +593,37 @@ def decode_corpus_ids(
         remedy="decode with the same subword_id_vocab the ids were "
                "encoded under",
     )
-    return (
-        resolved.groupBy(id_col)
+    if oov == "bytes":
+        # hex per token: a byte row (sid <= 256) is its raw byte, a corpus
+        # subword its UTF-8 bytes; the per-doc concat is one valid UTF-8
+        # byte string by construction of the encoder
+        piece = F.when(
+            F.col("word") <= N_BYTE_IDS,
+            F.lpad(F.hex(F.col("word") - 1), 2, "0"),
+        ).otherwise(F.hex(F.encode(F.col("subword"), "UTF-8")))
+    else:
+        piece = F.col("subword")
+    assembled = (
+        resolved.select(F.col(id_col), "pos", piece.alias("_p"))
+        .groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "subword"))),
-                    lambda s: s["subword"],
+                    F.array_sort(F.collect_list(F.struct("pos", "_p"))),
+                    lambda s: s["_p"],
                 ),
                 "",
             ).alias("_joined")
         )
-        .select(
-            id_col,
-            F.trim(F.replace(F.col("_joined"), F.lit(END_OF_WORD), F.lit(" ")))
-            .alias("text"),
+    )
+    if oov == "bytes":
+        assembled = assembled.select(
+            id_col, F.decode(F.unhex("_joined"), "UTF-8").alias("_joined")
         )
+    return assembled.select(
+        id_col,
+        F.trim(F.replace(F.col("_joined"), F.lit(END_OF_WORD), F.lit(" ")))
+        .alias("text"),
     )
 
 

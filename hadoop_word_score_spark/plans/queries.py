@@ -734,14 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "b72a438eaf99",
-    "bpe_encode_corpus": "91c57dd33a0f",
-    "bpe_encode_ids": "ada0b39b3487",
-    "bpe_encode_lengths": "c11a57580041",
-    "bpe_encode_sequences": "086b4ddb8196",
-    "bpe_merge_rules": "38514cfbaf69",
-    "bpe_subword_rules": "d06a294c5e80",
-    "bpe_tokenizer_roundtrip": "e886c92ae3ed",
+    "bpe_decode_corpus": "d1a82a8ced98",
+    "bpe_encode_corpus": "e45ede0acaae",
+    "bpe_encode_ids": "f9462d32fc4f",
+    "bpe_encode_lengths": "d4a3378a0109",
+    "bpe_encode_sequences": "416a0cf1a23a",
+    "bpe_merge_rules": "97af5f84425a",
+    "bpe_subword_rules": "e506fbe68f60",
+    "bpe_tokenizer_roundtrip": "fb49192ab09c",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -11782,3 +11782,54 @@ def q_html_links_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "node", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_x_n")
     ).orderBy("node")
+
+
+@register(
+    "bpe_decode_heldout",
+    # The full never-refuse tokenizer loop, closed: encode the HELD-OUT
+    # corpus under the TRAINING vocabulary with byte fallback
+    # (bpe_encode_ids_heldout's exact path), then decode the ids back. The
+    # oracle recomputes the normalized held-out text straight from the raw
+    # documents table — not from any engine intermediate — so drift
+    # anywhere in train/encode/byte-fallback/decode (including the hex
+    # reassembly that makes multi-byte fallback runs UTF-8-exact) breaks
+    # the hash. Zero-token docs have no sequence and are excluded on both
+    # sides.
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter(
+               string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> ''), ' ')
+               AS text
+    FROM base
+    WHERE bucket < 20 AND len(list_filter(
+        string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')) > 0
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_decode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import (
+        decode_corpus_ids,
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
+    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
+    held = base.filter(F.col("bucket") < 20).select("doc_id", "text")
+    vocab_tr = subword_vocab(train, "text")
+    rules = learn_subword_rules(train, "text", n_rules=3, vocab=vocab_tr)
+    idv = subword_id_vocab(vocab_tr, rules, oov="bytes")
+    enc = encode_corpus_ids(
+        held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
+    )
+    return decode_corpus_ids(enc, idv, oov="bytes").orderBy("doc_id")

@@ -1845,9 +1845,25 @@ def test_bpe_oov_byte_fallback_roundtrip(spark):
     all_ids = [i for r in rows.values() for i in r.token_ids]
     assert any(i <= 256 for i in all_ids)  # fallback actually exercised
     assert any(i > 256 for i in all_ids)  # matched subwords keep corpus ids
-    got = {r.doc_id: r.text for r in decode_corpus_ids(enc, idv).collect()}
+    got = {r.doc_id: r.text
+           for r in decode_corpus_ids(enc, idv, oov="bytes").collect()}
     assert got[10] == "low lowly zebra! new"
     assert got[11] == "quixotic lowest"
+    # multi-byte UTF-8 split across byte-fallback ids reassembles EXACTLY
+    # (hex assembly + one UTF-8 decode per doc — no Latin-1 approximation)
+    mb = spark.createDataFrame(
+        [(20, "naïve café 日本語 low!")],
+        ["doc_id", "text"],
+    )
+    enc_mb = encode_corpus_ids(
+        mb, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
+    )
+    dec_mb = decode_corpus_ids(enc_mb, idv, oov="bytes").collect()[0]
+    assert dec_mb.text == "naïve café 日本語 low!"
+    # decoding byte-reserve ids in the default mode fails fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="byte reserve"):
+        decode_corpus_ids(enc, idv).collect()
     # single-emission pin: the known word "low" encodes identically with
     # and without the byte reserve active
     base_ids = {
