@@ -79,3 +79,24 @@ def weighted_avg_udf():
         return float((v * w).sum() / denom) if denom else None
 
     return wavg
+
+
+def nfc_normalize_udf():
+    """Arrow-vectorized Unicode NFC normalization (string -> string).
+
+    Canonical normalization is the text stack's stage-1.5 (decomposed
+    sequences like 'e' + U+0301 must compare, hash, dedup and tokenize
+    identically to their composed forms — every downstream exact-dedup
+    hash and vocab key silently fragments otherwise). Spark has no
+    built-in normalizer, so this is one of the engine's few sanctioned
+    pandas UDFs (policy: built-ins first; normalization genuinely lacks
+    one). pandas' ``Series.str.normalize`` applies unicodedata.normalize
+    over each Arrow batch; nulls pass through.
+    """
+    import pandas as pd  # noqa: F811
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return nfc

@@ -921,8 +921,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "topk_per_group": "8f100becd6e6",
     "try_error_safe_funcs": "f348aee9e021",
     "tumbling_window": "a610bcb1011e",
-    "udf_grouped_agg_wavg": "0a944be64ea7",
-    "udf_grouped_zscore": "142419cb710e",
+    "udf_grouped_agg_wavg": "0efb91626803",
+    "udf_grouped_zscore": "8122cbf85a26",
     "udtf_chunk_text": "314fc991755e",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
@@ -11833,3 +11833,51 @@ def q_bpe_decode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
     )
     return decode_corpus_ids(enc, idv, oov="bytes").orderBy("doc_id")
+
+
+@register(
+    "normalize_text_nfc",
+    # Unicode canonical normalization (NFC) — the text stack's missing
+    # stage 1.5: decomposed sequences must hash/dedup/tokenize identically
+    # to their composed forms. The corpus is ASCII, so the fixture
+    # DECOMPOSES it deterministically ('e' -> 'e' + U+0301 combining
+    # acute) and the operator must recompose ('é'); lengths shrink by
+    # exactly the number of injected marks, and `changed` flags every doc
+    # containing an 'e'. The oracle runs DuckDB's native nfc_normalize
+    # against the pandas/ICU path — two independent Unicode
+    # implementations must agree byte for byte, which is the point.
+    oracle="""
+    WITH dec AS (
+        SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+           nfc_normalize(t) <> t AS changed,
+           nfc_normalize(t) AS text_nfc
+    FROM dec ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_normalize_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pandas_ops import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    d = _t(spark, sf_dir, "documents")
+    dec = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    return (
+        # stacked projections: the UDF evaluates once (ArrowEvalPython
+        # dedups identical expressions, but don't rely on it across a
+        # collapsed projection)
+        d.select("doc_id", dec.alias("t"))
+        .select("doc_id", "t", nfc(F.col("t")).alias("text_nfc"))
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("n_before"),
+            F.length("text_nfc").cast("long").alias("n_after"),
+            (F.col("text_nfc") != F.col("t")).alias("changed"),
+            "text_nfc",
+        )
+        .orderBy("doc_id")
+    )

@@ -449,8 +449,9 @@ def test_round14_operators_empty(spark):
 
     # the r14 document-shaped queries over a zero-row corpus
     names = ("html_extract_text", "html_extract_funnel",
-             "bpe_encode_ids_heldout", "html_extract_links",
-             "html_links_pagerank")
+             "bpe_encode_ids_heldout", "bpe_decode_heldout",
+             "html_extract_links", "html_links_pagerank",
+             "normalize_text_nfc")
     with tempfile.TemporaryDirectory(dir=".") as d:
         sf = stage_documents_sf(spark, d, [])
         for name in names:

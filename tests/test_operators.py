@@ -4182,3 +4182,28 @@ def test_source_overlap_containment_direction(spark):
     assert plain.columns == [
         "group_a", "group_b", "n_slots_matched", "jaccard_est",
     ]
+
+
+def test_nfc_normalize_udf(spark):
+    # composed/decomposed forms converge; nulls pass through; already-NFC
+    # text is untouched (idempotence)
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.operators.pandas_ops import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    df = spark.createDataFrame(
+        [
+            (1, "café naïve"),  # decomposed accents
+            (2, "café naïve"),  # already composed
+            (3, None),
+            (4, "plain ascii."),
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.n for r in df.select("id", nfc(F.col("t")).alias("n")).collect()}
+    assert got[1] == "café naïve"
+    assert got[2] == "café naïve"
+    assert got[1] == got[2]
+    assert got[3] is None
+    assert got[4] == "plain ascii."
