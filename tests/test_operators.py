@@ -4207,3 +4207,47 @@ def test_nfc_normalize_udf(spark):
     assert got[1] == got[2]
     assert got[3] is None
     assert got[4] == "plain ascii."
+
+
+def test_ivfpq_filtered_probe_composes_with_tombstones(spark, tmp_path):
+    # where-predicate pushdown and the tombstone anti-join stack on the
+    # same pruned scan: a filtered probe must exclude BOTH predicate
+    # failures and deleted ids, before and after vacuum.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_vacuum,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    corpus = em.select("vec_id", "embedding", "label")
+    path = str(tmp_path / "ivfpq_f")
+    persist_ivfpq_index(corpus, path, n_cells=16, m=16, k=32,
+                        meta_cols=("label",))
+    base = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6,
+                            where="label >= 5").collect()
+    assert base and all(r.cand_id != r.query_id for r in base)
+    labels = dict(em.select("vec_id", "label").collect())
+    assert all(labels[r.cand_id] >= 5 for r in base)
+    # tombstone the current filtered top-1s: they must vanish, top-k
+    # refills from surviving candidates, predicate still holds
+    top1 = {r.cand_id for r in base if r.rank == 1}
+    dead = spark.createDataFrame([(i,) for i in top1], "vec_id long")
+    ann_index_delete(dead, path)
+    t = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6,
+                         where="label >= 5").collect()
+    assert t and not {r.cand_id for r in t} & top1
+    assert all(labels[r.cand_id] >= 5 for r in t)
+    assert len(t) == len(base)  # k refilled
+    ann_index_vacuum(spark, path)
+    v = ivfpq_probe_topk(spark, path, q, k=5, n_probe=6,
+                         where="label >= 5").collect()
+    key = lambda rows: {(r.query_id, r.rank, r.cand_id, r.cosine_sim)  # noqa: E731
+                        for r in rows}
+    assert key(v) == key(t)

@@ -28,6 +28,7 @@ from hadoop_word_score_spark.session import get_spark  # noqa: E402
 from hadoop_word_score_spark.sources.registry import TABLES, load_table  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
+MANUAL_MARKER = "<!-- MANUAL RECEIPTS -- preserved verbatim across regenerations -->"
 SCALED = "/root/repo/.scratch/scale10"
 COPIES = 10
 
@@ -86,6 +87,12 @@ PROBES = [
     "events_forecast_seasonal_naive",
     "dedup_lines_c4",
     "quality_classifier_score",
+    "pack_segments",
+    "html_extract_text",
+    "html_extract_funnel",
+    "bpe_encode_ids_heldout",
+    "normalize_text_nfc",
+    "html_links_pagerank",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1788,6 +1795,26 @@ def main() -> None:
         # one scan-side fold per document; the only exchange is the output
         # ordering — inference cost is pure scan work
         "quality_classifier_score": "linear (single scan-side fold; zero data shuffles)",
+        # one partitioned window prefix-sum + a data-proportional
+        # sequence explode; offsets exact-integer DIV
+        "pack_segments": "linear (per-source window prefix-sum + proportional explode)",
+        # render + strip are ONE codegen regexp projection per page; the
+        # only exchange is the presentation sort
+        "html_extract_text": "linear (one codegen regexp pass per page)",
+        # line rules are array HOFs on the scan; the only shuffle is the
+        # per-source aggregate
+        "html_extract_funnel": "linear (HOF line rules scan-side; per-source agg)",
+        # training folds and id resolution are vocab-sized; the held-out
+        # corpus pays one explode + broadcast joins + a doc-keyed
+        # reassembly bounded by doc length; byte fallback is a CASE on the
+        # vocab-sized subword relation
+        "bpe_encode_ids_heldout": "linear in tokens (vocab-sized train/ids; broadcast joins; fallback is a CASE)",
+        # one Arrow-batched pandas UDF pass; no shuffle before the
+        # presentation sort
+        "normalize_text_nfc": "linear (one Arrow UDF pass per batch)",
+        # 2 links/doc -> edges grow linearly; per round the shuffle is
+        # (node, rank) pairs over the checkpointed edge relation
+        "html_links_pagerank": "linear in docs x rounds ((node, rank) shuffles only)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
@@ -1812,8 +1839,22 @@ def main() -> None:
     lines.extend(ivfpq_bytes_receipt_rows(spark))
     lines.extend(streaming_drain_floor_rows(spark))
     lines.extend(isolation_receipt_rows())
+    # Preserve the manually-authored receipt sections (regression
+    # adjudications, design receipts) appended below the marker — a full
+    # regeneration must never eat them (r14: the r12/r13 adjudication
+    # receipts lived only in the file).
+    manual_tail = ""
+    try:
+        with open("/root/repo/SCALE_PROBE.md") as f:
+            prev = f.read()
+        if MANUAL_MARKER in prev:
+            manual_tail = prev[prev.index(MANUAL_MARKER):].rstrip() + "\n"
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALE_PROBE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+        if manual_tail:
+            f.write("\n" + manual_tail)
     print("wrote SCALE_PROBE.md")
     spark.stop()
 
