@@ -11881,3 +11881,76 @@ def q_normalize_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "decontaminate_fuzzy",
+    # FUZZY decontamination — the GPT-3-style third rung of the decontam
+    # ladder (exact 5-gram join -> Bloom probe -> NEAR-DUP overlap): a
+    # train document contaminates an eval split even when no n-gram window
+    # matches verbatim, if the whole documents are near-duplicates. Reuses
+    # the incremental-ingest cross-relation shape (incremental_lsh_pairs:
+    # banded MinHash candidates from ONE (band_idx, band_hash) equi-join —
+    # eval is the small side, broadcast/co-located against the train band
+    # index at scale — then exact-Jaccard verification on candidate ids
+    # only). Precision is exact by construction; recall is the banded
+    # S-curve, deterministic here (every true cross pair has j >= 0.9,
+    # same measurement as dedup_near_minhash), so the EXACT cross-split
+    # pair set is a valid value oracle, not just a recall yardstick.
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, bucket,
+               list_distinct(CASE WHEN len(w) >= 3 THEN
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [] END) AS shingles
+        FROM (SELECT doc_id, bucket,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM b)
+    ),
+    ex AS (
+        SELECT doc_id, bucket, len(shingles) AS sh_size,
+               unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+               e.sh_size AS size_a, t.sh_size AS size_b, COUNT(*) AS n_common
+        FROM ex e JOIN ex t USING (shingle)
+        WHERE e.bucket < 20 AND t.bucket >= 20
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT eval_id, train_id, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common / (size_a + size_b - n_common) >= 0.5
+    ORDER BY eval_id, train_id
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
+    eval_docs = base.filter(F.col("bucket") < 20).select("doc_id", "text")
+    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
+    pairs = incremental_lsh_pairs(
+        base=train, new=eval_docs, threshold=0.5
+    )
+    return (
+        pairs.select(
+            F.col("new_id").alias("eval_id"),
+            F.col("base_id").alias("train_id"),
+            "n_common",
+            "jaccard",
+        )
+        .orderBy("eval_id", "train_id")
+    )

@@ -451,7 +451,7 @@ def test_round14_operators_empty(spark):
     names = ("html_extract_text", "html_extract_funnel",
              "bpe_encode_ids_heldout", "bpe_decode_heldout",
              "html_extract_links", "html_links_pagerank",
-             "normalize_text_nfc")
+             "normalize_text_nfc", "decontaminate_fuzzy")
     with tempfile.TemporaryDirectory(dir=".") as d:
         sf = stage_documents_sf(spark, d, [])
         for name in names:
