@@ -617,8 +617,36 @@ def decode_corpus_ids(
         )
     )
     if oov == "bytes":
-        assembled = assembled.select(
-            id_col, F.decode(F.unhex("_joined"), "UTF-8").alias("_joined")
+        # fail-fast on malformed byte runs (r14 review): a token_ids array
+        # truncated mid-multibyte fallback run must raise, not splice
+        # U+FFFD replacement chars into the text. Under ANSI mode (the
+        # Spark 4 default) F.decode itself raises
+        # MALFORMED_CHARACTER_CODING; this re-encode hex comparison
+        # (identity iff the bytes were valid UTF-8) covers non-ANSI
+        # sessions — a FILTER so it survives column pruning.
+        assembled = (
+            assembled.select(
+                F.col(id_col),
+                "_joined",
+                F.decode(F.unhex("_joined"), "UTF-8").alias("_t"),
+            )
+            .filter(
+                F.when(
+                    F.hex(F.encode(F.col("_t"), "UTF-8")) != F.col("_joined"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "decode_corpus_ids: token ids decode to "
+                                "malformed UTF-8 (truncated multi-byte "
+                                "fallback run?) for doc '"
+                            ),
+                            F.col(id_col).cast("string"),
+                            F.lit("'"),
+                        )
+                    ),
+                ).otherwise(F.lit(True))
+            )
+            .select(F.col(id_col), F.col("_t").alias("_joined"))
         )
     return assembled.select(
         id_col,

@@ -93,7 +93,6 @@ def nfc_normalize_udf():
     one). pandas' ``Series.str.normalize`` applies unicodedata.normalize
     over each Arrow batch; nulls pass through.
     """
-    import pandas as pd  # noqa: F811
 
     @F.pandas_udf("string")
     def nfc(s: pd.Series) -> pd.Series:

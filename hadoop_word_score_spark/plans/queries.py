@@ -734,14 +734,14 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "d1a82a8ced98",
-    "bpe_encode_corpus": "e45ede0acaae",
-    "bpe_encode_ids": "f9462d32fc4f",
-    "bpe_encode_lengths": "d4a3378a0109",
-    "bpe_encode_sequences": "416a0cf1a23a",
-    "bpe_merge_rules": "97af5f84425a",
-    "bpe_subword_rules": "e506fbe68f60",
-    "bpe_tokenizer_roundtrip": "fb49192ab09c",
+    "bpe_decode_corpus": "8b129f4702b2",
+    "bpe_encode_corpus": "c18f1683aca8",
+    "bpe_encode_ids": "5bc0c1841a85",
+    "bpe_encode_lengths": "e13ecfed337f",
+    "bpe_encode_sequences": "151a728658f1",
+    "bpe_merge_rules": "e634eee2047b",
+    "bpe_subword_rules": "23e10b074356",
+    "bpe_tokenizer_roundtrip": "4770e0ee6edb",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
@@ -921,8 +921,8 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "topk_per_group": "8f100becd6e6",
     "try_error_safe_funcs": "f348aee9e021",
     "tumbling_window": "a610bcb1011e",
-    "udf_grouped_agg_wavg": "0efb91626803",
-    "udf_grouped_zscore": "8122cbf85a26",
+    "udf_grouped_agg_wavg": "55c68cb43f6b",
+    "udf_grouped_zscore": "07166706632d",
     "udtf_chunk_text": "314fc991755e",
     "unpivot_lineitem_metrics": "d036f183362f",
     "variant_funcs": "93b90aaa3dd4",
@@ -11531,13 +11531,7 @@ def q_bpe_encode_ids_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         subword_vocab,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
-    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
-    held = base.filter(F.col("bucket") < 20).select("doc_id", "text")
-    vocab_tr = subword_vocab(train, "text")
-    rules = learn_subword_rules(train, "text", n_rules=3, vocab=vocab_tr)
-    idv = subword_id_vocab(vocab_tr, rules, oov="bytes")
+    held, rules, idv = _bpe_heldout_tokenizer(spark, sf_dir)
     return (
         encode_corpus_ids(
             held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
@@ -11549,6 +11543,30 @@ def q_bpe_encode_ids_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_heldout_tokenizer(spark: SparkSession, sf_dir: str):
+    """(held_docs, rules, id_vocab) — the held-out split plus the
+    TRAINING-side tokenizer under oov='bytes'. ONE definition shared by
+    the encode and decode heldout probes (r14 review: two verbatim copies
+    could drift while each still passed its own oracle). The id table is
+    localCheckpointed: it feeds the encode-side mode guard, the broadcast
+    id join, and (in the decode probe) the decode-side guard + join —
+    without the pin each consumer re-runs the whole vocab pipeline."""
+    from ..operators.bpe import (
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
+    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
+    held = base.filter(F.col("bucket") < 20).select("doc_id", "text")
+    vocab_tr = subword_vocab(train, "text")
+    rules = learn_subword_rules(train, "text", n_rules=3, vocab=vocab_tr)
+    idv = subword_id_vocab(vocab_tr, rules, oov="bytes").localCheckpoint()
+    return held, rules, idv
 
 
 def _gc_scratch_siblings(
@@ -11814,21 +11832,9 @@ def q_html_links_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "iterative"),
 )
 def q_bpe_decode_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import (
-        decode_corpus_ids,
-        encode_corpus_ids,
-        learn_subword_rules,
-        subword_id_vocab,
-        subword_vocab,
-    )
+    from ..operators.bpe import decode_corpus_ids, encode_corpus_ids
 
-    d = _t(spark, sf_dir, "documents")
-    base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
-    train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
-    held = base.filter(F.col("bucket") < 20).select("doc_id", "text")
-    vocab_tr = subword_vocab(train, "text")
-    rules = learn_subword_rules(train, "text", n_rules=3, vocab=vocab_tr)
-    idv = subword_id_vocab(vocab_tr, rules, oov="bytes")
+    held, rules, idv = _bpe_heldout_tokenizer(spark, sf_dir)
     enc = encode_corpus_ids(
         held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
     )
@@ -11942,8 +11948,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "text", _hash_bucket("doc_id").alias("bucket"))
     eval_docs = base.filter(F.col("bucket") < 20).select("doc_id", "text")
     train = base.filter(F.col("bucket") >= 20).select("doc_id", "text")
+    # bands=32 x rows=1 (not the production 16x2): P(candidate) =
+    # 1-(1-j)^32, i.e. >= 1 - 2^-32 at the j=0.5 oracle cutoff — the
+    # near-exact regime that makes the EXACT cross-pair oracle structurally
+    # sound rather than dependent on this corpus having no mid-band pairs
+    # (r14 review: at 16x2 a j=0.5 pair is missed with p≈1%). rows=1
+    # admits more candidates to verify, the right trade for a decontam
+    # gate whose misses poison evals; bulk dedup keeps 16x2.
     pairs = incremental_lsh_pairs(
-        base=train, new=eval_docs, threshold=0.5
+        base=train, new=eval_docs, threshold=0.5, num_hashes=32, bands=32
     )
     return (
         pairs.select(

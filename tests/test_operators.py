@@ -4251,3 +4251,45 @@ def test_ivfpq_filtered_probe_composes_with_tombstones(spark, tmp_path):
     key = lambda rows: {(r.query_id, r.rank, r.cand_id, r.cosine_sim)  # noqa: E731
                         for r in rows}
     assert key(v) == key(t)
+
+
+def test_bpe_decode_malformed_byte_run_fails_fast(spark):
+    # r14 review: F.decode emits U+FFFD for invalid UTF-8 instead of
+    # erroring; a token_ids array truncated mid-multibyte fallback run
+    # must RAISE, not splice replacement chars into the text.
+    import pytest
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.operators.bpe import (
+        decode_corpus_ids,
+        encode_corpus_ids,
+        learn_subword_rules,
+        subword_id_vocab,
+        subword_vocab,
+    )
+
+    train = spark.createDataFrame([(1, "low lower lowest")], ["doc_id", "text"])
+    held = spark.createDataFrame([(9, "日本")], ["doc_id", "text"])
+    vocab = subword_vocab(train, "text")
+    rules = learn_subword_rules(train, "text", 2, vocab=vocab)
+    idv = subword_id_vocab(vocab, rules, oov="bytes")
+    enc = encode_corpus_ids(
+        held, "doc_id", "text", rules, id_vocab=idv, oov="bytes"
+    )
+    # intact sequence roundtrips
+    ok = decode_corpus_ids(enc, idv, oov="bytes").collect()[0]
+    assert ok.text == "日本"
+    # cut INSIDE a CJK char's 3-byte fallback run (the last 5 ids are one
+    # byte of 本 + the 4 ASCII marker bytes): the remaining run is invalid
+    # UTF-8 and must raise, not decode to U+FFFD
+    cut = enc.select(
+        "doc_id",
+        F.expr("slice(token_ids, 1, size(token_ids) - 5)").alias("token_ids"),
+    )
+    # under ANSI (Spark 4 default) F.decode itself raises
+    # MALFORMED_CHARACTER_CODING; the operator's re-encode filter guard
+    # covers non-ANSI sessions with its own message — either way: LOUD
+    with pytest.raises(
+        Exception, match="malformed UTF-8|MALFORMED_CHARACTER_CODING"
+    ):
+        decode_corpus_ids(cut, idv, oov="bytes").collect()
