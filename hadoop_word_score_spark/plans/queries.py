@@ -355,6 +355,27 @@ _DRIVER_GREEN_R12 = frozenset({
     "vocab_coverage_topk", "zorder_keys"
 })
 
+_DRIVER_GREEN_R14 = frozenset({
+    "agg_stats", "bpe_decode_heldout", "bpe_encode_ids_heldout",
+    "corpus_importance_dsir", "cube_segment_status", "date_funcs",
+    "decontaminate_fuzzy", "dedup_jaccard_prefix",
+    "embedding_random_projection", "events_concurrency_hourly",
+    "events_mad_outliers", "events_ohlc_hourly", "events_psi_drift",
+    "filter_project", "html_extract_funnel", "html_extract_links",
+    "html_extract_text", "html_links_pagerank", "join_anti", "join_cross",
+    "join_interval_left_outer", "join_left_outer", "join_range_theta",
+    "join_semi", "json_funcs", "linkage_fuzzy_customers",
+    "linkage_sorted_neighbourhood", "math_funcs", "normalize_text_nfc",
+    "pit_join_events_customer_history", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "quality_bigram_logprob", "rollup_status_priority",
+    "sample_weighted_priority", "set_ops", "similarity_hard_negatives",
+    "similarity_topk_ivfpq_deleted", "snapshot_diff_orders",
+    "stats_histogram_equi_depth", "string_funcs", "topk_per_group",
+    "try_error_safe_funcs", "tumbling_window", "window_analytic",
+    "window_ranking", "window_running", "wordscore", "wordscore_top10"
+})
+
 
 def _oracle_fp(oracle: str | None) -> str:
     """Whitespace-insensitive fingerprint of an oracle's SQL text.
@@ -513,8 +534,10 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "bitwise_funcs": "14020aef671c",
     "bm25_ranking": "6bff8ce61029",
     "bpe_decode_corpus": "f2cb83b484a8",
+    "bpe_decode_heldout": "6164b1ad28cf",
     "bpe_encode_corpus": "c8c97e58a931",
     "bpe_encode_ids": "5852c3d5e645",
+    "bpe_encode_ids_heldout": "74e1cfbce0fc",
     "bpe_encode_lengths": "b8dc811b87a9",
     "bpe_encode_sequences": "137ab376b92f",
     "bpe_merge_rules": "337d9cdb287d",
@@ -536,6 +559,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "data_quality_report": "5c7bc04a92f9",
     "date_funcs": "e57b8125fb64",
     "decontaminate_bloom": "4158443f5f4d",
+    "decontaminate_fuzzy": "d5e929b2e65c",
     "decontaminate_ngrams": "f4c3b9888715",
     "dedup_apply_survivors": "007b73d0476e",
     "dedup_cluster_canonical": "f74f31934af5",
@@ -588,6 +612,10 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "heavy_hitters_terms": "eebdd3039a46",
     "histogram_totalprice": "8038b735944f",
     "hll_distinct_sketch": "822ed83be27d",
+    "html_extract_funnel": "9b9ad89a2549",
+    "html_extract_links": "a84704d25b09",
+    "html_extract_text": "a5af36f8d79e",
+    "html_links_pagerank": "9811ffb47c42",
     "inverted_index_terms": "978e182ca92d",
     "join_anti": "a42439ea4756",
     "join_cross": "9eefc1dae676",
@@ -613,6 +641,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "multimodal_meta": "0f99c74fe197",
     "multimodal_resize": "da5dd6feffc2",
     "multimodal_video_real": "a6ddc85b6827",
+    "normalize_text_nfc": "78eae27c221c",
     "null_semantics": "14f06cc19e8d",
     "pack_segments": "baef0aec88d9",
     "pack_sequences": "efcce867afee",
@@ -672,6 +701,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "similarity_topk_ivf": "7e42064e22c8",
     "similarity_topk_ivf_filtered": "c3a2afec22d4",
     "similarity_topk_ivfpq": "fbcae8bf8a13",
+    "similarity_topk_ivfpq_deleted": "79fd069a9d95",
     "similarity_topk_ivfpq_filtered": "7ae1768aeb9c",
     "similarity_topk_lsh": "8e7188ee3dd0",
     "sliding_window": "818260545727",
@@ -735,8 +765,10 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
     "bpe_decode_corpus": "8b129f4702b2",
+    "bpe_decode_heldout": "5be7c1a846ef",
     "bpe_encode_corpus": "c18f1683aca8",
     "bpe_encode_ids": "5bc0c1841a85",
+    "bpe_encode_ids_heldout": "c5e8bab496b3",
     "bpe_encode_lengths": "e13ecfed337f",
     "bpe_encode_sequences": "151a728658f1",
     "bpe_merge_rules": "e634eee2047b",
@@ -758,6 +790,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
     "decontaminate_bloom": "361611a6a1d8",
+    "decontaminate_fuzzy": "ed2f652e37cd",
     "decontaminate_ngrams": "d750fba75078",
     "dedup_apply_survivors": "5f54f881dca0",
     "dedup_cluster_canonical": "6b0bca20a2b7",
@@ -810,6 +843,10 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "heavy_hitters_terms": "a755b1f0b139",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
+    "html_extract_funnel": "2a2c1661b1ed",
+    "html_extract_links": "b449cc8ea222",
+    "html_extract_text": "a117644b0d32",
+    "html_links_pagerank": "e0c038d92fc7",
     "inverted_index_terms": "99540c07af09",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
@@ -835,6 +872,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "multimodal_meta": "9849b31049b3",
     "multimodal_resize": "f035ca630ce8",
     "multimodal_video_real": "adaf9e8b95af",
+    "normalize_text_nfc": "71b8455e7aad",
     "null_semantics": "c3e3e3c08e79",
     "pack_segments": "dc56cf5e9b3d",
     "pack_sequences": "ba1ba7d9a7b6",
@@ -894,6 +932,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "similarity_topk_ivf": "c0fbfcda297c",
     "similarity_topk_ivf_filtered": "fb64fafa26ef",
     "similarity_topk_ivfpq": "a92330b15303",
+    "similarity_topk_ivfpq_deleted": "91d9ecf6a344",
     "similarity_topk_ivfpq_filtered": "c4c06a9607d2",
     "similarity_topk_lsh": "0495e070c7f9",
     "sliding_window": "09b227c628d7",
@@ -952,6 +991,7 @@ def _history_round(name: str) -> int:
     """Most recent round whose driver run touched this query green,
     IGNORING fingerprint demotion (0 = never in any ledger)."""
     for rnd, ledger in (
+        (14, _DRIVER_GREEN_R14),
         (13, _DRIVER_GREEN_R13),
         (12, _DRIVER_GREEN_R12),
         (11, _DRIVER_GREEN_R11),
