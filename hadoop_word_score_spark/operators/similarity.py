@@ -532,25 +532,77 @@ def apply_ann_tombstones(
     )
 
 
+def ann_index_recover(path: str) -> int:
+    """Restore cells a crashed :func:`ann_index_vacuum` left mid-swap.
+
+    The vacuum's per-cell swap is rename-only: the live ``cell=c`` dir is
+    moved ASIDE (``{path}/_vacuum_aside/cell=c``) before the staged copy
+    is installed, so at no instant is the only copy of a surviving row
+    deleted. A crash between the two renames leaves the cell's rows in
+    the aside dir; this entry point moves them back. For a cell whose
+    swap DID complete (live dir present) the aside copy is stale and is
+    discarded. Called automatically on vacuum entry; exported so an
+    operator can restore serving without waiting for the next vacuum.
+    Returns the number of cells restored. Single-writer contract.
+
+    Safe ONLY while the tombstone manifest ordering below holds: the
+    vacuum deletes the aside dir BEFORE clearing tombstones, so any
+    aside this function can ever see coexists with the tombstones that
+    masked its dead rows — restoring a fully-tombstoned (dropped) cell
+    re-exposes rows the manifest still hides, and the retry re-drops
+    them. Clearing tombstones first would let a restore resurrect
+    deleted rows."""
+    import shutil
+
+    idx_dir = os.path.join(path, "index")
+    aside = os.path.join(path, "_vacuum_aside")
+    if not os.path.isdir(aside):
+        return 0
+    restored = 0
+    for e in sorted(os.scandir(aside), key=lambda e: e.name):
+        if not e.name.startswith("cell="):
+            continue
+        dst = os.path.join(idx_dir, e.name)
+        if os.path.isdir(dst):
+            # swap completed for this cell; the aside copy is stale
+            shutil.rmtree(e.path)
+        else:
+            os.replace(e.path, dst)
+            restored += 1
+    shutil.rmtree(aside, ignore_errors=True)
+    return restored
+
+
 def ann_index_vacuum(
     spark: SparkSession, path: str, id_col: str = "vec_id"
 ) -> dict:
     """Physically compact tombstoned rows out of the index: CELL-LOCAL
-    rewrite of only the touched partitions (the bucketed sink's staged
-    write + per-partition atomic rename discipline,
-    streaming/sinks.py::_bucketed_batch_write), then clear the manifest.
+    rewrite of only the touched partitions, then clear the manifest.
     Untouched cell directories are never read-for-write, staged, or
     renamed — receipt pinned by tests (file identity compared before and
     after). Returns ``{"cells_rewritten", "cells_dropped",
     "rows_removed"}``; a fully-emptied cell's directory is dropped.
 
+    Crash-safe via rename-aside (the ``compact_small_files`` discipline,
+    sources/sinks.py): survivors are staged OUTSIDE the index, then per
+    touched cell the live dir is renamed aside and the staged dir renamed
+    in — two atomic renames, never an unlink of the only copy. A crash at
+    ANY point loses nothing: entry runs :func:`ann_index_recover` (which
+    restores any cell still aside), and tombstones are cleared only after
+    the asides are gone, so a restored all-dead cell stays masked and is
+    re-dropped on retry. The stage dir is always disposable — survivors
+    are recomputable from live+aside state.
+
     The index ``_SUCCESS`` marker is re-touched so every staleness-keyed
     serving cache (index handle, centroids, codebooks) re-reads after the
-    compaction. Single-writer contract as above."""
+    compaction. Single-writer contract: a probe racing the swap window
+    may transiently miss an aside cell's rows until recovery runs."""
     import shutil
 
     idx_dir = os.path.join(path, "index")
     tomb_dir = os.path.join(path, "tombstones")
+    aside = os.path.join(path, "_vacuum_aside")
+    ann_index_recover(path)  # heal a crashed prior attempt BEFORE reading
     out = {"cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0}
     if not os.path.exists(os.path.join(tomb_dir, "_SUCCESS")):
         return out
@@ -576,19 +628,28 @@ def ann_index_vacuum(
         survivors.repartition("cell").write.partitionBy("cell").mode(
             "overwrite"
         ).parquet(stage)
+        os.makedirs(aside, exist_ok=True)
         for c in touched:
             src = os.path.join(stage, f"cell={c}")
             dst = os.path.join(idx_dir, f"cell={c}")
-            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(dst):
+                # atomic aside, NOT an unlink: the live rows survive any
+                # failure of the install rename below
+                os.replace(dst, os.path.join(aside, f"cell={c}"))
             if os.path.isdir(src):
                 os.replace(src, dst)
                 out["cells_rewritten"] += 1
             else:  # every row of the cell was tombstoned
                 out["cells_dropped"] += 1
     finally:
-        # a partially-renamed stage is safe to drop: un-renamed cells are
-        # rewritten on retry (tombstones are only cleared after success)
+        # disposable at every crash point: a cell's rows are either live
+        # (untouched or newly installed) or in the aside dir, which
+        # ann_index_recover restores on the next entry
         shutil.rmtree(stage, ignore_errors=True)
+    # ORDER CONTRACT (see ann_index_recover): asides go first, tombstones
+    # last, so a crash in between leaves a state where recovery can never
+    # resurrect rows the manifest no longer masks.
+    shutil.rmtree(aside, ignore_errors=True)
     marker = os.path.join(idx_dir, "_SUCCESS")
     if os.path.exists(marker):
         os.utime(marker)  # invalidate staleness-keyed serving caches

@@ -654,6 +654,158 @@ def test_similarity_raw_ivf_delete_parity(spark, tmp_path):
     assert key(post) == key(tomb)
 
 
+def _build_vacuum_fixture(spark, tmp_path):
+    """Small raw-IVF index + a tombstone batch that touches >=2 cells and
+    fully empties one of them; returns (path, expected survivor id set)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_delete,
+        persist_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(300)
+    path = str(tmp_path / "ivf_crash")
+    persist_ivf_index(em.select("vec_id", "embedding"), path, n_cells=8)
+    idx = spark.read.parquet(f"{path}/index")
+    cells = sorted(int(r[0]) for r in idx.select("cell").distinct().collect())
+    full_cell, partial_cell = cells[0], cells[1]
+    dead = (
+        idx.filter(F.col("cell") == full_cell).select("vec_id")
+        .unionByName(
+            idx.filter(F.col("cell") == partial_cell)
+            .select("vec_id").limit(3)
+        )
+    )
+    assert ann_index_delete(dead, path) == dead.count()
+    all_ids = {r.vec_id for r in idx.select("vec_id").collect()}
+    dead_ids = {r.vec_id for r in dead.collect()}
+    return path, all_ids - dead_ids
+
+
+def test_ann_vacuum_install_failure_loses_nothing(spark, tmp_path, monkeypatch):
+    # r14 verdict #1: the old swap rmtree'd the live cell dir before the
+    # install rename — a failure between the two destroyed the only copy
+    # of the survivors. Inject a failure into the INSTALL rename (after
+    # the live dir moved aside) and prove (a) the survivors still exist
+    # on disk, (b) a plain retry converges to the exact survivor set.
+    import os as _os
+
+    from hadoop_word_score_spark.operators.similarity import ann_index_vacuum
+
+    path, survivors = _build_vacuum_fixture(spark, tmp_path)
+    stage = f"{path}/_vacuum_stage"
+    real_replace = _os.replace
+    state = {"failed": False}
+
+    def failing_replace(src, dst):
+        if not state["failed"] and str(src).startswith(stage):
+            state["failed"] = True
+            raise OSError("injected: crash between aside and install")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", failing_replace)
+    with pytest.raises(OSError, match="injected"):
+        ann_index_vacuum(spark, path)
+    monkeypatch.setattr(_os, "replace", real_replace)
+
+    # the aside dir holds the cell whose install failed; no survivor row
+    # is gone from disk (live index ∪ aside covers the full survivor set)
+    aside = f"{path}/_vacuum_aside"
+    assert _os.path.isdir(aside) and any(
+        e.name.startswith("cell=") for e in _os.scandir(aside)
+    )
+    assert not _os.path.isdir(stage)  # stage is disposable, and dropped
+    on_disk = {r.vec_id for r in spark.read.parquet(f"{path}/index")
+               .select("vec_id").collect()}
+    on_disk |= {r.vec_id for r in spark.read.parquet(aside)
+                .select("vec_id").collect()}
+    assert survivors <= on_disk
+
+    # retry: recovery restores the aside, the vacuum completes, and the
+    # index is EXACTLY the survivor set — zero rows lost, zero resurrected
+    ann_index_vacuum(spark, path)
+    final = {r.vec_id for r in spark.read.parquet(f"{path}/index")
+             .select("vec_id").collect()}
+    assert final == survivors
+    assert not _os.path.isdir(aside)
+    assert not _os.path.exists(f"{path}/tombstones")
+
+
+def test_ann_vacuum_hard_crash_recovery(spark, tmp_path):
+    # Hard-kill simulation: the process died mid-swap, so no finally block
+    # ran — the stage dir is still on disk, one survivor-bearing cell and
+    # the fully-dead cell both sit in the aside dir, tombstones uncleared.
+    # The next vacuum must restore the asides (not treat the stage as the
+    # source of truth), then converge to the exact survivor set.
+    import os as _os
+    import shutil as _shutil
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_recover,
+        ann_index_vacuum,
+    )
+
+    path, survivors = _build_vacuum_fixture(spark, tmp_path)
+    idx_dir = f"{path}/index"
+    aside = f"{path}/_vacuum_aside"
+    cells = sorted(e.name for e in _os.scandir(idx_dir)
+                   if e.name.startswith("cell="))
+    _os.makedirs(aside)
+    # crashed state: two cells moved aside, a half-written stage left over
+    for name in cells[:2]:
+        _os.replace(f"{idx_dir}/{name}", f"{aside}/{name}")
+    _os.makedirs(f"{path}/_vacuum_stage/{cells[0]}")
+    _shutil.copytree(f"{aside}/{cells[1]}",
+                     f"{path}/_vacuum_stage/{cells[1]}")
+
+    assert ann_index_recover(path) == 2  # both cells restored
+    assert not _os.path.isdir(aside)
+    restored = {r.vec_id for r in spark.read.parquet(idx_dir)
+                .select("vec_id").collect()}
+    assert survivors <= restored  # nothing lost by the crash+recovery
+
+    ann_index_vacuum(spark, path)
+    final = {r.vec_id for r in spark.read.parquet(idx_dir)
+             .select("vec_id").collect()}
+    assert final == survivors
+    assert not _os.path.exists(f"{path}/tombstones")
+    assert not _os.path.isdir(f"{path}/_vacuum_stage")
+
+
+def test_ann_vacuum_crash_before_tombstone_clear(spark, tmp_path, monkeypatch):
+    # Crash window between aside cleanup and manifest clear: tombstones
+    # survive the swap. The retry must be a no-op that clears the manifest
+    # without touching (or resurrecting) any row.
+    import os as _os
+
+    from hadoop_word_score_spark.operators.similarity import ann_index_vacuum
+
+    path, survivors = _build_vacuum_fixture(spark, tmp_path)
+    real_utime = _os.utime
+
+    def failing_utime(*a, **kw):
+        raise OSError("injected: died before clearing tombstones")
+
+    monkeypatch.setattr(_os, "utime", failing_utime)
+    with pytest.raises(OSError, match="injected"):
+        ann_index_vacuum(spark, path)
+    monkeypatch.setattr(_os, "utime", real_utime)
+
+    assert _os.path.exists(f"{path}/tombstones/_SUCCESS")  # manifest kept
+    mid = {r.vec_id for r in spark.read.parquet(f"{path}/index")
+           .select("vec_id").collect()}
+    assert mid == survivors  # swap itself completed
+
+    out = ann_index_vacuum(spark, path)  # retry: nothing left to remove
+    assert out == {"cells_rewritten": 0, "cells_dropped": 0,
+                   "rows_removed": 0}
+    assert not _os.path.exists(f"{path}/tombstones")
+    final = {r.vec_id for r in spark.read.parquet(f"{path}/index")
+             .select("vec_id").collect()}
+    assert final == survivors
+
+
 def test_ivfpq_filtered_probe_respects_predicate_and_guards(spark, tmp_path):
     # r12 verdict #4: metadata columns in the index + a predicate pushed
     # into the pruned code scan. Pins: (1) every returned candidate
