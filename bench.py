@@ -245,9 +245,14 @@ def _run_isolated(name: str) -> dict:
         argv = [sys.executable, os.path.abspath(__file__), "--solo-stream", name]
     else:
         argv = [sys.executable, os.path.abspath(__file__), "--group", name]
+    # bounded: a wedged child JVM must not stall the whole bench at the
+    # adjudication step after all timing work is done (r14 advice) — the
+    # TimeoutExpired lands in _adjudicate_regressions' per-row try/except
+    # as a "rerun-failed" verdict
     proc = subprocess.run(
         argv, capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=900,
     )
     res = _parse_group_stdout(proc.stdout)
     if res is not None:

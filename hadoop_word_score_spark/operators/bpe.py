@@ -372,6 +372,9 @@ def subword_id_vocab(
     )
 
 
+_MODE_GUARD_OK: set[tuple[str, int, str | None]] = set()
+
+
 def _assert_id_vocab_mode(id_vocab: DataFrame, oov: str | None, who: str) -> None:
     """Mode-mismatch guard (r14 review): an unshifted table under
     oov='bytes' would drop its 256 most frequent subwords from the encode
@@ -381,7 +384,23 @@ def _assert_id_vocab_mode(id_vocab: DataFrame, oov: str | None, who: str) -> Non
     their Latin-1 table chars. The byte reserve is detectable
     structurally: ids are dense frequency ranks, so rows with sid <= 256
     exist either way, but only reserve rows carry sfreq = 0 for ALL of
-    them."""
+    them.
+
+    The check is one eager collect — a full job when the table is a
+    derived, non-checkpointed plan — so passing verdicts are memoized by
+    (application, semantic plan hash, oov): repeated encode/decode calls
+    over the same vocabulary pay it once (r14 advice). Failures are not
+    cached; they raise every time by construction."""
+    try:
+        key = (
+            id_vocab.sparkSession.sparkContext.applicationId,
+            id_vocab.semanticHash(),
+            oov,
+        )
+    except Exception:  # connect-mode or API drift: fall back to unmemoized
+        key = None
+    if key is not None and key in _MODE_GUARD_OK:
+        return
     low = id_vocab.filter(F.col("sid") <= N_BYTE_IDS).agg(
         F.count(F.lit(1)).alias("n"), F.max("sfreq").alias("mx")
     ).collect()[0]
@@ -399,19 +418,29 @@ def _assert_id_vocab_mode(id_vocab: DataFrame, oov: str | None, who: str) -> Non
             f"with oov='bytes') — pass oov='bytes', or ids will silently "
             f"mis-resolve"
         )
+    if key is not None:
+        _MODE_GUARD_OK.add(key)
 
 
 def byte_fallback_ids(s: Column) -> Column:
     """``array<int>`` of UTF-8 byte ids (byte + 1) for an OOV subword —
     the oov='bytes' fallback path. Pure JVM: hex the UTF-8 bytes, read
     2-char pairs. The hex recipe (not ascii()/char codepoints) is byte-
-    exact for any input and mirrors verbatim in the DuckDB oracle."""
+    exact for any input and mirrors verbatim in the DuckDB oracle.
+
+    Empty string -> empty array (guarded: sequence(1, 0) would infer step
+    -1 and emit two null ids, r14 advice); null passes through as null."""
     h = F.hex(F.encode(s, "UTF-8"))
-    return F.transform(
+    ids = F.transform(
         F.sequence(F.lit(1), (F.length(h) / 2).cast("int")),
         lambda i: (
             F.conv(F.substring(h, i * 2 - 1, 2), 16, 10).cast("int") + 1
         ),
+    )
+    return (
+        F.when(s.isNull(), F.lit(None).cast("array<int>"))
+        .when(F.length(s) > 0, ids)
+        .otherwise(F.array().cast("array<int>"))
     )
 
 

@@ -2033,6 +2033,53 @@ def test_bpe_oov_byte_fallback_roundtrip(spark):
     assert base_ids == oov_ids
 
 
+def test_byte_fallback_ids_empty_and_null(spark):
+    # r14 advice: sequence(1, 0) infers step -1 and yields [1, 0], so an
+    # empty string produced two null ids from this exported helper; pin
+    # empty -> [] and null -> null (and the byte recipe itself unchanged).
+    from hadoop_word_score_spark.operators.bpe import byte_fallback_ids
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, ""), (3, None), (4, "é")], ["i", "s"]
+    )
+    got = {r.i: r.ids for r in df.select(
+        "i", byte_fallback_ids(F.col("s")).alias("ids")).collect()}
+    assert got[1] == [ord("h") + 1, ord("i") + 1]
+    assert got[2] == []
+    assert got[3] is None
+    assert got[4] == [0xC3 + 1, 0xA9 + 1]  # UTF-8 bytes of é, byte+1
+
+
+def test_bpe_mode_guard_memoized(spark):
+    # r14 advice: the mode guard ran a full eager collect on EVERY encode/
+    # decode call. A passing verdict is now memoized by semantic plan hash,
+    # so a repeat call over the same vocabulary triggers no new job.
+    from hadoop_word_score_spark.operators import bpe as _bpe
+
+    train = spark.createDataFrame([(1, "low lower low")], ["doc_id", "text"])
+    vocab = _bpe.subword_vocab(train, "text")
+    rules = _bpe.learn_subword_rules(train, "text", 2, vocab=vocab)
+    idv = _bpe.subword_id_vocab(vocab, rules, oov="bytes").cache()
+    _bpe._MODE_GUARD_OK.clear()
+    _bpe._assert_id_vocab_mode(idv, "bytes", "test")
+    assert len(_bpe._MODE_GUARD_OK) == 1
+    # second call short-circuits before the collect: poison the filter
+    # path the guard would take and prove it is never reached
+    class _Boom:
+        def __getattr__(self, _):
+            raise AssertionError("guard re-ran its collect on a memo hit")
+    poisoned = idv  # same semantic hash
+    orig_filter = type(poisoned).filter
+    try:
+        type(poisoned).filter = lambda *a, **k: _Boom()
+        _bpe._assert_id_vocab_mode(poisoned, "bytes", "test")
+    finally:
+        type(poisoned).filter = orig_filter
+    # a DIFFERENT oov claim is a different key: the guard still fires
+    with pytest.raises(ValueError, match="byte reserve"):
+        _bpe._assert_id_vocab_mode(idv, None, "test")
+
+
 def test_bpe_tokenizer_artifact_ships_oov_mode(spark, tmp_path):
     # A bytes-mode tokenizer must carry its byte-reserve contract through
     # persist/reload: the loaded mode feeds encode_corpus_ids directly and
