@@ -98,6 +98,94 @@ def hashed_linear_score(
     )
 
 
+def hashed_multiclass_score(
+    df: DataFrame,
+    class_weights: list[tuple[str, list[int]]],
+    text_col: str = "text",
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Append (n_features, pred, margin): K-class argmax serving — the
+    fastText-style language/domain-ID stage (CCNet, RefinedWeb) over the
+    same hashed unigram+bigram features as :func:`hashed_linear_score`.
+
+    ``class_weights``: ordered (label, integer table) pairs, all tables
+    the same length; real weight of bucket b for class k is
+    ``table_k[b] / weight_scale``. The K tables ride into the scan as ONE
+    constant-folded ``map<bucket, array<int>>`` literal, so scoring all K
+    classes is still a single tokenize + fold pass per document (the
+    accumulator is an array<long> of K exact sums — K never multiplies
+    the number of passes over the text). Ties break to the FIRST class in
+    the given order (array_position returns the first maximum), a rule an
+    oracle can mirror with a >=-chained CASE. Zero-token rows are dropped,
+    same contract as the binary scorer. Margin is the winning class's
+    mean feature weight — one double division, bit-exact cross-engine.
+
+    Scale shape: zero shuffles, zero joins — the most-executed routing
+    decision of a 100 TB pipeline stays inside the scan projection, and
+    K*buckets literal ints (a few thousand) are well under literal-map
+    limits."""
+    if len(class_weights) < 2:
+        raise ValueError("hashed_multiclass_score: need >= 2 classes")
+    labels = [c for c, _ in class_weights]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"hashed_multiclass_score: duplicate labels {labels}")
+    tables = [w for _, w in class_weights]
+    buckets = len(tables[0])
+    if buckets == 0 or any(len(t) != buckets for t in tables):
+        raise ValueError(
+            "hashed_multiclass_score: all weight tables must share one "
+            f"non-zero length (got {[len(t) for t in tables]})"
+        )
+    for lbl, t in class_weights:
+        if not all(isinstance(w, int) for w in t):
+            raise ValueError(
+                f"hashed_multiclass_score: class {lbl!r} has non-integer "
+                "weights (scale by weight_scale to keep sums exact)"
+            )
+    from ..functions.hashing import unigram_bigram_feats_expr
+    from ..functions.text import DELIM_CLASS
+
+    k = len(tables)
+    wmap = F.create_map(
+        *[
+            v
+            for b in range(buckets)
+            for v in (F.lit(b), F.array(*[F.lit(t[b]) for t in tables]))
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), k)
+    scores = F.aggregate(
+        F.expr(unigram_bigram_feats_expr(text_col)),
+        zeros,
+        lambda acc, x: F.zip_with(
+            acc, F.element_at(wmap, _bucket(x, buckets)), lambda a, w: a + w
+        ),
+    )
+    ntok = F.size(
+        F.filter(F.split(F.col(text_col), DELIM_CLASS), lambda x: x != "")
+    ).cast("long")
+    class_lit = F.array(*[F.lit(c) for c in labels])
+    return (
+        df.select(
+            "*",
+            F.when(ntok >= 2, 2 * ntok - 1).otherwise(ntok).alias("n_features"),
+            scores.alias("_ws"),
+        )
+        .filter(F.col("n_features") >= 1)
+        .select(
+            *df.columns,
+            "n_features",
+            F.element_at(
+                class_lit, F.array_position(F.col("_ws"), F.array_max("_ws")).cast("int")
+            ).alias("pred"),
+            (
+                F.array_max("_ws")
+                / (F.col("n_features") * F.lit(float(weight_scale)))
+            ).alias("margin"),
+        )
+    )
+
+
 def train_hashed_logreg(
     df: DataFrame,
     label_col: str,
@@ -436,3 +524,188 @@ def train_hashed_logreg_fast(
         bias -= lr * grad_b
         history.append(loss)
     return list(w), bias, history
+
+
+def train_hashed_softmax_fast(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    buckets: int = 256,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> tuple[list[str], np.ndarray, np.ndarray, list[float]]:
+    """K-class softmax trainer, fast family — the fit loop behind a
+    language/domain-ID stage. Same shape discipline as
+    ``train_hashed_logreg_fast``: per iteration ONE Spark action, each
+    Arrow batch featurizes once and scatter-adds a (K x buckets) gradient
+    block; the shuffle is (touched (class, bucket) pairs + 1 sentinel)
+    rows per batch, never corpus-sized, so corpus scale only changes the
+    scan, not the aggregation.
+
+    Labels are the distinct string values of ``label_col`` (collected
+    once, sorted — bounded by K). Returns (classes, W[K x buckets],
+    biases[K], loss history); serve with
+    ``hashed_multiclass_score_fast(df, classes, W, biases)`` (same hash
+    family — weights do NOT transfer to the md5/SQL family), or export
+    each row via ``export_weights(W[k], biases[k])`` for the md5-parity
+    :func:`hashed_multiclass_score` ONLY if they were trained in that
+    family. Gradient: resid[d, k] = softmax(margin)[k] - onehot(y)[k];
+    mean-pooled features sum to 1 per doc, so each class's bias gradient
+    is the row-sum of its weight-gradient partials, same trick as the
+    binary loop."""
+    classes = sorted(
+        r[0]
+        for r in df.select(F.col(label_col).cast("string")).distinct().collect()
+        if r[0] is not None
+    )
+    if len(classes) < 2:
+        raise ValueError(
+            f"train_hashed_softmax_fast: need >= 2 label values, got {classes}"
+        )
+    k = len(classes)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    w = np.zeros((k, buckets), dtype=np.float64)
+    biases = np.zeros(k, dtype=np.float64)
+    history: list[float] = []
+    src = df.select(
+        F.col(label_col).cast("string").alias("y"),
+        F.col(text_col).alias("t"),
+    )
+    out_schema = "k int, b int, g double, ls double, n double"
+
+    for _ in range(iters):
+        w_snap = w.copy()
+        b_snap = biases.copy()
+
+        def partials(batches, _w=w_snap, _b=b_snap):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                doc_of, bk, n_feats = _fast_feature_arrays(pdf["t"], buckets)
+                y = pdf["y"].map(cls_idx).to_numpy()
+                if pd.isna(y).any():
+                    bad = sorted(set(pdf["y"]) - set(cls_idx))
+                    raise ValueError(
+                        f"train_hashed_softmax_fast: unknown labels {bad}"
+                    )
+                y = y.astype(np.int64)
+                keep = n_feats >= 1
+                nf = np.where(keep, n_feats, 1).astype(np.float64)
+                wsum = np.zeros((len(pdf), k))
+                np.add.at(wsum, doc_of, _w[:, bk].T)
+                logits = wsum / nf[:, None] + _b[None, :]
+                logits -= logits.max(axis=1, keepdims=True)  # stable softmax
+                p = np.exp(logits)
+                p /= p.sum(axis=1, keepdims=True)
+                resid = p.copy()
+                resid[np.arange(len(pdf)), y] -= 1.0
+                resid[~keep, :] = 0.0
+                loss = np.where(
+                    keep,
+                    -np.log(np.maximum(p[np.arange(len(pdf)), y], 1e-12)),
+                    0.0,
+                )
+                gblock = np.zeros((k, buckets))
+                contrib = (resid / nf[:, None])[doc_of, :]  # (n_occ, K)
+                for ki in range(k):
+                    np.add.at(gblock[ki], bk, contrib[:, ki])
+                kk, bb = np.nonzero(gblock)
+                yield pd.DataFrame(
+                    {
+                        "k": np.concatenate([kk, [-1]]).astype(np.int32),
+                        "b": np.concatenate([bb, [-1]]).astype(np.int32),
+                        "g": np.concatenate([gblock[kk, bb], [0.0]]),
+                        "ls": np.concatenate(
+                            [np.zeros(kk.size), [float(loss.sum())]]
+                        ),
+                        "n": np.concatenate(
+                            [np.zeros(kk.size), [float(keep.sum())]]
+                        ),
+                    }
+                )
+
+        parts = (
+            src.mapInPandas(partials, out_schema)
+            .groupBy("k", "b")
+            .agg(
+                F.sum("g").alias("g"),
+                F.sum("ls").alias("ls"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        n_docs = sum(r["n"] for r in parts)
+        if n_docs == 0:
+            break
+        grad = np.zeros((k, buckets))
+        loss = 0.0
+        for r in parts:
+            if r["k"] >= 0:
+                grad[r["k"], r["b"]] = r["g"] / n_docs
+            loss += r["ls"] / n_docs
+        w = w - lr * (grad + l2 * w)
+        biases = biases - lr * grad.sum(axis=1)  # features sum to 1 per doc
+        history.append(loss)
+    return classes, w, biases, history
+
+
+def hashed_multiclass_score_fast(
+    df: DataFrame,
+    classes: list[str],
+    weights,
+    biases=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fast-family K-class serving: append (n_features, pred, margin) via
+    one Arrow pass — the serving half of ``train_hashed_softmax_fast``
+    (same hash family; md5-family tables do not transfer). ``margin`` is
+    the winning class's pre-softmax logit (mean feature weight + bias);
+    ties break to the first class, matching the md5-family scorer."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(weights, dtype=np.float64)
+    if w.ndim != 2 or w.shape[0] != len(classes) or len(classes) < 2:
+        raise ValueError(
+            f"hashed_multiclass_score_fast: weights must be (K x buckets) "
+            f"with K = len(classes) >= 2, got {w.shape} for {len(classes)}"
+        )
+    b = (
+        np.zeros(len(classes))
+        if biases is None
+        else np.asarray(biases, dtype=np.float64)
+    )
+    if b.shape != (len(classes),):
+        raise ValueError(
+            f"hashed_multiclass_score_fast: biases must have one entry per "
+            f"class, got {b.shape}"
+        )
+    buckets = int(w.shape[1])
+    cls = list(classes)
+
+    @pandas_udf("struct<n_features: bigint, pred: string, margin: double>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        doc_of, bk, n_feats = _fast_feature_arrays(texts, buckets)
+        wsum = np.zeros((len(texts), len(cls)))
+        np.add.at(wsum, doc_of, w[:, bk].T)
+        nf = np.where(n_feats > 0, n_feats, 1)
+        logits = wsum / nf[:, None] + b[None, :]
+        best = logits.argmax(axis=1)  # first maximum on ties
+        return pd.DataFrame(
+            {
+                "n_features": n_feats,
+                "pred": [cls[i] for i in best],
+                "margin": logits[np.arange(len(texts)), best],
+            }
+        )
+
+    return (
+        df.select("*", score(F.col(text_col)).alias("_s"))
+        .filter(F.col("_s.n_features") >= 1)
+        .select(
+            *df.columns,
+            F.col("_s.n_features").alias("n_features"),
+            F.col("_s.pred").alias("pred"),
+            F.col("_s.margin").alias("margin"),
+        )
+    )

@@ -5688,7 +5688,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_PREP_SQL = """
 WITH base AS (
-    SELECT doc_id, source, text,
+    SELECT doc_id, source, lang, text,
            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 100 AS bucket,
            list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
@@ -5697,7 +5697,7 @@ WITH base AS (
 ),
 train AS (SELECT * FROM base WHERE bucket >= 20 AND len(w) > 0),
 flags AS (
-    SELECT *,
+    SELECT * EXCLUDE (bks, s_de, s_en, s_es, s_fr, s_zh),
            (1.0 - len(list_distinct(w)) * 1.0 / len(w)) <= 0.6 AS pass_q,
            list_sum(list_transform(
                w || CASE WHEN len(w) >= 2
@@ -5707,8 +5707,42 @@ flags AS (
                x -> (CAST(concat('0x', substr(md5('qcw:' || CAST(
                         CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
                             % 256 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001)
-                    - 1000)) >= 0 AS pass_m
-    FROM train
+                    - 1000)) >= 0 AS pass_m,
+           (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                      AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END) = lang AS pass_l
+    FROM (
+        SELECT *,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:de:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_de,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:en:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_en,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:es:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_es,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:fr:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_fr,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:zh:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_zh
+        FROM (
+            SELECT *,
+                   list_transform(
+                       w || CASE WHEN len(w) >= 2
+                                 THEN list_transform(range(1, len(w)),
+                                                     i -> w[i] || ' ' || w[i+1])
+                                 ELSE [] END,
+                       x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                            % 256) AS bks
+            FROM train
+        )
+    )
 ),
 surv AS (
     SELECT *,
@@ -5743,7 +5777,9 @@ SELECT source,
        CAST(COUNT(*) FILTER (WHERE is_surv AND doc_id NOT IN
             (SELECT doc_id FROM contam)) AS BIGINT) AS n_clean,
        CAST(COUNT(*) FILTER (WHERE is_surv AND pass_m AND doc_id NOT IN
-            (SELECT doc_id FROM contam)) AS BIGINT) AS n_model
+            (SELECT doc_id FROM contam)) AS BIGINT) AS n_model,
+       CAST(COUNT(*) FILTER (WHERE is_surv AND pass_m AND pass_l AND doc_id
+            NOT IN (SELECT doc_id FROM contam)) AS BIGINT) AS n_langid
 FROM surv
 GROUP BY source
 ORDER BY source
@@ -5760,32 +5796,43 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The END-TO-END corpus-prep job, composed from the individually-proven
     # stages: train-side selection -> Gopher repetition filter -> exact
     # dedup survivors -> eval 5-gram decontamination -> model-based quality
-    # gate (the DCLM/FineWeb-Edu classifier stage, r13 verdict missing #4),
-    # reported as a per-source funnel (docs surviving each stage). Plan
-    # shape: per-doc stage FLAGS in one relation (scan + one content-hash
-    # window shuffle), so the funnel is a single conditional aggregation,
-    # not five chained materializations; the classifier margin is a
-    # scan-side fold with the weight table as a constant-folded literal map
+    # gate (the DCLM/FineWeb-Edu classifier stage, r13 verdict missing #4)
+    # -> language-ID routing gate (r14 verdict #3: the K-class classifier
+    # PREDICTS the lang the funnel previously took as given; a doc is kept
+    # when the prediction agrees with the recorded lang), reported as a
+    # per-source funnel (docs surviving each stage). Plan shape: per-doc
+    # stage FLAGS in one relation (scan + one content-hash window shuffle),
+    # so the funnel is a single conditional aggregation, not six chained
+    # materializations; both classifier stages are scan-side folds with
+    # their weight tables as constant-folded literal maps
     # (operators/classifier.py), adding zero shuffles; the contamination
     # check re-derives survivor shingles scan-side (the heavy-hitters
     # two-scan cost shape) and joins the bounded eval shingle set broadcast.
     from pyspark.sql import Window
 
     from ..functions.hashing import shingles
-    from ..operators.classifier import hashed_linear_score
+    from ..operators.classifier import (
+        hashed_linear_score,
+        hashed_multiclass_score,
+    )
 
     d = _t(spark, sf_dir, "documents")
     bucket = _hash_bucket("doc_id")
     toks = F.array_remove(F.split("text", DELIM_CLASS), "")
-    base = d.select("doc_id", "source", "text", bucket.alias("bucket"))
+    base = d.select("doc_id", "source", "lang", "text", bucket.alias("bucket"))
     train = base.filter((F.col("bucket") >= 20) & (F.size(toks) > 0))
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
     flags = (
-        # every train row has >= 1 token, so the operator's zero-feature
-        # drop is vacuous here and row counts are preserved
-        hashed_linear_score(train, weights=_qc_weights())
-        .withColumn("pass_m", F.col("margin") >= 0.0)
-        .drop("n_features", "margin")
+        # every train row has >= 1 token, so both operators' zero-feature
+        # drops are vacuous here and row counts are preserved
+        hashed_multiclass_score(
+            hashed_linear_score(train, weights=_qc_weights())
+            .withColumn("pass_m", F.col("margin") >= 0.0)
+            .drop("n_features", "margin"),
+            [(c, _lc_weights(c)) for c in _LC_CLASSES],
+        )
+        .withColumn("pass_l", F.col("pred") == F.col("lang"))
+        .drop("n_features", "pred", "margin")
         .withColumn("pass_q", dup_ratio <= 0.6)
     )
     w_hash = Window.partitionBy(F.md5(F.col("text").cast("binary")))
@@ -5822,6 +5869,14 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & ~F.coalesce(F.col("contaminated"), F.lit(False))
                 ).cast("int")
             ).cast("long").alias("n_model"),
+            F.sum(
+                (
+                    F.col("is_surv")
+                    & F.col("pass_m")
+                    & F.col("pass_l")
+                    & ~F.coalesce(F.col("contaminated"), F.lit(False))
+                ).cast("int")
+            ).cast("long").alias("n_langid"),
         )
         .orderBy("source")
     )
@@ -11187,6 +11242,118 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_features",
             "margin",
             (F.col("margin") >= 0.0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LC_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def _lc_weights(cls: str, buckets: int = _QC_BUCKETS) -> list[int]:
+    """Per-class deterministic stand-in weight table for the language-ID
+    stage — md5-seeded like _qc_weights but keyed by class, so the DuckDB
+    oracle rebuilds all K tables inline."""
+    return [
+        (int(hashlib.md5(f"lcw:{cls}:{b}".encode()).hexdigest()[:8], 16) % 2001)
+        - 1000
+        for b in range(buckets)
+    ]
+
+
+@register(
+    "lang_classifier_score",
+    # The multiclass routing stage (fastText-style language/domain ID in
+    # CCNet / RefinedWeb pipelines): K=5 hashed linear models served as a
+    # scan-side argmax — ONE tokenize+fold pass per document with an
+    # array<long> accumulator, all five weight tables constant-folded into
+    # a single map<bucket, array<int>> literal. This is the stage that
+    # PREDICTS the `lang` column the prep funnel and the stratified
+    # samplers take as given (the given column stays in the output for
+    # agreement auditing). Ties break to the first class in sorted order,
+    # mirrored by the oracle's >=-chained CASE; integer sums keep the
+    # margin one bit-exact double division. The weight tables are
+    # deterministic md5-derived stand-ins (no learned model ships in the
+    # container); operators/classifier.py::train_hashed_softmax_fast fits
+    # real ones in the same serving shape.
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang, CAST(len(fs) AS BIGINT) AS n_features,
+               list_transform(fs, x ->
+                   CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT) % 256
+               ) AS bks
+        FROM (
+            SELECT doc_id, lang,
+                   w || CASE WHEN len(w) >= 2
+                             THEN list_transform(range(1, len(w)),
+                                                 i -> w[i] || ' ' || w[i+1])
+                             ELSE [] END AS fs
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                     x -> x <> '') AS w
+                  FROM documents)
+            WHERE len(w) >= 1
+        )
+    ), scored AS (
+        SELECT doc_id, lang, n_features,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:de:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_de,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:en:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_en,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:es:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_es,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:fr:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_fr,
+               CAST(list_sum(list_transform(bks, b ->
+                   (CAST(concat('0x', substr(md5('lcw:zh:' || CAST(b AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2001) - 1000)) AS BIGINT) AS s_zh
+        FROM feat
+    )
+    SELECT doc_id, lang, n_features,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                     AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+               / (n_features * 1000.0) AS margin,
+           (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                      AND s_de >= s_zh THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END) = lang AS agree
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality", "pipeline"),
+    bench=True,
+)
+def q_lang_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serving lives on the operator
+    # (operators/classifier.py::hashed_multiclass_score): zero shuffles,
+    # zero joins — the routing decision of a 100 TB pipeline stays inside
+    # the scan projection no matter how many classes ride along.
+    from ..operators.classifier import hashed_multiclass_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hashed_multiclass_score(
+            d.select("doc_id", "lang", "text"),
+            [(c, _lc_weights(c)) for c in _LC_CLASSES],
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_features",
+            F.col("pred").alias("pred_lang"),
+            "margin",
+            (F.col("pred") == F.col("lang")).alias("agree"),
         )
         .orderBy("doc_id")
     )
