@@ -724,6 +724,72 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over an ALREADY-MATERIALIZED
+    64-bit hash column — the banding core of :func:`simhash_near_pairs`
+    generalized to any hash family (r14 verdict #4: perceptual image
+    hashes, operators/multimodal.py::image_ahash64/image_dhash64, reuse
+    this instead of growing their own join).
+
+    Same pigeonhole guarantee: ``chunks`` pieces of 64/chunks bits each —
+    any pair within distance <= chunks-1 agrees on >= 1 piece, so the
+    single (chunk_idx, chunk_val) shuffle finds ALL of them; the result
+    is exactly the all-pairs filter, never a recall trade. ``max_hamming``
+    must stay <= chunks-1 or the guarantee breaks — guarded loudly.
+
+    Unlike simhash_near_pairs (where the hash is an expression and a
+    let-binding stops re-evaluation), the hash here is a real attribute
+    (typically out of a mapInPandas decode stage), so referencing it in
+    the chunk transform costs nothing extra."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"hamming_near_pairs: max_hamming={max_hamming} needs > "
+            f"{chunks} chunks for the pigeonhole guarantee (got {chunks})"
+        )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col(hash_col), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "h", "p.chunk_idx", "p.chunk_val")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        pieces.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("id", "h")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode("docs").alias("a"), "docs")
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dedup_lines_keep_first(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -510,3 +510,115 @@ def with_pgm_video_payload(
         return pd.Series(out)
 
     return docs.withColumn("payload", render(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup hashes (r14 verdict #4): extend the dedup family to the
+# image modality. aHash/dHash over the REAL raster decode — 64-bit hashes a
+# banded Hamming join (operators/dedup.py::hamming_near_pairs) turns into
+# candidate pairs without an all-pairs pass.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def _perceptual_gray8(payload: bytes, w: int, h: int):
+    """Decoded luma raster resized to (h, w), or None for payloads no real
+    backend recognizes. Tier order differs from metadata decode ON PURPOSE:
+    the built-in codecs go FIRST so the hash of a PPM/PGM/BMP payload never
+    depends on whether the optional Pillow wheel is present (two backends
+    can disagree on subpixel details; a perceptual hash must be stable
+    across runtimes or incremental dedup would churn)."""
+    try:
+        arr = _codecs.decode_rgb(payload)
+    except ValueError:
+        return None  # recognized-but-broken: no stable hash exists
+    if arr is None and _PILImage is not None:
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                arr = np.asarray(im.convert("RGB"))
+        except Exception:
+            arr = None
+    if arr is None:
+        return None
+    return _codecs.resize_nearest(_codecs.to_gray(arr), w, h)
+
+
+def _bits_to_i64(bits) -> int:
+    """Row-major bit vector (index k = bit k) -> signed two's-complement
+    int64 (numpy/Arrow-friendly; Spark longs wrap identically)."""
+    v = 0
+    for k, b in enumerate(bits):
+        if b:
+            v |= 1 << k
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_ahash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, ahash): 64-bit average-hash over the real decode path.
+
+    Recipe (every step integer-exact so a SQL oracle can rebuild it):
+    decode -> ITU-601 luma (to_gray) -> 8x8 nearest-neighbour resample
+    (resize_nearest's floor grid) -> bit k (row-major, k = 8*r + c) is 1
+    iff 64 * pixel_k > sum(pixels) (strictly greater: pixels equal to the
+    mean contribute 0, no division anywhere). Rows whose payload no real
+    backend decodes are DROPPED — a perceptual hash of non-image bytes is
+    noise, and the md5 fake tier exists for metadata, not similarity.
+
+    Scale shape: mapInPandas, narrow, zero shuffles — hashing rides the
+    scan like every other decode stage; the downstream banded join is
+    where the (only) shuffle happens.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                g = _perceptual_gray8(_nz(payload), 8, 8)
+                if g is None:
+                    continue
+                v = g.astype(np.int64).reshape(-1)
+                s = int(v.sum())
+                ids.append(i)
+                hashes.append(_bits_to_i64(64 * v > s))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def image_dhash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, dhash): 64-bit difference-hash (horizontal gradient sign)
+    — the aHash sibling that is insensitive to global brightness shifts:
+    resample to 9x8, bit k (= 8*r + c) is 1 iff pixel[r, c+1] > pixel[r, c].
+    Same decode tiering, drop rule, and scale shape as image_ahash64."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                g = _perceptual_gray8(_nz(payload), 9, 8)
+                if g is None:
+                    continue
+                v = g.astype(np.int64)
+                ids.append(i)
+                hashes.append(_bits_to_i64((v[:, 1:] > v[:, :-1]).reshape(-1)))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=DHASH_SCHEMA)

@@ -4286,6 +4286,98 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_near_phash",
+    # Perceptual near-dup for the IMAGE modality (r14 verdict #4): extend
+    # dedup to multimodal columns. Payloads are genuine PGM rasters
+    # rendered in-pipeline (gray rows = the doc's ASCII bytes, the
+    # multimodal_decode_real fixture), PLUS planted near-identical copies:
+    # every 5th doc of >= 113 bytes (>= 8 raster rows, so the floor
+    # grid samples each source row at most once) re-rendered with
+    # characters 1 and 3 SWAPPED. BOTH positions sit on the 8x8
+    # nearest-neighbour sample grid (row 0, columns 0 and 2) and nowhere
+    # else, so the swap permutes two SAMPLED pixels: the sampled sum —
+    # the aHash threshold — is invariant, the only bits that can differ
+    # are the two swapped positions, and they flip together or not at
+    # all. Each planted pair is therefore at hamming 0 or 2 BY
+    # CONSTRUCTION — genuinely near-dup, guaranteed under the join's
+    # threshold of 3 (the 100% recall pin in tests/test_operators.py;
+    # shorter docs duplicate grid rows and can flip 4 bits, found
+    # empirically at sf0.001). The Spark side runs
+    # the REAL pipeline: decode -> luma -> 8x8 nearest resample ->
+    # mean-threshold aHash (mapInPandas, narrow) -> pigeonhole-banded
+    # Hamming join (ONE shuffle on (chunk_idx, chunk_val) — exact for
+    # hamming <= chunks-1, never a recall trade). The oracle never
+    # decodes anything: every sampled pixel is closed-form text
+    # arithmetic (grid ((r*h)//8)*16 + 2c, pad byte 32, strict
+    # 64*v > sum threshold), the hash is rebuilt as two 32-bit halves
+    # (BIGINT-safe), and pairs are the brute-force all-pairs filter the
+    # banding must reproduce exactly.
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text[3] || text[2] || text[1] || substr(text, 4)
+        FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 113
+    ), geom AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS olen,
+               greatest(1, (octet_length(encode(text)) + 15) // 16) AS h
+        FROM src
+    ), vals AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   CASE WHEN ((((k // 8) * h) // 8) * 16 + 2 * (k % 8) + 1)
+                             <= olen
+                        THEN ord(text[(((k // 8) * h) // 8) * 16
+                                      + 2 * (k % 8) + 1])
+                        ELSE 32 END) AS v
+        FROM geom
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN 64 * v[k + 1] > s
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+                   AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN 64 * v[k + 1] > s
+                        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
+                   AS BIGINT) AS hi
+        FROM (SELECT doc_id, v, list_sum(v) AS s FROM vals)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+    bench=True,
+)
+def q_dedup_near_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: render + decode + hash are one narrow Arrow pass over
+    # the scan; the banded join shuffles 16 bytes/row x 4 chunks and finds
+    # every pair at hamming <= 3 by pigeonhole — no all-pairs anywhere.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import image_ahash64, with_pgm_payload
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 113)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 3, 1) || substr(text, 2, 1) || substr(text, 1, 1)"
+            " || substr(text, 4)"
+        ).alias("text"),
+    )
+    hashed = image_ahash64(with_pgm_payload(d.unionByName(perturbed)))
+    return hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="ahash", max_hamming=3, chunks=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "multimodal_audio_real",
     # THE REAL AUDIO CODEC PATH, hash-checked — the audio sibling of
     # multimodal_decode_real: payloads are genuine RIFF/WAVE PCM16 blobs
