@@ -82,7 +82,10 @@ BOILERPLATE_PHRASES = (
 
 
 def render_markup(
-    text: Column, doc_id: Column, link_ids: Column | None = None
+    text: Column,
+    doc_id: Column,
+    link_ids: Column | None = None,
+    extra_block: Column | None = None,
 ) -> Column:
     """Wrap a clean text column in the deterministic HTML template.
 
@@ -95,6 +98,10 @@ def render_markup(
     between the content div and the footer — the fixture for link-graph
     extraction (:func:`extract_link_ids`). Link-less renders are
     byte-identical to the pre-link template.
+
+    ``extra_block`` (optional, string Column): verbatim HTML inserted
+    after the links block, still inside ``<body>`` — e.g. the external
+    sources block of :func:`render_source_links`.
     """
     esc = F.replace(text, F.lit("&"), F.lit("&amp;"))
     esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
@@ -127,7 +134,26 @@ def render_markup(
         body,
         F.lit(MARKUP_TAIL_DIV),
         links,
+        F.lit("") if extra_block is None else extra_block,
         F.lit(MARKUP_FOOTER),
+    )
+
+
+def render_source_links(urls: Column) -> Column:
+    """``<p class="sources">`` block of absolute-URL anchors — the fixture
+    for external-link extraction (:func:`extract_urls`)."""
+    return F.concat(
+        F.lit('<p class="sources">'),
+        F.array_join(
+            F.transform(
+                urls,
+                lambda u: F.concat(
+                    F.lit('<a href="'), u, F.lit('">source</a>')
+                ),
+            ),
+            "",
+        ),
+        F.lit("</p>"),
     )
 
 
@@ -139,6 +165,68 @@ def extract_link_ids(html: Column) -> Column:
         F.regexp_extract_all(html, F.lit('<a href="/doc/([0-9]+)">'), 1),
         lambda s: s.cast("long"),
     )
+
+
+def extract_urls(html: Column) -> Column:
+    """``array<string>`` of absolute http(s) link targets in page order —
+    the external half of the crawl graph (:func:`extract_link_ids` covers
+    internal `/doc/N` links). Pure regexp, one pass per page. The scheme
+    match is case-insensitive (schemes are, RFC 3986 §3.1 — and crawled
+    HTML really does contain ``HTTPS://``); the canonicalizer is what
+    folds the case."""
+    return F.regexp_extract_all(
+        html, F.lit('<a href="((?i:https?)://[^"]+)"'), 1
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the dedup key of a
+    crawl frontier (r14 verdict #6). Pure Column (regexp + array ops,
+    zero UDFs), policy:
+
+    - scheme and host lowercased (case-insensitive per RFC 3986 §3.1/§3.2.2;
+      the PATH keeps its case — it is not ours to fold);
+    - the scheme's default port stripped (``:80`` http, ``:443`` https);
+    - empty path -> ``/``; a trailing slash on a non-root path dropped;
+    - query parameters sorted bytewise (order-insensitive servers are the
+      crawl-world norm; sorting makes ``?a=1&b=2`` and ``?b=2&a=1`` one
+      frontier entry), empty params dropped;
+    - the fragment removed (never sent to the server).
+
+    Deliberately NOT done: www-stripping and percent-decoding — both
+    change which resource is addressed on real hosts.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, "/$", "")).otherwise(path)
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+                lambda x: x != "",
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Host component of an (ideally canonicalized) absolute URL."""
+    return F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1)
 
 
 def strip_markup(html: Column) -> Column:

@@ -8048,6 +8048,21 @@ def _pagerank_oracle(
     nodes), matching the operator's contract. Scaled-by-N 4 dp output
     keeps the value hash far from fp summation noise (see
     embedding_covariance's 3 dp rationale)."""
+    return f"""
+WITH {_pagerank_ctes(iterations, damping, graph_ctes)}
+SELECT node, ROUND(rank * n.n, 4) AS rank_x_n
+FROM r{iterations} CROSS JOIN n
+ORDER BY node
+"""
+
+
+def _pagerank_ctes(
+    iterations: int, damping: float = 0.85, graph_ctes: str | None = None
+) -> str:
+    """The WITH-body of :func:`_pagerank_oracle` (graph + unrolled rounds,
+    final relation ``r{iterations}``), exposed so oracles that AGGREGATE
+    ranks (e.g. per-host mass) can share the exact iteration text instead
+    of forking it."""
     if graph_ctes is None:
         graph_ctes = _SUPPLY_GRAPH_CTES
     rounds = []
@@ -8064,17 +8079,12 @@ def _pagerank_oracle(
         GROUP BY e.dst
     ) c USING (node)
 )""")
-    return f"""
-WITH {graph_ctes},
+    return f"""{graph_ctes},
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
-{",".join(rounds)}
-SELECT node, ROUND(rank * n.n, 4) AS rank_x_n
-FROM r{iterations} CROSS JOIN n
-ORDER BY node
-"""
+{",".join(rounds)}"""
 
 
 @register(
@@ -12102,6 +12112,151 @@ def q_html_links_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "node", F.round(F.col("rank") * F.lit(float(n)), 4).alias("rank_x_n")
     ).orderBy("node")
+
+
+@register(
+    "html_links_by_host",
+    # URL canonicalization + host-level crawl governance (r14 verdict #6),
+    # the stage after link extraction: every page carries an external
+    # sources block with TWO messy spellings of the SAME logical URL
+    # (uppercase scheme/host + explicit :443 + trailing slash + reversed
+    # query + fragment vs the clean form), rendered in-pipeline from
+    # arithmetic on doc_id. The Spark side extracts the raw hrefs
+    # (extract_urls), canonicalizes them (canonicalize_url — lowercase
+    # scheme/host, default port stripped, trailing slash dropped, query
+    # sorted, fragment removed; pure Column, zero UDFs) and aggregates the
+    # host table a crawl scheduler consumes: outbound occurrences and
+    # out-degree by the page's home host, inbound raw-vs-canonical URL
+    # counts by target host (raw = 2x canonical — the collapse IS the
+    # canonicalizer working), and PageRank mass by home host over the
+    # extracted internal /doc/N graph (same operators/graph.py::pagerank,
+    # same unrolled-iteration oracle text via _pagerank_ctes). The oracle
+    # never parses a URL: every expected value is closed-form arithmetic
+    # on doc_id, so a drift anywhere in render -> extract -> canonicalize
+    # -> aggregate breaks the hash.
+    oracle=f"""
+    WITH {{PR}},
+    docs AS (
+        SELECT doc_id, doc_id % 7 AS h, (doc_id * 3 + 1) % 7 AS t,
+               doc_id % 11 AS m
+        FROM documents
+    ),
+    out_side AS (
+        SELECT 'example' || h || '.com' AS host,
+               CAST(2 * COUNT(*) AS BIGINT) AS out_links,
+               CAST(COUNT(DISTINCT (t, m)) AS BIGINT) AS out_degree
+        FROM docs GROUP BY h
+    ),
+    in_side AS (
+        SELECT 'example' || t || '.com' AS host,
+               CAST(2 * COUNT(DISTINCT m) AS BIGINT) AS in_raw_urls,
+               CAST(COUNT(DISTINCT m) AS BIGINT) AS in_canonical_urls
+        FROM docs GROUP BY t
+    ),
+    mass AS (
+        SELECT 'example' || (node % 7) || '.com' AS host,
+               ROUND(SUM(rank) * (SELECT n FROM n), 4) AS rank_mass_x_n
+        FROM r3 GROUP BY node % 7
+    )
+    SELECT host, out_links, out_degree, in_raw_urls, in_canonical_urls,
+           rank_mass_x_n
+    FROM out_side
+    JOIN in_side USING (host)
+    JOIN mass USING (host)
+    ORDER BY host
+    """.replace("{PR}", _pagerank_ctes(3, graph_ctes="""pairs AS (
+    SELECT doc_id, n.n AS n
+    FROM documents CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ) n
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM pairs
+        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % n FROM pairs
+    )
+)""")),
+    tags=("llm", "text", "pipeline", "graph"),
+    bench=True,
+)
+def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: extraction + canonicalization are one regexp projection
+    # per page; the three host aggregates shuffle host-cardinality rows;
+    # pagerank shuffles (node, rank) pairs per round — page bodies never
+    # move after the scan.
+    from ..operators.graph import pagerank
+    from ..operators.markup import (
+        canonicalize_url,
+        extract_link_ids,
+        extract_urls,
+        render_markup,
+        render_source_links,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    base = d.select("doc_id", "text").crossJoin(F.broadcast(n))
+    t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    m = (F.col("doc_id") % 11).cast("string")
+    url_a = F.concat(
+        F.lit("HTTPS://Example"), t, F.lit(".COM:443/page"), m,
+        F.lit("/?b=2&a=1#top"),
+    )
+    url_b = F.concat(
+        F.lit("https://example"), t, F.lit(".com/page"), m,
+        F.lit("?a=1&b=2"),
+    )
+    link_ids = F.array(
+        (F.col("doc_id") * 7 + 1) % F.col("_n"),
+        (F.col("doc_id") * 13 + 5) % F.col("_n"),
+    )
+    pages = base.select(
+        "doc_id",
+        render_markup(
+            F.col("text"),
+            F.col("doc_id"),
+            link_ids,
+            extra_block=render_source_links(F.array(url_a, url_b)),
+        ).alias("html"),
+    )
+    home = F.concat(
+        F.lit("example"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+    )
+    links = pages.select(
+        "doc_id",
+        home.alias("src_host"),
+        F.explode(extract_urls(F.col("html"))).alias("url"),
+    ).withColumn("curl", canonicalize_url(F.col("url")))
+    out_side = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_links"),
+        F.count_distinct("curl").alias("out_degree"),
+    )
+    in_side = links.groupBy(url_host(F.col("curl")).alias("host")).agg(
+        F.count_distinct("url").alias("in_raw_urls"),
+        F.count_distinct("curl").alias("in_canonical_urls"),
+    )
+    edges = pages.select(
+        F.col("doc_id").alias("src"),
+        F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+    )
+    n_docs = d.count()
+    mass = (
+        pagerank(edges, iterations=3)
+        .groupBy(
+            F.concat(
+                F.lit("example"), (F.col("node") % 7).cast("string"),
+                F.lit(".com"),
+            ).alias("host")
+        )
+        .agg(
+            F.round(F.sum("rank") * F.lit(float(n_docs)), 4)
+            .alias("rank_mass_x_n")
+        )
+    )
+    return (
+        out_side.join(in_side, "host").join(mass, "host").orderBy("host")
+    )
 
 
 @register(

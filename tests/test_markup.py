@@ -169,3 +169,60 @@ def test_link_rendering_and_extraction(spark):
             render_markup(F.col("text"), F.col("doc_id"))
         ).alias("ids")
     ).collect()[0].ids == []
+
+
+def test_canonicalize_url_policy_matrix(spark):
+    # r14 verdict #6: the crawl-frontier dedup key. One row per policy
+    # clause: scheme/host case folding (path case KEPT), default-port
+    # stripping (scheme-specific), empty-path -> '/', trailing-slash drop
+    # (root kept), bytewise query sort + empty-param drop, fragment
+    # removal, non-default ports kept.
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.markup import canonicalize_url
+
+    cases = [
+        ("HTTPS://Example.COM:443/Page/?b=2&a=1#top",
+         "https://example.com/Page?a=1&b=2"),
+        ("http://HOST.com:80", "http://host.com/"),
+        ("http://host.com:8080/x", "http://host.com:8080/x"),
+        ("https://host.com:80/x", "https://host.com:80/x"),  # not https' default
+        ("https://h.com/", "https://h.com/"),
+        ("https://h.com/a/b/", "https://h.com/a/b"),
+        ("https://h.com/x?&&b=2&&a=1&", "https://h.com/x?a=1&b=2"),
+        ("https://h.com/x#only-frag", "https://h.com/x"),
+        ("https://h.com/CaseKept", "https://h.com/CaseKept"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_extract_urls_case_insensitive_scheme(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.markup import (
+        extract_urls,
+        render_markup,
+        render_source_links,
+    )
+
+    df = spark.createDataFrame([(1, "Hello there. Second sentence.")],
+                               "doc_id long, text string")
+    urls = F.array(
+        F.lit("HTTPS://A.com/x"), F.lit("http://b.com/y?q=1"),
+        F.lit("https://c.com/z"),
+    )
+    page = df.select(
+        render_markup(
+            F.col("text"), F.col("doc_id"),
+            extra_block=render_source_links(urls),
+        ).alias("html")
+    )
+    got = page.select(extract_urls(F.col("html")).alias("u")).collect()[0].u
+    # internal nav links (/ and /login) are NOT absolute -> excluded;
+    # page order preserved; uppercase scheme captured verbatim
+    assert got == ["HTTPS://A.com/x", "http://b.com/y?q=1", "https://c.com/z"]
