@@ -373,7 +373,10 @@ def ivfpq_index_append(
     (what the registry query does).
     """
     spark = new_vectors.sparkSession
-    with open(os.path.join(path, "_pq_meta.json"), encoding="utf-8") as f:
+    from .similarity import resolve_index_root
+
+    root = resolve_index_root(path)
+    with open(os.path.join(root, "_pq_meta.json"), encoding="utf-8") as f:
         meta = json.load(f)
     books = _load_codebooks(spark, path)
     cent_rows = _load_centroids(spark, path)
@@ -470,7 +473,7 @@ def ivfpq_index_append(
         )
     encoded.drop("_coarse_sim").repartition("cell").write.partitionBy(
         "cell"
-    ).mode("append").parquet(os.path.join(path, "index"))
+    ).mode("append").parquet(os.path.join(root, "index"))
     meta["appended"] = int(meta.get("appended", 0)) + int(stats.n)
     # worst_coarse_sim is the TRAINING-time envelope and stays frozen
     # (review r12): updating it with each accepted batch's minimum would
@@ -478,16 +481,17 @@ def ivfpq_index_append(
     # slips under max_coarse_drift, a fully drifted next batch would
     # compare against the loosened floor and pass. Appends never move it;
     # only persist_ivfpq_index (a rebuild) re-derives it.
-    with open(os.path.join(path, "_pq_meta.json"), "w", encoding="utf-8") as f:
+    with open(os.path.join(root, "_pq_meta.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f)
     return int(stats.n)
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
-    from .similarity import load_cached_rows
+    from .similarity import load_cached_rows, resolve_index_root
 
     rows = load_cached_rows(  # bounded: m*k rows
-        spark, os.path.join(path, "codebooks"), _CODEBOOK_CACHE
+        spark, os.path.join(resolve_index_root(path), "codebooks"),
+        _CODEBOOK_CACHE
     )
     m = 1 + max(r["m"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
@@ -529,7 +533,10 @@ def ivfpq_probe_topk(
     over-fetch-and-hope; a post-shortlist filter can silently under-fill
     k). Referencing a column the index does not carry fails analysis with
     the missing-column error, plus the guard below names the fix."""
-    meta_path = os.path.join(path, "_pq_meta.json")
+    from .similarity import resolve_index_root
+
+    root = resolve_index_root(path)
+    meta_path = os.path.join(root, "_pq_meta.json")
     with open(meta_path, encoding="utf-8") as f:
         meta = json.load(f)
     books = _load_codebooks(spark, path)
@@ -550,7 +557,7 @@ def ivfpq_probe_topk(
     from .similarity import load_cached_df
 
     index = load_cached_df(
-        spark, os.path.join(path, "index"), _PQ_INDEX_CACHE
+        spark, os.path.join(root, "index"), _PQ_INDEX_CACHE
     )
     id_schema = index.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -645,7 +652,7 @@ def ivfpq_probe_topk(
     # the LUT gathers. On a local filesystem coalesce to ~32 MB of probed
     # bytes per task (coalesce never raises parallelism); cluster stores
     # skip the listing and keep the scan's natural parallelism.
-    idx_dir = os.path.join(path, "index")
+    idx_dir = os.path.join(root, "index")
     if os.path.isdir(idx_dir):
         probed_bytes = 0
         for c in all_cells:

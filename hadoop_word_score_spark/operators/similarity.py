@@ -466,8 +466,92 @@ def load_cached_df(spark: SparkSession, subdir: str, cache: dict) -> DataFrame:
 
 def _load_centroids(spark: SparkSession, path: str) -> list:
     return load_cached_rows(
-        spark, os.path.join(path, "centroids"), _CENTROIDS_CACHE
+        spark,
+        os.path.join(resolve_index_root(path), "centroids"),
+        _CENTROIDS_CACHE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned index roots + pointer commit (r14 verdict #5 / missing #3): the
+# rebuild-and-swap discipline of streaming/sinks.py applied to the ANN
+# store. Layout: ``{path}/v=N/{index,centroids,codebooks,_pq_meta.json,
+# tombstones}`` with an atomically-replaced ``{path}/_CURRENT`` pointer
+# file. Every probe/maintenance entry point resolves through
+# ``resolve_index_root``; a path with no pointer keeps the original flat
+# layout, so existing indexes serve unchanged.
+# ---------------------------------------------------------------------------
+
+_CURRENT_PTR = "_CURRENT"
+
+
+def ann_index_current_version(path: str) -> int | None:
+    """Version the pointer currently serves, or None for a flat-layout
+    (or not-yet-built) index. A corrupt pointer raises — serving from a
+    guessed version would be silent wrong-data."""
+    try:
+        with open(os.path.join(path, _CURRENT_PTR), encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def resolve_index_root(path: str) -> str:
+    """Directory the index artifacts live under: ``{path}/v=N`` when a
+    version pointer exists, else ``path`` itself (flat legacy layout)."""
+    v = ann_index_current_version(path)
+    return path if v is None else os.path.join(path, f"v={v}")
+
+
+def ann_index_begin_rebuild(path: str) -> tuple[str, int]:
+    """Staging root for the next version — pass it as the ``path`` of
+    ``persist_ivf_index`` / ``persist_ivfpq_index``, then make the result
+    live with :func:`ann_index_commit_version`. A crashed prior staging
+    of the same version is cleaned here; the SERVING version is never
+    touched, so probes keep reading the old index throughout the rebuild
+    (and forever, if the rebuild dies before commit). Single-writer
+    contract, as everywhere in this store."""
+    import shutil
+
+    cur = ann_index_current_version(path)
+    nxt = 1 if cur is None else cur + 1
+    root = os.path.join(path, f"v={nxt}")
+    shutil.rmtree(root, ignore_errors=True)  # crashed prior rebuild
+    os.makedirs(root)
+    return root, nxt
+
+
+def ann_index_commit_version(path: str, version: int, keep: int = 1) -> str:
+    """Atomically flip the pointer to ``version`` (write-aside +
+    ``os.replace`` — a reader sees the old pointer or the new one, never
+    a torn file). Refuses to flip to a staging root with no completed
+    index write (``index/_SUCCESS``): a crashed rebuild must leave the
+    OLD version serving. After the flip, versions older than the newest
+    ``keep`` predecessors are deleted (the default keeps one, as a grace
+    window for in-flight readers of the just-replaced version); the
+    flat-legacy artifacts, if any, are left untouched. Returns the new
+    serving root."""
+    import shutil
+
+    root = os.path.join(path, f"v={version}")
+    if not os.path.exists(os.path.join(root, "index", "_SUCCESS")):
+        raise ValueError(
+            f"ann_index_commit_version: {root!r} has no completed index "
+            f"write — refusing to serve a broken or unfinished rebuild"
+        )
+    tmp = os.path.join(path, _CURRENT_PTR + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, _CURRENT_PTR))
+    for e in os.scandir(path):
+        if e.name.startswith("v=") and e.is_dir():
+            try:
+                v = int(e.name[2:])
+            except ValueError:
+                continue
+            if v < version - keep:
+                shutil.rmtree(e.path, ignore_errors=True)
+    return root
 
 
 # ---------------------------------------------------------------------------
@@ -475,6 +559,8 @@ def _load_centroids(spark: SparkSession, path: str) -> list:
 # layouts (raw IVF here and IVF-PQ in operators/pq.py: ``{path}/index``
 # partitioned by cell). r13 verdict #5: after a dedup pass removes
 # survivors' duplicates, the index must shrink WITHOUT a full rebuild.
+# Tombstones are VERSION-SCOPED (they name rows of a concrete build), so
+# they live under the resolved root and a rebuild naturally retires them.
 # ---------------------------------------------------------------------------
 
 _TOMBSTONE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
@@ -503,7 +589,7 @@ def ann_index_delete(ids: DataFrame, path: str, id_col: str = "vec_id") -> int:
         return 0
     # small manifest by construction: one file per delete batch
     batch.coalesce(1).write.mode("append").parquet(
-        os.path.join(path, "tombstones")
+        os.path.join(resolve_index_root(path), "tombstones")
     )
     return int(n)
 
@@ -512,7 +598,7 @@ def load_ann_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The current tombstone manifest, or None when the index has none.
     Staleness-keyed like every serving cache (a delete batch updates the
     manifest's _SUCCESS; a vacuum removes the directory)."""
-    tomb_dir = os.path.join(path, "tombstones")
+    tomb_dir = os.path.join(resolve_index_root(path), "tombstones")
     if not os.path.exists(os.path.join(tomb_dir, "_SUCCESS")):
         return None
     return load_cached_df(spark, tomb_dir, _TOMBSTONE_CACHE)
@@ -554,8 +640,9 @@ def ann_index_recover(path: str) -> int:
     deleted rows."""
     import shutil
 
-    idx_dir = os.path.join(path, "index")
-    aside = os.path.join(path, "_vacuum_aside")
+    root = resolve_index_root(path)
+    idx_dir = os.path.join(root, "index")
+    aside = os.path.join(root, "_vacuum_aside")
     if not os.path.isdir(aside):
         return 0
     restored = 0
@@ -599,9 +686,10 @@ def ann_index_vacuum(
     may transiently miss an aside cell's rows until recovery runs."""
     import shutil
 
-    idx_dir = os.path.join(path, "index")
-    tomb_dir = os.path.join(path, "tombstones")
-    aside = os.path.join(path, "_vacuum_aside")
+    root = resolve_index_root(path)
+    idx_dir = os.path.join(root, "index")
+    tomb_dir = os.path.join(root, "tombstones")
+    aside = os.path.join(root, "_vacuum_aside")
     ann_index_recover(path)  # heal a crashed prior attempt BEFORE reading
     out = {"cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0}
     if not os.path.exists(os.path.join(tomb_dir, "_SUCCESS")):
@@ -622,7 +710,7 @@ def ann_index_vacuum(
     survivors = index.filter(F.col("cell").isin(touched)).join(
         F.broadcast(tomb), id_col, "left_anti"
     )
-    stage = os.path.join(path, "_vacuum_stage")
+    stage = os.path.join(root, "_vacuum_stage")
     shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
     try:
         survivors.repartition("cell").write.partitionBy("cell").mode(
@@ -658,7 +746,9 @@ def ann_index_vacuum(
 
 
 def _load_index(spark: SparkSession, path: str) -> DataFrame:
-    return load_cached_df(spark, os.path.join(path, "index"), _INDEX_CACHE)
+    return load_cached_df(
+        spark, os.path.join(resolve_index_root(path), "index"), _INDEX_CACHE
+    )
 
 
 def ivf_probe_topk(

@@ -683,6 +683,187 @@ def _build_vacuum_fixture(spark, tmp_path):
     return path, all_ids - dead_ids
 
 
+def _planted_ivf_corpus(spark, n=200):
+    from pyspark.sql import functions as F
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(n)
+    q = em.filter(F.col("vec_id") < 3)
+    planted = q.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.expr(
+            "CAST(transform(sequence(0, 63),"
+            " i -> embedding[i] + 0.48D * embedding[(i + 57) % 64])"
+            " AS ARRAY<FLOAT>)"
+        ).alias("embedding"),
+    )
+    base = em.select("vec_id", "embedding")
+    return q, base, base.unionByName(planted)
+
+
+def test_ann_rebuild_and_swap_under_serving(spark, tmp_path):
+    # r14 verdict #5: rebuild-and-swap under a serving reader. v1 serves
+    # a corpus WITH planted near-dups; the rebuild stages v2 (dedup
+    # removed them) while probes keep answering from v1; the atomic
+    # pointer flip switches serving; a later commit garbage-collects
+    # versions beyond the grace window.
+    import os as _os
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_begin_rebuild,
+        ann_index_commit_version,
+        ann_index_current_version,
+        ivf_probe_topk,
+        persist_ivf_index,
+        resolve_index_root,
+    )
+
+    q, base, with_planted = _planted_ivf_corpus(spark)
+    path = str(tmp_path / "ivf_vers")
+    root1, v1 = ann_index_begin_rebuild(path)
+    assert (root1, v1) == (f"{path}/v=1", 1)
+    persist_ivf_index(with_planted, root1, n_cells=8)
+    ann_index_commit_version(path, v1)
+    assert ann_index_current_version(path) == 1
+    assert resolve_index_root(path) == root1
+
+    def top_cands():
+        return {r.cand_id for r in
+                ivf_probe_topk(spark, path, q, k=3, n_probe=8).collect()}
+
+    assert any(c >= 1000000 for c in top_cands())  # planted serve from v1
+
+    # stage v2 (planted rows dropped); serving must NOT change yet
+    root2, v2 = ann_index_begin_rebuild(path)
+    assert any(c >= 1000000 for c in top_cands())  # mid-rebuild: still v1
+    persist_ivf_index(base, root2, n_cells=8)
+    assert any(c >= 1000000 for c in top_cands())  # staged but uncommitted
+    ann_index_commit_version(path, v2)
+    assert ann_index_current_version(path) == 2
+    assert not any(c >= 1000000 for c in top_cands())  # flip: v2 serves
+    assert _os.path.isdir(root1)  # grace window: previous version kept
+
+    # third version: v=1 falls out of the keep window
+    root3, v3 = ann_index_begin_rebuild(path)
+    persist_ivf_index(base, root3, n_cells=8)
+    ann_index_commit_version(path, v3)
+    assert not _os.path.isdir(root1) and _os.path.isdir(root2)
+
+
+def test_ann_rebuild_crash_leaves_old_serving(spark, tmp_path):
+    # A rebuild that dies before commit must change NOTHING: the commit
+    # refuses a staging root without a completed index write, probes keep
+    # serving the old version, and the next begin_rebuild cleans the
+    # stale staging directory.
+    import os as _os
+
+    import pytest as _pytest
+
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_begin_rebuild,
+        ann_index_commit_version,
+        ann_index_current_version,
+        ivf_probe_topk,
+        persist_ivf_index,
+    )
+
+    q, base, with_planted = _planted_ivf_corpus(spark)
+    path = str(tmp_path / "ivf_crashed_rebuild")
+    root1, v1 = ann_index_begin_rebuild(path)
+    persist_ivf_index(with_planted, root1, n_cells=8)
+    ann_index_commit_version(path, v1)
+    before = {(r.query_id, r.rank, r.cand_id) for r in
+              ivf_probe_topk(spark, path, q, k=3, n_probe=8).collect()}
+
+    root2, v2 = ann_index_begin_rebuild(path)
+    _os.makedirs(f"{root2}/index")  # crashed mid-write: no _SUCCESS
+    with _pytest.raises(ValueError, match="no completed index write"):
+        ann_index_commit_version(path, v2)
+    assert ann_index_current_version(path) == 1
+    after = {(r.query_id, r.rank, r.cand_id) for r in
+             ivf_probe_topk(spark, path, q, k=3, n_probe=8).collect()}
+    assert after == before  # old version untouched and still serving
+
+    root2b, v2b = ann_index_begin_rebuild(path)
+    assert (root2b, v2b) == (root2, v2)
+    assert _os.listdir(root2b) == []  # stale staging cleaned
+
+
+def test_ann_versioned_ivfpq_drift_rebuild_and_maintenance(spark, tmp_path):
+    # The drift-guard -> rebuild loop the guard's message demands, on the
+    # IVF-PQ layout: a refused append triggers a versioned rebuild over
+    # the widened corpus; after the flip the new vectors serve. Delete +
+    # vacuum then operate on the CURRENT version (tombstones are
+    # version-scoped under the resolved root).
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.pq import (
+        ivfpq_index_append,
+        ivfpq_probe_topk,
+        persist_ivfpq_index,
+    )
+    from hadoop_word_score_spark.operators.similarity import (
+        ann_index_begin_rebuild,
+        ann_index_commit_version,
+        ann_index_delete,
+        ann_index_vacuum,
+        resolve_index_root,
+    )
+
+    em = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(200)
+    base = em.select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq_vers")
+    root1, v1 = ann_index_begin_rebuild(path)
+    persist_ivfpq_index(base, root1, n_cells=8, m=16, k=16)
+    ann_index_commit_version(path, v1)
+
+    # a batch orthogonal to every coarse centroid (null-space direction,
+    # the drift-guard fixture pattern): the append refuses and demands a
+    # rebuild
+    import numpy as _np
+
+    cmat = _np.array(
+        [r.centroid for r in
+         spark.read.parquet(f"{resolve_index_root(path)}/centroids")
+         .collect()]
+    )
+    null_dir = _np.linalg.svd(cmat)[2][-1]
+    shifted = spark.createDataFrame(
+        [(2000000 + i, [float(x) for x in null_dir]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        ivfpq_index_append(shifted, path, max_coarse_drift=0.2)
+
+    # the demanded rebuild: retrain on base + shifted, swap, serve
+    root2, v2 = ann_index_begin_rebuild(path)
+    persist_ivfpq_index(
+        base.unionByName(shifted), root2, n_cells=8, m=16, k=16
+    )
+    ann_index_commit_version(path, v2)
+    qs = shifted.limit(2)
+    got = {r.cand_id for r in
+           ivfpq_probe_topk(spark, path, qs, k=3, n_probe=8).collect()}
+    assert any(c >= 2000000 for c in got)  # new vectors serve post-flip
+
+    # version-scoped maintenance: delete + vacuum under the current root
+    dead = shifted.select("vec_id")
+    ann_index_delete(dead, path)
+    assert _os.path.exists(
+        f"{resolve_index_root(path)}/tombstones/_SUCCESS"
+    )
+    got2 = {r.cand_id for r in
+            ivfpq_probe_topk(spark, path, qs, k=3, n_probe=8).collect()}
+    assert not {c for c in got2 if c >= 2000000}
+    stats = ann_index_vacuum(spark, path)
+    assert stats["rows_removed"] == 5
+    got3 = {r.cand_id for r in
+            ivfpq_probe_topk(spark, path, qs, k=3, n_probe=8).collect()}
+    assert got3 == got2
+
+
 def test_ann_vacuum_install_failure_loses_nothing(spark, tmp_path, monkeypatch):
     # r14 verdict #1: the old swap rmtree'd the live cell dir before the
     # install rename — a failure between the two destroyed the only copy
