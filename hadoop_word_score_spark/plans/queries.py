@@ -764,20 +764,20 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "bigram_counts": "d9353c0c0105",
     "bitwise_funcs": "be9d7277aa30",
     "bm25_ranking": "02cca47d0e50",
-    "bpe_decode_corpus": "8b129f4702b2",
-    "bpe_decode_heldout": "5be7c1a846ef",
-    "bpe_encode_corpus": "c18f1683aca8",
-    "bpe_encode_ids": "5bc0c1841a85",
-    "bpe_encode_ids_heldout": "c5e8bab496b3",
-    "bpe_encode_lengths": "e13ecfed337f",
-    "bpe_encode_sequences": "151a728658f1",
-    "bpe_merge_rules": "e634eee2047b",
-    "bpe_subword_rules": "23e10b074356",
-    "bpe_tokenizer_roundtrip": "4770e0ee6edb",
+    "bpe_decode_corpus": "afb654559532",
+    "bpe_decode_heldout": "cbc8523416af",
+    "bpe_encode_corpus": "02deefe4ecf0",
+    "bpe_encode_ids": "2f3227a5a276",
+    "bpe_encode_ids_heldout": "edeff3199d57",
+    "bpe_encode_lengths": "c02659f685f9",
+    "bpe_encode_sequences": "c34a1af8bd29",
+    "bpe_merge_rules": "57c4557a1f12",
+    "bpe_subword_rules": "5e0c3d511ef1",
+    "bpe_tokenizer_roundtrip": "cf92d4485ac7",
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
-    "corpus_dedup_rate_by_source": "d2cf1ccedc4e",
+    "corpus_dedup_rate_by_source": "67f2e85edbba",
     "corpus_drift_kl": "e2cae88a5132",
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
@@ -790,21 +790,21 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
     "decontaminate_bloom": "361611a6a1d8",
-    "decontaminate_fuzzy": "ed2f652e37cd",
+    "decontaminate_fuzzy": "ca80208301e2",
     "decontaminate_ngrams": "d750fba75078",
-    "dedup_apply_survivors": "5f54f881dca0",
-    "dedup_cluster_canonical": "6b0bca20a2b7",
-    "dedup_clusters": "92e03b778528",
+    "dedup_apply_survivors": "431152b7e92c",
+    "dedup_cluster_canonical": "3667cd2f0f56",
+    "dedup_clusters": "0095c4334fee",
     "dedup_containment": "113d26da6862",
-    "dedup_exact": "81947f3e86c0",
-    "dedup_incremental": "41b9ee20d6e2",
-    "dedup_jaccard_prefix": "1a70dc8b5a1b",
-    "dedup_lines_c4": "f5ed2432ed57",
-    "dedup_near_embedding": "bb26bcb9333b",
-    "dedup_near_jaccard": "63c001fc348f",
-    "dedup_near_minhash": "61843b5d38b2",
-    "dedup_near_simhash": "b5d6fa1e4c15",
-    "dedup_pipeline_end_to_end": "63cdc77305f2",
+    "dedup_exact": "72d4873e66ee",
+    "dedup_incremental": "80a1006f10d5",
+    "dedup_jaccard_prefix": "a630d91f190c",
+    "dedup_lines_c4": "805a40842b84",
+    "dedup_near_embedding": "20d3bce6ffcd",
+    "dedup_near_jaccard": "d2b274b96f27",
+    "dedup_near_minhash": "895306479e4c",
+    "dedup_near_simhash": "1e5e16200583",
+    "dedup_pipeline_end_to_end": "8961808f33b3",
     "dedup_semantic": "84fc9579d4ed",
     "dedup_spans_exact": "33fa8116c9b7",
     "dedup_spans_hashed": "3a2311ca6565",
@@ -843,10 +843,10 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "heavy_hitters_terms": "a755b1f0b139",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
-    "html_extract_funnel": "2a2c1661b1ed",
-    "html_extract_links": "b449cc8ea222",
-    "html_extract_text": "a117644b0d32",
-    "html_links_pagerank": "e0c038d92fc7",
+    "html_extract_funnel": "c51f6dd655f5",
+    "html_extract_links": "c4765454b32d",
+    "html_extract_text": "62fd6d30c6af",
+    "html_links_pagerank": "2c601c3b0e45",
     "inverted_index_terms": "99540c07af09",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
@@ -865,13 +865,13 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "math_funcs": "da0c50726e64",
     "merge_upsert_customers": "50f16eee1d14",
     "mixture_sample_weighted": "b3a95dcb125c",
-    "multimodal_audio_real": "d843c68997fe",
-    "multimodal_decode": "85859a85c613",
-    "multimodal_decode_real": "9f7eb713901d",
-    "multimodal_frames": "bdf42b525041",
-    "multimodal_meta": "9849b31049b3",
-    "multimodal_resize": "f035ca630ce8",
-    "multimodal_video_real": "adaf9e8b95af",
+    "multimodal_audio_real": "a693d31e5c08",
+    "multimodal_decode": "03132b993b45",
+    "multimodal_decode_real": "8b190dcbe111",
+    "multimodal_frames": "003735ff5968",
+    "multimodal_meta": "fbe13173b1c3",
+    "multimodal_resize": "9d652a9cdfdd",
+    "multimodal_video_real": "0149e13042b9",
     "normalize_text_nfc": "71b8455e7aad",
     "null_semantics": "c3e3e3c08e79",
     "pack_segments": "dc56cf5e9b3d",
@@ -905,7 +905,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
     "quality_bigram_logprob": "aaffced9d481",
-    "quality_classifier_score": "70b1b4935f5d",
+    "quality_classifier_score": "e9ab5a6f9286",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "e72f1e06f07f",
@@ -919,25 +919,25 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "sessionize_events": "d895836f678e",
     "set_ops": "dbf8e5e70a0f",
     "shuffle_shards": "90c2dded7bd7",
-    "similarity_hard_negatives": "0fece02ae928",
-    "similarity_ivf_build": "833456f1e7e6",
-    "similarity_ivf_filtered_recall": "723e7e1a5b41",
-    "similarity_ivf_recall": "c59e5ed923d3",
-    "similarity_ivfpq_append": "55c23f00b6f4",
-    "similarity_ivfpq_build": "b51cbacbe2f2",
-    "similarity_ivfpq_filtered_recall": "cd880c125f07",
-    "similarity_ivfpq_recall": "7fb1647553c7",
-    "similarity_lsh_recall_midsim": "19afb4e1ffd1",
-    "similarity_topk": "272522f5e89a",
-    "similarity_topk_ivf": "c0fbfcda297c",
-    "similarity_topk_ivf_filtered": "fb64fafa26ef",
-    "similarity_topk_ivfpq": "a92330b15303",
-    "similarity_topk_ivfpq_deleted": "91d9ecf6a344",
-    "similarity_topk_ivfpq_filtered": "c4c06a9607d2",
-    "similarity_topk_lsh": "0495e070c7f9",
+    "similarity_hard_negatives": "57006e8793d5",
+    "similarity_ivf_build": "d826b96afbd9",
+    "similarity_ivf_filtered_recall": "b68ad661f05e",
+    "similarity_ivf_recall": "54bcf1332d97",
+    "similarity_ivfpq_append": "9b78f1bbddc1",
+    "similarity_ivfpq_build": "e10f4e81a34d",
+    "similarity_ivfpq_filtered_recall": "5be00350d6a8",
+    "similarity_ivfpq_recall": "1be72dd39f55",
+    "similarity_lsh_recall_midsim": "923db5e351de",
+    "similarity_topk": "68c64868ab44",
+    "similarity_topk_ivf": "1870215cb97c",
+    "similarity_topk_ivf_filtered": "3324a01a9e4f",
+    "similarity_topk_ivfpq": "ae5687538833",
+    "similarity_topk_ivfpq_deleted": "327f2b06236f",
+    "similarity_topk_ivfpq_filtered": "6a74c78fbe78",
+    "similarity_topk_lsh": "8f9d8f99e621",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
-    "split_leakage_safe": "eaab5fde27ef",
+    "split_leakage_safe": "12f89d495319",
     "sql_adhoc_cte": "e5c3bf9aa034",
     "sql_adhoc_hof": "1d9a7ca4a5e8",
     "sql_adhoc_join": "8bda5e4879a5",
@@ -1032,23 +1032,34 @@ def _evidence_order() -> list[QuerySpec]:
     # Round-robin by evidence AGE: brand-new names (no ledger history at
     # all) lead, then everything else ascending by the round of its last
     # driver touch — the steady state is that every query is re-verified
-    # every ~(registry / budget) rounds, oldest first. Fingerprint demotion
-    # does NOT jump a query ahead of genuinely staler names: a demoted name
-    # still has a recent green row on near-identical code PLUS a green
-    # local oracle gate on the exact current code, while a 4-round-stale
-    # clean name has only old evidence — scheduling ALL demotions first let
-    # one shared-module edit starve the stale cohort out of the budget for
-    # four consecutive rounds (r9 verdict #1: 39 names stuck at r5).
+    # every ~(registry / budget) rounds, oldest first. IMPLEMENTATION-
+    # fingerprint demotion does NOT jump a query ahead of genuinely staler
+    # names: a demoted name still has a recent green row on near-identical
+    # code PLUS a green local oracle gate on the exact current code, while
+    # a 4-round-stale clean name has only old evidence — scheduling ALL
+    # demotions first let one shared-module edit starve the stale cohort
+    # out of the budget for four consecutive rounds (r9 verdict #1: 39
+    # names stuck at r5). An ORACLE-TEXT demotion is different (r15): the
+    # CHECK itself changed, so the old green attests a different contract
+    # and the name schedules as brand-new — oracle rewrites are deliberate
+    # per-query events (and the fingerprint is whitespace-insensitive), so
+    # they cannot storm the queue the way a shared-module edit can.
     # Demotion still zeroes the EVIDENCE CLAIM (_latest_evidence_round);
     # within an equal history round it wins the tie, so edited code is
     # re-proven ahead of untouched code of the same age. Oracle-backed
     # before rows-only as the last tie-break (a hash check is stronger
     # evidence than a row count).
     specs = list(REGISTRY.values())
+
+    def _sched_round(s: QuerySpec) -> int:
+        if _VERIFIED_ORACLE_FP.get(s.name) not in (None, _oracle_fp(s.oracle)):
+            return 0  # the oracle was rewritten: re-prove like a new name
+        return _history_round(s.name)
+
     return sorted(
         specs,
         key=lambda s: (
-            _history_round(s.name),
+            _sched_round(s),
             _latest_evidence_round(s.name) != 0,
             s.oracle is None,
         ),
