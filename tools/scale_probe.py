@@ -93,6 +93,9 @@ PROBES = [
     "bpe_encode_ids_heldout",
     "normalize_text_nfc",
     "html_links_pagerank",
+    "lang_classifier_score",
+    "dedup_near_phash",
+    "html_links_by_host",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid

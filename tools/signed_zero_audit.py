@@ -121,6 +121,9 @@ _NONNEG = [
      "non-negative modulus"),
     (r".*", r"ROUND\(SUM\(cnt \* ln\(tc / n_total\)\) / SUM\(cnt\)", None),  # NEGATIVE — must wrap
     (r".*", r"ROUND\(rank \* n\.n", "PageRank mass >= 0"),
+    (r".*", r"ROUND\(SUM\(rank\) \* \(SELECT n FROM n\)",
+     "per-host PageRank mass: every rank >= (1-damping)/n > 0 (the teleport "
+     "floor), so a group sum scaled by n > 0 is strictly positive"),
     (r".*", r"ROUND\(value, 2\)$", "unpivoted lineitem measures, all non-negative"),
     (r".*", r"ROUND\(SUM\(l_extendedprice \* l_quantity\) / SUM\(l_quantity\)",
      "weighted avg of positive prices"),
