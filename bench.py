@@ -268,6 +268,7 @@ def _adjudicate_regressions(
     timings: dict[str, float],
     prev: dict[str, float],
     run=None,
+    impl_changed: dict[str, bool] | None = None,
 ) -> dict[str, dict]:
     """Auto-adjudication (r13 verdict #2: three vs-prev flags shipped
     unadjudicated and the judge had to rerun them by hand — all three were
@@ -275,10 +276,18 @@ def _adjudicate_regressions(
     rerun; both numbers land in the artifact so a flag never leaves a round
     without its isolated counterpart. The grouped number stays the
     published timing (the isolated rerun is evidence, not a min-shopping
-    draw — r4 advice still applies). ``run`` is injectable for tests."""
+    draw — r4 advice still applies). ``run`` is injectable for tests.
+
+    ``impl_changed`` (r15): per-row flag that the query's IMPLEMENTATION
+    fingerprint differs from the one the previous round benched — a slow
+    row whose code changed is a different workload, not a regression of
+    the same one, so a confirmed slowdown there gets the distinct
+    "changed-workload" verdict (e.g. a funnel that gained a stage). The
+    isolated rerun still runs and both numbers still land."""
     run = run or _run_isolated
     isolated: dict[str, dict] = {}
     for n in sorted(regressions):
+        changed = bool((impl_changed or {}).get(n))
         # a failed solo rerun (transient OOM, killed child) must not
         # abort the whole bench after all timing work is done (r14
         # review) — record the failure as this row's verdict instead
@@ -290,20 +299,54 @@ def _adjudicate_regressions(
                 "grouped_sec": timings[n],
                 "prev_sec": round(prev[n], 3),
                 "verdict": "rerun-failed",
+                "impl_changed_since_prev": changed,
                 "error": str(e)[-500:],
             }
             continue
+        if iso <= 1.5 * prev[n]:
+            verdict = "recovered-isolated"
+        elif changed:
+            verdict = "changed-workload"
+        else:
+            verdict = "confirmed-regression"
         isolated[n] = {
             "grouped_sec": timings[n],
             "isolated_sec": round(iso, 3),
             "prev_sec": round(prev[n], 3),
             "isolated_ratio": round(iso / prev[n], 2),
-            "verdict": (
-                "recovered-isolated" if iso <= 1.5 * prev[n]
-                else "confirmed-regression"
-            ),
+            "verdict": verdict,
+            "impl_changed_since_prev": changed,
         }
     return isolated
+
+
+def _impl_fp_state(names: list[str]) -> tuple[dict[str, str], dict[str, bool]]:
+    """(current per-row implementation fingerprints, per-row changed flags
+    vs the PREVIOUS bench run). The fps persist in BENCH_LOCAL.json so the
+    next round compares directly; the first round after this field ships
+    (no fps in the committed artifact) falls back to the evidence ledger's
+    last driver-verified fingerprint — absent there too means unknowable,
+    recorded as unchanged rather than guessed."""
+    from hadoop_word_score_spark.plans.queries import (
+        REGISTRY,
+        _VERIFIED_IMPL_FP,
+        _impl_fp,
+    )
+
+    cur = {n: _impl_fp(REGISTRY[n].fn) for n in names if n in REGISTRY}
+    prev_fps: dict[str, str] = {}
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )) as f:
+            prev_fps = json.load(f).get("impl_fps", {})
+    except (OSError, ValueError):
+        pass
+    changed = {}
+    for n, fp in cur.items():
+        base = prev_fps.get(n) or _VERIFIED_IMPL_FP.get(n)
+        changed[n] = base is not None and base != fp
+    return cur, changed
 
 
 def _parse_group_stdout(stdout: str) -> dict | None:
@@ -395,7 +438,10 @@ def main() -> None:
         if prev.get(n, 0) > 0 and timings[n] > 1.5 * prev[n]
     }
 
-    isolated = _adjudicate_regressions(regressions, timings, prev)
+    impl_fps, impl_changed = _impl_fp_state(names)
+    isolated = _adjudicate_regressions(
+        regressions, timings, prev, impl_changed=impl_changed
+    )
 
     # Membership fingerprint (r5 advice): the headline total is only
     # comparable across rounds when the bench SET is unchanged; recording
@@ -433,6 +479,7 @@ def main() -> None:
     # be re-examined without a rerun.
     local = dict(out)
     local["trials"] = trials
+    local["impl_fps"] = impl_fps
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_LOCAL.json"), "w"

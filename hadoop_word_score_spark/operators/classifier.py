@@ -98,6 +98,65 @@ def hashed_linear_score(
     )
 
 
+def hashed_table_scores(
+    df: DataFrame,
+    tables: list[list[int]],
+    text_col: str = "text",
+    scores_col: str = "scores",
+) -> DataFrame:
+    """Append (n_features, ``scores_col``: array<long> of len(tables))
+    — the shared ONE-PASS fold under every hashed-linear consumer: all
+    tables ride as a single constant-folded ``map<bucket, array<int>>``
+    literal, the text tokenizes once, and each feature does one md5
+    bucket + one map lookup + a K-wide add. Serving stages that need
+    SEVERAL models over the same text (the prep funnel's quality gate +
+    language ID) stack their tables here and read the exact integer sums
+    instead of paying one tokenize+hash pass per model (r15: the fused
+    funnel fold — two stages for the price of one scan projection).
+    Zero-token rows are dropped, as everywhere in the family."""
+    if not tables or not tables[0]:
+        raise ValueError("hashed_table_scores: need >= 1 non-empty table")
+    buckets = len(tables[0])
+    if any(len(t) != buckets for t in tables):
+        raise ValueError(
+            "hashed_table_scores: all weight tables must share one length "
+            f"(got {[len(t) for t in tables]})"
+        )
+    for i, t in enumerate(tables):
+        if not all(isinstance(w, int) for w in t):
+            raise ValueError(
+                f"hashed_table_scores: table {i} has non-integer weights "
+                "(scale by weight_scale to keep sums exact)"
+            )
+    from ..functions.hashing import unigram_bigram_feats_expr
+    from ..functions.text import DELIM_CLASS
+
+    k = len(tables)
+    wmap = F.create_map(
+        *[
+            v
+            for b in range(buckets)
+            for v in (F.lit(b), F.array(*[F.lit(t[b]) for t in tables]))
+        ]
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), k)
+    scores = F.aggregate(
+        F.expr(unigram_bigram_feats_expr(text_col)),
+        zeros,
+        lambda acc, x: F.zip_with(
+            acc, F.element_at(wmap, _bucket(x, buckets)), lambda a, w: a + w
+        ),
+    )
+    ntok = F.size(
+        F.filter(F.split(F.col(text_col), DELIM_CLASS), lambda x: x != "")
+    ).cast("long")
+    return df.select(
+        "*",
+        F.when(ntok >= 2, 2 * ntok - 1).otherwise(ntok).alias("n_features"),
+        scores.alias(scores_col),
+    ).filter(F.col("n_features") >= 1)
+
+
 def hashed_multiclass_score(
     df: DataFrame,
     class_weights: list[tuple[str, list[int]]],
@@ -129,60 +188,21 @@ def hashed_multiclass_score(
     labels = [c for c, _ in class_weights]
     if len(set(labels)) != len(labels):
         raise ValueError(f"hashed_multiclass_score: duplicate labels {labels}")
-    tables = [w for _, w in class_weights]
-    buckets = len(tables[0])
-    if buckets == 0 or any(len(t) != buckets for t in tables):
-        raise ValueError(
-            "hashed_multiclass_score: all weight tables must share one "
-            f"non-zero length (got {[len(t) for t in tables]})"
-        )
-    for lbl, t in class_weights:
-        if not all(isinstance(w, int) for w in t):
-            raise ValueError(
-                f"hashed_multiclass_score: class {lbl!r} has non-integer "
-                "weights (scale by weight_scale to keep sums exact)"
-            )
-    from ..functions.hashing import unigram_bigram_feats_expr
-    from ..functions.text import DELIM_CLASS
-
-    k = len(tables)
-    wmap = F.create_map(
-        *[
-            v
-            for b in range(buckets)
-            for v in (F.lit(b), F.array(*[F.lit(t[b]) for t in tables]))
-        ]
+    scored = hashed_table_scores(
+        df, [w for _, w in class_weights], text_col, scores_col="_ws"
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), k)
-    scores = F.aggregate(
-        F.expr(unigram_bigram_feats_expr(text_col)),
-        zeros,
-        lambda acc, x: F.zip_with(
-            acc, F.element_at(wmap, _bucket(x, buckets)), lambda a, w: a + w
-        ),
-    )
-    ntok = F.size(
-        F.filter(F.split(F.col(text_col), DELIM_CLASS), lambda x: x != "")
-    ).cast("long")
     class_lit = F.array(*[F.lit(c) for c in labels])
-    return (
-        df.select(
-            "*",
-            F.when(ntok >= 2, 2 * ntok - 1).otherwise(ntok).alias("n_features"),
-            scores.alias("_ws"),
-        )
-        .filter(F.col("n_features") >= 1)
-        .select(
-            *df.columns,
-            "n_features",
-            F.element_at(
-                class_lit, F.array_position(F.col("_ws"), F.array_max("_ws")).cast("int")
-            ).alias("pred"),
-            (
-                F.array_max("_ws")
-                / (F.col("n_features") * F.lit(float(weight_scale)))
-            ).alias("margin"),
-        )
+    return scored.select(
+        *df.columns,
+        "n_features",
+        F.element_at(
+            class_lit,
+            F.array_position(F.col("_ws"), F.array_max("_ws")).cast("int"),
+        ).alias("pred"),
+        (
+            F.array_max("_ws")
+            / (F.col("n_features") * F.lit(float(weight_scale)))
+        ).alias("margin"),
     )
 
 

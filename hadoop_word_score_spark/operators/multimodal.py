@@ -622,3 +622,72 @@ def image_dhash64(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def with_pcm_text_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each doc's bytes as a REAL mono PCM16 WAV payload: sample_j =
+    (byte_j - 96) * 256 — letters straddle zero, so the waveform's envelope
+    varies with the text and every decoded sample is closed-form arithmetic
+    over it (the audio sibling of with_pgm_payload's raster trick; the
+    x256 scale uses the int16 range without touching comparisons, which
+    scale-cancel). Arrow-batched scalar UDF; narrow."""
+    @F.pandas_udf(T.BinaryType())
+    def render(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = ("" if t is None else t).encode("utf-8")
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+            samples = (arr - 96) * 256
+            out.append(_codecs.encode_wav_pcm16(samples, 8000))
+        return pd.Series(out)
+
+    return docs.withColumn("payload", render(F.col(text_col)))
+
+
+AUDIOHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("audiohash", T.LongType()),
+])
+
+
+def audio_envelope_hash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, audiohash): 64-bit energy-envelope hash over the REAL WAV
+    decode path — the audio member of the perceptual near-dup family
+    (image_ahash64's 1-D sibling; the same banded Hamming join consumes
+    both).
+
+    Recipe (integer-exact end to end): decode -> per-frame channel SUM
+    (stays integer; mono passes through) -> |amplitude| -> 64-point
+    nearest-neighbour decimation (index (k*n)//64, the resize_nearest
+    floor grid) -> bit k is 1 iff 64 * |a_k| > sum of the 64 decimated
+    |a|. Rows that no real backend decodes (non-RIFF payloads,
+    unsupported WAV variants, zero samples) are DROPPED, mirroring the
+    image hashes' rule. mapInPandas, narrow, zero shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    dec = _codecs.decode_wav_pcm16(_nz(payload))
+                except ValueError:
+                    dec = None
+                if dec is None:
+                    continue
+                samples, _rate, n_ch = dec
+                if n_ch > 1:
+                    samples = samples.reshape(-1, n_ch).sum(axis=1)
+                a = np.abs(samples.astype(np.int64))
+                n = a.size
+                if n == 0:
+                    continue
+                v = a[(np.arange(64) * n) // 64]
+                ids.append(i)
+                hashes.append(_bits_to_i64(64 * v > int(v.sum())))
+            yield pd.DataFrame({"doc_id": ids, "audiohash": hashes})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=AUDIOHASH_SCHEMA)

@@ -4389,6 +4389,86 @@ def q_dedup_near_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_near_audio",
+    # Perceptual near-dup for the AUDIO modality — the 1-D sibling of
+    # dedup_near_phash, through the REAL RIFF/WAVE decode path: payloads
+    # are genuine PCM16 renders of the doc's bytes (sample = (byte-96)*256,
+    # so letters straddle zero and the envelope varies with the text), the
+    # hash is a 64-point nearest-decimated |amplitude| mean-threshold
+    # (integer-exact; the x256 sample scale cancels in the comparison),
+    # and the SAME banded Hamming join serves the pairs. Planted copies:
+    # every 5th doc of >= 64 bytes with bytes 1 and n//64+1 swapped — BOTH
+    # sit on the 64-point decimation grid (indices 0 and n//64, distinct
+    # and unique for n >= 64) and nowhere else, the decimated sum is
+    # invariant under the swap, so each planted pair is at hamming 0 or 2
+    # BY CONSTRUCTION. The oracle rebuilds both hashes from |ord(byte)-96|
+    # arithmetic as 32-bit halves and brute-forces all pairs — the banded
+    # join must reproduce that set exactly.
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(text, (octet_length(encode(text)) // 64) + 1, 1)
+               || substr(text, 2, (octet_length(encode(text)) // 64) - 1)
+               || substr(text, 1, 1)
+               || substr(text, (octet_length(encode(text)) // 64) + 2)
+        FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 64
+    ), vals AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   abs(ord(text[((k * n) // 64) + 1]) - 96)) AS v
+        FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM src)
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN 64 * v[k + 1] > s
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+                   AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN 64 * v[k + 1] > s
+                        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
+                   AS BIGINT) AS hi
+        FROM (SELECT doc_id, v, list_sum(v) AS s FROM vals)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "multimodal", "dedup", "audio"),
+    bench=True,
+)
+def q_dedup_near_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same scale shape as the image path: render + decode + hash ride the
+    # scan in one narrow Arrow pass; the banded join is the only shuffle.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import (
+        audio_envelope_hash64,
+        with_pcm_text_payload,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 64)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 1, 1)"
+            " || substr(text, 2, (octet_length(encode(text, 'UTF-8')) div 64) - 1)"
+            " || substr(text, 1, 1)"
+            " || substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 2)"
+        ).alias("text"),
+    )
+    hashed = audio_envelope_hash64(with_pcm_text_payload(d.unionByName(perturbed)))
+    return hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="audiohash", max_hamming=3, chunks=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "multimodal_audio_real",
     # THE REAL AUDIO CODEC PATH, hash-checked — the audio sibling of
     # multimodal_decode_real: payloads are genuine RIFF/WAVE PCM16 blobs
@@ -5914,10 +5994,7 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.hashing import shingles
-    from ..operators.classifier import (
-        hashed_linear_score,
-        hashed_multiclass_score,
-    )
+    from ..operators.classifier import hashed_table_scores
 
     d = _t(spark, sf_dir, "documents")
     bucket = _hash_bucket("doc_id")
@@ -5925,17 +6002,27 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", "source", "lang", "text", bucket.alias("bucket"))
     train = base.filter((F.col("bucket") >= 20) & (F.size(toks) > 0))
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
+    # BOTH classifier stages fused into ONE tokenize+hash+fold pass (r15
+    # bench adjudication: the chained two-operator form re-tokenized and
+    # re-hashed every feature, 2.15x the stage-5-only funnel): table 1 is
+    # the binary quality model, tables 2-6 the language models, and the
+    # flags read the exact integer sums. Every train row has >= 1 token,
+    # so the operator's zero-feature drop is vacuous and counts are
+    # preserved.
+    lang_scores = F.slice(F.col("_s"), 2, len(_LC_CLASSES))
+    pred_lang = F.element_at(
+        F.array(*[F.lit(c) for c in _LC_CLASSES]),
+        F.array_position(lang_scores, F.array_max(lang_scores)).cast("int"),
+    )
     flags = (
-        # every train row has >= 1 token, so both operators' zero-feature
-        # drops are vacuous here and row counts are preserved
-        hashed_multiclass_score(
-            hashed_linear_score(train, weights=_qc_weights())
-            .withColumn("pass_m", F.col("margin") >= 0.0)
-            .drop("n_features", "margin"),
-            [(c, _lc_weights(c)) for c in _LC_CLASSES],
+        hashed_table_scores(
+            train,
+            [_qc_weights(), *[_lc_weights(c) for c in _LC_CLASSES]],
+            scores_col="_s",
         )
-        .withColumn("pass_l", F.col("pred") == F.col("lang"))
-        .drop("n_features", "pred", "margin")
+        .withColumn("pass_m", F.element_at(F.col("_s"), 1) >= 0)
+        .withColumn("pass_l", pred_lang == F.col("lang"))
+        .drop("n_features", "_s")
         .withColumn("pass_q", dup_ratio <= 0.6)
     )
     w_hash = Window.partitionBy(F.md5(F.col("text").cast("binary")))
@@ -12267,6 +12354,129 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out_side.join(in_side, "host").join(mass, "host").orderBy("host")
+    )
+
+
+@register(
+    "crawl_frontier_topk",
+    # Frontier scheduling — the decision the host-governance table feeds:
+    # rank each CANONICAL target URL by its link equity (the summed
+    # PageRank of the pages linking to it; both messy spellings collapse
+    # to one frontier entry first, so equity never splits across URL
+    # variants) and emit the top-3 per target host — the per-host polite-
+    # crawl budget. Plan shape: the (doc, canonical) pairs dedup in one
+    # aggregation, equity joins the (node, rank) relation — never page
+    # bodies — and the per-host top-k compiles to a WindowGroupLimit.
+    # Ordering is on the ROUNDED equity (4 dp, far above fp-summation
+    # noise) with the URL as tiebreak, so both engines rank identically.
+    # The oracle reuses the unrolled pagerank CTE text and regroups ranks
+    # by the arithmetic (host, url) the fixture plants.
+    oracle=f"""
+    WITH {{PR}},
+    equity AS (
+        SELECT 'example' || ((node * 3 + 1) % 7) || '.com' AS host,
+               'https://example' || ((node * 3 + 1) % 7) || '.com/page'
+                   || (node % 11) || '?a=1&b=2' AS url,
+               ROUND(SUM(rank) * (SELECT n FROM n), 4) AS equity_x_n
+        FROM r3 GROUP BY 1, 2
+    )
+    SELECT host, url, frontier_rank, equity_x_n FROM (
+        SELECT host, url, equity_x_n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY host
+                    ORDER BY equity_x_n DESC, url) AS BIGINT)
+                   AS frontier_rank
+        FROM equity
+    ) WHERE frontier_rank <= 3
+    ORDER BY host, frontier_rank
+    """.replace("{PR}", _pagerank_ctes(3, graph_ctes="""pairs AS (
+    SELECT doc_id, n.n AS n
+    FROM documents CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ) n
+),
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM pairs
+        UNION ALL SELECT doc_id, (doc_id * 13 + 5) % n FROM pairs
+    )
+)""")),
+    tags=("llm", "text", "pipeline", "graph"),
+)
+def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank
+    from ..operators.markup import (
+        canonicalize_url,
+        extract_link_ids,
+        extract_urls,
+        render_markup,
+        render_source_links,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    base = d.select("doc_id", "text").crossJoin(F.broadcast(n))
+    t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    m = (F.col("doc_id") % 11).cast("string")
+    url_a = F.concat(
+        F.lit("HTTPS://Example"), t, F.lit(".COM:443/page"), m,
+        F.lit("/?b=2&a=1#top"),
+    )
+    url_b = F.concat(
+        F.lit("https://example"), t, F.lit(".com/page"), m,
+        F.lit("?a=1&b=2"),
+    )
+    link_ids = F.array(
+        (F.col("doc_id") * 7 + 1) % F.col("_n"),
+        (F.col("doc_id") * 13 + 5) % F.col("_n"),
+    )
+    pages = base.select(
+        "doc_id",
+        render_markup(
+            F.col("text"),
+            F.col("doc_id"),
+            link_ids,
+            extra_block=render_source_links(F.array(url_a, url_b)),
+        ).alias("html"),
+    )
+    # one frontier entry per (page, canonical URL): spelling variants
+    # collapse BEFORE equity aggregation
+    targets = (
+        pages.select(
+            "doc_id", F.explode(extract_urls(F.col("html"))).alias("raw")
+        )
+        .select("doc_id", canonicalize_url(F.col("raw")).alias("url"))
+        .distinct()
+        .withColumn("host", url_host(F.col("url")))
+    )
+    edges = pages.select(
+        F.col("doc_id").alias("src"),
+        F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+    )
+    n_docs = d.count()
+    equity = (
+        targets.join(
+            pagerank(edges, iterations=3),
+            targets["doc_id"] == F.col("node"),
+        )
+        .groupBy("host", "url")
+        .agg(
+            F.round(F.sum("rank") * F.lit(float(n_docs)), 4)
+            .alias("equity_x_n")
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("equity_x_n"), F.asc("url")
+    )
+    return (
+        equity.withColumn(
+            "frontier_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("frontier_rank") <= 3)
+        .select("host", "url", "frontier_rank", "equity_x_n")
+        .orderBy("host", "frontier_rank")
     )
 
 

@@ -4707,6 +4707,75 @@ def test_hamming_near_pairs_exact_and_guarded(spark):
         hamming_near_pairs(df, max_hamming=4, chunks=4)
 
 
+def test_audio_envelope_hash_closed_form(spark):
+    # The audio member of the perceptual family: decode -> channel-sum ->
+    # |amplitude| -> 64-point floor-grid decimation -> strict mean
+    # threshold, pinned against a hand-computed numpy reference on mono
+    # and stereo WAVs; non-audio and unsupported payloads are dropped.
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+    from hadoop_word_score_spark.operators.multimodal import (
+        _bits_to_i64,
+        audio_envelope_hash64,
+    )
+
+    rng = np.random.RandomState(3)
+    mono = rng.randint(-30000, 30000, 500).astype(np.int16)
+    stereo = rng.randint(-30000, 30000, 400).astype(np.int16)  # 200 frames
+    rows = [
+        (1, bytearray(codecs.encode_wav_pcm16(mono, 8000))),
+        (2, bytearray(_stereo_wav(stereo))),
+        (3, bytearray(b"RIFFxxxxNOPE")),  # not WAVE: dropped
+        (4, bytearray(b"plain text")),    # not RIFF: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.audiohash for r in audio_envelope_hash64(df).collect()}
+    assert set(got) == {1, 2}
+
+    def ref(arr):
+        a = np.abs(arr.astype(np.int64))
+        v = a[(np.arange(64) * a.size) // 64]
+        return _bits_to_i64(64 * v > int(v.sum()))
+
+    assert got[1] == ref(mono)
+    assert got[2] == ref(stereo.reshape(-1, 2).sum(axis=1))
+
+
+def _stereo_wav(samples_interleaved):
+    # encode_wav_pcm16 writes mono; patch the fmt chunk for 2 channels
+    import struct
+
+    raw = bytearray(
+        __import__(
+            "hadoop_word_score_spark.functions.codecs", fromlist=["codecs"]
+        ).encode_wav_pcm16(samples_interleaved, 8000)
+    )
+    raw[22:24] = struct.pack("<H", 2)       # n_channels
+    raw[28:32] = struct.pack("<I", 8000 * 4)  # byte rate
+    raw[32:34] = struct.pack("<H", 4)       # block align
+    return bytes(raw)
+
+
+def test_dedup_near_audio_planted_recall(spark):
+    # Recall-vs-planted pin for the audio query's construction: bytes 1
+    # and n//64+1 both sit on the decimation grid and nowhere else, the
+    # decimated sum is swap-invariant, so every planted pair lands at
+    # hamming 0 or 2 and must be found.
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dedup_near_audio"].fn(spark, SF_SMOKE).collect()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_expected = d.filter(
+        (d.doc_id % 5 == 0) & (F.length("text") >= 64)
+    ).count()
+    planted = {r.id_a: r.hamming for r in rows if r.id_b == r.id_a + 1000000}
+    assert len(planted) == n_expected > 0
+    assert set(planted.values()) <= {0, 2}
+
+
 def test_dedup_near_phash_planted_recall(spark):
     # Recall-vs-planted pin for the registry query's construction: every
     # planted swap-pair (characters 1 and 3 — both on the sample grid, so
