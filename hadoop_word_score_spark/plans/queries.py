@@ -865,13 +865,13 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "math_funcs": "da0c50726e64",
     "merge_upsert_customers": "50f16eee1d14",
     "mixture_sample_weighted": "b3a95dcb125c",
-    "multimodal_audio_real": "a693d31e5c08",
-    "multimodal_decode": "03132b993b45",
-    "multimodal_decode_real": "8b190dcbe111",
-    "multimodal_frames": "003735ff5968",
-    "multimodal_meta": "fbe13173b1c3",
-    "multimodal_resize": "9d652a9cdfdd",
-    "multimodal_video_real": "0149e13042b9",
+    "multimodal_audio_real": "4241d136bb81",
+    "multimodal_decode": "ed0fc51d9287",
+    "multimodal_decode_real": "2729342d6a98",
+    "multimodal_frames": "991ceb3c1d29",
+    "multimodal_meta": "2138bf34f217",
+    "multimodal_resize": "5a1d2a1bbd03",
+    "multimodal_video_real": "c2c535254d22",
     "normalize_text_nfc": "71b8455e7aad",
     "null_semantics": "c3e3e3c08e79",
     "pack_segments": "dc56cf5e9b3d",
@@ -905,7 +905,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
     "quality_bigram_logprob": "aaffced9d481",
-    "quality_classifier_score": "e9ab5a6f9286",
+    "quality_classifier_score": "368e97c34dcf",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "e72f1e06f07f",
