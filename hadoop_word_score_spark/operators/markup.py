@@ -229,6 +229,14 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1)
 
 
+def url_path(url: Column) -> Column:
+    """Path component of an (ideally canonicalized) absolute URL — what a
+    robots-style disallow rule matches against. On a canonicalized URL
+    this is never empty (the canonicalizer normalizes an empty path to
+    ``/``)."""
+    return F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+
+
 def strip_markup(html: Column) -> Column:
     """Markup → newline-separated text (the extraction chain).
 

@@ -691,3 +691,61 @@ def audio_envelope_hash64(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(batches, schema=AUDIOHASH_SCHEMA)
+
+
+VIDEOHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("videohash", T.LongType()),
+])
+
+
+def video_framehash64(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, videohash): 64-bit frame-sampled perceptual signature —
+    the VIDEO member of the near-dup family, completing the modality
+    matrix (text shingles, image_ahash64, audio_envelope_hash64; the same
+    banded Hamming join consumes all four).
+
+    Recipe (integer-exact end to end): REAL demux (_iter_pgm_frames) ->
+    sample 4 frames on the nearest-neighbour floor grid ((k*n)//4, the
+    decimation convention shared with audio) -> per sampled frame: decode
+    -> luma -> 4x4 nearest resample -> 16-bit mean-threshold aHash
+    (bit 1 iff 16 * pixel > frame's sampled sum, strictly greater) ->
+    concatenate the four 16-bit lanes, bit (16*f + 4*r + c). Lane
+    structure is the point: a perturbation confined to one frame can only
+    flip bits in that frame's lane, so framewise-similar videos land at
+    small Hamming distance. Payloads that demux to zero frames, or whose
+    sampled frames don't decode, are DROPPED (the family's shared rule —
+    a perceptual hash of non-video bytes is noise).
+
+    Scale shape: mapInPandas, narrow, zero shuffles — demux + hash ride
+    the scan; only the 64-bit signatures reach the downstream banded
+    join. Frame payloads never leave the Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = [fr for _off, fr in _iter_pgm_frames(bytes(_nz(payload)))]
+                n = len(frames)
+                if n == 0:
+                    continue
+                bits: list[bool] = []
+                ok = True
+                for k in range(4):
+                    g = _perceptual_gray8(frames[(k * n) // 4], 4, 4)
+                    if g is None:
+                        ok = False
+                        break
+                    v = g.astype(np.int64).reshape(-1)
+                    bits.extend(16 * v > int(v.sum()))
+                if not ok:
+                    continue
+                ids.append(i)
+                hashes.append(_bits_to_i64(bits))
+            yield pd.DataFrame({"doc_id": ids, "videohash": hashes})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=VIDEOHASH_SCHEMA)

@@ -4469,6 +4469,115 @@ def q_dedup_near_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_near_video",
+    # Perceptual near-dup for the VIDEO modality — completes the near-dup
+    # modality matrix (text shingles / image aHash / audio envelope /
+    # video frame signature), through the REAL demux path: payloads are
+    # genuine concatenated-PGM "videos" rendered in-pipeline (the text's
+    # bytes split into 4 contiguous chunks, each a 16-wide PGM frame —
+    # the multimodal_video_real fixture), demuxed by the actual container
+    # walk, and hashed framewise: 4 frames sampled on the (k*n)//4 floor
+    # grid, each decoded -> luma -> 4x4 nearest resample -> 16-bit
+    # mean-threshold aHash, concatenated into a 64-bit lane-structured
+    # signature (bit 16f + 4r + c). Planted copies: every 5th doc of
+    # >= 196 bytes (so every chunk is >= 49 bytes = >= 4 raster rows and
+    # the 4x4 row grid is duplicate-free) with characters 1 and 5
+    # swapped — BOTH land in frame 0 at sampled grid cells (row 0,
+    # columns 0 and 1) and nowhere else, the frame's sampled sum — the
+    # threshold — is invariant under the swap, and frames 1-3 are
+    # byte-identical, so each planted pair is at hamming 0 or 2 BY
+    # CONSTRUCTION (empirically 41/31 split at sf0.001), guaranteed
+    # under the join's threshold of 3. The Spark side runs the REAL
+    # pipeline end to end (render -> demux -> per-frame decode -> hash,
+    # one narrow Arrow pass; pigeonhole-banded Hamming join, ONE shuffle,
+    # exact for hamming <= 3). The oracle never demuxes anything: chunk
+    # starts/sizes are divmod arithmetic, every sampled pixel is
+    # closed-form text arithmetic (grid ((r*h_f)//4)*16 + 4c inside
+    # chunk f, pad byte 32, strict 16*v > lane-sum threshold), the hash
+    # is rebuilt as two 32-bit halves (BIGINT-safe), and pairs are the
+    # brute-force all-pairs filter the banding must reproduce exactly.
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text[5] || substr(text, 2, 3) || text[1] || substr(text, 6)
+        FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 196
+    ), geom AS (
+        SELECT doc_id, text,
+               list_transform(range(0, 4), f ->
+                   (octet_length(encode(text)) // 4) * f
+                   + least(f, octet_length(encode(text)) % 4)) AS starts,
+               list_transform(range(0, 4), f ->
+                   (octet_length(encode(text)) // 4)
+                   + CASE WHEN f < octet_length(encode(text)) % 4
+                          THEN 1 ELSE 0 END) AS sizes
+        FROM src
+    ), vals AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), k ->
+                   CASE WHEN ((((k % 16) // 4)
+                               * greatest(1, (sizes[(k // 16) + 1] + 15) // 16))
+                              // 4) * 16 + 4 * (k % 4)
+                             < sizes[(k // 16) + 1]
+                        THEN ord(text[starts[(k // 16) + 1]
+                                      + ((((k % 16) // 4)
+                                          * greatest(1, (sizes[(k // 16) + 1]
+                                                         + 15) // 16))
+                                         // 4) * 16 + 4 * (k % 4) + 1])
+                        ELSE 32 END) AS v
+        FROM geom
+    ), lanes AS (
+        SELECT doc_id, v,
+               list_transform(range(0, 4), f ->
+                   list_sum(list_slice(v, 16 * f + 1, 16 * f + 16))) AS s
+        FROM vals
+    ), hashes AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32), k ->
+                   CASE WHEN 16 * v[k + 1] > s[(k // 16) + 1]
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+                   AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32, 64), k ->
+                   CASE WHEN 16 * v[k + 1] > s[(k // 16) + 1]
+                        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
+                   AS BIGINT) AS hi
+        FROM lanes
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "multimodal", "dedup", "video"),
+    bench=True,
+)
+def q_dedup_near_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same scale shape as the image/audio paths: render + demux + hash are
+    # one narrow Arrow pass over the scan (frame payloads never leave the
+    # batch); the banded join is the only shuffle, exact by pigeonhole.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import video_framehash64, with_pgm_video_payload
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 196)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 5, 1) || substr(text, 2, 3) || substr(text, 1, 1)"
+            " || substr(text, 6)"
+        ).alias("text"),
+    )
+    hashed = video_framehash64(with_pgm_video_payload(d.unionByName(perturbed)))
+    return hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="videohash", max_hamming=3, chunks=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "multimodal_audio_real",
     # THE REAL AUDIO CODEC PATH, hash-checked — the audio sibling of
     # multimodal_decode_real: payloads are genuine RIFF/WAVE PCM16 blobs
@@ -12477,6 +12586,110 @@ def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("frontier_rank") <= 3)
         .select("host", "url", "frontier_rank", "equity_x_n")
         .orderBy("host", "frontier_rank")
+    )
+
+
+@register(
+    "crawl_url_filter",
+    # URL admission control — the governance stage between link
+    # extraction and the frontier (RefinedWeb §3.1-style URL filtering):
+    # every candidate URL is canonicalized, then judged against (a) a
+    # host BLOCKLIST (broadcast dim-table join — at 100 TB the blocklist
+    # is a small curated relation, not a literal) and (b) a robots-style
+    # path DISALLOW rule (pure-Column regexp), blocklist taking
+    # precedence. The fixture reuses the two-messy-spellings source block
+    # (host t = (doc_id*3+1)%7, page m = doc_id%11), so the distinct
+    # canonical URL set per host is closed-form {(t, m)} arithmetic;
+    # blocked hosts are example1/example4, the disallow pattern
+    # ^/page(0|3|6|9)$ hits exactly m in {0,3,6,9}. Output: per-host
+    # admission counts over DISTINCT canonical URLs. The oracle never
+    # parses a URL — it rebuilds the verdict table from (t, m) arithmetic,
+    # so drift anywhere in render -> extract -> canonicalize -> path
+    # split -> verdict -> aggregate breaks the hash.
+    oracle="""
+    WITH tm AS (
+        SELECT DISTINCT (doc_id * 3 + 1) % 7 AS t, doc_id % 11 AS m
+        FROM documents
+    )
+    SELECT 'example' || t || '.com' AS host,
+           CAST(SUM(CASE WHEN t IN (1, 4) THEN 0
+                         WHEN m IN (0, 3, 6, 9) THEN 0
+                         ELSE 1 END) AS BIGINT) AS kept_urls,
+           CAST(SUM(CASE WHEN t IN (1, 4) THEN 1 ELSE 0 END) AS BIGINT)
+               AS blocked_urls,
+           CAST(SUM(CASE WHEN t IN (1, 4) THEN 0
+                         WHEN m IN (0, 3, 6, 9) THEN 1
+                         ELSE 0 END) AS BIGINT) AS disallowed_urls
+    FROM tm GROUP BY t
+    ORDER BY host
+    """,
+    tags=("llm", "text", "pipeline"),
+)
+def q_crawl_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: extraction + canonicalization + the disallow regexp are
+    # one projection per page; the blocklist join is a broadcast (the
+    # small side is the curated dim table); the only shuffle is the
+    # host-cardinality admission aggregate over distinct canonical URLs.
+    from ..operators.markup import (
+        canonicalize_url,
+        extract_urls,
+        render_markup,
+        render_source_links,
+        url_host,
+        url_path,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    m = (F.col("doc_id") % 11).cast("string")
+    url_a = F.concat(
+        F.lit("HTTPS://Example"), t, F.lit(".COM:443/page"), m,
+        F.lit("/?b=2&a=1#top"),
+    )
+    url_b = F.concat(
+        F.lit("https://example"), t, F.lit(".com/page"), m,
+        F.lit("?a=1&b=2"),
+    )
+    pages = d.select(
+        render_markup(
+            F.col("text"), F.col("doc_id"),
+            extra_block=render_source_links(F.array(url_a, url_b)),
+        ).alias("html")
+    )
+    urls = (
+        pages.select(F.explode(extract_urls(F.col("html"))).alias("raw"))
+        .select(canonicalize_url(F.col("raw")).alias("url"))
+        .distinct()
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+        )
+    )
+    blocklist = spark.createDataFrame(
+        [("example1.com",), ("example4.com",)], "host string"
+    ).withColumn("blocked", F.lit(True))
+    verdicts = urls.join(F.broadcast(blocklist), "host", "left").select(
+        "host",
+        F.when(F.col("blocked"), F.lit("blocked-host"))
+        .when(
+            F.col("path").rlike(r"^/page(0|3|6|9)$"), F.lit("disallowed-path")
+        )
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+            .cast("long").alias("kept_urls"),
+            F.sum(F.when(F.col("verdict") == "blocked-host", 1).otherwise(0))
+            .cast("long").alias("blocked_urls"),
+            F.sum(
+                F.when(F.col("verdict") == "disallowed-path", 1).otherwise(0)
+            ).cast("long").alias("disallowed_urls"),
+        )
+        .orderBy("host")
     )
 
 

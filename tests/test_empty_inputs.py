@@ -499,3 +499,53 @@ def test_round14_operators_empty(spark):
         assert ann_index_vacuum(spark, d) == {
             "cells_rewritten": 0, "cells_dropped": 0, "rows_removed": 0
         }
+
+
+def test_round15_operators_empty(spark):
+    import tempfile
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    from tests.conftest import stage_documents_sf
+
+    # the r15 document-shaped queries over a zero-row corpus: perceptual
+    # near-dup x3 modalities, multiclass routing, host governance, the
+    # frontier, and URL admission control
+    names = ("dedup_near_phash", "dedup_near_audio", "dedup_near_video",
+             "lang_classifier_score", "html_links_by_host",
+             "crawl_frontier_topk", "crawl_url_filter")
+    with tempfile.TemporaryDirectory(dir=".") as d:
+        sf = stage_documents_sf(spark, d, [])
+        for name in names:
+            assert REGISTRY[name].fn(spark, sf).count() == 0, name
+
+    # perceptual hashes directly: empty in, empty out, declared schema
+    from hadoop_word_score_spark.operators.multimodal import (
+        audio_envelope_hash64,
+        image_ahash64,
+        image_dhash64,
+        video_framehash64,
+    )
+
+    payloads = spark.createDataFrame([], "doc_id long, payload binary")
+    assert image_ahash64(payloads).columns == ["doc_id", "ahash"]
+    assert image_ahash64(payloads).count() == 0
+    assert image_dhash64(payloads).count() == 0
+    assert audio_envelope_hash64(payloads).count() == 0
+    out = video_framehash64(payloads)
+    assert out.columns == ["doc_id", "videohash"] and out.count() == 0
+
+    # URL helpers on degenerate input: canonicalize/host/path never crash
+    from hadoop_word_score_spark.operators.markup import (
+        canonicalize_url,
+        url_host,
+        url_path,
+    )
+
+    urls = spark.createDataFrame([], "u string")
+    row = urls.select(
+        canonicalize_url(F.col("u")).alias("c"),
+        url_host(F.col("u")).alias("h"),
+        url_path(F.col("u")).alias("p"),
+    )
+    assert row.count() == 0

@@ -4797,6 +4797,65 @@ def test_dedup_near_phash_planted_recall(spark):
     assert set(planted.values()) <= {0, 2}  # the construction's guarantee
 
 
+def test_video_framehash_closed_form(spark):
+    # The video member of the perceptual family: REAL demux -> sample 4
+    # frames on the (k*n)//4 floor grid -> per-frame 4x4 nearest resample
+    # -> strict 16-bit mean-threshold lane, bit 16f + 4r + c. Pinned
+    # against a hand-computed numpy reference on a 6-frame synthetic
+    # container (so the frame-sampling grid is exercised, not identity);
+    # zero-frame payloads are dropped.
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+    from hadoop_word_score_spark.operators.multimodal import (
+        _bits_to_i64,
+        video_framehash64,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (9, 16)).astype(np.uint8) for _ in range(6)]
+    video = b"".join(codecs.encode_pgm(fr) for fr in frames)
+    rows = [
+        (1, bytearray(video)),
+        (2, bytearray(b"not a video")),          # no PGM header: dropped
+        (3, bytearray(codecs.encode_pgm(frames[0]))),  # 1-frame video: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.videohash for r in video_framehash64(df).collect()}
+    assert set(got) == {1, 3}
+
+    def ref(sel):
+        bits = []
+        for fr in sel:
+            v = codecs.resize_nearest(fr, 4, 4).astype(np.int64).reshape(-1)
+            bits.extend(16 * v > int(v.sum()))
+        return _bits_to_i64(bits)
+
+    assert got[1] == ref([frames[(k * 6) // 4] for k in range(4)])
+    assert got[3] == ref([frames[0]] * 4)
+
+
+def test_dedup_near_video_planted_recall(spark):
+    # Recall-vs-planted pin for the video query's construction: chars 1
+    # and 5 both land in frame 0 at sampled 4x4 grid cells (row 0, cols 0
+    # and 1) and nowhere else (chunk >= 49 bytes keeps the row grid
+    # duplicate-free), the lane sum is swap-invariant and frames 1-3 are
+    # byte-identical, so every planted pair is at hamming 0 or 2 and must
+    # be found.
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["dedup_near_video"].fn(spark, SF_SMOKE).collect()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_expected = d.filter(
+        (d.doc_id % 5 == 0) & (F.length("text") >= 196)
+    ).count()
+    planted = {r.id_a: r.hamming for r in rows if r.id_b == r.id_a + 1000000}
+    assert len(planted) == n_expected > 0
+    assert set(planted.values()) <= {0, 2}
+
+
 def test_source_overlap_containment_direction(spark):
     # the asymmetric signal: SMALL's shingles are a strict subset of BIG's,
     # so containment(SMALL in BIG) must approach 1 while Jaccard and the

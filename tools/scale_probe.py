@@ -96,6 +96,8 @@ PROBES = [
     "lang_classifier_score",
     "dedup_near_phash",
     "html_links_by_host",
+    "dedup_near_video",
+    "crawl_url_filter",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1818,6 +1820,27 @@ def main() -> None:
         # 2 links/doc -> edges grow linearly; per round the shuffle is
         # (node, rank) pairs over the checkpointed edge relation
         "html_links_pagerank": "linear in docs x rounds ((node, rank) shuffles only)",
+        # K=5 multiclass fold is the same single scan-side pass as the
+        # binary classifier: one tokenize+hash per document, the fused
+        # weight map a constant-folded literal; output sort is the only
+        # exchange
+        "lang_classifier_score": "linear (single fused scan-side fold; zero data shuffles)",
+        # render + decode + hash are one narrow Arrow pass (64 bits/doc
+        # reach the join); the banded join shuffles 4 chunks x 16 bytes
+        # per doc. 10x replication makes planted-neighbour BUCKETS denser
+        # but candidates stay pair-bounded by true near-dups
+        "dedup_near_phash": "~linear (narrow hash pass; banded join carries 64-bit rows)",
+        # same shape one modality over: demux + per-frame decode + lane
+        # hash ride the scan; only signatures shuffle
+        "dedup_near_video": "~linear (narrow demux+hash pass; banded join carries 64-bit rows)",
+        # extraction + canonicalization are one regexp projection per
+        # page; the three host aggregates and pagerank shuffle
+        # host-/node-cardinality rows, never page bodies
+        "html_links_by_host": "linear in docs ((host/node)-cardinality shuffles only)",
+        # canonicalize + verdict are scan-side; blocklist is a broadcast;
+        # the admission agg is host-cardinality. 10x docs repeat the same
+        # (t, m) URL universe, so distinct-URL work saturates
+        "crawl_url_filter": "linear scan; distinct-URL agg bounded by URL universe",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
