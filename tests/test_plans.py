@@ -874,3 +874,23 @@ def test_sample_plan_execution_single_scan_broadcast_plan(spark):
     plan = plan_of(spark, "corpus_sample_plan_execution")
     assert "Scan parquet" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round15_url_filter_and_video_plan_shapes(spark):
+    # crawl_url_filter: the blocklist attaches as a BROADCAST join (the
+    # curated dim-table pattern — never a shuffle join against the URL
+    # stream), there is no cartesian anywhere, and the admission counts
+    # are a real partial/final aggregate
+    plan = plan_of(spark, "crawl_url_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # dedup_near_video: render + demux + hash ride the scan (one Arrow
+    # eval per side of the union, no shuffle before the banded join's
+    # chunk exchange); the join itself is an equi hash/SMJ on
+    # (chunk_idx, chunk_val) — never a cartesian or a broadcast of the
+    # corpus-sized hash relation
+    plan = plan_of(spark, "dedup_near_video")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
