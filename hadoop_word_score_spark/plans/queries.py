@@ -11556,6 +11556,104 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "classifier_pr_curve",
+    # Threshold CALIBRATION for the model-based quality gate — the step
+    # between training a filter classifier and deploying it: sweep the
+    # decision threshold down the margin-ranked validation set and emit
+    # precision / recall / F1 at every cut, so an operator picks the
+    # margin that hits a target precision instead of hard-coding >= 0.
+    # Ground truth here is the corpus's given `lang = 'en'` label (the
+    # calibration MACHINERY is what's under test — the md5 stand-in model
+    # is not expected to be good at it). Every metric is ONE double
+    # division of exact integers (precision tp/rank, recall tp/pos,
+    # F1 2tp/(rank+pos) — the harmonic mean simplified to a single
+    # integer ratio), so the hash comparison is bit-exact with no ROUND.
+    # The global rank is an Exchange SinglePartition BY NATURE: threshold
+    # calibration runs on a validation SAMPLE (thousands of rows), never
+    # the 100 TB corpus — the scan-side scoring fold is the part that
+    # scales; this query is the bounded decision step that configures it.
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               w || CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END AS fs
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 1
+    ), scored AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               CAST(len(fs) AS BIGINT) AS n_features,
+               CAST(list_sum(list_transform(fs, x ->
+                   (CAST(concat('0x', substr(md5('qcw:' || CAST(
+                        CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                            % 256 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001)
+                   - 1000)) AS BIGINT) AS wsum
+        FROM feat
+    ), ranked AS (
+        SELECT doc_id, wsum / (n_features * 1000.0) AS margin,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+               CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+               CAST(SUM(pos) OVER () AS BIGINT) AS total_pos
+        FROM scored
+        WINDOW w AS (ORDER BY wsum / (n_features * 1000.0) DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT rank, margin, tp,
+           CAST(tp AS DOUBLE) / rank AS precision,
+           CAST(tp AS DOUBLE) / total_pos AS recall,
+           CAST(2 * tp AS DOUBLE) / (rank + total_pos) AS f1
+    FROM ranked
+    ORDER BY rank
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: the margin fold is the same zero-shuffle scan-side pass
+    # quality_classifier_score serves; the rank sweep is one single-
+    # partition window over the validation-sized scored relation (bounded
+    # by construction — see the register comment).
+    from ..operators.classifier import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        d.select("doc_id", "lang", "text"), weights=_qc_weights()
+    ).select(
+        "doc_id",
+        "margin",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    w = Window.orderBy(F.desc("margin"), F.asc("doc_id"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "margin",
+        F.sum("pos").over(cum).cast("long").alias("tp"),
+        F.sum("pos")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("total_pos"),
+    )
+    return ranked.select(
+        "rank",
+        "margin",
+        "tp",
+        (F.col("tp").cast("double") / F.col("rank")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("total_pos")).alias("recall"),
+        ((2 * F.col("tp")).cast("double") / (F.col("rank") + F.col("total_pos")))
+        .alias("f1"),
+    ).orderBy("rank")
+
+
 _LC_CLASSES = ("de", "en", "es", "fr", "zh")
 
 

@@ -5015,3 +5015,24 @@ def test_bpe_decode_malformed_byte_run_fails_fast(spark):
         Exception, match="malformed UTF-8|MALFORMED_CHARACTER_CODING"
     ):
         decode_corpus_ids(cut, idv, oov="bytes").collect()
+
+
+def test_classifier_pr_curve_invariants(spark):
+    # Calibration-sweep math: tp is a non-decreasing prefix count, recall
+    # is monotone non-decreasing ending at exactly 1.0, precision at rank
+    # r is tp/r, and F1 equals the simplified single-ratio harmonic mean
+    # 2tp/(rank+pos). These hold for ANY margin ordering — they pin the
+    # sweep machinery independent of model quality.
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["classifier_pr_curve"].fn(spark, SF_SMOKE).collect()
+    assert rows, "empty curve"
+    total_pos = rows[-1].tp
+    assert rows[-1].recall == 1.0 and total_pos > 0
+    prev_tp = 0
+    for r in rows:
+        assert r.tp >= prev_tp and r.tp - prev_tp <= 1
+        prev_tp = r.tp
+        assert r.precision == r.tp / r.rank
+        assert r.recall == r.tp / total_pos
+        assert r.f1 == 2 * r.tp / (r.rank + total_pos)
