@@ -551,7 +551,7 @@ _VERIFIED_ORACLE_FP: dict[str, str] = {
     "corpus_importance_dsir": "4adb5eb54c43",
     "corpus_mixture_rebalance": "d14c9f9e9bb7",
     "corpus_ngram_novelty": "8a169d7b7027",
-    "corpus_prep_funnel": "b52c65bd7c79",
+    "corpus_prep_funnel": "0fd699ea12e6",
     "corpus_report_by_source": "aa23b8986484",
     "corpus_sample_plan_execution": "960c59e2b44c",
     "corpus_zipf_slope": "a9d5e35097c4",
@@ -782,7 +782,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
     "corpus_ngram_novelty": "2f01a5a9cd3e",
-    "corpus_prep_funnel": "2b496ea15364",
+    "corpus_prep_funnel": "39d8b402ac32",
     "corpus_report_by_source": "fadffd6eb92f",
     "corpus_sample_plan_execution": "3bdb14bb40c5",
     "corpus_zipf_slope": "9096496a03df",
@@ -843,10 +843,10 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "heavy_hitters_terms": "a755b1f0b139",
     "histogram_totalprice": "1d5e505fd699",
     "hll_distinct_sketch": "7bb7864b9b59",
-    "html_extract_funnel": "c51f6dd655f5",
-    "html_extract_links": "c4765454b32d",
-    "html_extract_text": "62fd6d30c6af",
-    "html_links_pagerank": "2c601c3b0e45",
+    "html_extract_funnel": "6fc851d46f8d",
+    "html_extract_links": "3b97daf0ba2e",
+    "html_extract_text": "3bfd24ffeca9",
+    "html_links_pagerank": "558151acd3f3",
     "inverted_index_terms": "99540c07af09",
     "join_anti": "a4a842e6de82",
     "join_cross": "701e41731c20",
@@ -865,13 +865,13 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "math_funcs": "da0c50726e64",
     "merge_upsert_customers": "50f16eee1d14",
     "mixture_sample_weighted": "b3a95dcb125c",
-    "multimodal_audio_real": "4241d136bb81",
-    "multimodal_decode": "ed0fc51d9287",
-    "multimodal_decode_real": "2729342d6a98",
-    "multimodal_frames": "991ceb3c1d29",
-    "multimodal_meta": "2138bf34f217",
-    "multimodal_resize": "5a1d2a1bbd03",
-    "multimodal_video_real": "c2c535254d22",
+    "multimodal_audio_real": "5809ff135438",
+    "multimodal_decode": "e71195bc7bb2",
+    "multimodal_decode_real": "91031f811eb2",
+    "multimodal_frames": "f6d3ab8e052d",
+    "multimodal_meta": "3644cb670847",
+    "multimodal_resize": "4401710509c2",
+    "multimodal_video_real": "d2343a7928ec",
     "normalize_text_nfc": "71b8455e7aad",
     "null_semantics": "c3e3e3c08e79",
     "pack_segments": "dc56cf5e9b3d",
