@@ -4296,35 +4296,12 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_metadata(d)
 
 
-@register(
-    "dedup_near_phash",
-    # Perceptual near-dup for the IMAGE modality (r14 verdict #4): extend
-    # dedup to multimodal columns. Payloads are genuine PGM rasters
-    # rendered in-pipeline (gray rows = the doc's ASCII bytes, the
-    # multimodal_decode_real fixture), PLUS planted near-identical copies:
-    # every 5th doc of >= 113 bytes (>= 8 raster rows, so the floor
-    # grid samples each source row at most once) re-rendered with
-    # characters 1 and 3 SWAPPED. BOTH positions sit on the 8x8
-    # nearest-neighbour sample grid (row 0, columns 0 and 2) and nowhere
-    # else, so the swap permutes two SAMPLED pixels: the sampled sum —
-    # the aHash threshold — is invariant, the only bits that can differ
-    # are the two swapped positions, and they flip together or not at
-    # all. Each planted pair is therefore at hamming 0 or 2 BY
-    # CONSTRUCTION — genuinely near-dup, guaranteed under the join's
-    # threshold of 3 (the 100% recall pin in tests/test_operators.py;
-    # shorter docs duplicate grid rows and can flip 4 bits, found
-    # empirically at sf0.001). The Spark side runs
-    # the REAL pipeline: decode -> luma -> 8x8 nearest resample ->
-    # mean-threshold aHash (mapInPandas, narrow) -> pigeonhole-banded
-    # Hamming join (ONE shuffle on (chunk_idx, chunk_val) — exact for
-    # hamming <= chunks-1, never a recall trade). The oracle never
-    # decodes anything: every sampled pixel is closed-form text
-    # arithmetic (grid ((r*h)//8)*16 + 2c, pad byte 32, strict
-    # 64*v > sum threshold), the hash is rebuilt as two 32-bit halves
-    # (BIGINT-safe), and pairs are the brute-force all-pairs filter the
-    # banding must reproduce exactly.
-    oracle="""
-    WITH src AS (
+# The image-aHash fixture CTE chain — planted near-identical PGM copies +
+# the closed-form 8x8 sampled-pixel hash as two 32-bit halves — shared by
+# the detection oracle (dedup_near_phash) and the apply oracle
+# (dedup_apply_perceptual). One source of truth; the construction proof
+# lives in dedup_near_phash's register comment.
+_PHASH_CTES = """src AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000,
@@ -4354,7 +4331,55 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
                    AS BIGINT) AS hi
         FROM (SELECT doc_id, v, list_sum(v) AS s FROM vals)
+    )"""
+
+
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the shared image-aHash fixture: the corpus plus
+    the planted character-1/3-swap near-identical copies (ids offset by
+    1,000,000), mirrored line for line by _PHASH_CTES's src."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 113)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 3, 1) || substr(text, 2, 1) || substr(text, 1, 1)"
+            " || substr(text, 4)"
+        ).alias("text"),
     )
+    return d.unionByName(perturbed)
+
+
+@register(
+    "dedup_near_phash",
+    # Perceptual near-dup for the IMAGE modality (r14 verdict #4): extend
+    # dedup to multimodal columns. Payloads are genuine PGM rasters
+    # rendered in-pipeline (gray rows = the doc's ASCII bytes, the
+    # multimodal_decode_real fixture), PLUS planted near-identical copies:
+    # every 5th doc of >= 113 bytes (>= 8 raster rows, so the floor
+    # grid samples each source row at most once) re-rendered with
+    # characters 1 and 3 SWAPPED. BOTH positions sit on the 8x8
+    # nearest-neighbour sample grid (row 0, columns 0 and 2) and nowhere
+    # else, so the swap permutes two SAMPLED pixels: the sampled sum —
+    # the aHash threshold — is invariant, the only bits that can differ
+    # are the two swapped positions, and they flip together or not at
+    # all. Each planted pair is therefore at hamming 0 or 2 BY
+    # CONSTRUCTION — genuinely near-dup, guaranteed under the join's
+    # threshold of 3 (the 100% recall pin in tests/test_operators.py;
+    # shorter docs duplicate grid rows and can flip 4 bits, found
+    # empirically at sf0.001). The Spark side runs
+    # the REAL pipeline: decode -> luma -> 8x8 nearest resample ->
+    # mean-threshold aHash (mapInPandas, narrow) -> pigeonhole-banded
+    # Hamming join (ONE shuffle on (chunk_idx, chunk_val) — exact for
+    # hamming <= chunks-1, never a recall trade). The oracle never
+    # decodes anything: every sampled pixel is closed-form text
+    # arithmetic (grid ((r*h)//8)*16 + 2c, pad byte 32, strict
+    # 64*v > sum threshold), the hash is rebuilt as two 32-bit halves
+    # (BIGINT-safe), and pairs are the brute-force all-pairs filter the
+    # banding must reproduce exactly.
+    oracle=f"""
+    WITH {_PHASH_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
                 AS INT) AS hamming
@@ -4372,20 +4397,72 @@ def q_dedup_near_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_near_pairs
     from ..operators.multimodal import image_ahash64, with_pgm_payload
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = d.filter(
-        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 113)
-    ).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 3, 1) || substr(text, 2, 1) || substr(text, 1, 1)"
-            " || substr(text, 4)"
-        ).alias("text"),
-    )
-    hashed = image_ahash64(with_pgm_payload(d.unionByName(perturbed)))
+    hashed = image_ahash64(with_pgm_payload(_phash_corpus(spark, sf_dir)))
     return hamming_near_pairs(
         hashed, id_col="doc_id", hash_col="ahash", max_hamming=3, chunks=4
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_apply_perceptual",
+    # The perceptual family's APPLY stage — detection alone doesn't clean
+    # a corpus: image-aHash near-dup pairs feed the SAME min-label
+    # connected-components + survivor-selection machinery the text
+    # pipeline uses (dedup_components), and the survivors semi-filter the
+    # corpus — "emit the deduplicated image set", dedup_apply_survivors'
+    # multimodal sibling. The oracle walks the closure with a recursive
+    # CTE over the brute-forced pair set (two different component
+    # algorithms agreeing on the survivor ID set, the dedup_clusters
+    # check) on top of the shared closed-form hash CTEs.
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_CTES},
+    near AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM near
+        UNION
+        SELECT id_b, id_a FROM near
+    ),
+    reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    dropped AS (
+        SELECT id FROM reach GROUP BY id HAVING id <> MIN(label)
+    )
+    SELECT s.doc_id FROM src s
+    LEFT JOIN dropped dr ON s.doc_id = dr.id
+    WHERE dr.id IS NULL
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_dedup_apply_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: narrow hash pass -> banded pair join (64-bit rows) ->
+    # O(diameter) min-label rounds on pair-cardinality relations -> one
+    # id-keyed anti join; image payloads never shuffle.
+    from ..operators.dedup import dedup_components, hamming_near_pairs
+    from ..operators.multimodal import image_ahash64, with_pgm_payload
+
+    corpus = _phash_corpus(spark, sf_dir)
+    hashed = image_ahash64(with_pgm_payload(corpus))
+    pairs = hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="ahash", max_hamming=3, chunks=4
+    )
+    dropped = (
+        dedup_components(pairs)
+        .filter(F.col("id") != F.col("cluster"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return (
+        corpus.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(

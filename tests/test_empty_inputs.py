@@ -512,8 +512,9 @@ def test_round15_operators_empty(spark):
     # near-dup x3 modalities, multiclass routing, host governance, the
     # frontier, and URL admission control
     names = ("dedup_near_phash", "dedup_near_audio", "dedup_near_video",
-             "lang_classifier_score", "html_links_by_host",
-             "crawl_frontier_topk", "crawl_url_filter")
+             "dedup_apply_perceptual", "lang_classifier_score",
+             "html_links_by_host", "crawl_frontier_topk",
+             "crawl_url_filter", "classifier_pr_curve")
     with tempfile.TemporaryDirectory(dir=".") as d:
         sf = stage_documents_sf(spark, d, [])
         for name in names:

@@ -5036,3 +5036,44 @@ def test_classifier_pr_curve_invariants(spark):
         assert r.precision == r.tp / r.rank
         assert r.recall == r.tp / total_pos
         assert r.f1 == 2 * r.tp / (r.rank + total_pos)
+
+
+def test_dedup_apply_perceptual_drops_exactly_planted_duplicates(spark):
+    # The apply stage must keep every original doc that is its component's
+    # min id and drop the rest: survivors + dropped partition the corpus,
+    # every planted copy (id + 1000000) whose pair was found is dropped,
+    # and the survivor set matches detection-side components exactly.
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    kept = {
+        r.doc_id
+        for r in REGISTRY["dedup_apply_perceptual"].fn(spark, SF_SMOKE).collect()
+    }
+    pairs = REGISTRY["dedup_near_phash"].fn(spark, SF_SMOKE).collect()
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    orig_ids = {r.doc_id for r in d.select("doc_id").collect()}
+    planted_ids = {
+        r.doc_id + 1000000
+        for r in d.filter(
+            (d.doc_id % 5 == 0) & (F.length("text") >= 113)
+        ).select("doc_id").collect()
+    }
+    # reference survivor set: min id per connected component over the
+    # detection pairs, computed with a plain union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    dropped = {x for x in parent if find(x) != x}
+    assert dropped and dropped <= (orig_ids | planted_ids)
+    assert kept == (orig_ids | planted_ids) - dropped
