@@ -47,6 +47,7 @@ def hashed_linear_score(
     weights: list[int],
     text_col: str = "text",
     weight_scale: int = 1000,
+    keep_weight_sum: bool = False,
 ) -> DataFrame:
     """Append (n_features, margin) under a hashed unigram+bigram model.
 
@@ -55,6 +56,11 @@ def hashed_linear_score(
     md5-derived (first 8 hex digits mod len(weights)) so an oracle can
     rebuild the identical assignment. Rows with zero tokens are dropped
     (no features to average — the caller decides their fate upstream).
+
+    ``keep_weight_sum``: also emit the raw integer ``weight_sum`` the
+    margin divides — the column a downstream EXACT rollup needs (summing
+    integer mass per group stays bit-exact where re-deriving it from the
+    float margin would not).
     """
     if not weights:
         raise ValueError("hashed_linear_score: weights must be non-empty")
@@ -94,6 +100,7 @@ def hashed_linear_score(
             (
                 F.col("_wsum") / (F.col("n_features") * F.lit(float(weight_scale)))
             ).alias("margin"),
+            *([F.col("_wsum").alias("weight_sum")] if keep_weight_sum else []),
         )
     )
 

@@ -782,7 +782,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
     "corpus_ngram_novelty": "2f01a5a9cd3e",
-    "corpus_prep_funnel": "39d8b402ac32",
+    "corpus_prep_funnel": "5cbb15f326b8",
     "corpus_report_by_source": "fadffd6eb92f",
     "corpus_sample_plan_execution": "3bdb14bb40c5",
     "corpus_zipf_slope": "9096496a03df",
@@ -905,7 +905,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "q8_market_share": "a66119b8957e",
     "q9_product_profit": "b61e25e38c65",
     "quality_bigram_logprob": "aaffced9d481",
-    "quality_classifier_score": "368e97c34dcf",
+    "quality_classifier_score": "303d244044fe",
     "quality_repetition_filter": "ecad3ad1293d",
     "quality_top_ngram_mass": "837a2702e027",
     "quality_unigram_logprob": "e72f1e06f07f",
@@ -12866,6 +12866,86 @@ def q_crawl_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@register(
+    "host_quality_blocklist",
+    # DERIVING the blocklist crawl_url_filter consumes — a real pipeline's
+    # host blocklist is not hand-curated, it is rolled up from per-page
+    # quality signals (RefinedWeb-style host-level governance): each page's
+    # classifier margin aggregates to its HOME host (the fixture's
+    # doc_id % 7 home-host map, shared with html_links_by_host), and a
+    # host whose total weight mass is negative is blocked. Everything
+    # stays exact-integer until one final division per host: host_margin
+    # = SUM(wsum) / (SUM(n_features) * 1000.0) (the mass-weighted margin,
+    # NOT a mean of per-doc ratios), keep_rate = kept/docs as a single
+    # integer ratio, and blocked = SUM(wsum) < 0 is a pure integer
+    # comparison — so the hash is bit-exact with no ROUND. Scale shape:
+    # the margin fold rides the scan (zero shuffles), the rollup is one
+    # host-cardinality aggregate; this table then broadcasts into the
+    # admission join, closing quality -> governance -> frontier.
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id,
+               w || CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])
+                         ELSE [] END AS fs
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                                 x -> x <> '') AS w
+              FROM documents)
+        WHERE len(w) >= 1
+    ), scored AS (
+        SELECT doc_id,
+               CAST(len(fs) AS BIGINT) AS n_features,
+               CAST(list_sum(list_transform(fs, x ->
+                   (CAST(concat('0x', substr(md5('qcw:' || CAST(
+                        CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+                            % 256 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001)
+                   - 1000)) AS BIGINT) AS wsum
+        FROM feat
+    )
+    SELECT 'example' || (doc_id % 7) || '.com' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(wsum) / (SUM(n_features) * 1000.0) AS host_margin,
+           CAST(SUM(CASE WHEN wsum >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS keep_rate,
+           SUM(wsum) < 0 AS blocked
+    FROM scored GROUP BY doc_id % 7
+    ORDER BY host
+    """,
+    tags=("llm", "text", "quality", "pipeline"),
+)
+def q_host_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: one scan-side margin fold (the corpus's zero-shuffle
+    # inference pass), one host-cardinality rollup — the derived blocklist
+    # is then the broadcast side of the admission join.
+    from ..operators.classifier import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        d.select("doc_id", "text"), weights=_qc_weights(), keep_weight_sum=True
+    ).select("doc_id", "n_features", F.col("weight_sum").alias("_wsum_approx"))
+    agg = scored.groupBy(
+        F.concat(
+            F.lit("example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_wsum_approx").alias("_wsum"),
+        F.sum("n_features").alias("_nf"),
+        F.sum(F.when(F.col("_wsum_approx") >= 0, 1).otherwise(0))
+        .alias("_kept"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        (F.col("_wsum") / (F.col("_nf") * 1000.0)).alias("host_margin"),
+        (F.col("_kept").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        (F.col("_wsum") < 0).alias("blocked"),
+    ).orderBy("host")
 
 
 @register(

@@ -514,7 +514,8 @@ def test_round15_operators_empty(spark):
     names = ("dedup_near_phash", "dedup_near_audio", "dedup_near_video",
              "dedup_apply_perceptual", "lang_classifier_score",
              "html_links_by_host", "crawl_frontier_topk",
-             "crawl_url_filter", "classifier_pr_curve")
+             "crawl_url_filter", "classifier_pr_curve",
+             "host_quality_blocklist")
     with tempfile.TemporaryDirectory(dir=".") as d:
         sf = stage_documents_sf(spark, d, [])
         for name in names:
