@@ -5077,3 +5077,81 @@ def test_dedup_apply_perceptual_drops_exactly_planted_duplicates(spark):
     dropped = {x for x in parent if find(x) != x}
     assert dropped and dropped <= (orig_ids | planted_ids)
     assert kept == (orig_ids | planted_ids) - dropped
+
+
+def test_url_admission_consumes_derived_blocklist(spark):
+    # The governance loop end to end: the quality-derived host table
+    # (host_quality_blocklist) feeds the URL admission join in place of a
+    # curated literal — here as worst-k governance (block the 3 lowest-
+    # margin hosts, a split the all-negative stand-in model can't give via
+    # the mass<0 flag). Every URL on a blocked host must be refused, no
+    # URL elsewhere may be, and the path-disallow rule is independent.
+    import pyspark.sql.functions as F
+
+    from hadoop_word_score_spark.operators.markup import (
+        canonicalize_url,
+        extract_urls,
+        render_markup,
+        render_source_links,
+        url_host,
+        url_path,
+    )
+    from hadoop_word_score_spark.plans.queries import REGISTRY
+
+    hosts = REGISTRY["host_quality_blocklist"].fn(spark, SF_SMOKE)
+    worst = (
+        hosts.orderBy(F.asc("host_margin"), F.asc("host"))
+        .limit(3)
+        .select("host")
+        .withColumn("blocked", F.lit(True))
+    )
+    blocked_hosts = {r.host for r in worst.select("host").collect()}
+    assert len(blocked_hosts) == 3
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+    m = (F.col("doc_id") % 11).cast("string")
+    url_a = F.concat(
+        F.lit("HTTPS://Example"), t, F.lit(".COM:443/page"), m,
+        F.lit("/?b=2&a=1#top"),
+    )
+    pages = d.select(
+        render_markup(
+            F.col("text"), F.col("doc_id"),
+            extra_block=render_source_links(F.array(url_a)),
+        ).alias("html")
+    )
+    urls = (
+        pages.select(F.explode(extract_urls(F.col("html"))).alias("raw"))
+        .select(canonicalize_url(F.col("raw")).alias("url"))
+        .distinct()
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+        )
+    )
+    verdicts = urls.join(F.broadcast(worst), "host", "left").select(
+        "host", "path",
+        F.when(F.col("blocked"), F.lit("blocked-host"))
+        .when(F.col("path").rlike(r"^/page(0|3|6|9)$"),
+              F.lit("disallowed-path"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    ).collect()
+    assert verdicts
+    for r in verdicts:
+        if r.host in blocked_hosts:
+            assert r.verdict == "blocked-host", r
+        else:
+            assert r.verdict != "blocked-host", r
+            import re as _re
+
+            expect = (
+                "disallowed-path"
+                if _re.match(r"^/page(0|3|6|9)$", r.path)
+                else "kept"
+            )
+            assert r.verdict == expect, r
