@@ -790,6 +790,63 @@ def hamming_near_pairs(
     )
 
 
+def incremental_hamming_pairs(
+    base_hashed: DataFrame,
+    new_hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Cross-relation banded Hamming candidates — (base_id, new_id,
+    hamming) for every base row within ``max_hamming`` of a new row. The
+    ingestion-side sibling of :func:`hamming_near_pairs` (the text
+    family's incremental_lsh_pairs shape applied to 64-bit perceptual
+    hashes): the NEW batch is the small probe side of ONE equi-join on
+    (chunk_idx, chunk_val), so the accumulated corpus index never
+    self-joins and ingest cost tracks the batch, not the corpus. Same
+    pigeonhole guarantee, same loud guard. Chunk pieces are bit-shift
+    projections (free codegen), so the persisted index stays a flat
+    (id, hash) relation — 16 logical bytes per row — and explodes only
+    at probe time."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"incremental_hamming_pairs: max_hamming={max_hamming} needs > "
+            f"{chunks} chunks for the pigeonhole guarantee (got {chunks})"
+        )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+
+    def pieces(df: DataFrame, out_id: str, out_h: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_h),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_idx"),
+                            F.shiftright(F.col(hash_col), c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk_val"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("p"),
+        ).select(out_id, out_h, "p.chunk_idx", "p.chunk_val")
+
+    base = pieces(base_hashed, "base_id", "base_h")
+    new = pieces(new_hashed, "new_id", "new_h")
+    ham = F.bit_count(F.col("base_h").bitwiseXOR(F.col("new_h")))
+    return (
+        base.join(new, ["chunk_idx", "chunk_val"])
+        .select("base_id", "new_id", ham.cast("int").alias("hamming"))
+        .dropDuplicates(["base_id", "new_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def dedup_lines_keep_first(
     docs: DataFrame,
     id_col: str = "doc_id",

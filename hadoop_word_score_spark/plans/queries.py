@@ -777,7 +777,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "cms_frequency_estimates": "b2fdc211d1e5",
     "cohort_retention_weekly": "70b5233f1f0d",
     "conditional_funcs": "f3ec91d7cec2",
-    "corpus_dedup_rate_by_source": "67f2e85edbba",
+    "corpus_dedup_rate_by_source": "17a1f5f386c0",
     "corpus_drift_kl": "e2cae88a5132",
     "corpus_importance_dsir": "17035698a07c",
     "corpus_mixture_rebalance": "1cbfecd25466",
@@ -790,21 +790,21 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "data_quality_report": "f32c321e4f3e",
     "date_funcs": "939160ec60c3",
     "decontaminate_bloom": "361611a6a1d8",
-    "decontaminate_fuzzy": "ca80208301e2",
+    "decontaminate_fuzzy": "ec12ef3525c3",
     "decontaminate_ngrams": "d750fba75078",
-    "dedup_apply_survivors": "431152b7e92c",
-    "dedup_cluster_canonical": "3667cd2f0f56",
-    "dedup_clusters": "0095c4334fee",
+    "dedup_apply_survivors": "e02a4d033963",
+    "dedup_cluster_canonical": "cad373bb8cae",
+    "dedup_clusters": "54565db8ba04",
     "dedup_containment": "113d26da6862",
-    "dedup_exact": "72d4873e66ee",
-    "dedup_incremental": "80a1006f10d5",
-    "dedup_jaccard_prefix": "a630d91f190c",
-    "dedup_lines_c4": "805a40842b84",
-    "dedup_near_embedding": "20d3bce6ffcd",
-    "dedup_near_jaccard": "d2b274b96f27",
-    "dedup_near_minhash": "895306479e4c",
-    "dedup_near_simhash": "1e5e16200583",
-    "dedup_pipeline_end_to_end": "8961808f33b3",
+    "dedup_exact": "f19df1ca703e",
+    "dedup_incremental": "afbbb4a80c35",
+    "dedup_jaccard_prefix": "78a897fcf935",
+    "dedup_lines_c4": "feb827ec163f",
+    "dedup_near_embedding": "82095e0f062f",
+    "dedup_near_jaccard": "f859874bf5f2",
+    "dedup_near_minhash": "b48ad9316677",
+    "dedup_near_simhash": "9e5007410b20",
+    "dedup_pipeline_end_to_end": "6e1dde3342cc",
     "dedup_semantic": "84fc9579d4ed",
     "dedup_spans_exact": "33fa8116c9b7",
     "dedup_spans_hashed": "3a2311ca6565",
@@ -937,7 +937,7 @@ _VERIFIED_IMPL_FP: dict[str, str] = {
     "similarity_topk_lsh": "8f9d8f99e621",
     "sliding_window": "09b227c628d7",
     "snapshot_diff_orders": "8d639bc38fd9",
-    "split_leakage_safe": "12f89d495319",
+    "split_leakage_safe": "0def0c4b154c",
     "sql_adhoc_cte": "e5c3bf9aa034",
     "sql_adhoc_hof": "1d9a7ca4a5e8",
     "sql_adhoc_join": "8bda5e4879a5",

@@ -185,6 +185,119 @@ def dedup_ingest_sink(
     return write_batch
 
 
+def read_ingested_media(spark: SparkSession, target: str) -> DataFrame | None:
+    """All committed arrivals of a perceptual ingest target:
+    (doc_id, payload, quarantined, matched_id). None before the first
+    commit."""
+    version, last_batch = _read_pointer(target)
+    if version == 0:
+        return None
+    return spark.read.parquet(*_committed_dirs(target, _DOCS, last_batch)).select(
+        "doc_id", "payload", "quarantined", "matched_id"
+    )
+
+
+def perceptual_ingest_sink(
+    target: str,
+    hasher,
+    algo: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    chunks: int = 4,
+):
+    """``dedup_ingest_sink``'s MULTIMODAL sibling: a ``foreachBatch``
+    function quarantining perceptual near-dup arrivals of binary media.
+
+    ``hasher``: (DataFrame with (doc_id, payload)) -> (doc_id, <hash>) —
+    any 64-bit perceptual hasher (operators/multimodal.py::image_ahash64 /
+    audio_envelope_hash64 / video_framehash64); the hash column name is
+    discovered from the hasher's output schema. ``algo`` names the hash
+    recipe and is PERSISTED on every index row: a later probe under a
+    different recipe fail-fasts instead of silently comparing
+    incomparable hashes (the mh_meta discipline of the text sink).
+
+    Same greedy first-arrival semantics, same exactly-once replay guard
+    and pointer-before-publish commit, same 100 TB property — each batch
+    hashes ONLY its own payloads; prior arrivals participate through the
+    persisted flat (doc_id, hash) index as the BIG build side of one
+    banded equi-join (incremental_hamming_pairs), with the new batch as
+    the small probe. Rows the hasher DROPS (undecodable payloads — the
+    perceptual family's contract) are ingested as kept-but-unindexed:
+    no stable hash exists, so they can neither match nor be matched.
+    """
+    from ..operators.dedup import incremental_hamming_pairs
+
+    target = _validate_local_target(target, "perceptual_ingest_sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version, last_batch = _read_pointer(target)
+        if batch_id <= last_batch:
+            return  # replayed batch — already committed
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(payload_col).alias("payload"),
+            )
+            .localCheckpoint()
+        )
+        # Hash the batch EXACTLY ONCE (the decode is the dominant cost);
+        # the checkpointed hash relation feeds the within-batch pass, the
+        # corpus probe, and the index write.
+        hashed = hasher(batch).localCheckpoint()
+        hash_col = [c for c in hashed.columns if c != "doc_id"][-1]
+
+        from ..operators.dedup import hamming_near_pairs
+
+        matches = hamming_near_pairs(
+            hashed, id_col="doc_id", hash_col=hash_col,
+            max_hamming=max_hamming, chunks=chunks,
+        ).select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("match_id"))
+
+        if version > 0:
+            base_index = spark.read.parquet(
+                *_committed_dirs(target, _INDEX, last_batch)
+            )
+            algos = [r.algo for r in base_index.select("algo").distinct().collect()]
+            if algos != [algo]:
+                raise ValueError(
+                    f"perceptual_ingest_sink: index at {target!r} was built "
+                    f"with algo={algos}, probe uses {algo!r} — hashes are "
+                    f"not comparable across recipes; rebuild or match the "
+                    f"hasher"
+                )
+            vs_corpus = incremental_hamming_pairs(
+                base_index.select("doc_id", F.col("hash")),
+                hashed.select("doc_id", F.col(hash_col).alias("hash")),
+                id_col="doc_id", hash_col="hash",
+                max_hamming=max_hamming, chunks=chunks,
+            ).select(
+                F.col("new_id").alias("doc_id"),
+                F.col("base_id").alias("match_id"),
+            )
+            matches = matches.unionByName(vs_corpus)
+
+        quarantined = matches.groupBy("doc_id").agg(
+            F.min("match_id").alias("matched_id")
+        )
+        annotated = batch.join(quarantined, "doc_id", "left").select(
+            "doc_id",
+            "payload",
+            F.col("matched_id").isNotNull().alias("quarantined"),
+            "matched_id",
+        )
+        annotated.write.mode("overwrite").parquet(
+            _batch_dir(target, _DOCS, batch_id)
+        )
+        hashed.select(
+            "doc_id", F.col(hash_col).alias("hash"), F.lit(algo).alias("algo")
+        ).write.mode("overwrite").parquet(_batch_dir(target, _INDEX, batch_id))
+        _commit(target, version + 1, batch_id)
+
+    return write_batch
+
+
 def vacuum_ingest(target: str) -> list[str]:
     """Delete UNCOMMITTED ``batch=<n>`` directories (n > the published
     last_batch_id) from both the docs and index trees; returns the removed

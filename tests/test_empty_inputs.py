@@ -551,3 +551,29 @@ def test_round15_operators_empty(spark):
         url_path(F.col("u")).alias("p"),
     )
     assert row.count() == 0
+
+
+def test_perceptual_ingest_empty_batch_and_empty_hamming(spark, tmp_path):
+    # An empty micro-batch must still commit (schema-intact zero-row batch
+    # dirs, pointer advances) so the replay guard sees it; the
+    # cross-relation Hamming join over empty sides yields zero pairs.
+    from hadoop_word_score_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+    from hadoop_word_score_spark.operators.multimodal import image_ahash64
+    from hadoop_word_score_spark.streaming.ingest import (
+        perceptual_ingest_sink,
+        read_ingested_media,
+    )
+
+    hashes = spark.createDataFrame([], "doc_id long, hash long")
+    some = spark.createDataFrame([(1, 5)], "doc_id long, hash long")
+    assert incremental_hamming_pairs(hashes, some).count() == 0
+    assert incremental_hamming_pairs(some, hashes).count() == 0
+
+    target = str(tmp_path / "media")
+    sink = perceptual_ingest_sink(target, image_ahash64, algo="ahash8x8")
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    sink(empty, 0)
+    got = read_ingested_media(spark, target)
+    assert got is not None and got.count() == 0

@@ -5155,3 +5155,43 @@ def test_url_admission_consumes_derived_blocklist(spark):
                 else "kept"
             )
             assert r.verdict == expect, r
+
+
+def test_incremental_hamming_pairs_exact_and_guarded(spark):
+    # The cross-relation banded join must equal the brute-force cross
+    # filter (pigeonhole exact for max_hamming <= chunks-1) and refuse an
+    # unguaranteed threshold, mirroring the single-relation variant.
+    from hadoop_word_score_spark.operators.dedup import (
+        incremental_hamming_pairs,
+    )
+
+    rng = __import__("numpy").random.RandomState(13)
+    base = [(i, int(h)) for i, h in
+            enumerate(rng.randint(-(2**62), 2**62, 30))]
+    new = []
+    for j in range(20):
+        if j % 2 == 0:  # planted near base[j] at distance j % 4
+            flip = 0
+            for b in range(j % 4):
+                flip |= 1 << ((11 * j + 5 * b) % 64)
+            new.append((100 + j, base[j][1] ^ flip))
+        else:
+            new.append((100 + j, int(rng.randint(-(2**62), 2**62))))
+    bdf = spark.createDataFrame(base, "doc_id long, hash long")
+    ndf = spark.createDataFrame(new, "doc_id long, hash long")
+    got = {
+        (r.base_id, r.new_id, r.hamming)
+        for r in incremental_hamming_pairs(bdf, ndf, max_hamming=3).collect()
+    }
+    expect = set()
+    for bi, bh in base:
+        for ni, nh in new:
+            d = bin((bh ^ nh) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                expect.add((bi, ni, d))
+    assert got == expect and len(expect) >= 8
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_hamming_pairs(bdf, ndf, max_hamming=4, chunks=4)

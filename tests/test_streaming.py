@@ -1557,3 +1557,117 @@ def test_heavy_hitters_monitor_certificate_replay_and_guard(spark, tmp_path):
 
     # empty table: report is None
     assert heavy_hitters_report_from_store(spark, str(tmp_path / "none")) is None
+
+
+def _pgm(seed: int, n: int = 400):
+    # deterministic raster payload; same seed => identical bytes (hamming 0)
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+
+    rng = np.random.RandomState(seed)
+    return bytearray(
+        codecs.encode_pgm(rng.randint(0, 256, (20, 16)).astype("uint8"))
+    )
+
+
+_MEDIA_SCHEMA = "doc_id long, payload binary"
+
+
+def test_perceptual_ingest_greedy_quarantine_and_index_immutability(
+    spark, tmp_path
+):
+    # The multimodal ingest path: greedy first-arrival quarantine over
+    # image aHash near-dups, prior arrivals participating ONLY through the
+    # persisted flat (doc_id, hash, algo) index (batch 0's index files
+    # must be byte-identical after batch 1 commits), undecodable payloads
+    # ingested as kept-but-unindexed.
+    import os
+
+    from hadoop_word_score_spark.operators.multimodal import image_ahash64
+    from hadoop_word_score_spark.streaming.ingest import (
+        perceptual_ingest_sink,
+        read_ingested_media,
+    )
+
+    target = str(tmp_path / "media")
+    sink = perceptual_ingest_sink(target, image_ahash64, algo="ahash8x8")
+    b0 = spark.createDataFrame(
+        [(0, _pgm(1)), (1, _pgm(1)), (2, _pgm(2))], _MEDIA_SCHEMA
+    )
+    sink(b0, 0)
+    idx0 = os.path.join(target, "index", "batch=0")
+    before = {
+        f: os.path.getmtime(os.path.join(idx0, f))
+        for f in os.listdir(idx0)
+        if f.endswith(".parquet")
+    }
+    assert before, "batch 0 must persist its hash index"
+
+    b1 = spark.createDataFrame(
+        [
+            (3, _pgm(1)),                  # matches A(0) and B(1) -> min 0
+            (4, _pgm(3)),                  # unique
+            (5, _pgm(3)),                  # same-batch earlier match -> 4
+            (6, bytearray(b"not an image")),  # undecodable: kept, unindexed
+        ],
+        _MEDIA_SCHEMA,
+    )
+    sink(b1, 1)
+    got = {r.doc_id: r for r in read_ingested_media(spark, target).collect()}
+    assert len(got) == 7
+    assert not got[0].quarantined and got[0].matched_id is None
+    assert got[1].quarantined and got[1].matched_id == 0
+    assert not got[2].quarantined
+    assert got[3].quarantined and got[3].matched_id == 0
+    assert not got[4].quarantined
+    assert got[5].quarantined and got[5].matched_id == 4
+    assert not got[6].quarantined
+    after = {
+        f: os.path.getmtime(os.path.join(idx0, f))
+        for f in os.listdir(idx0)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "batch 1 re-hashed/rewrote batch 0's index"
+    # the undecodable payload must not appear in the index
+    idx = spark.read.parquet(os.path.join(target, "index", "batch=1"))
+    assert {r.doc_id for r in idx.collect()} == {3, 4, 5}
+    assert {r.algo for r in idx.collect()} == {"ahash8x8"}
+
+
+def test_perceptual_ingest_replay_noop_and_algo_guard(spark, tmp_path):
+    # Exactly-once half + recipe guard: a redelivered batch_id is a no-op;
+    # probing an ahash-built index with a different hasher recipe
+    # fail-fasts instead of comparing incomparable hashes.
+    import pytest
+
+    from hadoop_word_score_spark.operators.multimodal import (
+        image_ahash64,
+        image_dhash64,
+    )
+    from hadoop_word_score_spark.streaming.ingest import (
+        perceptual_ingest_sink,
+        read_ingested_media,
+    )
+
+    target = str(tmp_path / "media")
+    sink = perceptual_ingest_sink(target, image_ahash64, algo="ahash8x8")
+    b0 = spark.createDataFrame([(0, _pgm(1)), (1, _pgm(2))], _MEDIA_SCHEMA)
+    sink(b0, 0)
+    snap = sorted(
+        (r.doc_id, r.quarantined, r.matched_id)
+        for r in read_ingested_media(spark, target).collect()
+    )
+    sink(b0, 0)  # replay: no-op
+    assert sorted(
+        (r.doc_id, r.quarantined, r.matched_id)
+        for r in read_ingested_media(spark, target).collect()
+    ) == snap
+
+    wrong = perceptual_ingest_sink(target, image_dhash64, algo="dhash9x8")
+    b1 = spark.createDataFrame([(2, _pgm(3))], _MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="algo"):
+        wrong(b1, 1)
+    # the refused batch must not have committed
+    assert {r.doc_id for r in read_ingested_media(spark, target).collect()} \
+        == {0, 1}
