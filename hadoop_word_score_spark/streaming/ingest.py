@@ -259,13 +259,17 @@ def perceptual_ingest_sink(
             base_index = spark.read.parquet(
                 *_committed_dirs(target, _INDEX, last_batch)
             )
-            algos = [r.algo for r in base_index.select("algo").distinct().collect()]
-            if algos != [algo]:
+            # probe for ANY mismatched row, the _check_mh_meta discipline:
+            # algo is a per-file constant, so parquet min==max stats answer
+            # the != filter without scanning row groups in the all-match
+            # case — the guard stays O(files), never O(corpus), per batch
+            found = base_index.filter(F.col("algo") != F.lit(algo)).first()
+            if found is not None:
                 raise ValueError(
-                    f"perceptual_ingest_sink: index at {target!r} was built "
-                    f"with algo={algos}, probe uses {algo!r} — hashes are "
-                    f"not comparable across recipes; rebuild or match the "
-                    f"hasher"
+                    f"perceptual_ingest_sink: index at {target!r} contains "
+                    f"rows built with algo={found['algo']!r}, probe uses "
+                    f"{algo!r} — hashes are not comparable across recipes; "
+                    f"rebuild or match the hasher"
                 )
             vs_corpus = incremental_hamming_pairs(
                 base_index.select("doc_id", F.col("hash")),
