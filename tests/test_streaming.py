@@ -1671,3 +1671,33 @@ def test_perceptual_ingest_replay_noop_and_algo_guard(spark, tmp_path):
     # the refused batch must not have committed
     assert {r.doc_id for r in read_ingested_media(spark, target).collect()} \
         == {0, 1}
+
+
+def test_perceptual_ingest_crash_self_heal(spark, tmp_path):
+    # Crash window: batch dirs written, pointer NOT swapped. The
+    # half-written docs/index must not leak into the corpus read on
+    # redelivery (else the redelivered payloads would self-match and be
+    # wrongly quarantined); redelivery overwrites and commits.
+    import os
+
+    from hadoop_word_score_spark.operators.multimodal import image_ahash64
+    from hadoop_word_score_spark.streaming.ingest import (
+        perceptual_ingest_sink,
+        read_ingested_media,
+    )
+
+    target = str(tmp_path / "media")
+    sink = perceptual_ingest_sink(target, image_ahash64, algo="ahash8x8")
+    sink(spark.createDataFrame([(0, _pgm(1))], _MEDIA_SCHEMA), 0)
+
+    # simulate the crash: batch 1's dirs exist on disk, pointer still at 0
+    b1 = spark.createDataFrame([(1, _pgm(7)), (2, _pgm(8))], _MEDIA_SCHEMA)
+    b1.write.mode("overwrite").parquet(os.path.join(target, "docs", "batch=1"))
+    image_ahash64(b1).write.mode("overwrite").parquet(
+        os.path.join(target, "index", "batch=1")
+    )
+    sink(b1, 1)  # redelivery after the crash
+    got = {r.doc_id: r for r in read_ingested_media(spark, target).collect()}
+    assert len(got) == 3
+    # unique payloads: neither self-matched against the orphaned dirs
+    assert not got[1].quarantined and not got[2].quarantined
