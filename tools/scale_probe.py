@@ -98,6 +98,9 @@ PROBES = [
     "html_links_by_host",
     "dedup_near_video",
     "crawl_url_filter",
+    "dedup_apply_perceptual",
+    "host_quality_blocklist",
+    "classifier_pr_curve",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1841,6 +1844,17 @@ def main() -> None:
         # the admission agg is host-cardinality. 10x docs repeat the same
         # (t, m) URL universe, so distinct-URL work saturates
         "crawl_url_filter": "linear scan; distinct-URL agg bounded by URL universe",
+        # hash pass + banded join as dedup_near_phash, then min-label
+        # rounds over pair-cardinality relations and one id anti-join;
+        # the 10x per-copy-perturbed corpus densifies planted components
+        "dedup_apply_perceptual": "~linear hash/join + O(diameter) rounds on pair-cardinality relations",
+        # the margin fold rides the scan; the rollup is a 7-row host agg
+        "host_quality_blocklist": "linear (scan-side fold; host-cardinality rollup)",
+        # the margin fold is linear; the rank sweep is an Exchange
+        # SinglePartition BY DESIGN — calibration runs on a bounded
+        # validation sample in production, so the single-partition sort
+        # growing with the probe corpus is the expected, owned cost
+        "classifier_pr_curve": "fold linear; single-partition rank sweep grows with rows (validation-sample-sized by contract)",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
