@@ -746,7 +746,22 @@ def hamming_near_pairs(
     Unlike simhash_near_pairs (where the hash is an expression and a
     let-binding stops re-evaluation), the hash here is a real attribute
     (typically out of a mapInPandas decode stage), so referencing it in
-    the chunk transform costs nothing extra."""
+    the chunk transform costs nothing extra.
+
+    Pairing is a SELF-EQUI-JOIN on (chunk_idx, chunk_val), not a
+    collect_list bucket explode (r15 verdict #1). Perceptual chunk values
+    are data-dependent — every flat/near-white raster lands the identical
+    16-bit chunk in one bucket, so on a real image corpus a bucket array
+    would hold a large fraction of the corpus in ONE executor's memory
+    before any pruning. The join formulation has no per-key array at all:
+    SMJ/shuffled-hash streams the candidate pairs, the hamming filter
+    prunes each one as it is produced, and AQE's skew-join split
+    (spark.sql.adaptive.skewJoin) can break a hot (chunk_idx, chunk_val)
+    partition across tasks — collect_list buckets are opaque to it. The
+    candidate COUNT in a degenerate bucket is inherently quadratic
+    (those pairs really are near-dups and must be emitted), but memory
+    stays O(partition) and the work spreads across the cluster instead
+    of concentrating in one task."""
     if max_hamming > chunks - 1:
         raise ValueError(
             f"hamming_near_pairs: max_hamming={max_hamming} needs > "
@@ -754,38 +769,37 @@ def hamming_near_pairs(
         )
     width = 64 // chunks
     mask = (1 << width) - 1
-    pieces = hashed.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col(hash_col), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("p"),
-    ).select("id", "h", "p.chunk_idx", "p.chunk_val")
-    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+
+    def pieces(out_id: str, out_h: str) -> DataFrame:
+        return hashed.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_h),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_idx"),
+                            F.shiftright(F.col(hash_col), c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("chunk_val"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("p"),
+        ).select(out_id, out_h, "p.chunk_idx", "p.chunk_val")
+
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        pieces.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list(F.struct("id", "h")).alias("docs"))
-        .filter(F.size("docs") > 1)
-        .select(F.explode("docs").alias("a"), "docs")
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        pieces("id_a", "h_a")
+        .join(pieces("id_b", "h_b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        # Hamming prunes BEFORE the dedup exchange: a pair surviving one
+        # chunk survives all (distance is chunk-independent), so filtering
+        # first shrinks the dropDuplicates shuffle by the reject rate.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 

@@ -894,3 +894,22 @@ def test_round15_url_filter_and_video_plan_shapes(spark):
     plan = plan_of(spark, "dedup_near_video")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_round16_pr_curve_bound_and_hamming_join_shapes(spark):
+    # classifier_pr_curve (r15 verdict #2): the validation bound is IN the
+    # plan — the single-partition rank window sits above a global limit
+    # (TakeOrderedAndProject / partial+global Limit), so no corpus-sized
+    # relation can reach the SinglePartition exchange at any scale.
+    plan = plan_of(spark, "classifier_pr_curve")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan, plan
+    assert "Window" in plan, plan
+    # hamming_near_pairs (r15 verdict #1): the within-corpus perceptual
+    # pairing is an equi JOIN on (chunk_idx, chunk_val) — AQE skew-split
+    # eligible, O(partition) memory — never a collect_list bucket array
+    # (one degenerate chunk value would pull a corpus-sized array into a
+    # single executor) and never a cartesian.
+    plan = plan_of(spark, "dedup_near_phash")
+    assert "collect_list" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
