@@ -856,8 +856,10 @@ def incremental_hamming_pairs(
     return (
         base.join(new, ["chunk_idx", "chunk_val"])
         .select("base_id", "new_id", ham.cast("int").alias("hamming"))
-        .dropDuplicates(["base_id", "new_id"])
+        # hamming prunes BEFORE the dedup exchange (distance is
+        # chunk-independent, so a pair passes under every chunk or none)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["base_id", "new_id"])
     )
 
 

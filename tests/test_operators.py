@@ -5335,3 +5335,74 @@ def test_perceptual_robustness_receipts(spark):
     # invariance is EXACT, not just <= 3
     assert all(ham(ph, s * 10, s * 10 + 3) == 0 for s in range(n_img))
     assert all(ham(ah, s * 10, s * 10 + 3) == 0 for s in range(n_img))
+
+
+def test_audio_video_robustness_receipts(spark):
+    # The audio/video halves of the r16 robustness receipts (image halves
+    # in test_perceptual_robustness_receipts). Receipted claims:
+    #   audio envelope hash: EXACTLY invariant under unclipped amplitude
+    #     scaling (the x2 gain comparison 64*|a| > sum scale-cancels);
+    #     NOT survived: DC offset (|amplitude| is nonlinear around 0) and
+    #     time shift (the 64-point decimation grid is absolute) — both
+    #     must be able to move bits, documented contract;
+    #   video frame hash: a perturbation confined to one frame can only
+    #     flip bits in that frame's 16-bit lane (lane structure is the
+    #     point), and a one-frame-dropped re-cut stays within 3 lanes.
+    import numpy as np
+
+    from hadoop_word_score_spark.functions import codecs
+    from hadoop_word_score_spark.operators.multimodal import (
+        audio_envelope_hash64,
+        video_framehash64,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    n_clips = 40
+    for s in range(n_clips):
+        base = rng.randint(-8000, 8000, 700).astype(np.int16)
+        rows.append((s * 10, bytearray(codecs.encode_wav_pcm16(base, 8000))))
+        rows.append(
+            (s * 10 + 1, bytearray(codecs.encode_wav_pcm16(base * 2, 8000)))
+        )
+        rows.append(
+            (s * 10 + 2,
+             bytearray(codecs.encode_wav_pcm16(base + 3000, 8000)))
+        )
+        rows.append(
+            (s * 10 + 3,
+             bytearray(codecs.encode_wav_pcm16(np.roll(base, 100), 8000)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ah = {r.doc_id: r.audiohash for r in audio_envelope_hash64(df).collect()}
+    mask = (1 << 64) - 1
+
+    def ham(h, a, b):
+        return bin((h[a] ^ h[b]) & mask).count("1")
+
+    assert all(ham(ah, s * 10, s * 10 + 1) == 0 for s in range(n_clips))
+    # the not-survived perturbations really do move bits somewhere
+    assert sum(ham(ah, s * 10, s * 10 + 2) for s in range(n_clips)) > 0
+    assert sum(ham(ah, s * 10, s * 10 + 3) for s in range(n_clips)) > 0
+
+    vrows = []
+    for s in range(20):
+        frames = [
+            rng.randint(0, 256, (12, 16)).astype(np.uint8) for _ in range(4)
+        ]
+        pert = [f.copy() for f in frames]
+        pert[2] = np.clip(pert[2].astype(np.int64) + 60, 0, 255).astype(
+            np.uint8
+        )
+        vrows.append(
+            (s * 10, bytearray(b"".join(codecs.encode_pgm(f) for f in frames)))
+        )
+        vrows.append(
+            (s * 10 + 1, bytearray(b"".join(codecs.encode_pgm(f) for f in pert)))
+        )
+    vdf = spark.createDataFrame(vrows, "doc_id long, payload binary")
+    vh = {r.doc_id: r.videohash for r in video_framehash64(vdf).collect()}
+    for s in range(20):
+        d = (vh[s * 10] ^ vh[s * 10 + 1]) & mask
+        # frames sampled at (k*4)//4 = identity: frame 2 -> lane 2 only
+        assert d & ~(0xFFFF << 32) == 0, hex(d)

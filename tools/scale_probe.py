@@ -95,12 +95,15 @@ PROBES = [
     "html_links_pagerank",
     "lang_classifier_score",
     "dedup_near_phash",
+    "dedup_near_phash_dct",
     "html_links_by_host",
     "dedup_near_video",
     "crawl_url_filter",
     "dedup_apply_perceptual",
     "host_quality_blocklist",
     "classifier_pr_curve",
+    "dedup_apply_audio",
+    "dedup_apply_video",
 ]
 
 # key columns shifted per copy so replicated rows stay distinct + FK-valid
@@ -1832,7 +1835,8 @@ def main() -> None:
         # reach the join); the banded join shuffles 4 chunks x 16 bytes
         # per doc. 10x replication makes planted-neighbour BUCKETS denser
         # but candidates stay pair-bounded by true near-dups
-        "dedup_near_phash": "~linear (narrow hash pass; banded join carries 64-bit rows)",
+        "dedup_near_phash": "~linear hash pass; r16 skew-safe banded SELF-JOIN (no collect_list buckets, AQE-split eligible) — output-bound on this dup-heavy corpus (true pairs grow superlinearly under replication)",
+        "dedup_near_phash_dct": "same join shape as dedup_near_phash; +integer DCT per image (fixed 8x32 basis, constant per-row cost)",
         # same shape one modality over: demux + per-frame decode + lane
         # hash ride the scan; only signatures shuffle
         "dedup_near_video": "~linear (narrow demux+hash pass; banded join carries 64-bit rows)",
@@ -1848,13 +1852,15 @@ def main() -> None:
         # rounds over pair-cardinality relations and one id anti-join;
         # the 10x per-copy-perturbed corpus densifies planted components
         "dedup_apply_perceptual": "~linear hash/join + O(diameter) rounds on pair-cardinality relations",
+        "dedup_apply_audio": "audio twin of dedup_apply_perceptual: envelope hash pass + skew-safe banded join + component rounds",
+        "dedup_apply_video": "video twin: demux+framehash pass + skew-safe banded join + component rounds",
         # the margin fold rides the scan; the rollup is a 7-row host agg
         "host_quality_blocklist": "linear (scan-side fold; host-cardinality rollup)",
         # the margin fold is linear; the rank sweep is an Exchange
         # SinglePartition BY DESIGN — calibration runs on a bounded
         # validation sample in production, so the single-partition sort
         # growing with the probe corpus is the expected, owned cost
-        "classifier_pr_curve": "fold linear; single-partition rank sweep grows with rows (validation-sample-sized by contract)",
+        "classifier_pr_curve": "flat BY PLAN since r16: hash-mod filter + hash-ordered LIMIT 300 cap the validation set before the fold and the single-partition sweep",
     }
     for name in PROBES:
         t1 = time_query(spark, name, BASE)
