@@ -761,7 +761,15 @@ def hamming_near_pairs(
     candidate COUNT in a degenerate bucket is inherently quadratic
     (those pairs really are near-dups and must be emitted), but memory
     stays O(partition) and the work spreads across the cluster instead
-    of concentrating in one task."""
+    of concentrating in one task.
+
+    A pair agreeing on k chunks meets in k buckets; the duplicates are
+    removed WITHOUT a shuffle by the first-agreeing-chunk rule — both
+    hashes travel with the match, so "no chunk below chunk_idx also
+    agrees" is a map-side codegen predicate and exactly one of the k
+    meetings survives. (``id_col`` is a key of the input, the dedup
+    family's standing contract — duplicate id rows would emit duplicate
+    pairs here rather than being absorbed.)"""
     if max_hamming > chunks - 1:
         raise ValueError(
             f"hamming_near_pairs: max_hamming={max_hamming} needs > "
@@ -789,19 +797,36 @@ def hamming_near_pairs(
             ).alias("p"),
         ).select(out_id, out_h, "p.chunk_idx", "p.chunk_val")
 
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    ham = F.bit_count(xor)
+    first_chunk = _first_agreeing_chunk_pred(xor, chunks, width, mask)
     return (
         pieces("id_a", "h_a")
         .join(pieces("id_b", "h_b"), ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_chunk)
+        .filter(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        # Hamming prunes BEFORE the dedup exchange: a pair surviving one
-        # chunk survives all (distance is chunk-independent), so filtering
-        # first shrinks the dropDuplicates shuffle by the reject rate.
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
     )
+
+
+def _first_agreeing_chunk_pred(xor, chunks: int, width: int, mask: int):
+    """True iff no chunk BELOW the row's ``chunk_idx`` also agrees (its
+    xor piece is 0) — the shuffle-free dedup of banded-join meetings:
+    a pair agreeing on k chunks meets k times, and exactly one meeting
+    (the lowest agreeing chunk) passes. Pure bit math on the already-held
+    hashes; whole-stage codegen, no exchange."""
+    agree = [
+        F.shiftright(xor, c * width).bitwiseAND(F.lit(mask)) == 0
+        for c in range(chunks)
+    ]
+    pred = F.lit(True)
+    for c in range(1, chunks):
+        below = agree[0]
+        for a in agree[1:c]:
+            below = below | a
+        pred = F.when(F.col("chunk_idx") == c, ~below).otherwise(pred)
+    return pred
 
 
 def incremental_hamming_pairs(
@@ -819,7 +844,9 @@ def incremental_hamming_pairs(
     hashes): the NEW batch is the small probe side of ONE equi-join on
     (chunk_idx, chunk_val), so the accumulated corpus index never
     self-joins and ingest cost tracks the batch, not the corpus. Same
-    pigeonhole guarantee, same loud guard. Chunk pieces are bit-shift
+    pigeonhole guarantee, same loud guard, same shuffle-free
+    first-agreeing-chunk dedup of multi-bucket meetings as
+    :func:`hamming_near_pairs`. Chunk pieces are bit-shift
     projections (free codegen), so the persisted index stays a flat
     (id, hash) relation — 16 logical bytes per row — and explodes only
     at probe time."""
@@ -852,14 +879,13 @@ def incremental_hamming_pairs(
 
     base = pieces(base_hashed, "base_id", "base_h")
     new = pieces(new_hashed, "new_id", "new_h")
-    ham = F.bit_count(F.col("base_h").bitwiseXOR(F.col("new_h")))
+    xor = F.col("base_h").bitwiseXOR(F.col("new_h"))
+    ham = F.bit_count(xor)
     return (
         base.join(new, ["chunk_idx", "chunk_val"])
+        .filter(_first_agreeing_chunk_pred(xor, chunks, width, mask))
+        .filter(ham <= max_hamming)
         .select("base_id", "new_id", ham.cast("int").alias("hamming"))
-        # hamming prunes BEFORE the dedup exchange (distance is
-        # chunk-independent, so a pair passes under every chunk or none)
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["base_id", "new_id"])
     )
 
 
