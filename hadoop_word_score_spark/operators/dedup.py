@@ -404,21 +404,31 @@ def minhash_lsh_pairs(
     Must be built from the same docs with the same (n, num_hashes, bands).
     """
     # Candidate generation shuffles ONLY (id, band hash) — never the shingle
-    # arrays. Buckets pair internally after one shuffle (no self-join, no
-    # duplicated scan subtree); document bodies re-enter only for the final
-    # exact-Jaccard verification join, keyed by id, on candidate pairs alone.
+    # arrays. r16: buckets pair via a SELF-EQUI-JOIN on (band_idx,
+    # band_hash), not a collect_list explode — band hashes are md5-uniform
+    # over DISTINCT texts, but byte-identical / boilerplate documents
+    # collide in EVERY band, and a collect_list bucket would hold that
+    # whole duplicate mass as one in-task array before any pruning (the
+    # same degenerate-bucket exposure the perceptual family fixed, r15
+    # verdict #1). The join streams pairs with O(partition) memory, AQE
+    # skew-split applies, and in the non-broadcast regime the two sides
+    # are canonically equal so the signing pass + its shuffle still run
+    # ONCE (ReusedExchange). Document bodies re-enter only for the final
+    # exact-Jaccard verification join, keyed by id, on candidate pairs
+    # alone.
     if index is not None:
         _check_mh_meta(index, n, num_hashes, bands, "index")
         banded = index
     else:
         banded = minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
     candidates = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
+        banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
     )
     # Verification: two joins against the shingle relation. This instantiates
@@ -683,44 +693,59 @@ def simhash_near_pairs(
     Pigeonhole banding: split the 64-bit hash into ``chunks`` 16-bit pieces —
     any pair within distance ≤ chunks-1 must agree on ≥1 piece, so the
     bucket-join finds all of them without an all-pairs pass.
+
+    r16: pairing is the same skew-safe SELF-EQUI-JOIN + shuffle-free
+    first-agreeing-chunk dedup as :func:`hamming_near_pairs` — simhash
+    chunk values are data-dependent like the perceptual family's (a
+    near-boilerplate corpus piles one chunk value into one bucket), so
+    the collect_list formulation had the same degenerate-bucket exposure.
+    In the non-broadcast regime the two join sides are canonically equal,
+    so the second side is a ReusedExchange: tokenize + simhash + shuffle
+    run ONCE (plan-pinned in tests/test_plans.py).
     """
     from ..functions.hashing import let1, simhash64_expr
 
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} needs > "
+            f"{chunks} chunks for the pigeonhole guarantee (got {chunks})"
+        )
     width = 64 // chunks
+    mask = (1 << width) - 1
     # One Generate over a let-bound struct array: the simhash evaluates
-    # exactly once per document. (A separate simhash column would be inlined
-    # by CollapseProject into the chunk lambda AND into explode's inferred
-    # non-empty filter — 4-6 interpreted re-evaluations of the full hash;
-    # explode_outer emits no such filter and the sequence is never empty.)
+    # exactly once per document scan. (A separate simhash column would be
+    # inlined by CollapseProject into the chunk lambda AND into explode's
+    # inferred non-empty filter — 4-6 interpreted re-evaluations of the
+    # full hash; explode_outer emits no such filter and the sequence is
+    # never empty.)
     chunked = let1(
         simhash64_expr(text_col),
         "sh",
         f"transform(sequence(0, {chunks - 1}), c -> struct("
         f"sh AS simhash, c AS chunk_idx, "
-        f"shiftright(sh, c * {width}) & {(1 << width) - 1} AS chunk_val))",
+        f"shiftright(sh, c * {width}) & {mask} AS chunk_val))",
     )
     pieces = docs.select(
         F.col(id_col).alias("id"), F.explode_outer(F.expr(chunked)).alias("p")
     ).select("id", "p.simhash", "p.chunk_idx", "p.chunk_val")
-    # Single shuffle on (chunk_idx, chunk_val); pairs generated inside each
-    # bucket — the simhash travels with the id (16 bytes/row), so no second
-    # pass over the documents is needed at all.
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        pieces.groupBy("chunk_idx", "chunk_val")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("docs"))
-        .filter(F.size("docs") > 1)
-        .select(F.explode("docs").alias("a"), "docs")
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
+
+    def side(out_id: str, out_h: str) -> DataFrame:
+        return pieces.select(
+            F.col("id").alias(out_id),
+            F.col("simhash").alias(out_h),
+            "chunk_idx",
+            "chunk_val",
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ham = F.bit_count(xor)
+    return (
+        side("id_a", "sh_a")
+        .join(side("id_b", "sh_b"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_first_agreeing_chunk_pred(xor, chunks, width, mask))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
     )
 
 

@@ -913,3 +913,48 @@ def test_round16_pr_curve_bound_and_hamming_join_shapes(spark):
     assert "collect_list" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_round16_banded_self_joins_reuse_exchange(spark):
+    # In the non-broadcast (100 TB) regime the banded self-joins' two
+    # sides are canonically equal, so the expensive hash/signing pass and
+    # its shuffle run ONCE — the second side must be a ReusedExchange.
+    # Also pins the skew-safe shape for the text families (no collect_list
+    # bucket arrays anywhere in the pairing path — the r15 degenerate-
+    # bucket exposure applied to simhash/minhash too: identical or
+    # boilerplate docs collide in every band).
+    from pyspark.sql import functions as F
+
+    from hadoop_word_score_spark.operators.dedup import (
+        hamming_near_pairs,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = spark.range(64).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("some words here "), F.col("id")).alias("text"),
+        )
+        hashed = spark.range(64).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 2654435761).alias("hash"),
+        )
+        for df in (
+            hamming_near_pairs(hashed),
+            simhash_near_pairs(docs),
+            minhash_lsh_pairs(docs),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "ReusedExchange" in plan, plan
+            assert "collect_list" not in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
