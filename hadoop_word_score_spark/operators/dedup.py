@@ -755,6 +755,7 @@ def hamming_near_pairs(
     hash_col: str = "hash",
     max_hamming: int = 3,
     chunks: int = 4,
+    join_hint: str | None = "merge",
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over an ALREADY-MATERIALIZED
     64-bit hash column — the banding core of :func:`simhash_near_pairs`
@@ -794,7 +795,17 @@ def hamming_near_pairs(
     agrees" is a map-side codegen predicate and exactly one of the k
     meetings survives. (``id_col`` is a key of the input, the dedup
     family's standing contract — duplicate id rows would emit duplicate
-    pairs here rather than being absorbed.)"""
+    pairs here rather than being absorbed.)
+
+    ``join_hint="merge"`` (default): the input subtree is typically an
+    EXPENSIVE Arrow decode+hash pass, and under a broadcast plan it would
+    evaluate once per join side; forcing the shuffle join makes the two
+    sides canonically equal, so the pass and its exchange run ONCE
+    (ReusedExchange) at every scale — measured 1.7x on the sf0.1 image
+    row — and SMJ stays AQE-skew-split eligible and sort-spills on
+    degenerate buckets. Pass ``join_hint=None`` when the input is already
+    materialized cheaply (e.g. a checkpointed batch or a parquet-backed
+    index column) and the optimizer's broadcast choice should stand."""
     if max_hamming > chunks - 1:
         raise ValueError(
             f"hamming_near_pairs: max_hamming={max_hamming} needs > "
@@ -825,9 +836,12 @@ def hamming_near_pairs(
     xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
     ham = F.bit_count(xor)
     first_chunk = _first_agreeing_chunk_pred(xor, chunks, width, mask)
+    right = pieces("id_b", "h_b")
+    if join_hint:
+        right = right.hint(join_hint)
     return (
         pieces("id_a", "h_a")
-        .join(pieces("id_b", "h_b"), ["chunk_idx", "chunk_val"])
+        .join(right, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(first_chunk)
         .filter(ham <= max_hamming)

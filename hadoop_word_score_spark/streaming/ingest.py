@@ -285,6 +285,9 @@ def perceptual_ingest_sink(
             m = hamming_near_pairs(
                 hashed, id_col="doc_id", hash_col=hash_col,
                 max_hamming=max_hamming, chunks=chunks,
+                # the batch hash relation is localCheckpointed — re-reading
+                # it per join side is free, so let the optimizer broadcast
+                join_hint=None,
             ).select(
                 F.col("id_b").alias("doc_id"), F.col("id_a").alias("match_id")
             )
