@@ -5406,3 +5406,42 @@ def test_audio_video_robustness_receipts(spark):
         d = (vh[s * 10] ^ vh[s * 10 + 1]) & mask
         # frames sampled at (k*4)//4 = identity: frame 2 -> lane 2 only
         assert d & ~(0xFFFF << 32) == 0, hex(d)
+
+
+def test_hamming_near_pairs_chunk_variants_exact(spark):
+    # The pigeonhole + first-agreeing-chunk machinery is parameterized by
+    # `chunks`; exactness must hold at every supported width, not just the
+    # default 4x16 (chunks=2 -> 32-bit pieces, max_hamming <= 1;
+    # chunks=8 -> 8-bit pieces, max_hamming <= 7 — the high-threshold
+    # regime where pairs meet in MANY buckets and the shuffle-free dedup
+    # does the most work).
+    import itertools
+
+    import numpy as np
+
+    from hadoop_word_score_spark.operators.dedup import hamming_near_pairs
+
+    rng = np.random.RandomState(29)
+    base = [int(x) for x in rng.randint(-(2**62), 2**62, 30)]
+    hashes = list(base)
+    for i in range(0, 30, 3):  # plant neighbours at distances 1..7
+        flip = 0
+        for b in range((i % 7) + 1):
+            flip |= 1 << ((11 * i + 17 * b) % 64)
+        hashes.append(base[i] ^ flip)
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "doc_id long, hash long")
+    for chunks, max_h in ((2, 1), (8, 7), (8, 4)):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                df, max_hamming=max_h, chunks=chunks
+            ).collect()
+        }
+        expect = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_h:
+                expect.add((min(ia, ib), max(ia, ib), d))
+        assert got == expect, (chunks, max_h)
+    assert len(expect) >= 5  # the fixture really planted in-threshold pairs

@@ -1647,7 +1647,7 @@ def main() -> None:
         "q3_shipping_priority": "linear (broadcast dims)",
         "tumbling_window": "linear (hash agg)",
         "dedup_exact": "linear (hash shuffle)",
-        "dedup_near_minhash": "~linear (sig pass + r16 skew-safe band self-join; ReusedExchange keeps one signing pass)",
+        "dedup_near_minhash": "~linear at constant pair density (sig pass + r16 skew-safe band self-join); output-bound HERE — the 10x near-dup replication grows verified-candidate mass ~quadratically in copies, same cause as dedup_jaccard_prefix",
         "dedup_pipeline_end_to_end": "~linear + O(diameter) rounds (LSH → components → survivors)",
         "dedup_near_jaccard": "superlinear (Σ df² pairing) — removed from the bench set r10: the deliberately-uncapped exact-recall yardstick, not a served operator; served near-dup rows (minhash, containment) are benched, ~linear. Correctness remains oracle-gated.",
         # events replicate with shifted event_id but FIXED user_id set, so
