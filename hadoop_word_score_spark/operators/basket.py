@@ -81,16 +81,27 @@ def association_rules(
         .crossJoin(n_baskets_df)
         .where(F.col("n_pair") >= F.ceil(F.lit(min_support_frac) * F.col("n_baskets")))
     )
+    # Both rule directions from ONE evaluation of the pair subtree: the
+    # union() form re-executed the whole basket self-join + pair aggregation
+    # per branch (Spark materializes no CTEs — the plan showed two
+    # SortMergeJoins over fitems); exploding a two-element direction array
+    # emits the identical row multiset from a single pass.
     rules = pairs.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("_dir"),
         "n_pair",
         "n_baskets",
-    ).union(
-        pairs.select(
-            F.col("item_b"), F.col("item_a"), F.col("n_pair"), F.col("n_baskets")
-        )
-    )
+    ).select("_dir.antecedent", "_dir.consequent", "n_pair", "n_baskets")
     fa = freq.select(
         F.col("item").alias("antecedent"), F.col("n_item").alias("n_a")
     )

@@ -259,14 +259,15 @@ def persist_ivfpq_index(
     partitioned code files, so a filtered probe pushes its predicate into
     the pruned parquet scan BEFORE any ADC work — no over-fetch heuristics;
     the top-k is exact over the surviving candidates. Cost: a few bytes per
-    row next to the 16-byte code (still no vector column), plus one
-    id-equi-join at build time to stitch the attributes onto the
-    cell-assigned rows."""
-    centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
-    if meta_cols:
-        index = index.join(
-            candidates.select(id_col, *meta_cols), id_col
-        )
+    row next to the 16-byte code (still no vector column) riding the
+    assignment pass's Arrow batches — no extra join or shuffle."""
+    # meta cols ride the assignment pass's Arrow batches (build_ivf_index
+    # ``keep``) — the former id-equi-join back to ``candidates``
+    # re-shuffled the whole corpus, vectors included, to attach a few
+    # metadata bytes (r16 optimization, guide §2.4; row-identical).
+    centroids, index = build_ivf_index(
+        candidates, n_cells, id_col, vec_col, keep=meta_cols
+    )
     books = pq_train(
         candidates, id_col, vec_col, m, k, iterations, train_ppm=train_ppm
     )

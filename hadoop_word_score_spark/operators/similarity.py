@@ -212,8 +212,17 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: (centroids, cell-assigned vectors).
+
+    ``keep``: attribute columns carried through the FINAL assignment pass
+    onto the index rows (the persist_*_index meta_cols). They ride the
+    same Arrow batches the vectors already cross in, so attaching them is
+    free — the previous id-equi-join back to ``candidates`` re-shuffled
+    the whole corpus INCLUDING the vector column by id just to stitch a
+    few bytes of metadata on (guide §2.4: remove shuffles outright). The
+    refinement pass never sees them (it only needs (v, cell)).
 
     Spherical k-means, one Lloyd refinement: seed with the ``n_cells``
     lowest-id vectors (deterministic, data-dependent — unlike random-subset
@@ -248,12 +257,18 @@ def build_ivf_index(
         empty_cents = candidates.sparkSession.createDataFrame(
             [], f"cell int, centroid {vec_schema}"
         )
+        keep_schema = "".join(
+            f", {c} {candidates.schema[c].dataType.simpleString()}"
+            for c in keep
+        )
         empty_index = candidates.sparkSession.createDataFrame(
-            [], f"{id_col} {id_schema}, {vec_col} {vec_schema}, cell int"
+            [],
+            f"{id_col} {id_schema}, {vec_col} {vec_schema}, "
+            f"cell int{keep_schema}",
         )
         return empty_cents, empty_index
 
-    def assign_with(cent_rows: list) -> DataFrame:
+    def assign_with(cent_rows: list, keep_cols: tuple[str, ...] = ()) -> DataFrame:
         # cent_rows: [(cell_id, centroid)] — argmax positions map back
         # through cell_ids so a cell emptied by refinement can't skew the
         # positional index (cell ids need not be dense).
@@ -262,6 +277,10 @@ def build_ivf_index(
         cnorm = np.sqrt((cmat * cmat).sum(axis=1))
         cnorm[cnorm == 0] = 1.0
         vec_type = candidates.schema[vec_col].dataType.simpleString()
+        keep_schema = "".join(
+            f", {c} {candidates.schema[c].dataType.simpleString()}"
+            for c in keep_cols
+        )
 
         def assign_batches(batches):
             for pdf in batches:
@@ -269,6 +288,7 @@ def build_ivf_index(
                     yield pd.DataFrame(
                         {"vid": pdf["vid"],
                          "v": pd.Series(dtype="object"),
+                         **{c: pdf[c] for c in keep_cols},
                          "cell": pd.Series(dtype="int32")}
                     )
                     continue
@@ -278,12 +298,16 @@ def build_ivf_index(
                 sims = (vm / vnorm[:, None]) @ (cmat / cnorm[:, None]).T
                 yield pd.DataFrame(
                     {"vid": pdf["vid"], "v": pdf["v"],
+                     **{c: pdf[c] for c in keep_cols},
                      "cell": cell_ids[np.argmax(sims, axis=1)]}
                 )
 
         return candidates.select(
-            ids.alias("vid"), F.col(vec_col).alias("v")
-        ).mapInPandas(assign_batches, f"vid {id_schema}, v {vec_type}, cell int")
+            ids.alias("vid"), F.col(vec_col).alias("v"), *keep_cols
+        ).mapInPandas(
+            assign_batches,
+            f"vid {id_schema}, v {vec_type}{keep_schema}, cell int",
+        )
 
     refined = (
         assign_with(seed_rows)
@@ -300,8 +324,8 @@ def build_ivf_index(
     refined_rows = [
         (r[0], r[1]) for r in refined.orderBy("cell").select("cell", "centroid").collect()
     ]
-    index = assign_with(refined_rows).select(
-        F.col("vid").alias(id_col), F.col("v").alias(vec_col), "cell"
+    index = assign_with(refined_rows, keep).select(
+        F.col("vid").alias(id_col), F.col("v").alias(vec_col), "cell", *keep
     )
     # the centroid rows were JUST collected (bounded ~sqrt(N)): return a
     # driver-local relation, not the lazy refinement lineage — broadcasting
@@ -399,11 +423,15 @@ def persist_ivf_index(
     ``meta_cols``: attribute columns from ``candidates`` carried into the
     index rows so :func:`ivf_probe_topk` can push a ``where`` predicate
     into the pruned scan (the filtered-ANN path; same contract as
-    persist_ivfpq_index's meta_cols — one id-equi-join at build time).
+    persist_ivfpq_index's meta_cols). They ride the assignment pass's
+    Arrow batches (build_ivf_index ``keep``) — the former id-equi-join
+    back to ``candidates`` re-shuffled the whole corpus, vectors
+    included, to attach a few metadata bytes (r16 optimization,
+    guide §2.4; row-identical by construction).
     """
-    centroids, index = build_ivf_index(candidates, n_cells, id_col, vec_col)
-    if meta_cols:
-        index = index.join(candidates.select(id_col, *meta_cols), id_col)
+    centroids, index = build_ivf_index(
+        candidates, n_cells, id_col, vec_col, keep=meta_cols
+    )
     # repartition by cell before the partitioned write: one file per cell
     # instead of (write-tasks × cells) shards. The build is the offline half,
     # so its one extra shuffle buys every probe a minimal file count — small

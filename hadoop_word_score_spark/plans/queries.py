@@ -12804,8 +12804,13 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    n = d.agg(F.count(F.lit(1)).alias("_n"))
-    base = d.select("doc_id", "text").crossJoin(F.broadcast(n))
+    # ONE driver-side count serves every consumer as a literal (r16
+    # optimization, guide §2.4): the previous in-plan agg + broadcast
+    # crossJoin was re-evaluated inside each of the three page-rendering
+    # consumers (out/in host aggs + the edge list) — three count scans and
+    # three broadcast exchanges for one number — and a SECOND d.count()
+    # action below computed the same value again for the mass literal.
+    n_docs = d.count()
     t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
     m = (F.col("doc_id") % 11).cast("string")
     url_a = F.concat(
@@ -12817,10 +12822,10 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?a=1&b=2"),
     )
     link_ids = F.array(
-        (F.col("doc_id") * 7 + 1) % F.col("_n"),
-        (F.col("doc_id") * 13 + 5) % F.col("_n"),
+        (F.col("doc_id") * 7 + 1) % F.lit(n_docs),
+        (F.col("doc_id") * 13 + 5) % F.lit(n_docs),
     )
-    pages = base.select(
+    pages = d.select("doc_id", "text").select(
         "doc_id",
         render_markup(
             F.col("text"),
@@ -12832,11 +12837,20 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     home = F.concat(
         F.lit("example"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
     )
-    links = pages.select(
-        "doc_id",
-        home.alias("src_host"),
-        F.explode(extract_urls(F.col("html"))).alias("url"),
-    ).withColumn("curl", canonicalize_url(F.col("url")))
+    links = (
+        pages.select(
+            "doc_id",
+            home.alias("src_host"),
+            F.explode(extract_urls(F.col("html"))).alias("url"),
+        )
+        .withColumn("curl", canonicalize_url(F.col("url")))
+        # narrow (id, host, url, curl) pin: consumed by BOTH host
+        # aggregations below — without it each re-renders and re-extracts
+        # every page (r16: the before-plan carried the render subtree
+        # twice). The pin is links-sized metadata, never page bodies —
+        # the guide-§8 "decide with small rows" shape.
+        .localCheckpoint()
+    )
     out_side = links.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).alias("out_links"),
         F.count_distinct("curl").alias("out_degree"),
@@ -12849,7 +12863,6 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         F.explode(extract_link_ids(F.col("html"))).alias("dst"),
     )
-    n_docs = d.count()
     mass = (
         pagerank(edges, iterations=3)
         .groupBy(
@@ -12927,8 +12940,12 @@ def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    n = d.agg(F.count(F.lit(1)).alias("_n"))
-    base = d.select("doc_id", "text").crossJoin(F.broadcast(n))
+    # ONE driver-side count serves every consumer as a literal (r16
+    # optimization, guide §2.4): the previous in-plan agg + broadcast
+    # crossJoin re-evaluated a count scan + broadcast exchange inside each
+    # page-rendering consumer (targets + edges), and a SECOND d.count()
+    # action below recomputed the same value for the equity literal.
+    n_docs = d.count()
     t = ((F.col("doc_id") * 3 + 1) % 7).cast("string")
     m = (F.col("doc_id") % 11).cast("string")
     url_a = F.concat(
@@ -12940,10 +12957,10 @@ def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?a=1&b=2"),
     )
     link_ids = F.array(
-        (F.col("doc_id") * 7 + 1) % F.col("_n"),
-        (F.col("doc_id") * 13 + 5) % F.col("_n"),
+        (F.col("doc_id") * 7 + 1) % F.lit(n_docs),
+        (F.col("doc_id") * 13 + 5) % F.lit(n_docs),
     )
-    pages = base.select(
+    pages = d.select("doc_id", "text").select(
         "doc_id",
         render_markup(
             F.col("text"),
@@ -12966,7 +12983,6 @@ def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         F.explode(extract_link_ids(F.col("html"))).alias("dst"),
     )
-    n_docs = d.count()
     equity = (
         targets.join(
             pagerank(edges, iterations=3),
