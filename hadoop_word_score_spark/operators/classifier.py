@@ -73,16 +73,20 @@ def hashed_linear_score(
     from ..functions.text import DELIM_CLASS
 
     buckets = len(weights)
-    wmap = F.create_map(
-        *[F.lit(v) for b, w in enumerate(weights) for v in (b, w)]
-    )
+    # ARRAY literal indexed by bucket+1, not a map literal: GetMapValue on
+    # a literal map is a LINEAR key scan (O(buckets) comparisons per
+    # feature — r16 optimization, guide §1.2 per-task work), while
+    # element_at on an array is one O(1) ordinal fetch. Buckets are dense
+    # 0..buckets-1 by construction, so the two lookups are value-identical
+    # (train_hashed_logreg's gradient fold already used this shape).
+    w_lit = F.array(*[F.lit(w) for w in weights])
     # ONE let1-bound fold tokenizes, builds bigrams, and folds weights in a
     # single evaluation; n_features is size arithmetic over its own
     # tokenization (HOFs have no CSE — see let1's docstring).
     wsum = F.aggregate(
         F.expr(unigram_bigram_feats_expr(text_col)),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.element_at(wmap, _bucket(x, buckets)),
+        lambda acc, x: acc + F.element_at(w_lit, _bucket(x, buckets) + 1),
     )
     ntok = F.size(
         F.filter(F.split(F.col(text_col), DELIM_CLASS), lambda x: x != "")
@@ -113,8 +117,8 @@ def hashed_table_scores(
 ) -> DataFrame:
     """Append (n_features, ``scores_col``: array<long> of len(tables))
     — the shared ONE-PASS fold under every hashed-linear consumer: all
-    tables ride as a single constant-folded ``map<bucket, array<int>>``
-    literal, the text tokenizes once, and each feature does one md5
+    tables ride as one constant-folded array-of-arrays literal
+    (O(1) ordinal fetch per feature), the text tokenizes once, and each feature does one md5
     bucket + one map lookup + a K-wide add. Serving stages that need
     SEVERAL models over the same text (the prep funnel's quality gate +
     language ID) stack their tables here and read the exact integer sums
@@ -139,19 +143,18 @@ def hashed_table_scores(
     from ..functions.text import DELIM_CLASS
 
     k = len(tables)
-    wmap = F.create_map(
-        *[
-            v
-            for b in range(buckets)
-            for v in (F.lit(b), F.array(*[F.lit(t[b]) for t in tables]))
-        ]
+    # array-of-arrays literal indexed by bucket+1 — same O(1)-vs-linear-map
+    # rationale as hashed_linear_score's w_lit (r16 optimization): the old
+    # map literal cost O(buckets) key comparisons per feature lookup.
+    warr = F.array(
+        *[F.array(*[F.lit(t[b]) for t in tables]) for b in range(buckets)]
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), k)
     scores = F.aggregate(
         F.expr(unigram_bigram_feats_expr(text_col)),
         zeros,
         lambda acc, x: F.zip_with(
-            acc, F.element_at(wmap, _bucket(x, buckets)), lambda a, w: a + w
+            acc, F.element_at(warr, _bucket(x, buckets) + 1), lambda a, w: a + w
         ),
     )
     ntok = F.size(
@@ -177,7 +180,7 @@ def hashed_multiclass_score(
     ``class_weights``: ordered (label, integer table) pairs, all tables
     the same length; real weight of bucket b for class k is
     ``table_k[b] / weight_scale``. The K tables ride into the scan as ONE
-    constant-folded ``map<bucket, array<int>>`` literal, so scoring all K
+    constant-folded array-of-arrays literal, so scoring all K
     classes is still a single tokenize + fold pass per document (the
     accumulator is an array<long> of K exact sums — K never multiplies
     the number of passes over the text). Ties break to the FIRST class in

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -265,12 +266,31 @@ def persist_ivfpq_index(
     # ``keep``) — the former id-equi-join back to ``candidates``
     # re-shuffled the whole corpus, vectors included, to attach a few
     # metadata bytes (r16 optimization, guide §2.4; row-identical).
-    centroids, index = build_ivf_index(
-        candidates, n_cells, id_col, vec_col, keep=meta_cols
-    )
-    books = pq_train(
-        candidates, id_col, vec_col, m, k, iterations, train_ppm=train_ppm
-    )
+    #
+    # The coarse-quantizer build and the PQ codebook training are
+    # INDEPENDENT computations over the same corpus (codebooks quantize
+    # raw vectors, not cell residuals — module docstring), so their jobs
+    # overlap from a driver thread (guide §2.6: a later job's tasks
+    # back-fill executors freed by the earlier job's stragglers; each
+    # driver collect is idle network wait the other job can use).
+    # inheritable_thread_target propagates the JVM thread-locals (job
+    # group/description) per the documented PySpark pattern. Results are
+    # unchanged: both halves are deterministic and share no state.
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        books_future = pool.submit(
+            inheritable_thread_target(candidates.sparkSession)(
+                lambda: pq_train(
+                    candidates, id_col, vec_col, m, k, iterations,
+                    train_ppm=train_ppm,
+                )
+            )
+        )
+        centroids, index = build_ivf_index(
+            candidates, n_cells, id_col, vec_col, keep=meta_cols
+        )
+        books = books_future.result()
     cent_rows = centroids.collect()  # bounded: n_cells rows
     coarse = None
     if cent_rows:

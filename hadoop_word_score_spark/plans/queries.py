@@ -11978,7 +11978,7 @@ def _lc_weights(cls: str, buckets: int = _QC_BUCKETS) -> list[int]:
     # CCNet / RefinedWeb pipelines): K=5 hashed linear models served as a
     # scan-side argmax — ONE tokenize+fold pass per document with an
     # array<long> accumulator, all five weight tables constant-folded into
-    # a single map<bucket, array<int>> literal. This is the stage that
+    # a single array-of-arrays literal (O(1) fetch). This is the stage that
     # PREDICTS the `lang` column the prep funnel and the stratified
     # samplers take as given (the given column stays in the output for
     # agreement auditing). Ties break to the first class in sorted order,
