@@ -80,8 +80,17 @@ def build_bloom_bitmap(
     if m & (m - 1):
         raise ValueError(f"m must be a power of two (got {m}): the odd-h2 "
                          "double-hashing scheme relies on gcd(h2, m) == 1")
+    # explode_OUTER (r16, guide §4.4): the plain generator infers a
+    # size()>0 filter below the Generate, and a filter on a UDF column
+    # evaluates the positions UDF twice per hash. Position arrays are
+    # always length k for a non-null hash, so the outer variant emits the
+    # same rows (the null-row case never occurs; the isNotNull filter on
+    # the POST-explode column is defensive and cannot duplicate the UDF).
     pos = (
-        hashes.select(F.explode(_positions_udf(m, k)(F.col(hash_col))).alias("p"))
+        hashes.select(
+            F.explode_outer(_positions_udf(m, k)(F.col(hash_col))).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
         .distinct()
     )
     idx = pos.toPandas()["p"].to_numpy(dtype=np.int64)

@@ -411,9 +411,10 @@ def minhash_lsh_pairs(
     # whole duplicate mass as one in-task array before any pruning (the
     # same degenerate-bucket exposure the perceptual family fixed, r15
     # verdict #1). The join streams pairs with O(partition) memory, AQE
-    # skew-split applies, and in the non-broadcast regime the two sides
-    # are canonically equal so the signing pass + its shuffle still run
-    # ONCE (ReusedExchange). Document bodies re-enter only for the final
+    # skew-split applies, and the merge hint below keeps the two sides
+    # canonically equal so the signing pass + its shuffle run ONCE
+    # (ReusedExchange — runtime-pinned in tests/test_plans.py under the
+    # production AQE config). Document bodies re-enter only for the final
     # exact-Jaccard verification join, keyed by id, on candidate pairs
     # alone.
     if index is not None:
@@ -421,12 +422,22 @@ def minhash_lsh_pairs(
         banded = index
     else:
         banded = minhash_band_index(docs, id_col, text_col, n, num_hashes, bands)
+    right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    if index is None:
+        # merge hint (r16, the hamming_near_pairs discipline): when the
+        # band index is derived in-flight, its subtree is the EXPENSIVE
+        # fused sign UDF — and under AQE's broadcast choice the two join
+        # sides are NOT canonically equal (one side is a BroadcastExchange),
+        # so the sign pass ran TWICE (verified in the executed final plan:
+        # two sig() ArrowEvalPython stages, zero reuse). Forcing the
+        # shuffle join makes both sides the same hash-partitioned exchange
+        # and AQE reuses it — one signing pass at every scale, still
+        # skew-split eligible. A caller-supplied (checkpointed/persisted)
+        # index is cheap to re-read, so there the optimizer's choice stands.
+        right = right.hint("merge")
     candidates = (
         banded.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
-        .join(
-            banded.select(F.col("id").alias("id_b"), "band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
-        )
+        .join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
@@ -699,9 +710,11 @@ def simhash_near_pairs(
     chunk values are data-dependent like the perceptual family's (a
     near-boilerplate corpus piles one chunk value into one bucket), so
     the collect_list formulation had the same degenerate-bucket exposure.
-    In the non-broadcast regime the two join sides are canonically equal,
-    so the second side is a ReusedExchange: tokenize + simhash + shuffle
-    run ONCE (plan-pinned in tests/test_plans.py).
+    The merge hint keeps the two join sides canonically equal at every
+    scale, so the second side is a ReusedExchange: tokenize + simhash +
+    shuffle run ONCE (plan-pinned in tests/test_plans.py, including the
+    production AQE path — AQE's broadcast choice would otherwise replay
+    the hash chain once per side).
     """
     from ..functions.hashing import let1, simhash64_expr
 
@@ -741,7 +754,12 @@ def simhash_near_pairs(
     ham = F.bit_count(xor)
     return (
         side("id_a", "sh_a")
-        .join(side("id_b", "sh_b"), ["chunk_idx", "chunk_val"])
+        # merge hint (r16): same one-signing-pass discipline as
+        # hamming_near_pairs / minhash_lsh_pairs — under AQE's broadcast
+        # choice the sides are not canonically equal and the tokenize+
+        # simhash expression chain evaluates once PER SIDE; the forced
+        # shuffle join makes the second side a ReusedExchange.
+        .join(side("id_b", "sh_b").hint("merge"), ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(_first_agreeing_chunk_pred(xor, chunks, width, mask))
         .filter(ham <= max_hamming)

@@ -980,15 +980,29 @@ def lsh_bucketed_topk(
     """
     _guard_broadcast_queries(queries, max_broadcast_queries, "lsh_bucketed_topk")
     sketch = _sign_sketch_udf(n_planes, n_tables, dim)
+    # posexplode_OUTER, not posexplode (r16, guide §4.4 duplication): the
+    # plain generator makes Catalyst infer a size(buckets)>0 non-empty
+    # filter BELOW the Generate, and a filter on a UDF column evaluates
+    # the sketch UDF twice per row (once under the Filter, once for the
+    # Project — two stacked ArrowEvalPython nodes per side in the before
+    # plan). The outer variant emits one null row for an empty/null array
+    # instead; null bucket keys never survive the inner equi-join below,
+    # so the pair set is identical. Same fix minhash_band_index carries.
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .withColumn("buckets", sketch(F.col("qvec")))
-        .select("query_id", "qvec", F.posexplode("buckets").alias("table_idx", "bucket"))
+        .select(
+            "query_id", "qvec",
+            F.posexplode_outer("buckets").alias("table_idx", "bucket"),
+        )
     )
     c = (
         candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
         .withColumn("buckets", sketch(F.col("cvec")))
-        .select("cand_id", "cvec", F.posexplode("buckets").alias("table_idx", "bucket"))
+        .select(
+            "cand_id", "cvec",
+            F.posexplode_outer("buckets").alias("table_idx", "bucket"),
+        )
     )
     # Score BEFORE deduplicating multi-table hits: the redundant cosines
     # (bounded by n_tables, typically 1-2 per pair) are vectorized-cheap,

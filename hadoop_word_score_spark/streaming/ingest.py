@@ -171,15 +171,34 @@ def dedup_ingest_sink(
             F.col("matched_id").isNotNull().alias("quarantined"),
             "matched_id",
         )
-        annotated.write.mode("overwrite").parquet(
-            _batch_dir(target, _DOCS, batch_id)
-        )
+        # The two batch-dir writes are INDEPENDENT jobs (the index write
+        # reads only the checkpointed batch_index; the docs write only the
+        # match relation), so the index write runs from a driver thread
+        # while the docs write's pair-verify + join tail would otherwise
+        # leave executors idle (guide §2.6 back-fill; r16 optimization).
+        # Exactly-once is untouched: BOTH writes complete before the
+        # pointer swap below publishes them, and a crash mid-either-write
+        # leaves the same unpublished batch dirs a sequential crash did
+        # (vacuum_ingest's contract).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
         # Quarantined docs are indexed too (see module docstring); the index
         # carries mh_meta so a later probe with different parameters
         # fail-fasts instead of silently degrading recall.
-        batch_index.write.mode("overwrite").parquet(
-            _batch_dir(target, _INDEX, batch_id)
-        )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            index_future = pool.submit(
+                inheritable_thread_target(spark)(
+                    lambda: batch_index.write.mode("overwrite").parquet(
+                        _batch_dir(target, _INDEX, batch_id)
+                    )
+                )
+            )
+            annotated.write.mode("overwrite").parquet(
+                _batch_dir(target, _DOCS, batch_id)
+            )
+            index_future.result()
         _commit(target, version + 1, batch_id)
 
     return write_batch
@@ -334,9 +353,6 @@ def perceptual_ingest_sink(
             F.col("matched_id").isNotNull().alias("quarantined"),
             "matched_id",
         )
-        annotated.write.mode("overwrite").parquet(
-            _batch_dir(target, _DOCS, batch_id)
-        )
         index_rows = None
         for a in algos:
             hashed, hash_col = hashed_by_algo[a]
@@ -344,9 +360,26 @@ def perceptual_ingest_sink(
                 "doc_id", F.col(hash_col).alias("hash"), F.lit(a).alias("algo")
             )
             index_rows = rows if index_rows is None else index_rows.unionByName(rows)
-        index_rows.write.mode("overwrite").parquet(
-            _batch_dir(target, _INDEX, batch_id)
-        )
+        # Same independent-writes overlap as dedup_ingest_sink (guide §2.6):
+        # the index write reads only the checkpointed hash relations, the
+        # docs write only the match relation; both complete before _commit
+        # publishes them, so exactly-once and crash behaviour are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            index_future = pool.submit(
+                inheritable_thread_target(spark)(
+                    lambda: index_rows.write.mode("overwrite").parquet(
+                        _batch_dir(target, _INDEX, batch_id)
+                    )
+                )
+            )
+            annotated.write.mode("overwrite").parquet(
+                _batch_dir(target, _DOCS, batch_id)
+            )
+            index_future.result()
         _commit(target, version + 1, batch_id)
 
     return write_batch

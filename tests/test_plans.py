@@ -162,6 +162,44 @@ def test_hash_sample_is_scan_side(spark):
     assert "Filter" in plan
 
 
+def test_round16_banded_self_joins_reuse_under_aqe(spark):
+    # The AQE-ON twin of test_round16_banded_self_joins_reuse_exchange
+    # (r16 optimization): under the PRODUCTION config AQE may broadcast
+    # one side of the banded self-join, and a BroadcastExchange side is
+    # never canonically equal to the probe side — the expensive sign/hash
+    # subtree then executes once PER SIDE (observed in the executed final
+    # plan before the merge hints: two sig() ArrowEvalPython stages, zero
+    # reuse). With the hints the EXECUTED adaptive plan must contain a
+    # ReusedExchange and exactly one signing evaluation. Asserted on the
+    # runtime plan (collect first), not explain — pre-execution AQE plans
+    # never show stage reuse.
+    from hadoop_word_score_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words repeated here "),
+                 (F.col("id") % 50)).alias("text"),
+    )
+    for df, udf_marker in (
+        (minhash_lsh_pairs(docs), "sig("),
+        (simhash_near_pairs(docs), None),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final, final[:500]
+        assert "ReusedExchange" in final, final
+        if udf_marker is not None:
+            n_evals = sum(
+                udf_marker in line and "ArrowEvalPython" in line
+                for line in final.splitlines()
+            )
+            assert n_evals == 1, final
+
+
 def test_minhash_verify_single_shingle_subtree(spark):
     # the verification path computes the tokenize→shingle chain once: exactly
     # one scan of documents feeds a shingle projection into the verify join
