@@ -55,7 +55,6 @@ from __future__ import annotations
 
 import json
 import os
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -273,24 +272,22 @@ def persist_ivfpq_index(
     # overlap from a driver thread (guide §2.6: a later job's tasks
     # back-fill executors freed by the earlier job's stragglers; each
     # driver collect is idle network wait the other job can use).
-    # inheritable_thread_target propagates the JVM thread-locals (job
-    # group/description) per the documented PySpark pattern. Results are
+    # overlap_jobs propagates the JVM thread-locals (job group/description)
+    # when the pinned-thread gateway allows it and surfaces a background
+    # failure even when the foreground one raises (ADVICE r16). Results are
     # unchanged: both halves are deterministic and share no state.
-    from pyspark import inheritable_thread_target
+    from ..session import overlap_jobs
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        books_future = pool.submit(
-            inheritable_thread_target(candidates.sparkSession)(
-                lambda: pq_train(
-                    candidates, id_col, vec_col, m, k, iterations,
-                    train_ppm=train_ppm,
-                )
-            )
-        )
-        centroids, index = build_ivf_index(
+    (centroids, index), books = overlap_jobs(
+        candidates.sparkSession,
+        lambda: pq_train(
+            candidates, id_col, vec_col, m, k, iterations,
+            train_ppm=train_ppm,
+        ),
+        lambda: build_ivf_index(
             candidates, n_cells, id_col, vec_col, keep=meta_cols
-        )
-        books = books_future.result()
+        ),
+    )
     cent_rows = centroids.collect()  # bounded: n_cells rows
     coarse = None
     if cent_rows:

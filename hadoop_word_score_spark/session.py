@@ -82,6 +82,41 @@ def get_spark(
     return spark
 
 
+def overlap_jobs(spark: SparkSession, background, foreground):
+    """Run two INDEPENDENT Spark job chains concurrently (guide §2.6: a
+    later job's tasks back-fill executors freed by the earlier job's
+    stragglers); returns ``(foreground_result, background_result)`` after
+    BOTH complete.
+
+    Robustness (ADVICE r16):
+
+    - ``inheritable_thread_target(session)`` only returns a decorator under
+      the pinned-thread (ClientServer) gateway; with
+      ``PYSPARK_PIN_THREAD=false`` it returns its argument — the session —
+      unchanged, and calling that raises ``TypeError``. Fall back to the
+      bare callable there: only UI labels/tags are lost, never the job.
+    - If the FOREGROUND chain fails, the background one's exception must
+      not be silently dropped by executor shutdown — it is attached as the
+      foreground error's ``__context__`` so both surface in the traceback.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    deco = inheritable_thread_target(spark)
+    target = deco(background) if callable(deco) else background
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(target)
+        try:
+            fg = foreground()
+        except BaseException as e:
+            bg_err = fut.exception()  # waits; never masks the real cause
+            if bg_err is not None and bg_err is not e and e.__context__ is None:
+                e.__context__ = bg_err
+            raise
+        return fg, fut.result()
+
+
 def apply_engine_confs(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an externally-built session.
 

@@ -180,25 +180,20 @@ def dedup_ingest_sink(
         # pointer swap below publishes them, and a crash mid-either-write
         # leaves the same unpublished batch dirs a sequential crash did
         # (vacuum_ingest's contract).
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark import inheritable_thread_target
+        from ..session import overlap_jobs
 
         # Quarantined docs are indexed too (see module docstring); the index
         # carries mh_meta so a later probe with different parameters
         # fail-fasts instead of silently degrading recall.
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            index_future = pool.submit(
-                inheritable_thread_target(spark)(
-                    lambda: batch_index.write.mode("overwrite").parquet(
-                        _batch_dir(target, _INDEX, batch_id)
-                    )
-                )
-            )
-            annotated.write.mode("overwrite").parquet(
+        overlap_jobs(
+            spark,
+            lambda: batch_index.write.mode("overwrite").parquet(
+                _batch_dir(target, _INDEX, batch_id)
+            ),
+            lambda: annotated.write.mode("overwrite").parquet(
                 _batch_dir(target, _DOCS, batch_id)
-            )
-            index_future.result()
+            ),
+        )
         _commit(target, version + 1, batch_id)
 
     return write_batch
@@ -364,22 +359,17 @@ def perceptual_ingest_sink(
         # the index write reads only the checkpointed hash relations, the
         # docs write only the match relation; both complete before _commit
         # publishes them, so exactly-once and crash behaviour are unchanged.
-        from concurrent.futures import ThreadPoolExecutor
+        from ..session import overlap_jobs
 
-        from pyspark import inheritable_thread_target
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            index_future = pool.submit(
-                inheritable_thread_target(spark)(
-                    lambda: index_rows.write.mode("overwrite").parquet(
-                        _batch_dir(target, _INDEX, batch_id)
-                    )
-                )
-            )
-            annotated.write.mode("overwrite").parquet(
+        overlap_jobs(
+            spark,
+            lambda: index_rows.write.mode("overwrite").parquet(
+                _batch_dir(target, _INDEX, batch_id)
+            ),
+            lambda: annotated.write.mode("overwrite").parquet(
                 _batch_dir(target, _DOCS, batch_id)
-            )
-            index_future.result()
+            ),
+        )
         _commit(target, version + 1, batch_id)
 
     return write_batch

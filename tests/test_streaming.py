@@ -1781,3 +1781,50 @@ def test_perceptual_ingest_multi_algo_union_and_guard(spark, tmp_path):
         perceptual_ingest_sink(
             target, image_ahash64, algo="x", hashers={"y": image_dhash64}
         )
+
+
+# overlap_jobs (session.py) — the §2.6 back-fill helper behind the ingest
+# sinks' and persist_ivfpq_index's concurrent writes (ADVICE r16 hardening)
+
+
+def test_overlap_jobs_returns_both_results(spark):
+    from hadoop_word_score_spark.session import overlap_jobs
+
+    fg, bg = overlap_jobs(
+        spark,
+        lambda: spark.range(5).count(),
+        lambda: spark.range(3).count(),
+    )
+    assert (fg, bg) == (3, 5)
+
+
+def test_overlap_jobs_surfaces_background_failure_behind_foreground(spark):
+    # ADVICE r16: a foreground failure must not swallow the background
+    # exception — it rides along as __context__ in the raised error
+    import pytest
+
+    from hadoop_word_score_spark.session import overlap_jobs
+
+    def bg():
+        raise RuntimeError("background root cause")
+
+    def fg():
+        raise ValueError("foreground symptom")
+
+    with pytest.raises(ValueError, match="foreground symptom") as exc:
+        overlap_jobs(spark, bg, fg)
+    assert isinstance(exc.value.__context__, RuntimeError)
+    assert "background root cause" in str(exc.value.__context__)
+
+
+def test_overlap_jobs_background_failure_alone_propagates(spark):
+    import pytest
+
+    from hadoop_word_score_spark.session import overlap_jobs
+
+    with pytest.raises(RuntimeError, match="bg boom"):
+        overlap_jobs(
+            spark,
+            lambda: (_ for _ in ()).throw(RuntimeError("bg boom")),
+            lambda: 1,
+        )
