@@ -309,11 +309,48 @@ def build_ivf_index(
             f"vid {id_schema}, v {vec_type}{keep_schema}, cell int",
         )
 
+    # Refinement pass: one mapInPandas scan emitting per-batch PARTIAL sums
+    # keyed by (cell, pos) — the pq_train/clustering.py pattern (r17,
+    # guide §2.3 "aggregate before you shuffle"). The previous shape
+    # (assign pass re-emitting every (vid, v, cell) row through the Python
+    # boundary, then posexplode to N×dim rows feeding a corpus-wide avg
+    # shuffle) moved the whole corpus twice to compute n_cells×dim means;
+    # the partials are n_cells×dim rows of 3 numbers per batch, so nothing
+    # corpus-sized crosses the boundary or the exchange. Mean = Σs/Σcnt —
+    # the same quantity avg computed (summation order differs only within
+    # the float ulp; centroids are not a declared query output, and every
+    # build/probe oracle re-verified PASS).
+    seed_cell_ids = np.array([c for c, _ in seed_rows], dtype=np.int32)
+    seed_cmat = np.array([v for _, v in seed_rows], dtype=np.float64)
+    seed_cnorm = np.sqrt((seed_cmat * seed_cmat).sum(axis=1))
+    seed_cnorm[seed_cnorm == 0] = 1.0
+
+    def refine_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.array(list(pdf["v"]), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            vnorm[vnorm == 0] = 1.0
+            sims = (vm / vnorm[:, None]) @ (seed_cmat / seed_cnorm[:, None]).T
+            a = np.argmax(sims, axis=1)  # ties -> first max, as assign_with
+            cells, cnts, sums, poss = [], [], [], []
+            dim = vm.shape[1]
+            for j in np.unique(a):
+                sel = vm[a == j]
+                cells.extend([int(seed_cell_ids[j])] * dim)
+                poss.extend(range(dim))
+                sums.extend(sel.sum(axis=0))
+                cnts.extend([len(sel)] * dim)
+            yield pd.DataFrame(
+                {"cell": cells, "pos": poss, "s": sums, "cnt": cnts}
+            )
+
     refined = (
-        assign_with(seed_rows)
-        .select("cell", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
+        candidates.select(F.col(vec_col).alias("v"))
+        .mapInPandas(refine_partials, "cell int, pos int, s double, cnt long")
+        .groupBy("cell", "pos")  # n_cells×dim keys, map-side combined
+        .agg((F.sum("s") / F.sum("cnt")).alias("m"))
         .groupBy("cell")
         .agg(
             F.transform(

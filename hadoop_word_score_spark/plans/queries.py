@@ -12837,19 +12837,30 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     home = F.concat(
         F.lit("example"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
     )
-    links = (
+    # ONE render+extract pass per run (r17; r16 had two — the links pin
+    # plus the edge list's own render): every consumer's inputs — raw and
+    # canonical external URLs AND the internal link-id edge list — are
+    # extracted in a single projection over the rendered page and pinned
+    # as one narrow per-doc row (host + two short arrays, never page
+    # bodies — the guide-§8 "decide with small rows" shape). The host
+    # aggregations explode the pinned arrays (cheap: no regexp, no
+    # render); pagerank's edge list reads the same pin.
+    extracted = (
         pages.select(
             "doc_id",
             home.alias("src_host"),
-            F.explode(extract_urls(F.col("html"))).alias("url"),
+            extract_urls(F.col("html")).alias("urls"),
+            extract_link_ids(F.col("html")).alias("dsts"),
         )
-        .withColumn("curl", canonicalize_url(F.col("url")))
-        # narrow (id, host, url, curl) pin: consumed by BOTH host
-        # aggregations below — without it each re-renders and re-extracts
-        # every page (r16: the before-plan carried the render subtree
-        # twice). The pin is links-sized metadata, never page bodies —
-        # the guide-§8 "decide with small rows" shape.
+        .withColumn("curls", F.transform(F.col("urls"), canonicalize_url))
         .localCheckpoint()
+    )
+    links = extracted.select(
+        "src_host", F.explode(F.arrays_zip("urls", "curls")).alias("z")
+    ).select(
+        "src_host",
+        F.col("z.urls").alias("url"),
+        F.col("z.curls").alias("curl"),
     )
     out_side = links.groupBy(F.col("src_host").alias("host")).agg(
         F.count(F.lit(1)).alias("out_links"),
@@ -12859,9 +12870,9 @@ def q_html_links_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("in_raw_urls"),
         F.count_distinct("curl").alias("in_canonical_urls"),
     )
-    edges = pages.select(
+    edges = extracted.select(
         F.col("doc_id").alias("src"),
-        F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+        F.explode("dsts").alias("dst"),
     )
     mass = (
         pagerank(edges, iterations=3)
@@ -12969,19 +12980,27 @@ def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             extra_block=render_source_links(F.array(url_a, url_b)),
         ).alias("html"),
     )
+    # ONE render+extract pass per run (r17; before, the targets relation
+    # and the edge list each re-rendered every page): canonical URLs and
+    # internal link ids ride one narrow pinned projection — per-doc two
+    # short arrays, never page bodies (guide §8).
+    extracted = pages.select(
+        "doc_id",
+        F.transform(
+            extract_urls(F.col("html")), canonicalize_url
+        ).alias("curls"),
+        extract_link_ids(F.col("html")).alias("dsts"),
+    ).localCheckpoint()
     # one frontier entry per (page, canonical URL): spelling variants
     # collapse BEFORE equity aggregation
     targets = (
-        pages.select(
-            "doc_id", F.explode(extract_urls(F.col("html"))).alias("raw")
-        )
-        .select("doc_id", canonicalize_url(F.col("raw")).alias("url"))
+        extracted.select("doc_id", F.explode("curls").alias("url"))
         .distinct()
         .withColumn("host", url_host(F.col("url")))
     )
-    edges = pages.select(
+    edges = extracted.select(
         F.col("doc_id").alias("src"),
-        F.explode(extract_link_ids(F.col("html"))).alias("dst"),
+        F.explode("dsts").alias("dst"),
     )
     equity = (
         targets.join(

@@ -996,3 +996,36 @@ def test_round16_banded_self_joins_reuse_exchange(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round17_link_queries_render_pages_once(spark):
+    # r17 change A: the link-graph queries must evaluate the page-render
+    # subtree exactly ONCE per run — raw/canonical URLs and the internal
+    # edge list all extract in one pinned projection. Counted over the
+    # EXECUTED SQL plans (the pin materializations run as tracked SQL
+    # executions), not explain: the pins hide the render from the final
+    # query's own plan. The render marker is the extract regexp plus the
+    # sources-block literal only the rendered page contains.
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids():
+        lst = store.executionsList()
+        return {lst.apply(i).executionId() for i in range(lst.size())}
+
+    def render_executions(name):
+        before = exec_ids()
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        df.write.format("noop").mode("overwrite").save()
+        lst = store.executionsList()
+        hits = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            if e.executionId() in before:
+                continue
+            plan = e.physicalPlanDescription()
+            if "regexp_extract_all" in plan and "sources" in plan:
+                hits += 1
+        return hits
+
+    assert render_executions("html_links_by_host") == 1
+    assert render_executions("crawl_frontier_topk") == 1
