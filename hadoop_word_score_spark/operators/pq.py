@@ -309,22 +309,33 @@ def persist_ivfpq_index(
         index, books, id_col, vec_col,
         keep=("cell", *meta_cols), coarse=coarse,
     )
-    worst = None
-    if coarse is not None:
-        codes = codes.persist(StorageLevel.DISK_ONLY)
+
+    def _write_index():
+        if coarse is None:
+            codes.repartition("cell").write.partitionBy("cell").mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "index"))
+            return None
+        pinned = codes.persist(StorageLevel.DISK_ONLY)
         try:
-            row = codes.agg(F.min("_coarse_sim")).collect()[0][0]
-            worst = None if row is None else float(row)
-            codes.drop("_coarse_sim").repartition("cell").write.partitionBy(
+            row = pinned.agg(F.min("_coarse_sim")).collect()[0][0]
+            pinned.drop("_coarse_sim").repartition("cell").write.partitionBy(
                 "cell"
             ).mode("overwrite").parquet(os.path.join(path, "index"))
+            return None if row is None else float(row)
         finally:
-            codes.unpersist()
-    else:
-        codes.repartition("cell").write.partitionBy("cell").mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "index"))
-    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+            pinned.unpersist()
+
+    # centroids is a driver-local bounded relation, ready before the
+    # encode pass — its write overlaps the corpus-sized index write so the
+    # tiny job back-fills the big one's tail (guide §2.6).
+    worst, _ = overlap_jobs(
+        candidates.sparkSession,
+        lambda: centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
+        _write_index,
+    )
     spark = candidates.sparkSession
     # Arrow (pandas) route, not a plain row list: a list-backed local
     # relation of nested arrays serializes through the Python-RDD scan on

@@ -475,10 +475,21 @@ def persist_ivf_index(
     # ragged files are pure per-task overhead on the serving path. (At real
     # scale you'd repartition(cells_per_file_target, "cell") to bound file
     # sizes; one file per cell is right for the test corpus.)
-    index.repartition("cell").write.partitionBy("cell").mode("overwrite").parquet(
-        os.path.join(path, "index")
+    # The two writes are independent (centroids is a driver-local bounded
+    # relation, ready before the index pass starts) — overlap them so the
+    # tiny centroids job back-fills the index write's tail (guide §2.6).
+    from ..session import overlap_jobs
+
+    overlap_jobs(
+        candidates.sparkSession,
+        lambda: centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        ),
+        lambda: index.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(os.path.join(path, "index")),
     )
-    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
 # Process-level serving caches, keyed by (realpath, _SUCCESS mtime) so a
